@@ -1,0 +1,187 @@
+"""Variant 3 — micro-batch incremental segmentation
+(/root/reference/src/3-microBatch.test.ts).
+
+The cascade, per batch:
+
+1. state update — only events with cursor >= lower_bound are scanned;
+   per-user mergeable HLL state rows are appended to the state table
+   (uniqState, 3-microBatch.test.ts:117-133).
+2. changelog — every state row synchronously emits (user_id, computed_at)
+   into a day-partitioned changelog (the MATERIALIZED VIEW ... TO trigger,
+   3-microBatch.test.ts:31-38,50-56). In Spark the micro-batch job itself
+   *is* the trigger: it appends the same rows it just computed.
+3. finalize — only users present in this batch's changelog window are
+   re-finalized: semi-join changelog -> merge all their state rows
+   (uniqMerge, 3-microBatch.test.ts:136-154) -> append new assignment
+   versions.
+4. serve — latest-wins over assignments (argMax, 3-microBatch.test.ts:156-169).
+
+Scale design:
+- Per-batch work is O(new events) + O(state rows of changed users); the
+  full event history is never rescanned. That is the reference's entire
+  point and it carries over 1:1.
+- The changed-user set is usually tiny relative to the state table, so the
+  semi-join build side is broadcast (`F.broadcast`) — no shuffle of the
+  state table beyond the groupBy on user_id.
+- The changelog filter lands on the yyyyMMdd partition column -> partition
+  pruning; states/assignments are clustered on user_id at write time ->
+  row-group pruning on the semi-join key.
+- State rows per user grow by 1 per batch they appear in; `compact_states`
+  merges them (ClickHouse's background AggregatingMergeTree merge).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .spec import EventLog, SegmentSpec
+from ..operators.hll_state import accumulate_state, hll_merge, hll_merge_estimate
+from ..sources.writers import PARTITION_COL, append_clustered
+from .naive import serve_membership, serve_segment  # noqa: F401  (re-served here)
+
+
+def _ts(value: dt.datetime | str) -> F.Column:
+    if isinstance(value, dt.datetime):
+        value = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return F.lit(value).cast("timestamp")
+
+
+class MicroBatchSegmenter:
+    """Persisted incremental segmentation over a workdir of parquet tables."""
+
+    STATE_AGGS: dict[str, object] = {}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        spec: SegmentSpec,
+        log: EventLog = EventLog(),
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.spec = spec
+        self.log = log
+        self.states_path = os.path.join(workdir, "user_states")
+        self.changelog_path = os.path.join(workdir, "updated_user_states")
+        self.assignments_path = os.path.join(workdir, "segment_assignments")
+
+    # -- table access --------------------------------------------------------
+
+    def _read(self, path: str) -> DataFrame | None:
+        if not os.path.exists(path):
+            return None
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            # Directory exists but holds no data files (e.g. every partition
+            # aged out via retention, or only empty-batch markers) — treat as
+            # an empty table.
+            return None
+
+    def states(self) -> DataFrame | None:
+        return self._read(self.states_path)
+
+    def changelog(self) -> DataFrame | None:
+        df = self._read(self.changelog_path)
+        return df.drop(PARTITION_COL) if df is not None else None
+
+    def assignments(self) -> DataFrame | None:
+        return self._read(self.assignments_path)
+
+    # -- cascade stages -------------------------------------------------------
+
+    def _batch_state(self, events: DataFrame, lower_bound, now) -> DataFrame:
+        """Stage 1: per-user partial state for events at/after the cursor."""
+        batch = self.spec.matching(events, self.log).filter(
+            F.col(self.log.cursor) >= _ts(lower_bound)
+        )
+        extra = {
+            name: fn(self.log) for name, fn in self.STATE_AGGS.items()
+        }
+        return accumulate_state(
+            batch.withColumnRenamed(self.log.user, "user_id"),
+            key="user_id",
+            distinct_col=self.log.message,
+            computed_at=_ts(now),
+            extra_aggs=extra,
+        )
+
+    def process_batch(self, events: DataFrame, lower_bound, now) -> None:
+        """Run one micro-batch: state update + changelog + finalize."""
+        state_rows = self._batch_state(events, lower_bound, now)
+        append_clustered(state_rows, self.states_path, cluster_by=["user_id"])
+        # MV trigger analog: project the same inserted block into the changelog
+        changelog_rows = state_rows.select("user_id", "computed_at")
+        append_clustered(
+            changelog_rows,
+            self.changelog_path,
+            cluster_by=["user_id"],
+            partition_ts="computed_at",
+        )
+        self._finalize(changed_since=now, assigned_at=now)
+
+    def _merged_aggs(self) -> list:
+        return [(hll_merge_estimate("event_count") >= self.spec.threshold).alias("value")]
+
+    def _finalize(self, changed_since, assigned_at) -> None:
+        """Stage 3: re-derive assignments for users changed since the cursor.
+
+        Mirrors INSERT INTO segment_assignments SELECT user_id,
+        uniqMerge(event_count) >= 2 FROM user_states WHERE user_id IN
+        (SELECT user_id FROM updated_user_states WHERE computed_at >= lb)
+        GROUP BY user_id (3-microBatch.test.ts:136-154).
+        """
+        states = self.states()
+        changelog = self.changelog()
+        if states is None or changelog is None:
+            return
+        changed = (
+            changelog.filter(F.col("computed_at") >= _ts(changed_since))
+            .select("user_id")
+            .distinct()
+        )
+        finalized = (
+            states.join(F.broadcast(changed), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(*self._merged_aggs())
+            .withColumn("assigned_at", _ts(assigned_at))
+        )
+        append_clustered(finalized, self.assignments_path, cluster_by=["user_id"])
+
+    # -- serving --------------------------------------------------------------
+
+    def members(self) -> DataFrame:
+        """Latest-wins segment membership (user_ids currently in-segment)."""
+        assignments = self.assignments()
+        if assignments is None:
+            raise RuntimeError("no batches processed yet")
+        return serve_segment(assignments)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact_states(self) -> None:
+        """AggregatingMergeTree background-merge analog: collapse each user's
+        state rows into one merged sketch row, bounding read amplification."""
+        states = self.states()
+        if states is None:
+            return
+        merged = states.groupBy("user_id").agg(
+            hll_merge("event_count").alias("event_count"),
+            F.max("computed_at").alias("computed_at"),
+            *[
+                F.max(c).alias(c)
+                for c in states.columns
+                if c not in ("user_id", "event_count", "computed_at")
+            ],
+        )
+        tmp = self.states_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(self.states_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Defaults are tuned for the local[N] test harness but every knob is the one
+you would also set on a 1000-executor cluster: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), shuffle partitions sized to the
+parallelism actually available, UTC session timezone (required for DuckDB
+oracle comparison — DuckDB timestamps are UTC-naive), and Arrow enabled for
+the few Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return max(1, os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "clickhouse-segments-tutorial-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count: the default 200
+    over-parallelizes tiny local runs; on a real cluster you would size it to
+    ~2-3x total executor cores (or simply let AQE coalesce, which is enabled).
+    """
+    par = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{default_parallelism()}]")
+        .config("spark.sql.shuffle.partitions", str(par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

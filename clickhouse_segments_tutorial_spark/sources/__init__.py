@@ -1,0 +1,4 @@
+from .catalog import Catalog, load_table
+from .json_ingest import read_json_rows
+
+__all__ = ["Catalog", "load_table", "read_json_rows"]

@@ -1,0 +1,97 @@
+"""Table write helpers: the storage-engine semantics the reference gets from
+ClickHouse table engines, re-expressed as parquet layout + explicit jobs.
+
+- MergeTree append-only + ORDER BY clustering
+  (/root/reference/src/1-naive.test.ts:13-19) -> append parquet, sorted
+  within partitions on the cluster key so row-group min/max stats prune scans.
+- PARTITION BY toYYYYMMDD(col) (/root/reference/src/3-microBatch.test.ts:36)
+  -> write.partitionBy on a derived yyyyMMdd column; partition pruning is
+  built into Spark's file source.
+- TTL ... + interval N day (/root/reference/src/3-microBatch.test.ts:38)
+  -> retention job dropping expired partitions.
+- ReplacingMergeTree background merge (/root/reference/src/1-naive.test.ts:21-28)
+  -> compaction job rewriting only the latest row per key.
+
+At 100 TB these helpers are the difference between a scan and a prune: daily
+partitions + sort-on-write give the same skip behavior as ClickHouse's sparse
+primary index, with zero custom code at read time.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PARTITION_COL = "part_yyyymmdd"
+
+
+def append_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: list[str],
+    partition_ts: str | None = None,
+) -> None:
+    """Append with MergeTree-like layout: optional daily partitioning on a
+    timestamp column plus sort-within-partitions on the cluster key (the
+    ORDER BY analog) so parquet row-group stats can prune on those columns."""
+    writer_df = df
+    if partition_ts is not None:
+        writer_df = writer_df.withColumn(
+            PARTITION_COL, F.date_format(F.col(partition_ts), "yyyyMMdd")
+        )
+        writer_df = writer_df.repartition(PARTITION_COL).sortWithinPartitions(
+            PARTITION_COL, *cluster_by
+        )
+        writer_df.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+    else:
+        writer_df.sortWithinPartitions(*cluster_by).write.mode("append").parquet(path)
+
+
+def apply_retention(spark: SparkSession, path: str, *, keep_days: int, now=None) -> int:
+    """TTL analog: drop daily partitions older than ``keep_days``.
+
+    Partition drop (not row delete) — O(partitions), no data rewrite, exactly
+    like ClickHouse TTL at part granularity. Returns partitions dropped.
+    """
+    import datetime as dt
+
+    now = now or dt.datetime.now(dt.timezone.utc)
+    cutoff = (now - dt.timedelta(days=keep_days)).strftime("%Y%m%d")
+    base = Path(path)
+    dropped = 0
+    if not base.exists():
+        return 0
+    for p in base.glob(f"{PARTITION_COL}=*"):
+        day = p.name.split("=", 1)[1]
+        if day < cutoff:
+            shutil.rmtree(p)
+            dropped += 1
+    return dropped
+
+
+def compact_latest_wins(
+    spark: SparkSession,
+    path: str,
+    *,
+    key: str,
+    order_by: str,
+) -> None:
+    """ReplacingMergeTree background-merge analog: rewrite the table keeping
+    only the latest version per key. Readers never rely on this having run —
+    they always resolve latest-wins themselves (operators/latest_wins.py),
+    mirroring the reference's read-side argMax
+    (/root/reference/src/1-naive.test.ts:85)."""
+    df = spark.read.parquet(path)
+    latest = (
+        df.groupBy(key)
+        .agg(F.max_by(F.struct("*"), F.col(order_by)).alias("row"))
+        .select("row.*")
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,196 @@
+"""Golden e2e tests mirroring the reference's four jest suites
+(SURVEY.md §5, FIXTURES.md §1): tiny hand-crafted fixtures, exact expected
+segment membership. User "1" is in the segment, user "2" is not.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_segments_tutorial_spark.schemas import (
+    USER_EVENTS_EVENT_TIME,
+    USER_EVENTS_IDEMPOTENT,
+    USER_EVENTS_NAIVE,
+)
+from clickhouse_segments_tutorial_spark.segmentation import (
+    EventTimeSegmenter,
+    MicroBatchSegmenter,
+    SegmentSpec,
+    idempotent_assignments,
+    naive_assignments,
+    serve_segment,
+)
+from clickhouse_segments_tutorial_spark.segmentation.event_time import EVENT_TIME_LOG
+from clickhouse_segments_tutorial_spark.segmentation.spec import EventLog
+
+SPEC = SegmentSpec(name="button_clickers", event_name="BUTTON_CLICK", threshold=2)
+UTC = dt.timezone.utc
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def members(df) -> list[str]:
+    return sorted(r.user_id for r in df.collect())
+
+
+# --- Variant 1: naive (/root/reference/src/1-naive.test.ts:49-95) ----------
+
+
+def test_naive_golden(spark):
+    rows = [
+        ("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00")),
+        ("1", "BUTTON_CLICK", ts("2023-01-01 00:00:05")),
+        ("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00")),
+    ]
+    events = spark.createDataFrame(rows, USER_EVENTS_NAIVE)
+    assignments = naive_assignments(events, SPEC)
+    assert members(serve_segment(assignments)) == ["1"]
+
+
+def test_naive_latest_wins_flip(spark):
+    """A newer false assignment must evict a user (ReplacingMergeTree
+    latest-wins semantics, /root/reference/src/1-naive.test.ts:21-28)."""
+    rows = [
+        ("1", True, ts("2023-01-01 00:00:00")),
+        ("1", False, ts("2023-01-02 00:00:00")),
+        ("2", False, ts("2023-01-01 00:00:00")),
+        ("2", True, ts("2023-01-02 00:00:00")),
+    ]
+    assignments = spark.createDataFrame(rows, "user_id string, value boolean, assigned_at timestamp")
+    assert members(serve_segment(assignments)) == ["2"]
+
+
+# --- Variant 2: idempotent (/root/reference/src/2-idempotent.test.ts:50-107)
+
+
+def test_idempotent_golden(spark):
+    m1, m2, m3 = (str(uuid.uuid4()) for _ in range(3))
+    rows = [
+        ("1", "BUTTON_CLICK", m1, ts("2023-01-01 00:00:00")),
+        ("1", "BUTTON_CLICK", m2, ts("2023-01-01 00:00:05")),
+        ("2", "BUTTON_CLICK", m3, ts("2023-01-01 00:00:00")),
+        # duplicate delivery of the same message (2-idempotent.test.ts:72-78):
+        # must NOT flip user 2 over the threshold
+        ("2", "BUTTON_CLICK", m3, ts("2023-01-01 00:00:00")),
+    ]
+    events = spark.createDataFrame(rows, USER_EVENTS_IDEMPOTENT)
+    assignments = idempotent_assignments(events, SPEC)
+    assert members(serve_segment(assignments)) == ["1"]
+    # approximate path agrees at golden cardinality
+    approx = idempotent_assignments(events, SPEC, exact=False)
+    assert members(serve_segment(approx)) == ["1"]
+
+
+# --- Variant 3: micro-batch (/root/reference/src/3-microBatch.test.ts:90-171)
+
+
+def test_micro_batch_golden(spark, tmp_path):
+    now = dt.datetime(2023, 6, 1, 12, 0, 0)
+    two_min_ago = now - dt.timedelta(minutes=2)
+    one_min_ago = now - dt.timedelta(minutes=1)
+    m1, m2, m3 = (str(uuid.uuid4()) for _ in range(3))
+    rows = [
+        ("1", "BUTTON_CLICK", m1, two_min_ago),
+        ("1", "BUTTON_CLICK", m2, one_min_ago),
+        ("2", "BUTTON_CLICK", m3, two_min_ago),
+    ]
+    events = spark.createDataFrame(rows, "user_id string, event_name string, message_id string, timestamp timestamp")
+    seg = MicroBatchSegmenter(spark, str(tmp_path / "mb"), SPEC)
+    seg.process_batch(events, lower_bound=two_min_ago, now=now)
+    assert members(seg.members()) == ["1"]
+
+
+def test_micro_batch_incremental_across_batches(spark, tmp_path):
+    """State accumulates across batches: user 2 crosses the threshold only
+    after a second batch delivers a second distinct message."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    t1 = t0 + dt.timedelta(minutes=5)
+    seg = MicroBatchSegmenter(spark, str(tmp_path / "mb2"), SPEC)
+
+    batch1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("1", "BUTTON_CLICK", "m2", t0),
+            ("2", "BUTTON_CLICK", "m3", t0),
+        ],
+        "user_id string, event_name string, message_id string, timestamp timestamp",
+    )
+    seg.process_batch(batch1, lower_bound=t0, now=t0)
+    assert members(seg.members()) == ["1"]
+
+    # second batch: only new events are scanned (cursor = t1)
+    batch2 = spark.createDataFrame(
+        [
+            ("2", "BUTTON_CLICK", "m4", t1),
+            # duplicate of m3 redelivered late — must not double-count
+            ("2", "BUTTON_CLICK", "m3", t1),
+        ],
+        "user_id string, event_name string, message_id string, timestamp timestamp",
+    )
+    seg.process_batch(batch2, lower_bound=t1, now=t1)
+    assert members(seg.members()) == ["1", "2"]
+
+    # compaction preserves the answer
+    seg.compact_states()
+    assert members(seg.members()) == ["1", "2"]
+
+
+# --- Variant 4: event time (/root/reference/src/4-eventTime.test.ts:89-193)
+
+
+def test_event_time_golden(spark, tmp_path):
+    now = dt.datetime(2023, 6, 1, 12, 0, 0)
+    one_min_ago = now - dt.timedelta(minutes=1)
+    one_min_thirty_ago = now - dt.timedelta(seconds=30)  # -1min +30s
+    two_min_ago = now - dt.timedelta(minutes=2)
+    two_min_thirty_ago = now - dt.timedelta(seconds=90)  # -2min +30s
+
+    rows = [
+        # event_time leads processing_time by 30s (4-eventTime.test.ts:92-98)
+        ("1", "BUTTON_CLICK", "m1", two_min_thirty_ago, two_min_ago),
+        ("1", "BUTTON_CLICK", "m2", one_min_thirty_ago, one_min_ago),
+        ("2", "BUTTON_CLICK", "m3", two_min_thirty_ago, two_min_ago),
+    ]
+    events = spark.createDataFrame(rows, USER_EVENTS_EVENT_TIME)
+    seg = EventTimeSegmenter(spark, str(tmp_path / "et"), SPEC, log=EVENT_TIME_LOG)
+    # cursor on processing_time
+    seg.process_batch(events, lower_bound=two_min_ago, now=now)
+
+    got = {
+        r.user_id: (r.latest_value, r.last_event_time)
+        for r in seg.members_with_last_event_time().collect()
+    }
+    expected_unix = int(one_min_thirty_ago.replace(tzinfo=UTC).timestamp())
+    assert got == {"1": (True, expected_unix)}
+
+
+def test_event_time_late_arrival(spark, tmp_path):
+    """A late event (event_time far before its processing_time) still counts
+    and last_event_time reflects event time, not arrival order."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    t1 = t0 + dt.timedelta(minutes=5)
+    log = EVENT_TIME_LOG
+    seg = EventTimeSegmenter(spark, str(tmp_path / "etl"), SPEC, log=log)
+
+    schema = "user_id string, event_name string, message_id string, event_time timestamp, processing_time timestamp"
+    batch1 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m1", t0 + dt.timedelta(seconds=50), t0)], schema
+    )
+    seg.process_batch(batch1, lower_bound=t0, now=t0)
+    assert members(seg.members()) == []
+
+    # m2 happened BEFORE m1 (event_time) but arrives in batch 2
+    batch2 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m2", t0 - dt.timedelta(minutes=10), t1)], schema
+    )
+    seg.process_batch(batch2, lower_bound=t1, now=t1)
+    got = {r.user_id: r.last_event_time for r in seg.members_with_last_event_time().collect()}
+    # max event_time is still m1's, despite m2 arriving later
+    expected = int((t0 + dt.timedelta(seconds=50)).replace(tzinfo=UTC).timestamp())
+    assert got == {"1": expected}
