@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Extensions beyond the reference surface (SURVEY.md §2.5) for training-data
+pipelines. Design notes per operator, scale-first:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle keyed by md5,
+  perfectly balanced unless the corpus is pathologically duplicated (then
+  AQE skew handling kicks in).
+- n-gram Jaccard (exact pairs): explode shingles -> self-join on shingle ->
+  count common shingles per pair -> |A∩B| / (|A|+|B|-|A∩B|). O(sum of
+  postings²) — correct but quadratic in hot shingles; it is the *oracle*
+  for the sketch-based paths, run it on samples/buckets, not 100 TB.
+- MinHash+LSH: k independent min-hashes per doc (computed WITHOUT explode —
+  array_min over a transform of the distinct-shingle array, k expressions,
+  zero shuffles), banded into b groups of r; candidate pairs = docs sharing
+  a (band, band-hash) bucket; verify candidates with exact Jaccard. Shuffle
+  volume is O(docs * b) tiny band keys instead of O(docs * shingles).
+  P[candidate] = 1 - (1 - J^r)^b — at k=64, b=32, r=2, J=0.8 recall ≈ 1.
+- SimHash: 64-bit sign-aggregated hash; near-dups = signatures within
+  Hamming distance d. Banding the 64 bits into (d+1) chunks gives exact
+  recall for distance <= d (pigeonhole) with the same bucket-join shape.
+
+Everything is deterministic: hashes are xxhash64 with fixed integer salts,
+no RNG at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+
+def word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    grams = F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact text; one hash shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# --- exact n-gram Jaccard pairs (the oracle path) ---------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All unordered doc pairs with shingle-Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Exact — used both as a
+    standalone operator and as the verifier for MinHash candidates.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+    posting = shingled.select("_id", "_n", F.explode("_sh").alias("_g"))
+    a, b = posting.alias("a"), posting.alias("b")
+    common = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, k: int = 64) -> Column:
+    """k-permutation MinHash signature as array<bigint>.
+
+    Each permutation is xxhash64(shingle, salt_i); the signature element is
+    the min over the doc's shingles. Computed with higher-order array
+    functions on the shingle array — no explode, no shuffle, JVM-side.
+    """
+    def salted(i: int):
+        # arity-1 lambda via factory: pyspark passes (element, index) to
+        # arity-2 lambdas, so `i=i` defaults would bind the array index.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(shingles, salted(i))) for i in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard.
+
+    shingle -> k minhashes -> b band-hashes -> bucket self-join on
+    (band, hash) -> exact-Jaccard verification of the candidate pairs.
+    Output (id_a, id_b, jaccard), id_a < id_b — identical schema to
+    :func:`jaccard_pairs`, which is its correctness oracle.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows = k // bands
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        word_shingles(text_col, n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    banded = docs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on their shingle sets
+    sh = docs.select("_id", "_sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(text: str | Column, *, n: int = 3) -> Column:
+    """64-bit SimHash over word shingles as a bigint.
+
+    For each bit position, sum +1/-1 votes from each shingle's hash bit and
+    take the sign. Pure array expressions; no explode.
+    """
+    sh = word_shingles(text, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for bit in range(64):
+        votes = F.aggregate(hashes, F.lit(0), vote(bit))
+        bits.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_distance.
+
+    Pigeonhole banding: split 64 bits into (max_distance+1) chunks; any pair
+    within distance d must agree exactly on >= one chunk, so the bucket join
+    has perfect recall. Exact Hamming verification after the join.
+    """
+    chunks = max_distance + 1
+    width = 64 // chunks
+    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col, n=n).alias("_sig"))
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("_sig", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "_sig", "cc.chunk", "cc.key")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+    return pairs

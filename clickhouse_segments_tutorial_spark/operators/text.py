@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY.md §2.5): token counting,
+quality scoring, language ID, document fingerprinting. All hot paths are
+built-in ``pyspark.sql.functions`` expressions — JVM-side, whole-stage
+codegen, no Python UDFs — so they run at full scan speed over 100 TB of
+documents (the per-doc cost is a handful of regex passes, embarrassingly
+parallel, no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small and high-precision: these are the highest-frequency
+# function words that rarely collide across these languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "you", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ich", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "vous"],
+    "es": ["el", "los", "las", "es", "una", "para", "por", "con"],
+}
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token estimate: count maximal runs of word chars, digits,
+    or single punctuation marks — the classic "BPE-ish regex" approximation
+    (a GPT-2-style pre-tokenizer pass without the merge table)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are punctuation/symbols (not word chars or
+    whitespace). 0.0 for empty text."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.length(col)
+    n_punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_punct / n)
+
+
+def stopword_ratio(text: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    words = stopwords or LANG_MARKERS["en"]
+    toks = tokens(text)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_words(words)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_stop / n)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards mid-length docs,
+    low punctuation density, and a natural stopword ratio. Deterministic,
+    expression-only — the shape of a Gopher/C4-style quality rule."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(col).cast("double")
+    length_term = F.least(n_tok / F.lit(50.0), F.lit(1.0))  # saturate at 50 tokens
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def _in_words(words: list[str]):
+    # NB: higher-order-function lambdas MUST keep arity 1 — pyspark passes
+    # (element, index) to arity-2 lambdas, so a `w=words` default would
+    # silently bind the array index.
+    return lambda t: F.lower(t).isin(words)
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Per-language marker-hit ratios (hits / tokens) for each candidate."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return {
+        lang: F.size(F.filter(toks, _in_words(words))) / n
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: str | Column, default: str = "und") -> Column:
+    """Predicted language = argmax marker ratio; 'und' when no marker hits.
+
+    Ties break by language key order (deterministic). Implemented as a fold
+    over (score, lang) structs — pure Catalyst expressions.
+    """
+    scores = lang_scores(text)
+    best = None
+    for lang, score in scores.items():
+        cand = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(score > best["score"], cand).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Stable 128-bit content fingerprint (md5 hex) — the exact-dedup key.
+    md5 exists in every engine, so oracle checks are trivial."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(col)
+
+
+def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: min xxhash64 over word ``window``-
+    grams. Stable under small edits outside the minimizing window — the
+    standard near-dup document sketch primitive."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.when(n < window, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        )
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc: the standard text-quality feature vector."""
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,246 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.5 / BASELINE north star):
+dedup, similarity search, text analysis, multimodal plumbing — over the
+`documents` and `embeddings` corpus tables.
+
+Oracle notes:
+- cosine similarity is bit-identical between Spark's zip_with/aggregate
+  double fold and DuckDB's list_cosine_similarity on DOUBLE[] (verified
+  499/499 exact on the corpus) — so similarity queries get full value
+  oracles.
+- MinHash-LSH and SimHash are sketch algorithms with no SQL equivalent;
+  MinHash output is oracle-checked anyway because its verify stage makes
+  output = {exact-Jaccard pairs >= t} whenever banding recall is 1 (tested
+  at sf0.01/sf0.1 in tests/test_dedup.py); SimHash stays rows-only.
+- ratios are int/int single double divisions; fingerprints are md5 —
+  identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.similarity import cosine_pairs, cosine_topk, srp_topk
+from ..operators.text import text_stats
+from ..sources.catalog import load_table
+from .registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- dedup ---------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+_JACCARD_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           END
+         ) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+),
+posting AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM docs),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS n_common
+  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
+"""
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash k=64, 32 bands x 2 rows, exact-Jaccard verified at 0.8.
+
+    Banding recall at J>=0.8: 1-(1-0.64)^32 ≈ 1-1e-14 — tested exhaustively
+    equal to jaccard_near_dup_pairs on this corpus, hence the shared oracle.
+    """
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k=64, bands=32, threshold=0.8
+    )
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit, Hamming <= 3 via pigeonhole banding (no SQL oracle —
+    rows-only check; pytest verifies against brute-force Hamming)."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), n=3, max_distance=3)
+
+
+# --- similarity search -----------------------------------------------------------
+
+
+def _probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_probe"))
+
+
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id 0 (probe folded in via a
+    broadcast cross join, so the scan side never moves)."""
+    from ..operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return (
+        emb.crossJoin(F.broadcast(_probe(spark, sf_dir)))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_probe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_ORACLE = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(p.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-random-projection buckets + multi-probe.
+    Rows-only check; pytest measures recall vs the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return srp_topk(
+        emb, list(probe), k=10, n_planes=12, max_hamming=2, exclude_id=0
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4 (exact O(n^2) — the oracle baseline for
+    the bucketed path)."""
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_COS_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# --- text analysis ----------------------------------------------------------------
+
+
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(text) AS n_chars,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS punct_ratio_raw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> lower(t) IN
+                    ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+                   / len(toks) END AS stop_ratio_raw,
+         CAST(len(list_filter(toks, t -> lower(t) IN
+              ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS s_en,
+         CAST(len(list_filter(toks, t -> lower(t) IN
+              ('der','die','und','das','ist','nicht','ich','ein'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS s_de,
+         CAST(len(list_filter(toks, t -> lower(t) IN
+              ('le','la','les','et','est','que','une','vous'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS s_fr,
+         CAST(len(list_filter(toks, t -> lower(t) IN
+              ('el','los','las','es','una','para','por','con'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS s_es
+  FROM base
+)
+SELECT doc_id,
+       n_tokens, n_bpe_tokens, n_chars,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(stop_ratio_raw, 6) AS stopword_ratio,
+       round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + (1.0 - least(punct_ratio_raw * 5, 1.0))
+              + least(stop_ratio_raw * 4, 1.0)) / 3.0, 6) AS quality,
+       CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       md5(text) AS fingerprint
+FROM feat
+"""
+
+
+# --- multimodal plumbing -------------------------------------------------------------
+
+
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: documents-as-media -> mapInPandas feature
+    extraction (stub codec) -> typed output. The oracled projection checks
+    the Arrow plumbing moved every payload byte-exactly."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, use_stub=True)
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature output including the array<double> column (rows-only)."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media, use_stub=True)
+
+
+QUERIES = [
+    QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
+    QuerySpec("jaccard_near_dup_pairs", jaccard_near_dup_pairs, _JACCARD_ORACLE, headline=True),
+    QuerySpec("minhash_near_dup_pairs", minhash_near_dup_pairs, _JACCARD_ORACLE, headline=True),
+    QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, None),
+    QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
+    QuerySpec("ann_srp_topk", ann_srp_topk, None),
+    QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
+    QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
+    QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
+    QuerySpec("multimodal_features", multimodal_features, None),
+]

@@ -1,0 +1,352 @@
+"""Extended relational surface (SURVEY.md §2.5): joins, windows, set ops,
+JSON extraction, as-of join, sessionization — over the TPC-H-ish corpus.
+
+Plan-quality notes (verified via .explain, see tests/test_plans.py):
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins (region/nation/customer, dedup'd orders) broadcast;
+- q1-style aggregation is partial+final hash agg inside whole-stage codegen;
+- top-k = TakeOrderedAndProject, never a global sort.
+
+Cross-engine determinism follows the registry rules (decimal-exact sums,
+single double division for averages, second-truncated epochs, unique
+tiebreaks on every LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.asof_join import asof_join
+from ..operators.sessionize import session_stats
+from ..sources.catalog import load_table
+from .registry import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: str = "decimal(28,6)"):
+    """Order-independent double sum: exact decimal accumulate, one cast out."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# --- Q1: pricing summary (scan + 2-key hash agg, 8 aggregates) --------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style: top revenue orders for one market segment ---------------------
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style: revenue by nation within one region ---------------------------
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue).alias("revenue"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- window ranking: top 3 orders per customer --------------------------------
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+_TOP3_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_customer
+  FROM orders
+)
+WHERE rank_in_customer <= 3
+"""
+
+
+# --- set operations ------------------------------------------------------------
+
+
+def _heavy_users(events: DataFrame, event_type: str, min_count: int) -> DataFrame:
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("user_id")
+    )
+
+
+def heavy_click_and_view_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users with >= 14 clicks AND >= 14 views."""
+    events = _t(spark, sf_dir, "events")
+    return _heavy_users(events, "click", 14).intersect(_heavy_users(events, "view", 14))
+
+
+def heavy_click_no_heavy_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users with >= 14 clicks but < 14 purchases."""
+    events = _t(spark, sf_dir, "events")
+    return _heavy_users(events, "click", 14).exceptAll(
+        _heavy_users(events, "purchase", 14)
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 14
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view' GROUP BY user_id HAVING count(*) >= 14
+"""
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 14
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) >= 14
+"""
+
+
+# --- JSON extraction over events.props ----------------------------------------
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract props.k (JSON int) and aggregate per event type.
+
+    get_json_object is the Spark-native path; the value also matches a
+    regexp extract, which is what the oracle uses (DuckDB JSON functions
+    live in an extension we don't assume loaded)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(k) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+FROM (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# --- as-of join -----------------------------------------------------------------
+
+
+def asof_latest_order_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the user's most recent order at or before the
+    click (events.user_id ~ orders.o_custkey). Right side deduplicated per
+    (custkey, orderdate) so the as-of match is unique -> deterministic.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+),
+e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+# --- sessionization ---------------------------------------------------------------
+
+
+def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization, 4h inactivity gap."""
+    events = _t(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=14400)
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                  - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) >= 14400
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       sum(n_events) AS n_events
+FROM per_session GROUP BY user_id
+"""
+
+
+QUERIES = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
+    QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
+    QuerySpec("q5_nation_revenue", q5_nation_revenue, _Q5_ORACLE, headline=True),
+    QuerySpec("top3_orders_per_customer", top3_orders_per_customer, _TOP3_ORACLE),
+    QuerySpec("heavy_click_and_view_users", heavy_click_and_view_users, _INTERSECT_ORACLE),
+    QuerySpec(
+        "heavy_click_no_heavy_purchase_users",
+        heavy_click_no_heavy_purchase_users,
+        _EXCEPT_ORACLE,
+    ),
+    QuerySpec("json_props_stats", json_props_stats, _JSON_ORACLE),
+    QuerySpec(
+        "asof_latest_order_before_click",
+        asof_latest_order_before_click,
+        _ASOF_ORACLE,
+        headline=True,
+    ),
+    QuerySpec("session_stats_per_user", session_stats_per_user, _SESSION_ORACLE, headline=True),
+]

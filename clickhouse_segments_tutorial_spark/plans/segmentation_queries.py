@@ -1,0 +1,172 @@
+"""Reference-parity segmentation queries over the driver corpus.
+
+The corpus `events` table maps onto the reference event log per FIXTURES.md
+§2: event_type='click' is BUTTON_CLICK, event_id is the message_id dedup
+key, ts is event time. Threshold 13 ≈ the median clicks/user at every SF,
+so membership actually discriminates (~half the users in, half out).
+
+Each query is the serve-path result of one reference variant
+(/root/reference/src/{1,2,3,4}-*.test.ts); the oracle recomputes the same
+answer directly in SQL. For the stateful variants the cascade runs for real
+(two micro-batches split at the median ts, persisted state tables in a
+scratch dir) and the oracle checks the *final* membership — valid because
+the merged sketch state is exact at per-user cardinalities (< sparse-mode
+promotion) and membership is a boolean threshold.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..segmentation import (
+    EventTimeSegmenter,
+    MicroBatchSegmenter,
+    SegmentSpec,
+    idempotent_assignments,
+    naive_assignments,
+    serve_segment,
+)
+from ..segmentation.spec import CORPUS_EVENTS
+from ..sources.catalog import load_table
+from .registry import QuerySpec
+
+SPEC = SegmentSpec(name="heavy_clickers", event_name="click", threshold=13)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def segment_naive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 1 (1-naive.test.ts:72-95): exact count >= threshold, full
+    recompute, latest-wins serve."""
+    assignments = naive_assignments(_events(spark, sf_dir), SPEC, CORPUS_EVENTS)
+    return serve_segment(assignments)
+
+
+def segment_naive_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 1 assignment-write path: (user_id, value) for every user."""
+    return naive_assignments(_events(spark, sf_dir), SPEC, CORPUS_EVENTS).select(
+        "user_id", "value"
+    )
+
+
+def segment_idempotent_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 2 (2-idempotent.test.ts:84-107): distinct message_id count."""
+    assignments = idempotent_assignments(_events(spark, sf_dir), SPEC, CORPUS_EVENTS)
+    return serve_segment(assignments)
+
+
+def _median_ts(events: DataFrame) -> dt.datetime:
+    row = events.select(
+        F.percentile(F.unix_timestamp("ts"), F.lit(0.5)).alias("m")
+    ).collect()[0]
+    return dt.datetime.utcfromtimestamp(row.m)
+
+
+def segment_microbatch_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 3 (3-microBatch.test.ts:116-171): two incremental batches over
+    persisted HLL state, changelog-driven finalization, latest-wins serve."""
+    events = _events(spark, sf_dir)
+    mid = _median_ts(events)
+    t0 = dt.datetime(2000, 1, 1)
+    seg = MicroBatchSegmenter(
+        spark, tempfile.mkdtemp(prefix="q_microbatch_"), SPEC, CORPUS_EVENTS
+    )
+    seg.process_batch(events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0)
+    seg.process_batch(events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid)
+    return seg.members()
+
+
+def segment_eventtime_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 4 (4-eventTime.test.ts:129-193): adds maxMerge(last_event_time),
+    served as unix seconds."""
+    events = _events(spark, sf_dir)
+    mid = _median_ts(events)
+    t0 = dt.datetime(2000, 1, 1)
+    seg = EventTimeSegmenter(
+        spark, tempfile.mkdtemp(prefix="q_eventtime_"), SPEC, CORPUS_EVENTS
+    )
+    seg.process_batch(events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0)
+    seg.process_batch(events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid)
+    return seg.members_with_last_event_time().select("user_id", "last_event_time")
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax serving primitive (F6, 1-naive.test.ts:85) on raw events:
+    each user's most recent event type and value."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ts").alias("last_event_type"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+    )
+
+
+_MEMBER_ORACLE = """
+SELECT user_id
+FROM events
+WHERE event_type = 'click'
+GROUP BY user_id
+HAVING count(*) >= 13
+"""
+
+_DISTINCT_MEMBER_ORACLE = """
+SELECT user_id
+FROM events
+WHERE event_type = 'click'
+GROUP BY user_id
+HAVING count(DISTINCT event_id) >= 13
+"""
+
+QUERIES = [
+    QuerySpec("segment_naive_members", segment_naive_members, _MEMBER_ORACLE, headline=True),
+    QuerySpec(
+        "segment_naive_assignments",
+        segment_naive_assignments,
+        """
+        SELECT user_id, count(*) >= 13 AS value
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+        """,
+    ),
+    QuerySpec(
+        "segment_idempotent_members",
+        segment_idempotent_members,
+        _DISTINCT_MEMBER_ORACLE,
+        headline=True,
+    ),
+    QuerySpec(
+        "segment_microbatch_members",
+        segment_microbatch_members,
+        _DISTINCT_MEMBER_ORACLE,
+        headline=True,
+    ),
+    QuerySpec(
+        "segment_eventtime_members",
+        segment_eventtime_members,
+        """
+        SELECT user_id,
+               CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_event_time
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY user_id
+        HAVING count(DISTINCT event_id) >= 13
+        """,
+        headline=True,
+    ),
+    QuerySpec(
+        "latest_event_per_user",
+        latest_event_per_user,
+        """
+        SELECT user_id,
+               arg_max(event_type, ts) AS last_event_type,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id
+        """,
+    ),
+]
