@@ -103,8 +103,8 @@ def srp_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
-    max_hamming: int = 2,
+    n_planes: int = 16,
+    max_hamming: int = 6,
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
@@ -114,6 +114,12 @@ def srp_topk(
     candidate filter is a partition-prunable equality/IN on the bucket id;
     here it is computed inline for self-containedness. Recall is tunable
     via (n_planes, max_hamming) — pytest measures it against cosine_topk.
+
+    Defaults (16, 6) are tuned for mid-range neighbors (cos ~0.5, where a
+    sign bit disagrees with p≈1/3): expected recall ~0.75 while scoring
+    ~23% of candidate buckets. For genuinely-near duplicates (cos > 0.9)
+    tighten max_hamming. For corpora whose neighbors live at moderate
+    cosine, an IVF (coarse k-means) index prunes better than SRP.
     """
     dim = len(probe)
     probe_col = F.array(*[F.lit(float(x)) for x in probe])

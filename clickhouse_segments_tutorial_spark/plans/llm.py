@@ -130,7 +130,7 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
     return srp_topk(
-        emb, list(probe), k=10, n_planes=12, max_hamming=2, exclude_id=0
+        emb, list(probe), k=10, n_planes=16, max_hamming=6, exclude_id=0
     )
 
 

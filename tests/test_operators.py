@@ -1,0 +1,164 @@
+"""Operator-level tests for the extended (LLM-pipeline) surface:
+hand-crafted fixtures for semantics, corpus-level recall for the sketches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_segments_tutorial_spark.operators.asof_join import asof_join
+from clickhouse_segments_tutorial_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from clickhouse_segments_tutorial_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    real_decode,
+)
+from clickhouse_segments_tutorial_spark.operators.similarity import cosine_topk, srp_topk
+from clickhouse_segments_tutorial_spark.operators.text import lang_id, text_stats
+from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+
+# --- text ---------------------------------------------------------------------
+
+
+def test_lang_id_multilingual(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "der Hund ist nicht klein und das Haus ist alt"),
+        (3, "le chat est sur la table et les livres sont grands"),
+        (4, "el perro es grande y los gatos son pequeños para con una casa"),
+        (5, "xyzzy plugh qwerty"),  # no markers -> und
+        (6, ""),  # empty -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "und"}
+
+
+def test_text_stats_edge_cases(spark):
+    rows = [(1, ""), (2, "   "), (3, "one"), (4, "a b!! c?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in text_stats(df).collect()}
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 1
+    assert got[4]["n_tokens"] == 3
+    assert got[4]["n_bpe_tokens"] == 6  # a, b, !, !, c, ?
+    assert got[1]["punct_ratio"] == 0.0
+    assert got[4]["punct_ratio"] == pytest.approx(3 / 8)
+
+
+# --- dedup ----------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_equals_exact_jaccard_on_corpus(spark, sf_oracle):
+    """LSH banding recall must be 1.0 on the corpus at threshold 0.8 —
+    this equality is what justifies sharing the exact-Jaccard oracle."""
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, n=3, k=64, bands=32, threshold=0.8).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", simhash("text").alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(df, max_distance=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- similarity -------------------------------------------------------------------
+
+
+def test_srp_recall_vs_bruteforce(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = [r.vec_id for r in cosine_topk(emb, probe, k=10, exclude_id=0).collect()]
+    approx = [
+        r.vec_id
+        for r in srp_topk(emb, probe, k=10, n_planes=16, max_hamming=6, exclude_id=0).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"SRP recall {recall} too low: exact={exact} approx={approx}"
+
+
+# --- as-of join --------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2023-01-10 00:00:00")),  # matches order at 01-05
+            (2, "u1", ts("2023-01-05 00:00:00")),  # equal ts -> inclusive match
+            (3, "u1", ts("2023-01-01 00:00:00")),  # before all orders -> null
+            (4, "u2", ts("2023-01-10 00:00:00")),  # user with no orders -> null
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2023-01-05 00:00:00"), 100),
+            ("u1", ts("2023-01-08 00:00:00"), 200),
+        ],
+        "user_id string, order_ts timestamp, order_id long",
+    )
+    got = {
+        r.event_id: r.order_id
+        for r in asof_join(
+            left, right, on="user_id", left_time="ts", right_time="order_ts"
+        ).collect()
+    }
+    assert got == {1: 200, 2: 100, 3: None, 4: None}
+
+
+# --- multimodal ---------------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    feats = extract_features(documents_as_media(docs))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.kind == "image"
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # normalized histogram
+        assert r.n_bytes > 0
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"bytes", "image")

@@ -1,0 +1,50 @@
+"""Streaming twin e2e: the golden micro-batch scenario driven through
+Structured Streaming with checkpointed incremental runs (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from clickhouse_segments_tutorial_spark.schemas import USER_EVENTS_IDEMPOTENT
+from clickhouse_segments_tutorial_spark.segmentation import SegmentSpec
+from clickhouse_segments_tutorial_spark.streaming import StreamingSegmenter
+
+SPEC = SegmentSpec(name="button_clickers", event_name="BUTTON_CLICK", threshold=2)
+
+
+def members(df) -> list[str]:
+    return sorted(r.user_id for r in df.collect())
+
+
+def test_streaming_incremental_golden(spark, tmp_path):
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = StreamingSegmenter(
+        spark, str(tmp_path), SPEC, schema=USER_EVENTS_IDEMPOTENT
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(seconds=5)),
+            ("2", "BUTTON_CLICK", "m3", t0),
+            # duplicate delivery (2-idempotent.test.ts:72-78): must not count
+            ("2", "BUTTON_CLICK", "m3", t0),
+            ("3", "OTHER_EVENT", "m4", t0),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch1.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+
+    # second ingest: user 2 crosses the threshold; state persisted via
+    # checkpoint so only the new file is processed
+    batch2 = spark.createDataFrame(
+        [("2", "BUTTON_CLICK", "m5", t0 + dt.timedelta(minutes=1))],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1", "2"]
