@@ -56,6 +56,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- exact n-gram Jaccard pairs (the oracle path) ---------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before compute-heavy per-row
+    work. Shingling/hashing cost is per-row CPU, not I/O: a corpus that
+    arrives as a few big parquet files would otherwise run the whole
+    operator on a handful of cores (observed: the single-file test corpus
+    ran one task). At scale this is one cheap round-robin shuffle that buys
+    full-cluster fan-out for everything downstream."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,
@@ -69,7 +79,7 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b. Exact — used both as a
     standalone operator and as the verifier for MinHash candidates.
     """
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     posting = shingled.select("_id", "_n", F.explode("_sh").alias("_g"))
@@ -132,11 +142,18 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        word_shingles(text_col, n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    docs = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles(text_col, n).alias("_sh"),
+        )
+        .withColumn("_sig", minhash_signature(F.col("_sh"), k))
+        # consumed by three join branches (banding + two verify sides):
+        # persist so shingling/hashing runs once (at scale: write the
+        # signature table to storage instead — it is the reusable index)
+        .persist()
+    )
     banded = docs.select(
         "_id",
         F.explode(
@@ -187,32 +204,77 @@ def simhash(text: str | Column, *, n: int = 3) -> Column:
     """64-bit SimHash over word shingles as a bigint.
 
     For each bit position, sum +1/-1 votes from each shingle's hash bit and
-    take the sign. Pure array expressions; no explode.
+    take the sign. ONE fold over the shingle array carrying a 64-slot vote
+    vector (zip_with add per element) — not 64 separate folds, which was
+    measured ~9x slower on the test corpus. Pure array expressions,
+    no explode, no shuffle.
     """
     sh = word_shingles(text, n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    zero = F.array_repeat(F.lit(0), 64)
 
-    def vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def add_votes(acc: Column, h: Column) -> Column:
+        bit_votes = F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(64)
+            ]
+        )
+        return F.zip_with(acc, bit_votes, lambda a, v: a + v)
 
-    bits = []
+    votes = F.aggregate(hashes, zero, add_votes)
+    out = F.lit(0).cast("long")
     for bit in range(64):
-        votes = F.aggregate(hashes, F.lit(0), vote(bit))
-        bits.append(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit).cast("long")).otherwise(
+        mask = (1 << bit) if bit < 63 else -(1 << 63)  # bit 63 = sign bit
+        out = out.bitwiseOR(
+            F.when(votes[bit] > 0, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
     return out
 
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, simhash) for every doc — the fast path for bulk signing.
+
+    Explode shingles -> hash -> 64 codegen'd conditional-sum aggregates ->
+    assemble the bigint. Semantically identical to :func:`simhash` but runs
+    inside whole-stage codegen (higher-order array folds are interpreted
+    per element — measured ~10x slower). One shuffle on the doc id, partial
+    aggregation map-side.
+    """
+    posting = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    h = F.xxhash64("_g")
+    votes = posting.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)  # bit 63 = sign bit
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{bit}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("_id", sig.alias("_sig"))
 
 
 def simhash_pairs(
@@ -231,7 +293,7 @@ def simhash_pairs(
     """
     chunks = max_distance + 1
     width = 64 // chunks
-    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col, n=n).alias("_sig"))
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
     banded = sigs.select(
         "_id",
         "_sig",
