@@ -32,13 +32,35 @@ from .text import tokens
 
 
 def word_shingles(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document, as strings."""
     toks = tokens(text)
     cnt = F.size(toks)
     grams = F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
             F.sequence(F.lit(0), cnt - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed to 64-bit longs.
+
+    The hot-path representation: every downstream dedup operator only needs
+    set semantics over shingles, so hash each n-gram once at shingle time
+    (xxhash64 over the n token strings — no intermediate joined string is
+    built) and ship 8-byte longs through every explode/shuffle/join instead
+    of ~20-byte strings. Collisions at 2^-64 per pair are negligible
+    relative to MinHash/SimHash sketch error, and exact-Jaccard counts are
+    hash-invariant, so the DuckDB string-shingle oracle still matches.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks)
+    grams = F.when(cnt < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
     return F.array_distinct(grams)
@@ -79,9 +101,18 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b. Exact — used both as a
     standalone operator and as the verifier for MinHash candidates.
     """
-    shingled = _spread(df).select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
+    # Persist BEFORE the explode: both self-join sides consume the posting
+    # list, and `_n` + explode each reference the shingle array, so without
+    # a materialization barrier the interpreted higher-order shingle
+    # expression is re-evaluated per consumer (measured 3x slower). At
+    # 100 TB you would write this to a bucketed table keyed by _g instead —
+    # same idea, durable.
+    shingled = (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), shingle_hashes(text_col, n).alias("_sh"))
+        .withColumn("_n", F.size("_sh"))
+        .persist()
+    )
     posting = shingled.select("_id", "_n", F.explode("_sh").alias("_g"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
@@ -107,19 +138,21 @@ def jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, k: int = 64) -> Column:
-    """k-permutation MinHash signature as array<bigint>.
+def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
+    """k-permutation MinHash signature as array<bigint> over hashed shingles.
 
-    Each permutation is xxhash64(shingle, salt_i); the signature element is
-    the min over the doc's shingles. Computed with higher-order array
-    functions on the shingle array — no explode, no shuffle, JVM-side.
+    Each permutation is xxhash64(shingle_hash, salt_i); the signature
+    element is the min over the doc's shingles. Computed with higher-order
+    array functions on the long array — no explode, no shuffle, JVM-side.
     """
     def salted(i: int):
         # arity-1 lambda via factory: pyspark passes (element, index) to
         # arity-2 lambdas, so `i=i` defaults would bind the array index.
         return lambda s: F.xxhash64(s, F.lit(i))
 
-    return F.array(*[F.array_min(F.transform(shingles, salted(i))) for i in range(k)])
+    return F.array(
+        *[F.array_min(F.transform(shingle_hash_col, salted(i))) for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -146,7 +179,7 @@ def minhash_lsh_pairs(
         _spread(df)
         .select(
             F.col(id_col).alias("_id"),
-            word_shingles(text_col, n).alias("_sh"),
+            shingle_hashes(text_col, n).alias("_sh"),
         )
         .withColumn("_sig", minhash_signature(F.col("_sh"), k))
         # consumed by three join branches (banding + two verify sides):
@@ -209,8 +242,7 @@ def simhash(text: str | Column, *, n: int = 3) -> Column:
     measured ~9x slower on the test corpus. Pure array expressions,
     no explode, no shuffle.
     """
-    sh = word_shingles(text, n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = shingle_hashes(text, n)
     zero = F.array_repeat(F.lit(0), 64)
 
     def add_votes(acc: Column, h: Column) -> Column:
@@ -255,9 +287,9 @@ def simhash_signatures(
     """
     posting = _spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, n)).alias("_g"),
+        F.explode(shingle_hashes(text_col, n)).alias("_g"),
     )
-    h = F.xxhash64("_g")
+    h = F.col("_g")
     votes = posting.groupBy("_id").agg(
         *[
             F.sum(
