@@ -31,6 +31,21 @@ def main() -> None:
 
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
+    # JVM warmup (unmeasured, tiny sf0.001 inputs): first execution in a
+    # fresh JVM pays Janino codegen compilation + JIT for the scan/agg/join
+    # and interpreted higher-order expression paths, which would otherwise
+    # be billed to whichever headline query happens to run first. The
+    # docstring contract is "JVM/session startup is excluded" — this is
+    # part of that startup.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        qs = all_queries()
+        for warm_q in ("segment_naive_members", "jaccard_near_dup_pairs"):
+            try:
+                qs[warm_q].spark(spark, warm_dir).collect()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name, spec in all_queries().items():
         if not spec.headline:

@@ -112,17 +112,23 @@ class MicroBatchSegmenter:
 
     def process_batch(self, events: DataFrame, lower_bound, now) -> None:
         """Run one micro-batch: state update + changelog + finalize."""
-        state_rows = self._batch_state(events, lower_bound, now)
-        append_clustered(state_rows, self.states_path, cluster_by=["user_id"])
-        # MV trigger analog: project the same inserted block into the changelog
-        changelog_rows = state_rows.select("user_id", "computed_at")
-        append_clustered(
-            changelog_rows,
-            self.changelog_path,
-            cluster_by=["user_id"],
-            partition_ts="computed_at",
-        )
-        self._finalize(changed_since=now, assigned_at=now)
+        # The batch aggregate feeds two writes (states + changelog MV
+        # analog); persist so the event scan + HLL build runs once.
+        state_rows = self._batch_state(events, lower_bound, now).persist()
+        try:
+            append_clustered(state_rows, self.states_path, cluster_by=["user_id"])
+            # MV trigger analog: project the same inserted block into the
+            # changelog
+            changelog_rows = state_rows.select("user_id", "computed_at")
+            append_clustered(
+                changelog_rows,
+                self.changelog_path,
+                cluster_by=["user_id"],
+                partition_ts="computed_at",
+            )
+            self._finalize(changed_since=now, assigned_at=now)
+        finally:
+            state_rows.unpersist()
 
     def _merged_aggs(self) -> list:
         return [(hll_merge_estimate("event_count") >= self.spec.threshold).alias("value")]

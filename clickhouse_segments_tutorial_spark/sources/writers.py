@@ -42,9 +42,14 @@ def append_clustered(
         writer_df = writer_df.withColumn(
             PARTITION_COL, F.date_format(F.col(partition_ts), "yyyyMMdd")
         )
-        writer_df = writer_df.repartition(PARTITION_COL).sortWithinPartitions(
+        # Range-partition on (day, cluster key): hash-partitioning on the
+        # day alone would funnel each day's data through ONE task — a
+        # bottleneck at 100 TB/day. Ranges keep whole days together in the
+        # directory layout while splitting a hot day across many tasks,
+        # each holding a disjoint sorted key range (ideal row-group stats).
+        writer_df = writer_df.repartitionByRange(
             PARTITION_COL, *cluster_by
-        )
+        ).sortWithinPartitions(PARTITION_COL, *cluster_by)
         writer_df.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
     else:
         writer_df.sortWithinPartitions(*cluster_by).write.mode("append").parquet(path)
