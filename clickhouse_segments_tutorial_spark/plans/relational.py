@@ -213,6 +213,129 @@ SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING
 """
 
 
+def heavy_click_or_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): users with >= 14 clicks OR >= 14 purchases."""
+    events = _t(spark, sf_dir, "events")
+    return _heavy_users(events, "click", 14).union(
+        _heavy_users(events, "purchase", 14)
+    ).distinct()
+
+
+_UNION_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 14
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) >= 14
+"""
+
+
+# --- rollup / grouping sets ----------------------------------------------------
+
+
+def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order year) revenue: per (nation, year), per nation,
+    and grand total in one pass — Catalyst expands the grouping sets into a
+    single shuffle (Expand + hash agg), no N-pass union."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT n_name, o_year,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP (n_name, o_year)
+"""
+
+
+# --- window frames: running revenue per nation ---------------------------------
+
+
+def running_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative yearly revenue per nation: aggregate then a running-sum
+    frame (ROWS UNBOUNDED PRECEDING..CURRENT). Decimal until the final cast
+    so the cross-engine result is order-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("o_year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return yearly.select(
+        "n_name",
+        "o_year",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+_RUNNING_ORACLE = """
+WITH yearly AS (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, o_year, CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER (PARTITION BY n_name ORDER BY o_year
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_revenue
+FROM yearly
+"""
+
+
+# --- outer join: every customer with order stats --------------------------------
+
+
+def customer_order_stats_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: all customers, including the order-less, with counts and
+    spend. The fact side shuffles on the join key once; count(o_orderkey)
+    counts only matched rows, so customers without orders report 0."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+_OUTER_ORACLE = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2
+"""
+
+
 # --- JSON extraction over events.props ----------------------------------------
 
 
@@ -340,6 +463,18 @@ QUERIES = [
         "heavy_click_no_heavy_purchase_users",
         heavy_click_no_heavy_purchase_users,
         _EXCEPT_ORACLE,
+    ),
+    QuerySpec(
+        "heavy_click_or_purchase_users", heavy_click_or_purchase_users, _UNION_ORACLE
+    ),
+    QuerySpec(
+        "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE
+    ),
+    QuerySpec(
+        "running_revenue_per_nation", running_revenue_per_nation, _RUNNING_ORACLE
+    ),
+    QuerySpec(
+        "customer_order_stats_outer", customer_order_stats_outer, _OUTER_ORACLE
     ),
     QuerySpec("json_props_stats", json_props_stats, _JSON_ORACLE),
     QuerySpec(

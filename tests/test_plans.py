@@ -1,0 +1,84 @@
+"""Physical-plan quality assertions: the properties that make these queries
+scale are visible in `.explain` output, so pin them. A regression that
+un-broadcasts a dimension join or stops pushing a filter into the parquet
+scan changes the plan string long before it shows up in a wall-clock bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_segments_tutorial_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].spark(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection reaches the scan: no un-needed wide columns in ReadSchema
+    assert "l_comment" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcasts_dim_and_takeordered(spark):
+    plan = plan_of(spark, "q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    # top-k must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_single_pass_expand(spark):
+    plan = plan_of(spark, "revenue_rollup_nation_year")
+    assert "Expand" in plan  # grouping sets in one shuffle, not a UNION of passes
+    assert "Union" not in plan
+
+
+def test_semi_join_for_intersect(spark):
+    plan = plan_of(spark, "heavy_click_and_view_users")
+    assert "LeftSemi" in plan
+
+
+def test_jaccard_no_cartesian(spark):
+    plan = plan_of(spark, "jaccard_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_microbatch_finalize_broadcasts_changed_users(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.segmentation import (
+        MicroBatchSegmenter,
+        SegmentSpec,
+    )
+    from clickhouse_segments_tutorial_spark.segmentation.spec import CORPUS_EVENTS
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    spec = SegmentSpec(name="hc", event_name="click", threshold=13)
+    seg = MicroBatchSegmenter(spark, str(tmp_path), spec, CORPUS_EVENTS)
+    t0 = dt.datetime(2000, 1, 1)
+    seg.process_batch(events, lower_bound=t0, now=t0)
+    # the serve plan resolves latest-wins with a single hash aggregate
+    members = seg.members()
+    plan = members._sc._jvm.PythonSQLUtils.explainString(
+        members._jdf.queryExecution(), "formatted"
+    )
+    assert "max_by" in plan or "HashAggregate" in plan
