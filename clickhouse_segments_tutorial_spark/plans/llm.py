@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs, simhash_pairs
 from ..operators.multimodal import documents_as_media, extract_features
-from ..operators.similarity import cosine_pairs, cosine_topk, srp_topk
+from ..operators.similarity import cosine_pairs, cosine_topk, ivf_topk, srp_topk
 from ..operators.text import text_stats
 from ..sources.catalog import load_table
 from .registry import QuerySpec
@@ -134,6 +134,17 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF coarse quantizer: probe the 8 nearest
+    of 32 inverted lists (~25% of the corpus scored). Rows-only check;
+    pytest measures recall vs the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivf_topk(
+        emb, list(probe), k=10, n_centroids=32, n_probe=8, exclude_id=0
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.4 (exact O(n^2) — the oracle baseline for
     the bucketed path)."""
@@ -239,6 +250,7 @@ QUERIES = [
     QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, None),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
     QuerySpec("ann_srp_topk", ann_srp_topk, None),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, None),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),

@@ -22,7 +22,7 @@ from clickhouse_segments_tutorial_spark.operators.multimodal import (
     extract_features,
     real_decode,
 )
-from clickhouse_segments_tutorial_spark.operators.similarity import cosine_topk, srp_topk
+from clickhouse_segments_tutorial_spark.operators.similarity import cosine_topk, ivf_topk, srp_topk
 from clickhouse_segments_tutorial_spark.operators.text import lang_id, text_stats
 from clickhouse_segments_tutorial_spark.sources.catalog import load_table
 
@@ -112,6 +112,20 @@ def test_srp_recall_vs_bruteforce(spark, sf_oracle):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"SRP recall {recall} too low: exact={exact} approx={approx}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    exact = [r.vec_id for r in cosine_topk(emb, probe, k=10, exclude_id=0).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(
+            emb, probe, k=10, n_centroids=32, n_probe=8, refine_iters=2, exclude_id=0
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low: exact={exact} approx={approx}"
 
 
 # --- as-of join --------------------------------------------------------------------
