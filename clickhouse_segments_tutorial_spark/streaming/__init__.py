@@ -1,3 +1,8 @@
+from .stateful import ExactStreamingSegmenter, exact_distinct_membership
 from .stream_segment import StreamingSegmenter
 
-__all__ = ["StreamingSegmenter"]
+__all__ = [
+    "ExactStreamingSegmenter",
+    "StreamingSegmenter",
+    "exact_distinct_membership",
+]

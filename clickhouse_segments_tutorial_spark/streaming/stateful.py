@@ -1,0 +1,137 @@
+"""Custom stateful streaming operator: exact cross-batch distinct counting.
+
+The built-in streaming aggregation path (stream_segment.py) mirrors the
+reference's ``uniq`` with ``approx_count_distinct`` — mergeable, bounded
+state, approximate. This module is the *exact* twin of
+uniqState/uniqMerge (/root/reference/src/3-microBatch.test.ts:122,140)
+for when the dedup key space per user is small enough to hold exactly:
+an ``applyInPandasWithState`` operator whose per-user state is the set of
+seen message ids plus the max event time
+(/root/reference/src/4-eventTime.test.ts:135's maxState).
+
+Semantics
+- At-least-once delivery: re-delivered message_ids land in the set once —
+  exact idempotence across batches, which the HLL path only guarantees
+  within sketch error (/root/reference/src/2-idempotent.test.ts:72-87).
+- Update-mode output: a row per user per batch in which that user appeared
+  (the changelog contract of the MV trigger,
+  /root/reference/src/3-microBatch.test.ts:50-56).
+
+Scale design
+- State is O(distinct ids per user) — the exact-mode tradeoff. The state
+  store shards by user across executors, same as any streaming groupBy;
+  per-user sets are independent so there is no cross-partition state.
+- For unbounded id spaces use the HLL path instead; this operator is for
+  bounded-cardinality keys (e.g. "distinct campaign ids clicked",
+  distinct-per-user capped by product semantics).
+- Arrow-batched: each micro-batch group arrives as pandas chunks; the
+  update is set-union per chunk, no per-row Python loop beyond the set op.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .stream_segment import StreamingSegmenter
+
+OUTPUT_SCHEMA = (
+    "user_id string, n_distinct long, value boolean, last_event_time timestamp"
+)
+STATE_SCHEMA = "ids array<string>, last_ts long"
+
+
+def exact_distinct_membership(
+    grouped_events: DataFrame,
+    *,
+    message_col: str,
+    time_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Stateful exact distinct-count segmentation over a streaming DataFrame.
+
+    ``grouped_events`` must be a *streaming* DataFrame already filtered to
+    the segment's event, carrying the user id in column ``user_id``.
+    Returns an update-mode stream of
+    (user_id, n_distinct, value, last_event_time).
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            stored_ids, stored_ts = state.get
+            ids: set[str] = set(stored_ids)
+            last_ts: int = stored_ts
+        else:
+            ids, last_ts = set(), 0
+        for pdf in pdf_iter:
+            ids.update(x for x in pdf[message_col].tolist() if x is not None)
+            if len(pdf):
+                batch_max = pdf[time_col].max()
+                if pd.notna(batch_max):
+                    last_ts = max(last_ts, int(batch_max.value // 1_000_000_000))
+        state.update((sorted(ids), last_ts))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_distinct": len(ids),
+                    "value": len(ids) >= threshold,
+                    "last_event_time": pd.Timestamp(last_ts, unit="s"),
+                }
+            ]
+        )
+
+    return grouped_events.groupBy("user_id").applyInPandasWithState(
+        update,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+class ExactStreamingSegmenter(StreamingSegmenter):
+    """StreamingSegmenter with exact (set-based) distinct state instead of
+    the built-in approximate aggregation — same file source, checkpoint,
+    foreachBatch sink, and latest-wins serving."""
+
+    def _stream(self) -> DataFrame:
+        log = self.log
+        events = self.spark.readStream.schema(self.schema).parquet(self.events_dir)
+        filtered = (
+            events.filter(self.spec.event_filter(log))
+            .withWatermark(log.time, self.watermark)
+            .withColumnRenamed(log.user, "user_id")
+        )
+        return exact_distinct_membership(
+            filtered,
+            message_col=log.message,
+            time_col=log.time,
+            threshold=self.spec.threshold,
+        )
+
+    def run_available_now(self) -> None:
+        out_path = self.assignments_path
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.select(
+                    "user_id",
+                    "value",
+                    "last_event_time",
+                    F.lit(batch_id).alias("version"),
+                )
+                .write.mode("append")
+                .parquet(out_path)
+            )
+
+        q = (
+            self._stream()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -9,7 +9,10 @@ import os
 
 from clickhouse_segments_tutorial_spark.schemas import USER_EVENTS_IDEMPOTENT
 from clickhouse_segments_tutorial_spark.segmentation import SegmentSpec
-from clickhouse_segments_tutorial_spark.streaming import StreamingSegmenter
+from clickhouse_segments_tutorial_spark.streaming import (
+    ExactStreamingSegmenter,
+    StreamingSegmenter,
+)
 
 SPEC = SegmentSpec(name="button_clickers", event_name="BUTTON_CLICK", threshold=2)
 
@@ -46,5 +49,49 @@ def test_streaming_incremental_golden(spark, tmp_path):
         USER_EVENTS_IDEMPOTENT,
     )
     batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1", "2"]
+
+
+def test_exact_stateful_streaming_golden(spark, tmp_path):
+    """applyInPandasWithState twin: exact distinct state across batches,
+    including a message_id re-delivered in a LATER batch — the case the
+    within-batch distinct count cannot see and HLL only handles
+    approximately."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = ExactStreamingSegmenter(
+        spark, str(tmp_path), SPEC, schema=USER_EVENTS_IDEMPOTENT
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(seconds=5)),
+            ("2", "BUTTON_CLICK", "m3", t0),
+            ("3", "OTHER_EVENT", "m4", t0),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch1.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+
+    # m3 re-delivered across the batch boundary: must NOT push user 2 over
+    # the threshold; a genuinely new m5 must.
+    batch2 = spark.createDataFrame(
+        [
+            ("2", "BUTTON_CLICK", "m3", t0 + dt.timedelta(minutes=1)),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+
+    batch3 = spark.createDataFrame(
+        [("2", "BUTTON_CLICK", "m5", t0 + dt.timedelta(minutes=2))],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch3.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
     seg.run_available_now()
     assert members(seg.members()) == ["1", "2"]
