@@ -336,6 +336,106 @@ GROUP BY 1, 2
 """
 
 
+# --- EXISTS / NOT IN / scalar subqueries ---------------------------------------
+
+
+def order_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS correlated subquery as a left-semi join:
+    orders from 1997 with at least one lineitem shipped after the order
+    date, counted per priority. The semi-join shuffles each side once on
+    the key and keeps no payload from the inner side."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    ).select("o_orderkey")
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def brand_supplier_counts_excluding_negative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN as a (broadcast) anti join: distinct
+    suppliers per part brand via the lineitem link, excluding suppliers
+    with negative account balance. The excluded-supplier set is tiny ->
+    broadcast anti join, no shuffle of the fact side for the exclusion."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_NOTIN_ORACLE = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+"""
+
+
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS: customers whose
+    balance beats the average positive balance and who have no orders,
+    per market segment. The scalar aggregate is computed once (one-row
+    broadcast), the no-orders test is an anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("_avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+_SCALAR_SUB_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DOUBLE) >
+      (SELECT avg(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 # --- JSON extraction over events.props ----------------------------------------
 
 
@@ -476,6 +576,17 @@ QUERIES = [
     QuerySpec(
         "customer_order_stats_outer", customer_order_stats_outer, _OUTER_ORACLE
     ),
+    QuerySpec(
+        "order_priority_with_late_ship",
+        order_priority_with_late_ship,
+        _EXISTS_ORACLE,
+    ),
+    QuerySpec(
+        "brand_supplier_counts_excluding_negative",
+        brand_supplier_counts_excluding_negative,
+        _NOTIN_ORACLE,
+    ),
+    QuerySpec("rich_idle_customers", rich_idle_customers, _SCALAR_SUB_ORACLE),
     QuerySpec("json_props_stats", json_props_stats, _JSON_ORACLE),
     QuerySpec(
         "asof_latest_order_before_click",
