@@ -553,6 +553,49 @@ FROM per_session GROUP BY user_id
 """
 
 
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (F.session_window), 4h gap —
+    the built-in counterpart of the hand-rolled gaps-and-islands in
+    operators/sessionize.py. One shuffle on (user, merged window); Spark
+    merges overlapping per-event windows internally. Boundary semantics:
+    an event exactly gap seconds after the previous starts a NEW session
+    (window end is exclusive), matching the oracle's ``diff >= gap``."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "4 hours").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 14400000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
@@ -595,4 +638,5 @@ QUERIES = [
         headline=True,
     ),
     QuerySpec("session_stats_per_user", session_stats_per_user, _SESSION_ORACLE, headline=True),
+    QuerySpec("session_window_counts", session_window_counts, _SESSION_WINDOW_ORACLE),
 ]
