@@ -42,13 +42,15 @@ def append_clustered(
         writer_df = writer_df.withColumn(
             PARTITION_COL, F.date_format(F.col(partition_ts), "yyyyMMdd")
         )
-        # Range-partition on (day, cluster key): hash-partitioning on the
-        # day alone would funnel each day's data through ONE task — a
-        # bottleneck at 100 TB/day. Ranges keep whole days together in the
-        # directory layout while splitting a hot day across many tasks,
-        # each holding a disjoint sorted key range (ideal row-group stats).
-        writer_df = writer_df.repartitionByRange(
-            PARTITION_COL, *cluster_by
+        # Hash-partition on (day, cluster key): the day alone would funnel
+        # each day's data through ONE task — a bottleneck at 100 TB/day —
+        # and repartitionByRange would add a sampling pass per write.
+        # Hash + sort-within-partitions yields one sorted run per file
+        # (overlapping ranges across files), exactly a MergeTree part's
+        # ORDER BY layout: row-group min/max stats still prune on the
+        # cluster key, with no extra job.
+        writer_df = writer_df.repartition(
+            F.col(PARTITION_COL), *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(PARTITION_COL, *cluster_by)
         writer_df.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
     else:
