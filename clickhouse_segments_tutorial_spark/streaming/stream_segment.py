@@ -59,12 +59,14 @@ class StreamingSegmenter:
         *,
         schema,
         watermark: str = "10 minutes",
+        drop_duplicates: bool = False,
     ):
         self.spark = spark
         self.spec = spec
         self.log = log
         self.schema = schema
         self.watermark = watermark
+        self.drop_duplicates = drop_duplicates
         self.events_dir = os.path.join(workdir, "events_in")
         self.checkpoint = os.path.join(workdir, "checkpoint")
         self.assignments_path = os.path.join(workdir, "segment_assignments")
@@ -75,12 +77,25 @@ class StreamingSegmenter:
             self.spark.readStream.schema(self.schema).parquet(self.events_dir)
         )
         log = self.log
+        filtered = events.filter(self.spec.event_filter(log)).withWatermark(
+            log.time, self.watermark
+        )
+        if self.drop_duplicates:
+            # T2's streaming-native idempotence: per-key dedup state evicted
+            # once the watermark passes — a re-delivered message_id within
+            # the watermark window is dropped at ingest, so the aggregate
+            # can be a plain count. The default path instead neutralizes
+            # duplicates the way the reference does, by counting distinct
+            # ids (2-idempotent.test.ts:87).
+            filtered = filtered.dropDuplicatesWithinWatermark([log.message])
         return (
-            events.filter(self.spec.event_filter(log))
-            .withWatermark(log.time, self.watermark)
-            .groupBy(F.col(log.user).alias("user_id"))
+            filtered.groupBy(F.col(log.user).alias("user_id"))
             .agg(
-                F.approx_count_distinct(log.message).alias("n_distinct"),
+                (
+                    F.count(F.lit(1))
+                    if self.drop_duplicates
+                    else F.approx_count_distinct(log.message)
+                ).alias("n_distinct"),
                 F.max(log.time).alias("last_event_time"),
             )
         )

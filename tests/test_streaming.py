@@ -53,6 +53,43 @@ def test_streaming_incremental_golden(spark, tmp_path):
     assert members(seg.members()) == ["1", "2"]
 
 
+def test_dropduplicates_within_watermark(spark, tmp_path):
+    """T2 streaming-native dedup: a message_id re-delivered in a later
+    micro-batch (watermark still open) is dropped at ingest, so the plain
+    count stays exact."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = StreamingSegmenter(
+        spark,
+        str(tmp_path),
+        SPEC,
+        schema=USER_EVENTS_IDEMPOTENT,
+        watermark="1 hour",
+        drop_duplicates=True,
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("2", "BUTTON_CLICK", "m3", t0),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch1.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == []
+
+    # m3 again (cross-batch duplicate) + genuinely new m2 for user 1
+    batch2 = spark.createDataFrame(
+        [
+            ("2", "BUTTON_CLICK", "m3", t0 + dt.timedelta(minutes=1)),
+            ("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(minutes=1)),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+
+
 def test_exact_stateful_streaming_golden(spark, tmp_path):
     """applyInPandasWithState twin: exact distinct state across batches,
     including a message_id re-delivered in a LATER batch — the case the
