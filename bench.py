@@ -50,6 +50,10 @@ def main() -> None:
     for name, spec in all_queries().items():
         if not spec.headline:
             continue
+        # operators that persist() reusable intermediates (dedup signature
+        # tables) would otherwise accumulate cache across queries — each
+        # query is timed against a clean block manager
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -41,6 +41,19 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
+    clashes = set(right_cols) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"right_cols {sorted(clashes)} collide with left columns; "
+            "rename or project them on the right side first"
+        )
+    for internal in ("_t", "_side", "_payload", "_match"):
+        if internal in left.columns or internal in right.columns:
+            raise ValueError(f"column name {internal!r} is reserved by asof_join")
+    # if both sides call their time column the same thing, suffix the
+    # matched right time so the output has no duplicate names
+    out_time = right_time if right_time not in left.columns else f"{right_time}_right"
+
     payload = F.struct(*[F.col(c) for c in right_cols + [right_time]])
 
     l_tagged = left.withColumn("_t", F.col(left_time)).withColumn(
@@ -67,8 +80,8 @@ def asof_join(
     out = matched.select(
         *left.columns,
         *[F.col("_match")[c].alias(c) for c in right_cols],
-        F.col("_match")[right_time].alias(right_time),
+        F.col("_match")[right_time].alias(out_time),
     )
     if how == "inner":
-        out = out.filter(F.col(right_time).isNotNull())
+        out = out.filter(F.col(out_time).isNotNull())
     return out

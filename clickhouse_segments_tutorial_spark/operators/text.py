@@ -24,9 +24,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: str | Column) -> Column:
-    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    """Whitespace tokenization; whitespace-only text -> empty array.
+
+    Strips ALL leading/trailing whitespace (F.trim only strips spaces, so
+    a trailing newline/tab would otherwise yield a phantom '' token that
+    corrupts token counts and shingle sets)."""
     col = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(col)
+    trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

@@ -55,7 +55,7 @@ WITH docs AS (
                 ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
            END
          ) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents)
 ),
 posting AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM docs),
 common AS (
@@ -171,8 +171,8 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_STATS_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, text,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\s+') END AS toks
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
   FROM documents
 ),
 feat AS (

@@ -410,8 +410,14 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), the no-orders test is an anti join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    # decimal-exact sum + one double division (registry determinism rule):
+    # a distributed double F.avg is partition-order dependent in the last
+    # ulp, which could flip customers sitting exactly at the threshold
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg(F.col("c_acctbal").cast("double")).alias("_avg")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -430,7 +436,8 @@ SELECT c_mktsegment, count(*) AS n_custs,
        CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
 FROM customer
 WHERE CAST(c_acctbal AS DOUBLE) >
-      (SELECT avg(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE c_acctbal > 0)
+      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+       FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment
 """

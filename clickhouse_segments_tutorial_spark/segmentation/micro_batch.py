@@ -36,6 +36,7 @@ import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from .spec import EventLog, SegmentSpec
 from ..operators.hll_state import accumulate_state, hll_merge, hll_merge_estimate
@@ -76,10 +77,12 @@ class MicroBatchSegmenter:
             return None
         try:
             return self.spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:
             # Directory exists but holds no data files (e.g. every partition
             # aged out via retention, or only empty-batch markers) — treat as
-            # an empty table.
+            # an empty table. Real I/O errors (corrupt footer, permissions)
+            # are NOT caught: a silent empty-table there would complete the
+            # batch while dropping finalization for its users.
             return None
 
     def states(self) -> DataFrame | None:
@@ -142,11 +145,19 @@ class MicroBatchSegmenter:
         GROUP BY user_id (3-microBatch.test.ts:136-154).
         """
         states = self.states()
-        changelog = self.changelog()
+        changelog = self._read(self.changelog_path)  # keep the partition col
         if states is None or changelog is None:
             return
+        # Filter the DAY PARTITION first (directory pruning — the reason
+        # the changelog is day-partitioned), then the row-level cursor:
+        # without the partition predicate every batch would rescan the
+        # entire changelog history, O(batches ever run) instead of O(new).
+        day = _ts(changed_since)
         changed = (
-            changelog.filter(F.col("computed_at") >= _ts(changed_since))
+            changelog.filter(
+                F.col(PARTITION_COL) >= F.date_format(day, "yyyyMMdd")
+            )
+            .filter(F.col("computed_at") >= day)
             .select("user_id")
             .distinct()
         )

@@ -36,6 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in CORPUS_TABLES:
         raise KeyError(f"unknown corpus table {name!r}")
+    # NOTE: session-global side effect, deliberate — the flag must be live
+    # whenever a catalog table's lazy scan executes, so it cannot be scoped
+    # to this call. All engine paths read TIMESTAMP(NANOS) parquet through
+    # this function (which converts exactly); other nanos readers in the
+    # same session will see raw int64 longs instead of an unsupported-type
+    # error. div 1000 truncates toward zero == floor for the corpus's
+    # non-negative epochs (pre-1970 nanos would need floor-div).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = CORPUS_TABLES[name]

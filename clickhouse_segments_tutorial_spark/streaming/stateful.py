@@ -36,10 +36,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .stream_segment import StreamingSegmenter
 
-OUTPUT_SCHEMA = (
-    "user_id string, n_distinct long, value boolean, last_event_time timestamp"
-)
-STATE_SCHEMA = "ids array<string>, last_ts long"
+def _schemas(grouped_events: DataFrame, message_col: str) -> tuple[str, str]:
+    """Output/state schemas derived from the input types — user ids and
+    message ids may be strings (reference schemas) or longs (corpus)."""
+    user_t = grouped_events.schema["user_id"].dataType.simpleString()
+    msg_t = grouped_events.schema[message_col].dataType.simpleString()
+    out = (
+        f"user_id {user_t}, n_distinct long, value boolean, "
+        "last_event_time timestamp"
+    )
+    state = f"ids array<{msg_t}>, last_ts long"
+    return out, state
 
 
 def exact_distinct_membership(
@@ -57,10 +64,12 @@ def exact_distinct_membership(
     (user_id, n_distinct, value, last_event_time).
     """
 
+    output_schema, state_schema = _schemas(grouped_events, message_col)
+
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
             stored_ids, stored_ts = state.get
-            ids: set[str] = set(stored_ids)
+            ids = set(stored_ids)
             last_ts: int = stored_ts
         else:
             ids, last_ts = set(), 0
@@ -84,8 +93,8 @@ def exact_distinct_membership(
 
     return grouped_events.groupBy("user_id").applyInPandasWithState(
         update,
-        OUTPUT_SCHEMA,
-        STATE_SCHEMA,
+        output_schema,
+        state_schema,
         "update",
         GroupStateTimeout.NoTimeout,
     )
@@ -111,27 +120,11 @@ class ExactStreamingSegmenter(StreamingSegmenter):
             threshold=self.spec.threshold,
         )
 
-    def run_available_now(self) -> None:
-        out_path = self.assignments_path
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            (
-                batch_df.select(
-                    "user_id",
-                    "value",
-                    "last_event_time",
-                    F.lit(batch_id).alias("version"),
-                )
-                .write.mode("append")
-                .parquet(out_path)
-            )
-
-        q = (
-            self._stream()
-            .writeStream.outputMode("update")
-            .option("checkpointLocation", self.checkpoint)
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
+    def _sink_select(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        # the stateful operator already emits `value`
+        return batch_df.select(
+            "user_id",
+            "value",
+            "last_event_time",
+            F.lit(batch_id).alias("version"),
         )
-        q.awaitTermination()

@@ -100,24 +100,26 @@ class StreamingSegmenter:
             )
         )
 
+    def _sink_select(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Projection of one update-mode batch into assignment versions.
+        Subclasses whose stream already emits ``value`` override this."""
+        return batch_df.select(
+            "user_id",
+            (F.col("n_distinct") >= self.spec.threshold).alias("value"),
+            "last_event_time",
+            F.lit(batch_id).alias("version"),
+        )
+
     def run_available_now(self) -> None:
         """Drain all new source files through one checkpointed run."""
-        threshold = self.spec.threshold
         out_path = self.assignments_path
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             # update-mode batch = exactly the users whose state changed
             # (the reference's changelog, 3-microBatch.test.ts:50-56);
             # append versioned assignments, reader resolves latest-wins.
-            (
-                batch_df.select(
-                    "user_id",
-                    (F.col("n_distinct") >= threshold).alias("value"),
-                    "last_event_time",
-                    F.lit(batch_id).alias("version"),
-                )
-                .write.mode("append")
-                .parquet(out_path)
+            self._sink_select(batch_df, batch_id).write.mode("append").parquet(
+                out_path
             )
 
         q = (

@@ -158,6 +158,25 @@ def test_asof_join_semantics(spark):
     assert got == {1: 200, 2: 100, 3: None, 4: None}
 
 
+def test_asof_join_same_time_column_name(spark):
+    """Both sides naming their time column 'ts' must not produce duplicate
+    output columns — the matched right time is suffixed."""
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, "u1", ts("2023-01-10 00:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", ts("2023-01-05 00:00:00"), 100)],
+        "user_id string, ts timestamp, order_id long",
+    )
+    out = asof_join(left, right, on="user_id", left_time="ts", right_time="ts")
+    assert out.columns.count("ts") == 1
+    assert "ts_right" in out.columns
+    row = out.collect()[0]
+    assert row.order_id == 100 and row.ts_right == ts("2023-01-05 00:00:00")
+
+
 # --- multimodal ---------------------------------------------------------------------
 
 

@@ -7,8 +7,9 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from clickhouse_segments_tutorial_spark.schemas import USER_EVENTS_IDEMPOTENT
+from clickhouse_segments_tutorial_spark.schemas import EVENTS, USER_EVENTS_IDEMPOTENT
 from clickhouse_segments_tutorial_spark.segmentation import SegmentSpec
+from clickhouse_segments_tutorial_spark.segmentation.spec import CORPUS_EVENTS
 from clickhouse_segments_tutorial_spark.streaming import (
     ExactStreamingSegmenter,
     StreamingSegmenter,
@@ -51,6 +52,27 @@ def test_streaming_incremental_golden(spark, tmp_path):
     batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
     seg.run_available_now()
     assert members(seg.members()) == ["1", "2"]
+
+
+def test_exact_stateful_with_long_ids(spark, tmp_path):
+    """Schema-generic stateful state: corpus-typed events (long user_id,
+    long event_id) must flow through applyInPandasWithState unchanged."""
+    t0 = dt.datetime(2024, 1, 1)
+    spec = SegmentSpec(name="clickers", event_name="click", threshold=2)
+    seg = ExactStreamingSegmenter(
+        spark, str(tmp_path), spec, CORPUS_EVENTS, schema=EVENTS
+    )
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0, 10, "click", 0.0, "{}"),
+        (3, t0, 20, "click", 0.0, "{}"),
+        (3, t0, 20, "click", 0.0, "{}"),  # duplicate event_id
+    ]
+    spark.createDataFrame(rows, EVENTS).write.mode("append").parquet(
+        os.path.join(str(tmp_path), "events_in")
+    )
+    seg.run_available_now()
+    assert sorted(r.user_id for r in seg.members().collect()) == [10]
 
 
 def test_dropduplicates_within_watermark(spark, tmp_path):
