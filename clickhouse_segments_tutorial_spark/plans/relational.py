@@ -603,6 +603,56 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (F.window, 1h): the batch face of the
+    streaming windowed-aggregation operator. Compiles to a plain hash agg
+    on the derived window struct — one shuffle."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide): every event lands in exactly
+    two windows; Spark expands via the window generator then hash-aggs.
+    The oracle expands the same two buckets per event explicitly."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT unnest([
+           time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+           time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+             - INTERVAL '30 minutes'
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, count(*) AS n_events
+FROM starts GROUP BY window_start
+"""
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
@@ -646,4 +696,6 @@ QUERIES = [
     ),
     QuerySpec("session_stats_per_user", session_stats_per_user, _SESSION_ORACLE, headline=True),
     QuerySpec("session_window_counts", session_window_counts, _SESSION_WINDOW_ORACLE),
+    QuerySpec("events_per_hour", events_per_hour, _TUMBLING_ORACLE),
+    QuerySpec("events_sliding_30m", events_sliding_30m, _SLIDING_ORACLE),
 ]
