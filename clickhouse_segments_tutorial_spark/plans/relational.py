@@ -653,6 +653,28 @@ FROM starts GROUP BY window_start
 """
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile) per order status.
+    Exact percentile sorts per group — fine at per-group scale; switch to
+    approx_percentile (t-digest, mergeable, no sort) when groups are
+    huge, at the cost of the cross-engine value oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.95)).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
@@ -698,4 +720,5 @@ QUERIES = [
     QuerySpec("session_window_counts", session_window_counts, _SESSION_WINDOW_ORACLE),
     QuerySpec("events_per_hour", events_per_hour, _TUMBLING_ORACLE),
     QuerySpec("events_sliding_30m", events_sliding_30m, _SLIDING_ORACLE),
+    QuerySpec("order_value_percentiles", order_value_percentiles, _PERCENTILE_ORACLE),
 ]
