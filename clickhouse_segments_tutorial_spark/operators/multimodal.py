@@ -108,6 +108,69 @@ def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: payload -> payload', meta dims updated.
+
+    Stub codec: deterministic byte resampling to exactly width*height bytes
+    (nearest-index pick — the shape a real thumbnailer produces: output
+    size is fixed and independent of input size). Schema is MEDIA_SCHEMA
+    in and out, so resize composes with extract_features / writes."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+
+        def resample(payload):
+            if payload is None or len(payload) == 0:
+                return bytes(n_out)
+            src = payload
+            n_in = len(src)
+            return bytes(src[(i * n_in) // n_out] for i in range(n_out))
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(resample)
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out[[f.name for f in out_schema.fields]]
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, payload binary"
+
+
+def sample_frames(
+    media: DataFrame, *, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """mapInPandas frame sampling: one video payload -> several frame rows
+    (a one-to-many batch transform, the shape a real demuxer produces).
+
+    Stub codec: treat the payload as fixed-size 'frames' of ``frame_bytes``
+    and keep every ``every_n``-th. Row-explosion happens inside the Arrow
+    batch — no shuffle; downstream per-frame work (feature extraction)
+    repartitions if frames per video are skewed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(
+                        bytes(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "payload": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the media
     pipeline has real data to run against in tests/bench."""

@@ -195,3 +195,30 @@ def test_multimodal_plumbing(spark, sf_smoke):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode(b"bytes", "image")
+
+
+def test_resize_media_fixed_output(spark, sf_smoke):
+    from clickhouse_segments_tutorial_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    resized = resize_media(documents_as_media(docs), width=4, height=3)
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.payload) == 12
+        assert r.meta_width == 4 and r.meta_height == 3
+    # composes with the feature extractor (same MEDIA_SCHEMA)
+    feats = extract_features(resize_media(documents_as_media(docs), width=4, height=3))
+    assert feats.count() == 10
+
+
+def test_sample_frames_one_to_many(spark, sf_smoke):
+    from clickhouse_segments_tutorial_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    frames = sample_frames(documents_as_media(docs), frame_bytes=32, every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 5  # row explosion happened
+    for r in rows:
+        assert r.frame_idx % 2 == 0
+        assert 0 < len(r.payload) <= 32
