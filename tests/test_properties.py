@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): operator semantics vs pure-Python
+models on randomized small fixtures. Few examples per property — every
+example runs real Spark jobs — but each example is adversarially shrunk,
+which catches boundary semantics (empty groups, ties, single-token docs)
+that hand-written goldens miss.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_segments_tutorial_spark.operators.asof_join import asof_join
+from clickhouse_segments_tutorial_spark.operators.dedup import jaccard_pairs
+from clickhouse_segments_tutorial_spark.operators.latest_wins import latest_value
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_shingles(text: str, n: int = 3) -> frozenset:
+    toks = text.split()
+    if not toks:
+        return frozenset()
+    if len(toks) < n:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@given(texts=doc_strategy)
+@settings(**SETTINGS)
+def test_jaccard_pairs_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    expected = {}
+    sh = {i: py_shingles(t) for i, t in enumerate(texts)}
+    for a, b in combinations(range(len(texts)), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and inter / union >= 0.3:
+            expected[(a, b)] = round(inter / union, 6)
+    assert got == expected
+
+
+assign_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.booleans(),  # value
+        st.integers(min_value=0, max_value=10),  # version tick
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=assign_strategy)
+@settings(**SETTINGS)
+def test_latest_wins_matches_python_model(spark, rows):
+    t0 = dt.datetime(2023, 1, 1)
+    data = [(str(u), v, t0 + dt.timedelta(seconds=tick)) for u, v, tick in rows]
+    df = spark.createDataFrame(
+        data, "user_id string, value boolean, assigned_at timestamp"
+    )
+    got = {
+        r.user_id: r.latest
+        for r in df.groupBy("user_id")
+        .agg(latest_value("value", "assigned_at").alias("latest"))
+        .collect()
+    }
+    # python model: max by (assigned_at); ties broken by max value — mirror
+    # max_by's tie behavior by asserting only on users with a unique max tick
+    expected_users = set()
+    by_user: dict = {}
+    for u, v, tick in rows:
+        by_user.setdefault(str(u), []).append((tick, v))
+    for u, pairs in by_user.items():
+        mx = max(t for t, _ in pairs)
+        winners = [v for t, v in pairs if t == mx]
+        if len(winners) == 1:
+            expected_users.add(u)
+            assert got[u] == winners[0], (u, pairs, got[u])
+    assert set(got) == set(by_user)
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=8),
+    st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=8),
+)
+
+
+@given(times=asof_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, times):
+    left_ticks, right_ticks = times
+    t0 = dt.datetime(2023, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "u", t0 + dt.timedelta(hours=t)) for i, t in enumerate(left_ticks)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(hours=t), t) for t in set(right_ticks)],
+        "user_id string, order_ts timestamp, order_tick long",
+    )
+    got = {
+        r.event_id: r.order_tick
+        for r in asof_join(
+            left, right, on="user_id", left_time="ts", right_time="order_ts"
+        ).collect()
+    }
+    rt = sorted(set(right_ticks))
+    for i, lt in enumerate(left_ticks):
+        candidates = [t for t in rt if t <= lt]
+        assert got[i] == (max(candidates) if candidates else None), (
+            lt,
+            rt,
+            got[i],
+        )
