@@ -675,6 +675,34 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts fanned into one column per event type.
+    The value list is explicit, so Catalyst compiles straight to one hash
+    agg with conditional counts — no second pass to discover keys, which
+    is what an unlisted pivot costs at scale."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
@@ -721,4 +749,5 @@ QUERIES = [
     QuerySpec("events_per_hour", events_per_hour, _TUMBLING_ORACLE),
     QuerySpec("events_sliding_30m", events_sliding_30m, _SLIDING_ORACLE),
     QuerySpec("order_value_percentiles", order_value_percentiles, _PERCENTILE_ORACLE),
+    QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_ORACLE),
 ]
