@@ -33,13 +33,23 @@ from .text import tokens
 
 
 def word_shingles(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document, as strings."""
+    """Distinct word n-gram shingles of a document, as strings.
+
+    Empty/whitespace-only documents get an EMPTY shingle set (not a
+    singleton of ''): at corpus scale a large class of empty docs sharing
+    one degenerate shingle would form a quadratic candidate bucket, and
+    Jaccard over empty sets is conventionally no-match. Exact duplicates of
+    empty text are exact_dedup's job."""
     toks = tokens(text)
     cnt = F.size(toks)
-    grams = F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    grams = (
+        F.when(cnt == 0, F.array().cast("array<string>"))
+        .when(cnt < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
     )
     return F.array_distinct(grams)
@@ -58,10 +68,18 @@ def shingle_hashes(text: str | Column, n: int = 3) -> Column:
     """
     toks = tokens(text)
     cnt = F.size(toks)
-    grams = F.when(cnt < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]),
+    grams = (
+        # empty docs -> empty set (see word_shingles: avoids a quadratic
+        # empty-doc candidate bucket and matches Jaccard convention)
+        F.when(cnt == 0, F.array().cast("array<bigint>"))
+        .when(cnt < n, F.array(F.xxhash64(F.concat_ws(" ", toks))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
         )
     )
     return F.array_distinct(grams)

@@ -51,11 +51,20 @@ _JACCARD_ORACLE = """
 WITH docs AS (
   SELECT doc_id,
          list_distinct(
-           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                 ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
            END
          ) AS sh
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents)
+  FROM (
+    SELECT doc_id,
+           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                THEN []::VARCHAR[]
+                ELSE string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+           END AS t
+    FROM documents
+  )
 ),
 posting AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM docs),
 common AS (
