@@ -101,6 +101,65 @@ def test_latest_wins_matches_python_model(spark, rows):
     assert set(got) == set(by_user)
 
 
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.integers(min_value=0, max_value=6),  # message id (duplicates likely)
+        st.integers(min_value=0, max_value=100),  # time tick
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=events_strategy, split=st.integers(min_value=0, max_value=100))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_microbatch_cascade_equals_full_recompute(spark, tmp_path_factory, rows, split):
+    """THE core engine property: for any event stream, any 2-batch split,
+    and duplicate message deliveries, the persisted-state incremental
+    cascade must serve the same membership as an exact full recompute."""
+    import tempfile
+
+    from clickhouse_segments_tutorial_spark.schemas import USER_EVENTS_IDEMPOTENT
+    from clickhouse_segments_tutorial_spark.segmentation import (
+        MicroBatchSegmenter,
+        SegmentSpec,
+        idempotent_assignments,
+        serve_segment,
+    )
+    from clickhouse_segments_tutorial_spark.segmentation.spec import EventLog
+
+    log = EventLog(
+        user="user_id", event="event_name", message="message_id", time="timestamp"
+    )
+    t0 = dt.datetime(2023, 1, 1)
+    data = [
+        (str(u), "BUTTON_CLICK", f"m{m}", t0 + dt.timedelta(minutes=tick))
+        for u, m, tick in rows
+    ]
+    events = spark.createDataFrame(data, USER_EVENTS_IDEMPOTENT)
+    spec = SegmentSpec(name="p", event_name="BUTTON_CLICK", threshold=2)
+
+    mid = t0 + dt.timedelta(minutes=split)
+    seg = MicroBatchSegmenter(
+        spark, tempfile.mkdtemp(dir=tmp_path_factory.getbasetemp()), spec, log
+    )
+    seg.process_batch(
+        events.filter(F.col("timestamp") < F.lit(mid)), lower_bound=t0, now=t0
+    )
+    seg.process_batch(
+        events.filter(F.col("timestamp") >= F.lit(mid)), lower_bound=mid, now=mid
+    )
+    incremental = sorted(r.user_id for r in seg.members().collect())
+    full = sorted(
+        r.user_id
+        for r in serve_segment(idempotent_assignments(events, spec, log)).collect()
+    )
+    assert incremental == full
+
+
 asof_strategy = st.tuples(
     st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=8),
     st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=8),
