@@ -53,6 +53,25 @@ def test_semi_join_for_intersect(spark):
     assert "LeftSemi" in plan
 
 
+def test_exists_compiles_to_semi_join(spark):
+    plan = plan_of(spark, "order_priority_with_late_ship")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_in_compiles_to_broadcast_anti_join(spark):
+    plan = plan_of(spark, "brand_supplier_counts_excluding_negative")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_is_single_aggregate(spark):
+    plan = plan_of(spark, "event_type_pivot")
+    # explicit value list -> one conditional-count hash agg, no generator
+    assert "HashAggregate" in plan
+    assert "Generate" not in plan
+
+
 def test_jaccard_no_cartesian(spark):
     plan = plan_of(spark, "jaccard_near_dup_pairs")
     assert "CartesianProduct" not in plan
