@@ -40,7 +40,11 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir):
         qs = all_queries()
-        for warm_q in ("segment_naive_members", "jaccard_near_dup_pairs"):
+        for warm_q in (
+            "segment_naive_members",
+            "segment_microbatch_members",  # HLL sketch + parquet-write codegen
+            "jaccard_near_dup_pairs",
+        ):
             try:
                 qs[warm_q].spark(spark, warm_dir).collect()
             except Exception:
