@@ -83,6 +83,30 @@ def test_minhash_equals_exact_jaccard_on_corpus(spark, sf_oracle):
     assert len(exact) > 0
 
 
+def test_simhash_pairs_equal_bruteforce_hamming(spark, sf_smoke):
+    """Pigeonhole banding must have exact recall for distance <= d: the
+    bucket-join pairs must equal brute-force all-pairs Hamming filtering
+    over the same signatures (the docstring's correctness claim)."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sigs = {r._id: r._sig for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b) for r in simhash_pairs(docs, max_distance=3).collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [

@@ -140,6 +140,21 @@ def test_micro_batch_incremental_across_batches(spark, tmp_path):
     seg.compact_states()
     assert members(seg.members()) == ["1", "2"]
 
+    # ReplacingMergeTree background-merge analog: compacting the versioned
+    # assignments table keeps exactly one (latest) row per user and the
+    # same served membership
+    from clickhouse_segments_tutorial_spark.sources.writers import (
+        compact_latest_wins,
+    )
+
+    before = spark.read.parquet(seg.assignments_path).count()
+    compact_latest_wins(
+        spark, seg.assignments_path, key="user_id", order_by="assigned_at"
+    )
+    after = spark.read.parquet(seg.assignments_path)
+    assert after.count() == 2 < before
+    assert members(seg.members()) == ["1", "2"]
+
 
 # --- Variant 4: event time (/root/reference/src/4-eventTime.test.ts:89-193)
 
