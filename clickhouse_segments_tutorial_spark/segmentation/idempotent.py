@@ -37,5 +37,9 @@ def idempotent_assignments(
         spec.matching(events, log)
         .groupBy(F.col(log.user).alias("user_id"))
         .agg((distinct_count >= spec.threshold).alias("value"))
-        .withColumn("assigned_at", assigned_at or F.current_timestamp())
+        .withColumn(
+            "assigned_at",
+            # `or` would call Column.__bool__, which raises — test identity
+            assigned_at if assigned_at is not None else F.current_timestamp(),
+        )
     )

@@ -40,7 +40,7 @@ from pyspark.errors import AnalysisException
 
 from .spec import EventLog, SegmentSpec
 from ..operators.hll_state import accumulate_state, hll_merge, hll_merge_estimate
-from ..sources.writers import PARTITION_COL, append_clustered
+from ..sources.writers import PARTITION_COL, append_clustered, rewrite_table
 from .naive import serve_membership, serve_segment  # noqa: F401  (re-served here)
 
 
@@ -87,10 +87,6 @@ class MicroBatchSegmenter:
 
     def states(self) -> DataFrame | None:
         return self._read(self.states_path)
-
-    def changelog(self) -> DataFrame | None:
-        df = self._read(self.changelog_path)
-        return df.drop(PARTITION_COL) if df is not None else None
 
     def assignments(self) -> DataFrame | None:
         return self._read(self.assignments_path)
@@ -195,10 +191,6 @@ class MicroBatchSegmenter:
                 if c not in ("user_id", "event_count", "computed_at")
             ],
         )
-        tmp = self.states_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(self.states_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        # atomic swap + re-sort on user_id so the clustering invariant the
+        # finalize semi-join prunes on survives compaction
+        rewrite_table(self.spark, merged, self.states_path, cluster_by=["user_id"])

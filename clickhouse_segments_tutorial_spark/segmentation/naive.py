@@ -36,7 +36,11 @@ def naive_assignments(
         spec.matching(events, log)
         .groupBy(F.col(log.user).alias("user_id"))
         .agg((F.count(F.lit(1)) >= spec.threshold).alias("value"))
-        .withColumn("assigned_at", assigned_at or F.current_timestamp())
+        .withColumn(
+            "assigned_at",
+            # `or` would call Column.__bool__, which raises — test identity
+            assigned_at if assigned_at is not None else F.current_timestamp(),
+        )
     )
 
 

@@ -77,5 +77,5 @@ class Catalog:
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so ``spark.sql`` can reference tables by name
         — mirrors the reference's named-table model."""
-        for name in names or CORPUS_TABLES:
+        for name in (names if names is not None else CORPUS_TABLES):
             self.table(name).createOrReplaceTempView(name)

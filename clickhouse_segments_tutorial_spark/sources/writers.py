@@ -57,7 +57,35 @@ def append_clustered(
         writer_df.sortWithinPartitions(*cluster_by).write.mode("append").parquet(path)
 
 
-def apply_retention(spark: SparkSession, path: str, *, keep_days: int, now=None) -> int:
+def rewrite_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: list[str],
+) -> None:
+    """Atomically replace the table at ``path`` with ``df`` (which may read
+    from ``path`` itself), preserving the sort-on-write clustering.
+
+    Write to a tmp dir first, then swap via directory renames — a mid-job
+    failure leaves the original intact (a plain mode('overwrite') on the
+    live path deletes it BEFORE the job finishes, so a crash destroys the
+    table). Readers racing the swap see only the instant of the renames,
+    not the minutes of the rewrite job.
+    """
+    import os
+
+    tmp = path.rstrip("/") + ".rewrite.tmp"
+    old = path.rstrip("/") + ".rewrite.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def apply_retention(path: str, *, keep_days: int, now=None) -> int:
     """TTL analog: drop daily partitions older than ``keep_days``.
 
     Partition drop (not row delete) — O(partitions), no data rewrite, exactly
@@ -97,8 +125,4 @@ def compact_latest_wins(
         .agg(F.max_by(F.struct("*"), F.col(order_by)).alias("row"))
         .select("row.*")
     )
-    tmp = path.rstrip("/") + ".compact.tmp"
-    latest.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    rewrite_table(spark, latest, path, cluster_by=[key])

@@ -70,15 +70,23 @@ def exact_distinct_membership(
         if state.exists:
             stored_ids, stored_ts = state.get
             ids = set(stored_ids)
-            last_ts: int = stored_ts
+            last_ts = stored_ts  # epoch seconds or None (no event time seen)
         else:
-            ids, last_ts = set(), 0
+            ids, last_ts = set(), None
         for pdf in pdf_iter:
-            ids.update(x for x in pdf[message_col].tolist() if x is not None)
+            col = pdf[message_col].dropna()
+            # a long column containing nulls arrives as float64 + NaN;
+            # dropna removes the NaN but leaves floats — normalize back so
+            # 1.0 and 1 dedup to the same id and the array<bigint> state
+            # never sees floats
+            if pd.api.types.is_float_dtype(col):
+                col = col.astype("int64")
+            ids.update(col.tolist())
             if len(pdf):
                 batch_max = pdf[time_col].max()
                 if pd.notna(batch_max):
-                    last_ts = max(last_ts, int(batch_max.value // 1_000_000_000))
+                    secs = int(batch_max.value // 1_000_000_000)
+                    last_ts = secs if last_ts is None else max(last_ts, secs)
         state.update((sorted(ids), last_ts))
         yield pd.DataFrame(
             [
@@ -86,7 +94,11 @@ def exact_distinct_membership(
                     "user_id": key[0],
                     "n_distinct": len(ids),
                     "value": len(ids) >= threshold,
-                    "last_event_time": pd.Timestamp(last_ts, unit="s"),
+                    "last_event_time": (
+                        pd.Timestamp(last_ts, unit="s")
+                        if last_ts is not None
+                        else pd.NaT
+                    ),
                 }
             ]
         )
@@ -107,12 +119,9 @@ class ExactStreamingSegmenter(StreamingSegmenter):
 
     def _stream(self) -> DataFrame:
         log = self.log
-        events = self.spark.readStream.schema(self.schema).parquet(self.events_dir)
-        filtered = (
-            events.filter(self.spec.event_filter(log))
-            .withWatermark(log.time, self.watermark)
-            .withColumnRenamed(log.user, "user_id")
-        )
+        # _filtered() supplies source + filter + watermark + optional
+        # dedup-at-ingest, so drop_duplicates composes with exact state too
+        filtered = self._filtered().withColumnRenamed(log.user, "user_id")
         return exact_distinct_membership(
             filtered,
             message_col=log.message,

@@ -72,11 +72,13 @@ class StreamingSegmenter:
         self.assignments_path = os.path.join(workdir, "segment_assignments")
         os.makedirs(self.events_dir, exist_ok=True)
 
-    def _stream(self) -> DataFrame:
+    def _filtered(self) -> DataFrame:
+        """Shared ingest head: file source -> segment filter -> watermark ->
+        optional dedup-at-ingest. Both aggregation strategies build on this."""
+        log = self.log
         events = (
             self.spark.readStream.schema(self.schema).parquet(self.events_dir)
         )
-        log = self.log
         filtered = events.filter(self.spec.event_filter(log)).withWatermark(
             log.time, self.watermark
         )
@@ -88,8 +90,12 @@ class StreamingSegmenter:
             # duplicates the way the reference does, by counting distinct
             # ids (2-idempotent.test.ts:87).
             filtered = filtered.dropDuplicatesWithinWatermark([log.message])
+        return filtered
+
+    def _stream(self) -> DataFrame:
+        log = self.log
         return (
-            filtered.groupBy(F.col(log.user).alias("user_id"))
+            self._filtered().groupBy(F.col(log.user).alias("user_id"))
             .agg(
                 (
                     F.count(F.lit(1))

@@ -144,6 +144,7 @@ def test_micro_batch_incremental_across_batches(spark, tmp_path):
     # assignments table keeps exactly one (latest) row per user and the
     # same served membership
     from clickhouse_segments_tutorial_spark.sources.writers import (
+        apply_retention,
         compact_latest_wins,
     )
 
@@ -153,6 +154,20 @@ def test_micro_batch_incremental_across_batches(spark, tmp_path):
     )
     after = spark.read.parquet(seg.assignments_path)
     assert after.count() == 2 < before
+    assert members(seg.members()) == ["1", "2"]
+
+    # TTL analog: dropping every changelog day-partition must not break the
+    # next batch (the emptied-directory read path), and serving still works
+    dropped = apply_retention(
+        seg.changelog_path, keep_days=0, now=t1 + dt.timedelta(days=2)
+    )
+    assert dropped >= 1
+    t2 = t1 + dt.timedelta(days=2)
+    batch3 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m9", t2)],
+        "user_id string, event_name string, message_id string, timestamp timestamp",
+    )
+    seg.process_batch(batch3, lower_bound=t2, now=t2)
     assert members(seg.members()) == ["1", "2"]
 
 

@@ -75,6 +75,38 @@ def test_exact_stateful_with_long_ids(spark, tmp_path):
     assert sorted(r.user_id for r in seg.members().collect()) == [10]
 
 
+def test_exact_stateful_null_message_ids(spark, tmp_path):
+    """Null ids in a long-typed column arrive as NaN in pandas — they must
+    not count as distinct ids nor corrupt the bigint state (and a real id
+    seen with and without nulls in the column must dedup as one)."""
+    t0 = dt.datetime(2024, 1, 1)
+    spec = SegmentSpec(name="clickers", event_name="click", threshold=2)
+    seg = ExactStreamingSegmenter(
+        spark, str(tmp_path), spec, CORPUS_EVENTS, schema=EVENTS
+    )
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (None, t0, 10, "click", 0.0, "{}"),  # null id: not distinct
+    ]
+    spark.createDataFrame(rows, EVENTS).write.mode("append").parquet(
+        os.path.join(str(tmp_path), "events_in")
+    )
+    seg.run_available_now()
+    assert members(seg.members()) == []  # 1 real id < threshold
+
+    # same id again in a float-typed batch (has a null) must not re-count
+    rows2 = [
+        (1, t0 + dt.timedelta(minutes=1), 10, "click", 0.0, "{}"),
+        (None, t0 + dt.timedelta(minutes=1), 10, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(rows2, EVENTS).write.mode("append").parquet(
+        os.path.join(str(tmp_path), "events_in")
+    )
+    seg.run_available_now()
+    assert members(seg.members()) == [10]  # ids {1, 2}
+
+
 def test_dropduplicates_within_watermark(spark, tmp_path):
     """T2 streaming-native dedup: a message_id re-delivered in a later
     micro-batch (watermark still open) is dropped at ingest, so the plain
