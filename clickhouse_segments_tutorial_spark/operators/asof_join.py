@@ -39,6 +39,8 @@ def asof_join(
     ``right_cols`` defaults to all right columns except the key and time.
     ``how='inner'`` drops unmatched left rows.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
     clashes = set(right_cols) & set(left.columns)
@@ -60,7 +62,11 @@ def asof_join(
         "_side", F.lit(1)
     ).withColumn("_payload", F.lit(None).cast(right.select(payload).schema[0].dataType))
     r_tagged = (
-        right.select(on, F.col(right_time).alias("_t"), payload.alias("_payload"))
+        # a NULL right time can never be "at or before" anything — without
+        # this filter it would sort nulls-first and spuriously match every
+        # left row (DuckDB ASOF never matches NULL times)
+        right.filter(F.col(right_time).isNotNull())
+        .select(on, F.col(right_time).alias("_t"), payload.alias("_payload"))
         .withColumn("_side", F.lit(0))
     )
     # align schemas for unionByName

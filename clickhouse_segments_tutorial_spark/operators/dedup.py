@@ -281,6 +281,7 @@ def simhash(text: str | Column, *, n: int = 3) -> Column:
     """
     hashes = shingle_hashes(text, n)
     zero = F.array_repeat(F.lit(0), 64)
+    empty = F.size(hashes) == 0
 
     def add_votes(acc: Column, h: Column) -> Column:
         bit_votes = F.array(
@@ -300,7 +301,10 @@ def simhash(text: str | Column, *, n: int = 3) -> Column:
                 F.lit(0).cast("long")
             )
         )
-    return out
+    # empty docs have no signature (null), matching simhash_signatures
+    # which emits no row for them — not sig 0, which would near-dup-match
+    # every other empty doc
+    return F.when(empty, F.lit(None).cast("long")).otherwise(out)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -60,8 +60,9 @@ def punct_ratio(text: str | Column) -> Column:
 
 
 def stopword_ratio(text: str | Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (English, by default) stopwords."""
-    words = stopwords or LANG_MARKERS["en"]
+    """Fraction of tokens in ``stopwords`` (defaults to English markers
+    when None; an explicit empty list means ratio 0)."""
+    words = stopwords if stopwords is not None else LANG_MARKERS["en"]
     toks = tokens(text)
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, _in_words(words)))

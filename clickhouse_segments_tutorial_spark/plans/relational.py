@@ -537,8 +537,8 @@ _SESSION_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-               OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-                  - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) >= 14400
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 14400000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

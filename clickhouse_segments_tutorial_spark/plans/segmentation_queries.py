@@ -17,6 +17,7 @@ promotion) and membership is a boolean threshold.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -64,7 +65,28 @@ def _median_ts(events: DataFrame) -> dt.datetime:
     row = events.select(
         F.percentile(F.unix_timestamp("ts"), F.lit(0.5)).alias("m")
     ).collect()[0]
-    return dt.datetime.utcfromtimestamp(row.m)
+    # utcfromtimestamp is deprecated (3.12+); session tz is pinned UTC
+    return dt.datetime.fromtimestamp(row.m, dt.timezone.utc).replace(tzinfo=None)
+
+
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch_dir(name: str) -> str:
+    """One reusable scratch dir per query name per process, wiped at each
+    invocation — repeated bench/oracle runs must not accumulate unbounded
+    /tmp state (the result DataFrame is consumed lazily, so cleanup-after
+    is impossible; cleanup-before is)."""
+    import shutil
+
+    path = _SCRATCH.get(name)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"q_{name}_")
+        _SCRATCH[name] = path
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+    return path
 
 
 def segment_microbatch_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +96,7 @@ def segment_microbatch_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = _median_ts(events)
     t0 = dt.datetime(2000, 1, 1)
     seg = MicroBatchSegmenter(
-        spark, tempfile.mkdtemp(prefix="q_microbatch_"), SPEC, CORPUS_EVENTS
+        spark, _scratch_dir("microbatch"), SPEC, CORPUS_EVENTS
     )
     seg.process_batch(events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0)
     seg.process_batch(events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid)
@@ -88,7 +110,7 @@ def segment_eventtime_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = _median_ts(events)
     t0 = dt.datetime(2000, 1, 1)
     seg = EventTimeSegmenter(
-        spark, tempfile.mkdtemp(prefix="q_eventtime_"), SPEC, CORPUS_EVENTS
+        spark, _scratch_dir("eventtime"), SPEC, CORPUS_EVENTS
     )
     seg.process_batch(events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0)
     seg.process_batch(events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid)

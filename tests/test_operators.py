@@ -182,6 +182,24 @@ def test_asof_join_semantics(spark):
     assert got == {1: 200, 2: 100, 3: None, 4: None}
 
 
+def test_asof_join_null_right_time_never_matches(spark):
+    """DuckDB ASOF semantics: a right row with NULL time matches nothing
+    (it would otherwise sort nulls-first and match every left row)."""
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, "u1", ts("2023-01-10 00:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 999), ("u1", ts("2023-01-05 00:00:00"), 100)],
+        "user_id string, order_ts timestamp, order_id long",
+    )
+    got = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="order_ts"
+    ).collect()[0]
+    assert got.order_id == 100
+
+
 def test_asof_join_same_time_column_name(spark):
     """Both sides naming their time column 'ts' must not produce duplicate
     output columns — the matched right time is suffixed."""
