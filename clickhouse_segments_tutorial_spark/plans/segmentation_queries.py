@@ -117,6 +117,25 @@ def segment_eventtime_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.members_with_last_event_time().select("user_id", "last_event_time")
 
 
+def segment_members_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 1 through the SQL-text entry point with NAMED PARAMETERS —
+    the reference's parameterized-query surface ({threshold:...} +
+    query_params, 3-microBatch.test.ts:122-132 / SURVEY F14). Identical
+    plan to the DataFrame form: Catalyst parses/optimizes both into the
+    same filter + hash aggregate."""
+    _events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT user_id
+        FROM events_v
+        WHERE event_type = :event_type
+        GROUP BY user_id
+        HAVING count(*) >= :threshold
+        """,
+        args={"event_type": SPEC.event_name, "threshold": SPEC.threshold},
+    )
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argMax serving primitive (F6, 1-naive.test.ts:85) on raw events:
     each user's most recent event type and value."""
@@ -181,6 +200,7 @@ QUERIES = [
         """,
         headline=True,
     ),
+    QuerySpec("segment_members_sql", segment_members_sql, _MEMBER_ORACLE),
     QuerySpec(
         "latest_event_per_user",
         latest_event_per_user,
