@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from clickhouse_segments_tutorial_spark.plans import all_queries  # noqa: E402
 
 
+def _pin_session_conf(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the runtime confs the
+    engine's cross-engine determinism depends on (session.py sets these for
+    sessions WE build, but date_format/year over midnight-naive timestamps
+    shift by a day under a non-UTC session timezone, breaking every
+    date-bearing oracle)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the event-time segmentation
     cascade (reference variant 4) end-to-end — persisted HLL state, changelog,
@@ -28,11 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
         segment_eventtime_members,
     )
 
+    _pin_session_conf(spark)
     return segment_eventtime_members(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in all_queries().items()}
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.spark) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

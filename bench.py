@@ -22,11 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_segments_tutorial_spark.plans import all_queries
 from clickhouse_segments_tutorial_spark.session import get_spark
+from clickhouse_segments_tutorial_spark.sources.catalog import DEFAULT_SF_DIR
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -45,12 +46,15 @@ def main() -> None:
             "segment_microbatch_members",  # HLL sketch + parquet-write codegen
             "jaccard_near_dup_pairs",
         ):
+            if warm_q not in qs:
+                print(f"  warmup query missing: {warm_q}", file=sys.stderr)
+                continue
             try:
                 qs[warm_q].spark(spark, warm_dir).collect()
-            except Exception:
-                pass
+            except Exception as exc:
+                print(f"  warmup {warm_q} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    raw: dict[str, float] = {}
     for name, spec in all_queries().items():
         if not spec.headline:
             continue
@@ -60,10 +64,11 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        raw[name] = time.perf_counter() - t0
+        print(f"  {name}: {round(raw[name], 3)}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    timings = {name: round(v, 3) for name, v in raw.items()}
+    total = round(sum(raw.values()), 3)
     print(
         json.dumps(
             {

@@ -1,8 +1,12 @@
 """Explicit schemas for every table the engine touches.
 
 The reference declares every table schema in DDL
-(/root/reference/src/1-naive.test.ts:13-28 and siblings); we mirror that
-discipline: engine paths never rely on schema inference.
+(/root/reference/src/1-naive.test.ts:13-28 and siblings); we mirror the
+discipline at the boundaries: ingest (JSON parse, createDataFrame) and the
+corpus catalog always use these declared StructTypes. Reads of tables the
+engine itself wrote (state/assignments parquet) use the parquet footer,
+which IS the declared schema as written — the state-table constants below
+document the DDL parity for those paths.
 
 Two schema families:
 
