@@ -32,5 +32,3 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
