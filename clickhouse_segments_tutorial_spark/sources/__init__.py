@@ -1,4 +1,11 @@
+from .bucketed import read_table, write_bucketed
 from .catalog import Catalog, load_table
 from .json_ingest import read_json_rows
 
-__all__ = ["Catalog", "load_table", "read_json_rows"]
+__all__ = [
+    "Catalog",
+    "load_table",
+    "read_json_rows",
+    "read_table",
+    "write_bucketed",
+]

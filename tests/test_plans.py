@@ -78,6 +78,45 @@ def test_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_table_skips_shuffle(spark):
+    """Bucketing is the pay-once shuffle: a table bucketed+sorted on
+    user_id must aggregate AND semi-join on that key with ZERO Exchange
+    in the plan (the storage layout IS the partitioning)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+    write_bucketed(events, "ev_bucketed_test", key="user_id", buckets=8)
+    b = read_table(spark, "ev_bucketed_test")
+
+    agg = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    agg_plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in agg_plan
+    assert agg.count() > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        heavy = b.groupBy("user_id").count().filter("count >= 2").select("user_id")
+        semi = b.join(heavy, "user_id", "left_semi")
+        semi_plan = semi._sc._jvm.PythonSQLUtils.explainString(
+            semi._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in semi_plan
+        assert semi.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+
+
 def test_microbatch_finalize_broadcasts_changed_users(spark, tmp_path):
     import datetime as dt
 
