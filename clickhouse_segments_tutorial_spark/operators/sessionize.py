@@ -30,13 +30,16 @@ def with_session_id(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
-    # microsecond-precision gap test (unix_timestamp floors to seconds,
-    # which would split a true 1799.002s gap rated against gap=1800 — and
-    # diverge from F.session_window's exact boundary semantics)
+    # Microsecond-precision gap test (unix_timestamp floors to seconds,
+    # which would split a true 1799.002s gap rated against gap=1800).
+    # Split on STRICTLY greater — an event exactly `gap` after the
+    # previous continues the session, matching F.session_window's
+    # inclusive-boundary merge (verified empirically; tested in
+    # test_sessionize_agrees_with_native_session_window).
     gap_micros = gap_seconds * 1_000_000
     is_new = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) >= gap_micros),
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_micros),
         1,
     ).otherwise(0)
     return events.withColumn("_new", is_new).withColumn(

@@ -538,7 +538,7 @@ WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                OR epoch_us(CAST(ts AS TIMESTAMP))
-                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 14400000000
+                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 14400000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -565,8 +565,8 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the built-in counterpart of the hand-rolled gaps-and-islands in
     operators/sessionize.py. One shuffle on (user, merged window); Spark
     merges overlapping per-event windows internally. Boundary semantics:
-    an event exactly gap seconds after the previous starts a NEW session
-    (window end is exclusive), matching the oracle's ``diff >= gap``."""
+    an event exactly gap seconds after the previous CONTINUES the session
+    (inclusive merge), matching the oracle's ``diff > gap`` split."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -587,7 +587,7 @@ WITH flagged AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          CASE WHEN lag(ts) OVER w IS NULL
                OR epoch_us(CAST(ts AS TIMESTAMP))
-                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 14400000000
+                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 14400000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

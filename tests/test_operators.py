@@ -219,6 +219,51 @@ def test_asof_join_same_time_column_name(spark):
     assert row.order_id == 100 and row.ts_right == ts("2023-01-05 00:00:00")
 
 
+# --- sessionize vs native session_window ------------------------------------------
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """The hand-rolled gaps-and-islands and F.session_window must split
+    identically, including sub-second gaps and an event landing EXACTLY at
+    the gap boundary (new session in both: window end is exclusive)."""
+    from clickhouse_segments_tutorial_spark.operators.sessionize import (
+        with_session_id,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda n: dt.timedelta(microseconds=n)
+    gap = 30 * 60  # 30 min
+    e2 = t0 + dt.timedelta(seconds=gap) - us(1)  # just inside: same session
+    e3 = e2 + dt.timedelta(seconds=gap)  # EXACTLY gap after e2: still same
+    e4 = e3 + dt.timedelta(seconds=gap) + us(1)  # 1us past the gap: NEW
+    rows = [
+        ("u", t0),
+        ("u", e2),
+        ("u", e3),
+        ("u", e4),
+        ("v", t0 + us(999_999)),  # sub-second start for a second user
+        ("v", t0 + dt.timedelta(seconds=gap) + us(999_998)),  # 1us inside
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    ours = (
+        with_session_id(df, gap_seconds=gap)
+        .groupBy("user_id", "session_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    native = (
+        df.groupBy(F.session_window("ts", f"{gap} seconds"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got_ours = {r.user_id: r.n_sessions for r in ours.collect()}
+    got_native = {r.user_id: r.n_sessions for r in native.collect()}
+    assert got_ours == got_native, (got_ours, got_native)
+
+
 # --- multimodal ---------------------------------------------------------------------
 
 
