@@ -61,6 +61,27 @@ def test_jaccard_pairs_matches_python_model(spark, texts):
     assert got == expected
 
 
+@given(texts=doc_strategy)
+@settings(**SETTINGS)
+def test_minhash_lsh_equals_exact_jaccard(spark, texts):
+    """At k=64/b=32/r=2 and threshold 0.8, banding recall is ~1 - 1e-14:
+    LSH must return exactly the exact-Jaccard pair set on any corpus."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, n=3, k=64, bands=32, threshold=0.8).collect()
+    }
+    assert exact == lsh
+
+
 assign_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),  # user
