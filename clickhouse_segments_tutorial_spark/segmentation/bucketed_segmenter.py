@@ -1,0 +1,110 @@
+"""Micro-batch segmentation over BUCKETED state/assignment tables.
+
+The path-based :class:`MicroBatchSegmenter` shuffles twice per batch on
+user_id (state groupBy, finalize merge) and once per serve (latest-wins
+groupBy). Bucketing both hot tables on user_id moves that cost to write
+time, once: every subsequent finalize merge and latest-wins serve reads
+co-located sorted buckets and runs with NO Exchange in the plan
+(asserted in tests/test_plans.py).
+
+This is the Spark analog of what the reference gets from
+`ORDER BY (user_id, ...)` MergeTree clustering
+(/root/reference/src/1-naive.test.ts:19, 3-microBatch.test.ts:21): the
+physical layout *is* the partitioning, so per-key operations are local.
+
+The changelog stays a day-partitioned path table — its access pattern is
+partition pruning by day, not per-key lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .micro_batch import MicroBatchSegmenter
+from .spec import EventLog, SegmentSpec
+from ..operators.hll_state import hll_merge
+from ..sources.bucketed import write_bucketed
+
+
+class BucketedMicroBatchSegmenter(MicroBatchSegmenter):
+    """MicroBatchSegmenter with states/assignments as bucketed catalog
+    tables. ``namespace`` prefixes the table names (one cascade per
+    namespace); all tables share ``buckets`` so joins co-locate."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        spec: SegmentSpec,
+        log: EventLog = EventLog(),
+        *,
+        namespace: str,
+        buckets: int = 32,
+    ):
+        super().__init__(spark, workdir, spec, log)
+        self.buckets = buckets
+        self.states_table = f"{namespace}_user_states"
+        self.assignments_table = f"{namespace}_segment_assignments"
+
+    # -- storage hooks ---------------------------------------------------------
+
+    def _append_states(self, df: DataFrame) -> None:
+        write_bucketed(
+            df,
+            self.states_table,
+            key="user_id",
+            buckets=self.buckets,
+            mode="append",
+        )
+
+    def _append_assignments(self, df: DataFrame) -> None:
+        write_bucketed(
+            df,
+            self.assignments_table,
+            key="user_id",
+            buckets=self.buckets,
+            mode="append",
+        )
+
+    def _table(self, name: str) -> DataFrame | None:
+        if not self.spark.catalog.tableExists(name):
+            return None
+        return self.spark.table(name)
+
+    def states(self) -> DataFrame | None:
+        return self._table(self.states_table)
+
+    def assignments(self) -> DataFrame | None:
+        return self._table(self.assignments_table)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact_states(self) -> None:
+        """Collapse each user's state rows into one merged row, keeping the
+        bucketed layout. Rewrites through a scratch table + rename so a
+        mid-job failure leaves the original intact (a direct overwrite of
+        a table being read from is rejected by Spark anyway)."""
+        states = self.states()
+        if states is None:
+            return
+        merged = states.groupBy("user_id").agg(
+            hll_merge("event_count").alias("event_count"),
+            F.max("computed_at").alias("computed_at"),
+            *[
+                F.max(c).alias(c)
+                for c in states.columns
+                if c not in ("user_id", "event_count", "computed_at")
+            ],
+        )
+        tmp = f"{self.states_table}_compact_tmp"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        write_bucketed(
+            merged, tmp, key="user_id", buckets=self.buckets, mode="overwrite"
+        )
+        self.spark.sql(f"DROP TABLE {self.states_table}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.states_table}")
+
+    def drop_tables(self) -> None:
+        """Test/teardown helper: remove this namespace's catalog tables."""
+        for t in (self.states_table, self.assignments_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -109,13 +109,21 @@ class MicroBatchSegmenter:
             extra_aggs=extra,
         )
 
+    # -- storage hooks (overridden by the bucketed variant) ------------------
+
+    def _append_states(self, df: DataFrame) -> None:
+        append_clustered(df, self.states_path, cluster_by=["user_id"])
+
+    def _append_assignments(self, df: DataFrame) -> None:
+        append_clustered(df, self.assignments_path, cluster_by=["user_id"])
+
     def process_batch(self, events: DataFrame, lower_bound, now) -> None:
         """Run one micro-batch: state update + changelog + finalize."""
         # The batch aggregate feeds two writes (states + changelog MV
         # analog); persist so the event scan + HLL build runs once.
         state_rows = self._batch_state(events, lower_bound, now).persist()
         try:
-            append_clustered(state_rows, self.states_path, cluster_by=["user_id"])
+            self._append_states(state_rows)
             # MV trigger analog: project the same inserted block into the
             # changelog
             changelog_rows = state_rows.select("user_id", "computed_at")
@@ -163,7 +171,7 @@ class MicroBatchSegmenter:
             .agg(*self._merged_aggs())
             .withColumn("assigned_at", _ts(assigned_at))
         )
-        append_clustered(finalized, self.assignments_path, cluster_by=["user_id"])
+        self._append_assignments(finalized)
 
     # -- serving --------------------------------------------------------------
 

@@ -171,6 +171,60 @@ def test_micro_batch_incremental_across_batches(spark, tmp_path):
     assert members(seg.members()) == ["1", "2"]
 
 
+def test_bucketed_cascade_matches_path_cascade(spark, tmp_path):
+    """The bucketed-table cascade must serve identical membership to the
+    path-based one, with a shuffle-free (no Exchange) latest-wins serve
+    and finalize merge."""
+    import datetime as dt
+
+    from clickhouse_segments_tutorial_spark.segmentation import (
+        BucketedMicroBatchSegmenter,
+        MicroBatchSegmenter,
+        SegmentSpec,
+    )
+    from clickhouse_segments_tutorial_spark.segmentation.spec import CORPUS_EVENTS
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    spec = SegmentSpec(name="hc", event_name="click", threshold=13)
+    mid_row = events.select(
+        F.percentile(F.unix_timestamp("ts"), F.lit(0.5)).alias("m")
+    ).collect()[0]
+    mid = dt.datetime.fromtimestamp(mid_row.m, dt.timezone.utc).replace(tzinfo=None)
+    t0 = dt.datetime(2000, 1, 1)
+
+    bseg = BucketedMicroBatchSegmenter(
+        spark, str(tmp_path / "b"), spec, CORPUS_EVENTS,
+        namespace="t_bucketed", buckets=8,
+    )
+    bseg.drop_tables()
+    pseg = MicroBatchSegmenter(spark, str(tmp_path / "p"), spec, CORPUS_EVENTS)
+    try:
+        for seg in (bseg, pseg):
+            seg.process_batch(
+                events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0
+            )
+            seg.process_batch(
+                events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid
+            )
+        got_b = sorted(r.user_id for r in bseg.members().collect())
+        got_p = sorted(r.user_id for r in pseg.members().collect())
+        assert got_b == got_p and len(got_b) > 0
+
+        members_plan = bseg.members()
+        plan = members_plan._sc._jvm.PythonSQLUtils.explainString(
+            members_plan._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan  # latest-wins agg reads bucketed layout
+
+        # compaction keeps layout + answer
+        bseg.compact_states()
+        assert sorted(r.user_id for r in bseg.members().collect()) == got_p
+    finally:
+        bseg.drop_tables()
+
+
 # --- Variant 4: event time (/root/reference/src/4-eventTime.test.ts:89-193)
 
 
