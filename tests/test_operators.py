@@ -138,6 +138,28 @@ def test_srp_recall_vs_bruteforce(spark, sf_oracle):
     assert recall >= 0.5, f"SRP recall {recall} too low: exact={exact} approx={approx}"
 
 
+def test_srp_pairs_recall_and_precision(spark, sf_oracle):
+    """Banded SRP near-dup pairs: every emitted pair must be in the exact
+    set (precision 1.0 — cosine-verified), recall floor 0.9 on the
+    corpus at the default (16 planes, Hamming <= 6) config."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_srp,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_srp(
+            emb, threshold=0.4, n_planes=16, max_hamming=6
+        ).collect()
+    }
+    assert approx <= exact  # precision 1.0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SRP pair recall {recall}"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings")
     probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
