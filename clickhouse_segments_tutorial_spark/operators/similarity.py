@@ -285,6 +285,71 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 32,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Build and PERSIST the IVF index: vectors written to ``path``
+    partitioned by inverted-list id, centroids returned (store them beside
+    the index — they are a few KB).
+
+    This is the pay-once half of IVF at scale: train + assign runs one
+    pass over the corpus; afterwards every probe reads ONLY the probed
+    list partitions (directory pruning, no per-query assignment pass and
+    no full scan)."""
+    cents = ivf_train(
+        embeddings,
+        n_centroids=n_centroids,
+        refine_iters=refine_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    probe: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: pick the ``n_probe`` nearest
+    centroids driver-side, scan only those list partitions (the filter on
+    the partition column prunes directories — verify with
+    PartitionFilters in .explain), exact-cosine re-rank."""
+    c = np.asarray(centroids, dtype=np.float64)
+    c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    p = np.asarray(probe, dtype=np.float64)
+    p_unit = p / max(np.linalg.norm(p), 1e-12)
+    probe_lists = [int(i) for i in np.argsort(-(c_unit @ p_unit))[:n_probe]]
+
+    cand = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe_lists))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        cand.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_srp(
     embeddings: DataFrame,
     *,

@@ -241,6 +241,40 @@ def test_asof_join_same_time_column_name(spark):
     assert row.order_id == 100 and row.ts_right == ts("2023-01-05 00:00:00")
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, sf_oracle, tmp_path):
+    """The persisted index must (a) return the same top-k as the inline
+    ivf_topk at the same parameters and (b) actually prune: the probe scan
+    reads only the probed list partitions."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "ivf_index")
+    cents = ivf_build_index(emb, idx, n_centroids=32, refine_iters=2)
+
+    indexed = ivf_probe_index(
+        spark, idx, cents, probe, k=10, n_probe=8, exclude_id=0
+    )
+    inline = ivf_topk(
+        emb, probe, k=10, n_centroids=32, n_probe=8, refine_iters=2, exclude_id=0
+    )
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(
+        indexed._jdf.queryExecution(), "formatted"
+    )
+    # the list filter must land in PartitionFilters (directory pruning),
+    # not as a post-scan row filter
+    partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_list" in partition_filters
+
+
 # --- sessionize vs native session_window ------------------------------------------
 
 
