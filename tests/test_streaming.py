@@ -75,6 +75,39 @@ def test_exact_stateful_with_long_ids(spark, tmp_path):
     assert sorted(r.user_id for r in seg.members().collect()) == [10]
 
 
+def test_late_event_within_watermark_counts(spark, tmp_path):
+    """Variant-4 twin (4-eventTime.test.ts:92-127): an event arriving in a
+    LATER micro-batch with an EARLIER event time (out-of-order within the
+    watermark) still counts toward membership, and last_event_time tracks
+    the event-time max, not arrival order."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = ExactStreamingSegmenter(
+        spark, str(tmp_path), SPEC, schema=USER_EVENTS_IDEMPOTENT,
+        watermark="10 minutes",
+    )
+    batch1 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m1", t0)], USER_EVENTS_IDEMPOTENT
+    )
+    batch1.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == []
+
+    # arrives later, happened 30s EARLIER
+    late = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m2", t0 - dt.timedelta(seconds=30))],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    late.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]  # late event counted
+
+    assignments = spark.read.parquet(seg.assignments_path)
+    latest = (
+        assignments.orderBy("version", ascending=False).limit(1).collect()[0]
+    )
+    assert latest.last_event_time == t0  # event-time max, not arrival order
+
+
 def test_exact_stateful_null_message_ids(spark, tmp_path):
     """Null ids in a long-typed column arrive as NaN in pandas — they must
     not count as distinct ids nor corrupt the bigint state (and a real id
