@@ -89,6 +89,10 @@ def _hyperplane(dim: int, plane_idx: int) -> Column:
 
 def srp_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
     """Sign-bit signature as a bigint bucket id: bit i = sign(v . plane_i)."""
+    if n_planes > 64:
+        # JVM long shifts wrap the distance mod 64 — plane 64 would
+        # silently alias onto bit 0
+        raise ValueError("n_planes > 64 does not fit the single-long signature")
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
         bit = F.when(dot(vec_col, _hyperplane(dim, i)) >= 0, F.lit(1).cast("long")).otherwise(
@@ -264,6 +268,10 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+    if cents and len(probe) != len(cents[0]):
+        raise ValueError(
+            f"probe dim {len(probe)} != embedding dim {len(cents[0])}"
+        )
     c = np.asarray(cents, dtype=np.float64)
     c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     p = np.asarray(probe, dtype=np.float64)
@@ -330,6 +338,10 @@ def ivf_probe_index(
     centroids driver-side, scan only those list partitions (the filter on
     the partition column prunes directories — verify with
     PartitionFilters in .explain), exact-cosine re-rank."""
+    if centroids and len(probe) != len(centroids[0]):
+        raise ValueError(
+            f"probe dim {len(probe)} != index dim {len(centroids[0])}"
+        )
     c = np.asarray(centroids, dtype=np.float64)
     c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     p = np.asarray(probe, dtype=np.float64)
@@ -377,18 +389,31 @@ def cosine_pairs_srp(
     chunks bucket half of ALL pairs together and the candidate join
     degenerates toward the cross product it exists to avoid."""
     chunks = max_hamming + 1
-    width = max(1, n_planes // chunks)
-    dim = None  # derived lazily from the first row is not plan-safe; require fixed-width arrays
+    if n_planes < chunks:
+        # with fewer planes than chunks the high chunks all read past the
+        # signature (constant key 0) and the bucket join degenerates to
+        # the O(n^2) cross product this function exists to avoid
+        raise ValueError(f"n_planes ({n_planes}) must be >= max_hamming+1 ({chunks})")
+    if n_planes > 64:
+        raise ValueError("n_planes > 64 does not fit the single-long signature")
+    width = n_planes // chunks
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        # empty input -> empty output, same contract as cosine_pairs
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     dim = int(first.d)
+    # Band THIN rows only — (id, chunk, key) is ~20 bytes; carrying the
+    # embedding through the explode would shuffle O(n*chunks*dim) floats
+    # on both join sides. Vectors are joined back once per side for the
+    # verify, keyed by id.
     sigs = embeddings.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         srp_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
     )
     banded = sigs.select(
         "_id",
-        "_v",
         F.explode(
             F.array(
                 *[
@@ -402,7 +427,7 @@ def cosine_pairs_srp(
                 ]
             )
         ).alias("cc"),
-    ).select("_id", "_v", "cc.chunk", "cc.key")
+    ).select("_id", "cc.chunk", "cc.key")
     cand = (
         banded.alias("a")
         .join(
@@ -411,16 +436,14 @@ def cosine_pairs_srp(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

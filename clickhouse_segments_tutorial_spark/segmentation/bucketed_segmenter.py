@@ -18,11 +18,10 @@ partition pruning by day, not per-key lookup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .micro_batch import MicroBatchSegmenter
 from .spec import EventLog, SegmentSpec
-from ..operators.hll_state import hll_merge
 from ..sources.bucketed import write_bucketed
 
 
@@ -41,6 +40,12 @@ class BucketedMicroBatchSegmenter(MicroBatchSegmenter):
         namespace: str,
         buckets: int = 32,
     ):
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace):
+            # interpolated into DDL below — fail at construction, not at
+            # maintenance time
+            raise ValueError(f"namespace must be a SQL identifier: {namespace!r}")
         super().__init__(spark, workdir, spec, log)
         self.buckets = buckets
         self.states_table = f"{namespace}_user_states"
@@ -72,7 +77,18 @@ class BucketedMicroBatchSegmenter(MicroBatchSegmenter):
         return self.spark.table(name)
 
     def states(self) -> DataFrame | None:
-        return self._table(self.states_table)
+        table = self._table(self.states_table)
+        if table is None and self.spark.catalog.tableExists(
+            f"{self.states_table}_old"
+        ):
+            # a compaction crashed between its two renames; the data is
+            # intact under _old — refuse to run as if history were empty
+            raise RuntimeError(
+                f"{self.states_table} missing but {self.states_table}_old "
+                "exists: recover by renaming _old back (interrupted "
+                "compaction)"
+            )
+        return table
 
     def assignments(self) -> DataFrame | None:
         return self._table(self.assignments_table)
@@ -80,29 +96,25 @@ class BucketedMicroBatchSegmenter(MicroBatchSegmenter):
     # -- maintenance -----------------------------------------------------------
 
     def compact_states(self) -> None:
-        """Collapse each user's state rows into one merged row, keeping the
-        bucketed layout. Rewrites through a scratch table + rename so a
-        mid-job failure leaves the original intact (a direct overwrite of
-        a table being read from is rejected by Spark anyway)."""
+        """Collapse each user's state rows into one merged row (shared
+        merge semantics via ``_merged_states``), keeping the bucketed
+        layout. Rewrites through scratch-table RENAMES, never a DROP of
+        live data: a crash at any point leaves the history recoverable —
+        either the original is still live, or it survives under ``_old``
+        and :meth:`states` refuses to run until it is renamed back."""
         states = self.states()
         if states is None:
             return
-        merged = states.groupBy("user_id").agg(
-            hll_merge("event_count").alias("event_count"),
-            F.max("computed_at").alias("computed_at"),
-            *[
-                F.max(c).alias(c)
-                for c in states.columns
-                if c not in ("user_id", "event_count", "computed_at")
-            ],
-        )
+        merged = self._merged_states(states)
         tmp = f"{self.states_table}_compact_tmp"
+        old = f"{self.states_table}_old"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         write_bucketed(
             merged, tmp, key="user_id", buckets=self.buckets, mode="overwrite"
         )
-        self.spark.sql(f"DROP TABLE {self.states_table}")
+        self.spark.sql(f"ALTER TABLE {self.states_table} RENAME TO {old}")
         self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.states_table}")
+        self.spark.sql(f"DROP TABLE {old}")
 
     def drop_tables(self) -> None:
         """Test/teardown helper: remove this namespace's catalog tables."""

@@ -184,13 +184,10 @@ class MicroBatchSegmenter:
 
     # -- maintenance ----------------------------------------------------------
 
-    def compact_states(self) -> None:
-        """AggregatingMergeTree background-merge analog: collapse each user's
-        state rows into one merged sketch row, bounding read amplification."""
-        states = self.states()
-        if states is None:
-            return
-        merged = states.groupBy("user_id").agg(
+    def _merged_states(self, states: DataFrame) -> DataFrame:
+        """One merged sketch row per user (shared by both compaction
+        storage layouts — the merge semantics must never diverge)."""
+        return states.groupBy("user_id").agg(
             hll_merge("event_count").alias("event_count"),
             F.max("computed_at").alias("computed_at"),
             *[
@@ -199,6 +196,16 @@ class MicroBatchSegmenter:
                 if c not in ("user_id", "event_count", "computed_at")
             ],
         )
+
+    def compact_states(self) -> None:
+        """AggregatingMergeTree background-merge analog: collapse each user's
+        state rows into one merged sketch row, bounding read amplification."""
+        states = self.states()
+        if states is None:
+            return
         # atomic swap + re-sort on user_id so the clustering invariant the
         # finalize semi-join prunes on survives compaction
-        rewrite_table(self.spark, merged, self.states_path, cluster_by=["user_id"])
+        rewrite_table(
+            self.spark, self._merged_states(states), self.states_path,
+            cluster_by=["user_id"],
+        )
