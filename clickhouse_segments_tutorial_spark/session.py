@@ -36,6 +36,19 @@ def get_spark(
     ~2-3x total executor cores (or simply let AQE coalesce, which is enabled).
     """
     par = shuffle_partitions or default_parallelism()
+    active = SparkSession.getActiveSession()
+    if active is not None and master is not None:
+        current = active.sparkContext.master
+        if current != master:
+            import warnings
+
+            # static confs (master, driver memory) cannot change after JVM
+            # launch; getOrCreate will silently return the old session
+            warnings.warn(
+                f"get_spark(master={master!r}) ignored: active session "
+                f"already running with master={current!r}",
+                stacklevel=2,
+            )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{default_parallelism()}]")
