@@ -4,10 +4,13 @@
 JSON line:
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1, "n": 3}
 
 Each query is timed to full materialization (collect), cold plans, shared
 session — JVM/session startup is excluded, Catalyst planning included.
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+MEDIAN: BASELINE.md documents ±20% host noise on single runs, which would
+otherwise swamp round-over-round deltas.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -54,18 +58,26 @@ def main() -> None:
             except Exception as exc:
                 print(f"  warmup {warm_q} failed: {exc}", file=sys.stderr)
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     raw: dict[str, float] = {}
     for name, spec in all_queries().items():
         if not spec.headline:
             continue
-        # operators that persist() reusable intermediates (dedup signature
-        # tables) would otherwise accumulate cache across queries — each
-        # query is timed against a clean block manager
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).collect()
-        raw[name] = time.perf_counter() - t0
-        print(f"  {name}: {round(raw[name], 3)}s", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            # operators that persist() reusable intermediates (dedup
+            # signature tables) would otherwise accumulate cache across
+            # runs — each run is timed against a clean block manager
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        raw[name] = statistics.median(samples)
+        print(
+            f"  {name}: median {round(raw[name], 3)}s of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
 
     timings = {name: round(v, 3) for name, v in raw.items()}
     total = round(sum(raw.values()), 3)
@@ -77,6 +89,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": n_runs,
             }
         )
     )

@@ -64,8 +64,12 @@ def asof_join(
     r_tagged = (
         # a NULL right time can never be "at or before" anything — without
         # this filter it would sort nulls-first and spuriously match every
-        # left row (DuckDB ASOF never matches NULL times)
-        right.filter(F.col(right_time).isNotNull())
+        # left row (DuckDB ASOF never matches NULL times). NULL right KEYS
+        # are dropped too: Window.partitionBy groups NULL keys from both
+        # sides into one partition, so a NULL-key left row would otherwise
+        # pick up a NULL-key right payload — SQL equality joins never
+        # match NULL = NULL, so those left rows must stay unmatched.
+        right.filter(F.col(right_time).isNotNull() & F.col(on).isNotNull())
         .select(on, F.col(right_time).alias("_t"), payload.alias("_payload"))
         .withColumn("_side", F.lit(0))
     )

@@ -193,9 +193,13 @@ def heavy_click_and_view_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def heavy_click_no_heavy_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: users with >= 14 clicks but < 14 purchases."""
+    """EXCEPT: users with >= 14 clicks but < 14 purchases.
+
+    ``subtract`` is EXCEPT DISTINCT — the same set semantics as the SQL
+    oracle even if either input ever carries duplicate rows (exceptAll
+    would preserve multiplicity and drift from the oracle)."""
     events = _t(spark, sf_dir, "events")
-    return _heavy_users(events, "click", 14).exceptAll(
+    return _heavy_users(events, "click", 14).subtract(
         _heavy_users(events, "purchase", 14)
     )
 
@@ -463,7 +467,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
 FROM (
   SELECT event_type,
@@ -555,7 +559,7 @@ per_session AS (
 )
 SELECT user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
-       sum(n_events) AS n_events
+       CAST(sum(n_events) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id
 """
 

@@ -30,8 +30,10 @@ from ..segmentation import (
     naive_assignments,
     serve_segment,
 )
+from ..schemas import EVENTS
 from ..segmentation.spec import CORPUS_EVENTS
 from ..sources.catalog import load_table
+from ..sources.writers import PARTITION_COL, append_clustered, apply_retention
 from .registry import QuerySpec
 
 SPEC = SegmentSpec(name="heavy_clickers", event_name="click", threshold=13)
@@ -149,6 +151,69 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (TTL ... + interval N day, 3-microBatch.test.ts:38) as a
+    registered deterministic query: write the events day-partitioned,
+    drop partitions older than 10 days against a FIXED fake clock
+    (2024-01-31, just past the corpus range at every SF), then count the
+    surviving rows per day. The retention job is a partition drop —
+    O(partitions), no data rewrite — so the oracle is simply the same
+    count with the cutoff as a WHERE clause."""
+    events = _events(spark, sf_dir)
+    path = os.path.join(_scratch_dir("retention"), "events_ttl")
+    append_clustered(events, path, cluster_by=["user_id"], partition_ts="ts")
+    dropped = apply_retention(
+        path, keep_days=10, now=dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc)
+    )
+    assert dropped > 0, "fixed clock must actually expire partitions"
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col(PARTITION_COL).cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_RETENTION_ORACLE = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day, count(*) AS n_events
+FROM events
+GROUP BY day
+HAVING day >= '20240121'
+"""
+
+
+def jsoneachrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (INSERT ... FORMAT JSONEachRow, 1-naive.test.ts:49-69) as a
+    registered query: serialize every event row to an NDJSON line and
+    parse it back through the DECLARED schema (FAILFAST — a malformed row
+    fails the query rather than nulling out silently). The oracle reads
+    the original table, so a green row proves the round-trip is lossless.
+    Timestamps compare at second precision per the registry rule (to_json
+    emits millisecond precision)."""
+    events = _events(spark, sf_dir)
+    json_lines = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("json")
+    )
+    parsed = json_lines.select(
+        F.from_json("json", EVENTS, {"mode": "FAILFAST"}).alias("row")
+    ).select("row.*")
+    return parsed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+        "props",
+    )
+
+
+_JSONEACHROW_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+       value, props
+FROM events
+"""
+
+
 _MEMBER_ORACLE = """
 SELECT user_id
 FROM events
@@ -201,6 +266,8 @@ QUERIES = [
         headline=True,
     ),
     QuerySpec("segment_members_sql", segment_members_sql, _MEMBER_ORACLE),
+    QuerySpec("retention_event_counts", retention_event_counts, _RETENTION_ORACLE),
+    QuerySpec("jsoneachrow_roundtrip", jsoneachrow_roundtrip, _JSONEACHROW_ORACLE),
     QuerySpec(
         "latest_event_per_user",
         latest_event_per_user,

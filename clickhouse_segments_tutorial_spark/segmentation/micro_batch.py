@@ -40,7 +40,12 @@ from pyspark.errors import AnalysisException
 
 from .spec import EventLog, SegmentSpec
 from ..operators.hll_state import accumulate_state, hll_merge, hll_merge_estimate
-from ..sources.writers import PARTITION_COL, append_clustered, rewrite_table
+from ..sources.writers import (
+    PARTITION_COL,
+    append_clustered,
+    recover_rewrite,
+    rewrite_table,
+)
 from .naive import serve_membership, serve_segment  # noqa: F401  (re-served here)
 
 
@@ -73,6 +78,11 @@ class MicroBatchSegmenter:
     # -- table access --------------------------------------------------------
 
     def _read(self, path: str) -> DataFrame | None:
+        # a compaction crash between rewrite_table's two renames leaves
+        # the data only under '<path>.rewrite.old' — restore it rather
+        # than mistaking an interrupted swap for an empty table (which
+        # would silently rebuild state from nothing)
+        recover_rewrite(path)
         if not os.path.exists(path):
             return None
         try:

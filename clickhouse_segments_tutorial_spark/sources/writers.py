@@ -57,6 +57,24 @@ def append_clustered(
         writer_df.sortWithinPartitions(*cluster_by).write.mode("append").parquet(path)
 
 
+def recover_rewrite(path: str) -> bool:
+    """Heal a rewrite_table swap interrupted between its two renames.
+
+    That crash window leaves the data only under ``<path>.rewrite.old``
+    while the live path is missing; a reader treating the missing path as
+    an empty table would silently rebuild state from nothing and serve
+    wrong results. Restores old -> live and returns True when that state
+    was found. Call before reading any rewrite_table-managed path (the
+    table readers in segmentation/ do)."""
+    import os
+
+    old = path.rstrip("/") + ".rewrite.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def rewrite_table(
     spark: SparkSession,
     df: DataFrame,
@@ -71,10 +89,12 @@ def rewrite_table(
     failure leaves the original intact (a plain mode('overwrite') on the
     live path deletes it BEFORE the job finishes, so a crash destroys the
     table). Readers racing the swap see only the instant of the renames,
-    not the minutes of the rewrite job.
+    not the minutes of the rewrite job. A crash BETWEEN the renames is
+    healed by :func:`recover_rewrite` (called here and by readers).
     """
     import os
 
+    recover_rewrite(path)
     tmp = path.rstrip("/") + ".rewrite.tmp"
     old = path.rstrip("/") + ".rewrite.old"
     shutil.rmtree(tmp, ignore_errors=True)

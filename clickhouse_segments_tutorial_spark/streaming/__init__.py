@@ -1,8 +1,10 @@
+from .hll_cascade import HllCascadeStreamingSegmenter
 from .stateful import ExactStreamingSegmenter, exact_distinct_membership
 from .stream_segment import StreamingSegmenter
 
 __all__ = [
     "ExactStreamingSegmenter",
+    "HllCascadeStreamingSegmenter",
     "StreamingSegmenter",
     "exact_distinct_membership",
 ]

@@ -10,7 +10,7 @@ The reference's variant 3/4 machinery maps 1:1 onto Structured Streaming
 |   (persisted HLL partial state)             |   (state store, approx_count_distinct) |
 | MV changelog of changed users per insert    | update-mode rows per micro-batch |
 | ReplacingMergeTree + argMax serving         | foreachBatch append + max_by     |
-| TTL / late-data bounds                      | withWatermark on event time      |
+| dedup-at-ingest state GC                    | dropDuplicatesWithinWatermark    |
 
 Duplicate message_ids are neutralized exactly as the reference does it —
 by counting *distinct* message ids (uniq ≈ approx_count_distinct) rather
@@ -18,10 +18,13 @@ than rows (/root/reference/src/2-idempotent.test.ts:87), so at-least-once
 delivery needs no separate dedup operator in the stream.
 
 Scale: the state store holds one HLL register set + one max per user —
-the same O(users) footprint as the reference's state table; watermarking
-bounds how long late events can mutate state. Each micro-batch shuffles
-only new events (partial aggregates map-side), and the foreachBatch sink
-appends only updated users — the changelog semantics, for free.
+the same O(users) footprint as the reference's state table. Note the
+watermark does NOT evict this per-user aggregation state (a non-windowed
+groupBy aggregates over all history by design, like the reference); it
+only bounds the dropDuplicatesWithinWatermark dedup state and any
+windowed aggregates. Each micro-batch shuffles only new events (partial
+aggregates map-side), and the foreachBatch sink appends only updated
+users — the changelog semantics, for free.
 """
 
 from __future__ import annotations
@@ -43,11 +46,23 @@ class StreamingSegmenter:
     "run the micro-batch job for the new window" loop, with offsets managed
     by Spark instead of a hand-carried lower_bound.
 
-    Watermark caveat: events arriving more than ``watermark`` behind the
-    event-time high-water mark are dropped from the aggregation state.
-    For historical backfills set ``watermark`` to at least the maximum
-    event-time disorder in the replayed data (or replay in event-time
-    order); the default 10 minutes is a live-ingest setting.
+    Watermark caveat: for the default non-windowed per-user aggregation
+    Spark's watermark neither evicts per-user state nor drops late rows —
+    state is O(users) and lives forever, and an arbitrarily late event
+    still merges (which is the reference's variant-4 guarantee). The
+    watermark only governs the ``drop_duplicates=True`` dedup-at-ingest
+    state (``dropDuplicatesWithinWatermark``: a message_id re-delivered
+    more than ``watermark`` behind the high-water mark can slip through
+    dedup) and any windowed aggregates layered on the same source. For
+    historical backfills through the dedup path, set ``watermark`` to at
+    least the maximum event-time disorder in the replayed data.
+
+    ``compact_every``: every N micro-batches the versioned assignments
+    table is compacted to its latest row per user (the ReplacingMergeTree
+    background merge — sources/writers.py:compact_latest_wins); without
+    it the append-per-batch sink grows one file set per batch forever.
+    Readers never depend on compaction having run (serving always
+    resolves latest-wins), so any cadence is safe.
     """
 
     def __init__(
@@ -60,6 +75,7 @@ class StreamingSegmenter:
         schema,
         watermark: str = "10 minutes",
         drop_duplicates: bool = False,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.spec = spec
@@ -67,6 +83,9 @@ class StreamingSegmenter:
         self.schema = schema
         self.watermark = watermark
         self.drop_duplicates = drop_duplicates
+        if compact_every is not None and compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+        self.compact_every = compact_every
         self.events_dir = os.path.join(workdir, "events_in")
         self.checkpoint = os.path.join(workdir, "checkpoint")
         self.assignments_path = os.path.join(workdir, "segment_assignments")
@@ -116,6 +135,19 @@ class StreamingSegmenter:
             F.lit(batch_id).alias("version"),
         )
 
+    def _maintain(self, batch_id: int) -> None:
+        """Post-batch maintenance on the configured cadence: compact the
+        versioned assignments to one (latest) row per user. Runs inside
+        foreachBatch, i.e. between micro-batches — the same spot ClickHouse
+        slots its background merges relative to inserts."""
+        if self.compact_every is None or (batch_id + 1) % self.compact_every:
+            return
+        from ..sources.writers import compact_latest_wins
+
+        compact_latest_wins(
+            self.spark, self.assignments_path, key="user_id", order_by="version"
+        )
+
     def run_available_now(self) -> None:
         """Drain all new source files through one checkpointed run."""
         out_path = self.assignments_path
@@ -127,6 +159,7 @@ class StreamingSegmenter:
             self._sink_select(batch_df, batch_id).write.mode("append").parquet(
                 out_path
             )
+            self._maintain(batch_id)
 
         q = (
             self._stream()
@@ -139,6 +172,9 @@ class StreamingSegmenter:
         q.awaitTermination()
 
     def members(self) -> DataFrame:
+        from ..sources.writers import recover_rewrite
+
+        recover_rewrite(self.assignments_path)  # heal an interrupted compaction
         if not os.path.exists(self.assignments_path):
             raise RuntimeError("no batches processed yet")
         assignments = self.spark.read.parquet(self.assignments_path)

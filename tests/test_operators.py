@@ -132,7 +132,7 @@ def test_srp_recall_vs_bruteforce(spark, sf_oracle):
     exact = [r.vec_id for r in cosine_topk(emb, probe, k=10, exclude_id=0).collect()]
     approx = [
         r.vec_id
-        for r in srp_topk(emb, probe, k=10, n_planes=16, max_hamming=6, exclude_id=0).collect()
+        for r in srp_topk(emb, probe, k=10, n_planes=16, max_hamming=7, exclude_id=0).collect()
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"SRP recall {recall} too low: exact={exact} approx={approx}"
@@ -273,6 +273,50 @@ def test_ivf_persisted_index_prunes_and_matches(spark, sf_oracle, tmp_path):
     # not as a post-scan row filter
     partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "ivf_list" in partition_filters
+
+
+def test_srp_persisted_index_prunes_and_matches(spark, sf_oracle, tmp_path):
+    """The persisted SRP signature index must (a) return rows identical to
+    the inline srp_topk at equal parameters (pigeonhole banding reads a
+    superset of the Hamming ball, then the same exact-Hamming filter
+    applies) and (b) prune: the probe reads only matching (chunk, key)
+    partitions."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        srp_build_index,
+        srp_probe_index,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "srp_index")
+    meta = srp_build_index(emb, idx, n_planes=16, max_hamming=7)
+
+    indexed = srp_probe_index(spark, idx, meta, probe, k=10, exclude_id=0)
+    inline = srp_topk(
+        emb, probe, k=10, n_planes=16, max_hamming=7, exclude_id=0
+    )
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(
+        indexed._jdf.queryExecution(), "formatted"
+    )
+    partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "chunk" in partition_filters and "key" in partition_filters
+
+
+def test_probe_dim_mismatch_raises(spark):
+    """A wrong-dimension probe must fail loudly (zip_with would otherwise
+    null-pad, silently dropping every row past the threshold/sort)."""
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.3, 0.2, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="probe dim"):
+        cosine_topk(emb, [0.1, 0.2], k=1)
+    with pytest.raises(ValueError, match="probe dim"):
+        srp_topk(emb, [0.1, 0.2, 0.3, 0.4], k=1)
 
 
 # --- sessionize vs native session_window ------------------------------------------

@@ -278,3 +278,56 @@ def test_event_time_late_arrival(spark, tmp_path):
     # max event_time is still m1's, despite m2 arriving later
     expected = int((t0 + dt.timedelta(seconds=50)).replace(tzinfo=UTC).timestamp())
     assert got == {"1": expected}
+
+
+# --- crash recovery: interrupted rewrite_table swap -------------------------
+
+
+def test_rewrite_crash_recovery(spark, tmp_path):
+    """A crash between rewrite_table's two renames leaves the data only
+    under '<path>.rewrite.old'. recover_rewrite must restore it, and the
+    segmenter's table reader must heal rather than treat the interrupted
+    swap as an empty table (which would silently rebuild state from
+    nothing and serve wrong memberships)."""
+    import os
+
+    from clickhouse_segments_tutorial_spark.sources.writers import (
+        recover_rewrite,
+        rewrite_table,
+    )
+
+    seg = MicroBatchSegmenter(spark, str(tmp_path), SPEC)
+    df = spark.createDataFrame(
+        [("1", 1), ("2", 2)], "user_id string, n long"
+    )
+    df.write.parquet(seg.states_path)
+
+    # simulate the crash window: live dir renamed away, swap never finished
+    os.rename(seg.states_path, seg.states_path + ".rewrite.old")
+    assert seg.states() is not None  # _read heals via recover_rewrite
+    assert seg.states().count() == 2
+
+    # recover_rewrite is also a no-op when the live table exists
+    assert recover_rewrite(seg.states_path) is False
+
+    # and rewrite_table itself heals a prior interrupted swap on entry
+    os.rename(seg.states_path, seg.states_path + ".rewrite.old")
+    rewrite_table(
+        spark,
+        spark.createDataFrame([("3", 3)], "user_id string, n long"),
+        seg.states_path,
+        cluster_by=["user_id"],
+    )
+    assert [r.user_id for r in seg.states().collect()] == ["3"]
+    assert not os.path.exists(seg.states_path + ".rewrite.old")
+
+
+def test_except_set_op_is_distinct_safe(spark):
+    """The EXCEPT query uses subtract (EXCEPT DISTINCT): duplicate input
+    rows must not leak multiplicity into the result the way exceptAll
+    would, keeping the implementation pinned to the SQL oracle's set
+    semantics even if an upstream ever emits duplicates."""
+    a = spark.createDataFrame([("u1",), ("u1",), ("u2",)], "user_id string")
+    b = spark.createDataFrame([("u2",), ("u2",)], "user_id string")
+    got = [r.user_id for r in a.subtract(b).collect()]
+    assert got == ["u1"]  # one row despite the duplicated input

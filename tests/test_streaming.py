@@ -7,11 +7,20 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from clickhouse_segments_tutorial_spark.schemas import EVENTS, USER_EVENTS_IDEMPOTENT
+from clickhouse_segments_tutorial_spark.schemas import (
+    EVENTS,
+    USER_EVENTS_EVENT_TIME,
+    USER_EVENTS_IDEMPOTENT,
+)
 from clickhouse_segments_tutorial_spark.segmentation import SegmentSpec
+from clickhouse_segments_tutorial_spark.segmentation.event_time import (
+    EVENT_TIME_LOG,
+    EventTimeSegmenter,
+)
 from clickhouse_segments_tutorial_spark.segmentation.spec import CORPUS_EVENTS
 from clickhouse_segments_tutorial_spark.streaming import (
     ExactStreamingSegmenter,
+    HllCascadeStreamingSegmenter,
     StreamingSegmenter,
 )
 
@@ -175,6 +184,106 @@ def test_dropduplicates_within_watermark(spark, tmp_path):
     batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
     seg.run_available_now()
     assert members(seg.members()) == ["1"]
+
+
+def test_hll_cascade_streaming_matches_batch_golden(spark, tmp_path):
+    """Variant-4 streaming twin over PERSISTED MERGEABLE SKETCH STATE: the
+    foreachBatch cascade must reproduce the batch EventTimeSegmenter's
+    golden on the same event sequence — including the late out-of-order
+    arrival of 4-eventTime.test.ts:92-127 — and serve last_event_time as
+    the event-time max in unix seconds."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = HllCascadeStreamingSegmenter(
+        spark,
+        str(tmp_path / "stream"),
+        SPEC,
+        schema=USER_EVENTS_IDEMPOTENT,
+        compact_every=2,
+    )
+    b1 = [
+        ("1", "BUTTON_CLICK", "m1", t0),
+        ("2", "BUTTON_CLICK", "m3", t0),
+    ]
+    spark.createDataFrame(b1, USER_EVENTS_IDEMPOTENT).write.mode("append").parquet(
+        seg.events_dir
+    )
+    seg.run_available_now()
+    assert members(seg.members()) == []  # both below threshold 2
+
+    # arrives in a LATER micro-batch, happened 30s EARLIER: must still
+    # count, and last_event_time must stay t0 (event-time max, not arrival)
+    b2 = [("1", "BUTTON_CLICK", "m2", t0 - dt.timedelta(seconds=30))]
+    spark.createDataFrame(b2, USER_EVENTS_IDEMPOTENT).write.mode("append").parquet(
+        seg.events_dir
+    )
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+    served = {
+        r.user_id: r.last_event_time
+        for r in seg.members_with_last_event_time().collect()
+    }
+    # session tz is pinned UTC, so unix seconds are t0-as-UTC
+    assert served == {"1": int(t0.replace(tzinfo=dt.timezone.utc).timestamp())}
+
+    # the batch cascade on the same sequence must agree exactly
+    bseg = EventTimeSegmenter(
+        spark, str(tmp_path / "batch"), SPEC, EVENT_TIME_LOG
+    )
+    pt1, pt2 = t0, t0 + dt.timedelta(seconds=60)
+    all_rows = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0, pt1),
+            ("2", "BUTTON_CLICK", "m3", t0, pt1),
+            ("1", "BUTTON_CLICK", "m2", t0 - dt.timedelta(seconds=30), pt2),
+        ],
+        USER_EVENTS_EVENT_TIME,
+    )
+    bseg.process_batch(
+        all_rows.filter(all_rows.processing_time <= pt1), lower_bound=t0, now=pt1
+    )
+    bseg.process_batch(
+        all_rows.filter(all_rows.processing_time > pt1), lower_bound=pt2, now=pt2
+    )
+    batch_served = {
+        r.user_id: r.last_event_time
+        for r in bseg.members_with_last_event_time().collect()
+    }
+    assert served == batch_served
+
+    # compact_every=2 ran after batch id 1: sketch state collapsed to one
+    # merged row per user, assignments to one latest row per user
+    assert spark.read.parquet(seg.states_path).count() == 2
+    assert spark.read.parquet(seg.assignments_path).count() == 2
+
+
+def test_streaming_compaction_bounds_assignments(spark, tmp_path):
+    """compact_every wires compact_latest_wins into the streaming sink: the
+    versioned assignments table must collapse to one row per user on the
+    cadence, with serving unchanged (N batches -> compact -> same members)."""
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = StreamingSegmenter(
+        spark,
+        str(tmp_path),
+        SPEC,
+        schema=USER_EVENTS_IDEMPOTENT,
+        compact_every=2,
+    )
+    batches = [
+        [("1", "BUTTON_CLICK", "m1", t0)],
+        [("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(minutes=1))],
+        [("2", "BUTTON_CLICK", "m3", t0 + dt.timedelta(minutes=2))],
+        [("2", "BUTTON_CLICK", "m4", t0 + dt.timedelta(minutes=3))],
+    ]
+    expected = [[], ["1"], ["1"], ["1", "2"]]
+    for rows, want in zip(batches, expected):
+        spark.createDataFrame(rows, USER_EVENTS_IDEMPOTENT).write.mode(
+            "append"
+        ).parquet(seg.events_dir)
+        seg.run_available_now()
+        assert members(seg.members()) == want
+    # without compaction: 4 update rows; with the id-1 and id-3 compactions
+    # the table holds exactly the latest row per user
+    assert spark.read.parquet(seg.assignments_path).count() == 2
 
 
 def test_exact_stateful_streaming_golden(spark, tmp_path):
