@@ -1,0 +1,83 @@
+"""Deterministic content-hash sampling for training-data pipelines.
+
+`df.sample()` is seeded per-partition RNG: the kept set changes whenever
+the partitioning does (repartition, AQE, a new file split), which makes
+pipeline runs irreproducible and train/test splits leak across reruns.
+These operators instead key every decision on a CONTENT hash of a stable
+id column: a row's fate depends only on its key, so
+
+- reruns, repartitions, and engine changes keep the identical sample;
+- the same key always lands in the same split (no train/test leakage
+  when the corpus is re-ingested or incrementally extended);
+- the decision is a pure JVM expression on the scan — no shuffle, no RNG
+  state, fully pushdown-friendly;
+- an oracle can re-derive the exact kept set in any engine with md5.
+
+Mechanics: the first 8 hex chars of md5(key) are a uniform draw from
+[0, 16^8); comparing that FIXED-LENGTH LOWERCASE hex string
+lexicographically against a threshold literal is identical to comparing
+the numbers — no hex-to-int conversion, so the predicate is one md5 +
+one string compare in every engine (DuckDB included, which has no native
+hex-to-bigint cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKETS = 1 << 32  # 8 hex chars
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "08x")
+
+
+def hash_draw(key: str | Column) -> Column:
+    """The row's uniform draw: first 8 md5 hex chars of the key (as a
+    string — see module docstring for why it is never converted)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided per key."""
+    return df.filter(hash_draw(key_col) < _threshold_hex(fraction))
+
+
+def stratified_sample(
+    df: DataFrame, fractions: dict[str, float], strata_col: str, key_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the `sampleBy` analog).
+
+    Strata absent from ``fractions`` are dropped (fraction 0), matching
+    `DataFrame.sampleBy`. The per-stratum threshold is folded into one
+    CASE expression — still a pure scan-side predicate."""
+    thresh = None
+    for stratum, fraction in fractions.items():
+        lit = F.lit(_threshold_hex(fraction))
+        thresh = (
+            F.when(F.col(strata_col) == stratum, lit)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == stratum, lit)
+        )
+    if thresh is None:
+        raise ValueError("fractions must name at least one stratum")
+    return df.filter(hash_draw(key_col) < thresh.otherwise(F.lit("00000000")))
+
+
+def train_test_split(
+    df: DataFrame, test_fraction: float, key_col: str, split_col: str = "split"
+) -> DataFrame:
+    """Add a deterministic 'train'/'test' split column keyed on content.
+
+    The same key lands in the same split on every run and on every engine
+    — re-ingesting or extending the corpus can never leak a held-out
+    document into training."""
+    return df.withColumn(
+        split_col,
+        F.when(
+            hash_draw(key_col) < _threshold_hex(test_fraction), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

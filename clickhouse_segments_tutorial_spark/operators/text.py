@@ -134,6 +134,87 @@ def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+def ngrams(text: str | Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (not deduplicated — frequency analysis
+    needs multiplicity, unlike dedup's shingle sets). Docs with fewer
+    than n tokens yield an empty array (no partial grams)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group (corpus vocabulary /
+    boilerplate detection — repeated headers and nav text surface here
+    long before they hurt a model).
+
+    Shape at scale: explode -> two-level aggregation. The (group, gram)
+    count is partial map-side, so the shuffle carries one row per distinct
+    gram per map task, not per occurrence; the rank window then runs over
+    the aggregated counts only (tiny). Ties break on the gram string, so
+    the result is deterministic."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(ngrams(text_col, n)).alias("ngram"))
+        .groupBy("grp", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "ngram", "n_occurrences", "rank")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding-window token chunks — the context-window preprocessing step
+    of an LLM training pipeline (stride < chunk_tokens overlaps windows).
+
+    One row per (doc, window): (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_fp) where chunk_fp is md5 of the space-joined chunk text — the
+    downstream join key for chunk-level dedup, and engine-portable so the
+    whole output is value-oracle-able. Pure expressions + one explode:
+    map-only, no shuffle, no Python. Empty docs yield no chunks."""
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(0), cnt - 1, F.lit(stride))
+    chunked = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.explode(F.when(cnt > 0, starts).otherwise(F.array().cast("array<int>"))).alias("_s"),
+    )
+    chunk = F.slice("_toks", F.col("_s") + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        (F.col("_s") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc: the standard text-quality feature vector."""
     return df.select(

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import tempfile
 
+from ..operators.components import dedup_groups
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs, simhash_pairs
 from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.sampling import stratified_sample, train_test_split
 from ..operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -31,7 +33,7 @@ from ..operators.similarity import (
     srp_build_index,
     srp_probe_index,
 )
-from ..operators.text import text_stats
+from ..operators.text import chunk_documents, text_stats, top_ngrams
 from ..sources.catalog import load_table
 from .registry import QuerySpec
 
@@ -103,6 +105,166 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit, Hamming <= 3 via pigeonhole banding (no SQL oracle —
     rows-only check; pytest verifies against brute-force Hamming)."""
     return simhash_pairs(_t(spark, sf_dir, "documents"), n=3, max_distance=3)
+
+
+def dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash-LSH pairs (the scale path — banding recall
+    is 1 at J>=0.8, proven identical to exact Jaccard on this corpus) ->
+    alternating large-star/small-star connected components -> every doc's
+    canonical representative + keep flag. filter('keep') IS the deduped
+    corpus; the oracle re-derives components with a recursive CTE over the
+    exact-Jaccard pair graph."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, k=64, bands=32, threshold=0.8)
+    return dedup_groups(docs, pairs)
+
+
+_DEDUP_GROUPS_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           END
+         ) AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                THEN []::VARCHAR[]
+                ELSE string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+           END AS t
+    FROM documents
+  )
+),
+posting AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM docs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, a.n, b.n
+  HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT node AS doc_id, min(r) AS rep_id, min(r) = node AS keep
+FROM reach GROUP BY node
+"""
+
+
+def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash stratified sample: 50% of 'en' docs, 20%
+    of each other language — keyed on md5(doc_id), so the kept set is
+    invariant to partitioning/reruns and exactly reproducible in SQL."""
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2},
+        strata_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'de' THEN '33333333'
+                WHEN 'fr' THEN '33333333'
+                WHEN 'es' THEN '33333333'
+                ELSE '00000000' END
+"""
+
+
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% held-out split keyed on md5(doc_id): the same doc
+    lands in the same split on every run and engine — no leakage when the
+    corpus is re-ingested or extended."""
+    return train_test_split(
+        _t(spark, sf_dir, "documents"), 0.1, key_col="doc_id"
+    ).select("doc_id", "split")
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent word bigrams per language (boilerplate / corpus
+    vocabulary report). Ties break on the bigram string."""
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=5, group_col="lang")
+
+
+_TOP_NGRAMS_ORACLE = """
+WITH base AS (
+  SELECT lang,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+grams AS (
+  SELECT lang,
+         unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                     ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                END) AS ngram
+  FROM base
+),
+counts AS (
+  SELECT lang, ngram, count(*) AS n_occurrences FROM grams GROUP BY 1, 2
+)
+SELECT lang, ngram, n_occurrences, rank FROM (
+  SELECT lang, ngram, n_occurrences,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_occurrences DESC, ngram ASC)
+              AS INTEGER) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window 128-token chunks with stride 64 over every document
+    (LLM context-window preprocessing); chunk_fp (md5 of the chunk text)
+    makes the full output value-comparable."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=128, stride=64
+    )
+
+
+_CHUNKS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 64)) AS s FROM base WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // 64 AS INTEGER) AS chunk_idx,
+       CAST(len(t[s + 1 : s + 128]) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(t[s + 1 : s + 128], ' ')) AS chunk_fp
+FROM starts
+"""
 
 
 # --- similarity search -----------------------------------------------------------
@@ -324,6 +486,11 @@ QUERIES = [
     QuerySpec("jaccard_near_dup_pairs", jaccard_near_dup_pairs, _JACCARD_ORACLE, headline=True),
     QuerySpec("minhash_near_dup_pairs", minhash_near_dup_pairs, _JACCARD_ORACLE, headline=True),
     QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, None),
+    QuerySpec("dedup_groups_docs", dedup_groups_docs, _DEDUP_GROUPS_ORACLE),
+    QuerySpec("sample_docs_stratified", sample_docs_stratified, _SAMPLE_ORACLE),
+    QuerySpec("train_test_split_docs", train_test_split_docs, _SPLIT_ORACLE),
+    QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
+    QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
     QuerySpec("ann_srp_topk", ann_srp_topk, None),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, None),

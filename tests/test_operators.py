@@ -409,3 +409,141 @@ def test_sample_frames_one_to_many(spark, sf_smoke):
     for r in rows:
         assert r.frame_idx % 2 == 0
         assert 0 < len(r.payload) <= 32
+
+
+# --- connected components / dedup groups -------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (worst case for label propagation — needs the
+    large-star/small-star log rounds), a triangle, and an isolated edge
+    must each collapse to their minimum node."""
+    from clickhouse_segments_tutorial_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21 (edges in
+        # scrambled orientation to exercise the symmetrization)
+        [(2, 1), (2, 3), (4, 3), (4, 5), (11, 10), (12, 10), (11, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_groups_keep_flags(spark):
+    """dedup_groups must cover every doc: component members point at the
+    minimum id, singletons at themselves, and keep marks exactly one doc
+    per group."""
+    from clickhouse_segments_tutorial_spark.operators.components import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: (r.rep_id, r.keep) for r in dedup_groups(docs, pairs).collect()}
+    assert got == {
+        1: (1, True), 3: (1, False), 5: (1, False),
+        2: (2, True), 4: (2, False),
+        6: (6, True),
+    }
+    assert sum(1 for _, keep in got.values() if keep) == 3
+
+
+# --- deterministic sampling ----------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    """The kept set must be identical across runs AND across partitioning,
+    and the fraction must land near the target (md5 uniformity)."""
+    from clickhouse_segments_tutorial_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = sorted(r.doc_id for r in hash_sample(df, 0.25, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(df.repartition(13), 0.25, "doc_id").collect()
+    )
+    assert a == b  # partitioning-invariant (df.sample would differ)
+    assert 0.2 < len(a) / 2000 < 0.3
+
+
+def test_train_test_split_partitions_everything(spark):
+    from clickhouse_segments_tutorial_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    split = train_test_split(df, 0.1, "doc_id")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 500
+    # the test split IS the 10% hash sample — same draw, same threshold
+    test_ids = {r.doc_id for r in split.filter("split = 'test'").collect()}
+    sample_ids = {r.doc_id for r in hash_sample(df, 0.1, "doc_id").collect()}
+    assert test_ids == sample_ids
+
+
+def test_stratified_sample_rates(spark):
+    from clickhouse_segments_tutorial_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(
+        df, {"en": 0.5, "de": 0.1}, strata_col="lang", key_col="doc_id"
+    )
+    rates = {
+        r.lang: r.n / 1000
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.4 < rates["en"] < 0.6
+    assert 0.05 < rates["de"] < 0.16
+
+
+# --- chunking / n-grams ----------------------------------------------------------
+
+
+def test_chunk_documents_windows(spark):
+    from clickhouse_segments_tutorial_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "solo"),
+        (3, ""),  # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=4, stride=3)
+    per_doc = {}
+    for r in got.collect():
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1
+    assert sorted(per_doc[1]) == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert per_doc[2] == [(0, 1)]
+    assert 3 not in per_doc
+
+
+def test_top_ngrams_ranks_and_ties(spark):
+    from clickhouse_segments_tutorial_spark.operators.text import top_ngrams
+
+    rows = [
+        (1, "en", "a b a b a b"),   # "a b" x3, "b a" x2
+        (2, "en", "c d"),           # "c d" x1
+        (3, "de", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = [
+        (r.lang, r.ngram, r.n_occurrences, r.rank)
+        for r in top_ngrams(df, n=2, k=2).orderBy("lang", "rank").collect()
+    ]
+    assert got == [
+        ("de", "x y", 1, 1),
+        ("en", "a b", 3, 1),
+        ("en", "b a", 2, 2),
+    ]
