@@ -464,21 +464,128 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full feature pipeline output. The array<double> feature column is
-    serialized to a deterministic CSV string ("%.6f" per slot, JVM-side
-    format_string inside a transform — no Python) so the driver's
-    canonicalizer can sort rows; round 1 recorded an err because pandas
-    cannot lexsort ndarray cells."""
+    """Full feature pipeline output, FULLY value-oracled: the stub codec's
+    8-bucket byte histogram is projected to scalar double columns f0..f7
+    (round 1 recorded an err because the driver's canonicalizer cannot
+    lexsort array cells). The oracle recomputes the histogram from
+    hex(encode(text)) — bucket = byte >> 5 = hexdigit(2i) >> 1 — so every
+    byte the Arrow pipeline moved is value-checked, division included
+    (count/len is one IEEE double op in both engines)."""
     media = documents_as_media(_t(spark, sf_dir, "documents"))
     feats = extract_features(media, use_stub=True)
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
-        ).alias("feature_csv"),
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
     )
+
+
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', unnest([substr(h, 2 * i + 1, 1) FOR i IN range(0, n)])) - 1) // 2 AS bucket
+  FROM b WHERE n > 0
+),
+hist AS (
+  SELECT doc_id,
+         count(*) FILTER (bucket = 0) AS c0,
+         count(*) FILTER (bucket = 1) AS c1,
+         count(*) FILTER (bucket = 2) AS c2,
+         count(*) FILTER (bucket = 3) AS c3,
+         count(*) FILTER (bucket = 4) AS c4,
+         count(*) FILTER (bucket = 5) AS c5,
+         count(*) FILTER (bucket = 6) AS c6,
+         count(*) FILTER (bucket = 7) AS c7
+  FROM bytes GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id, 'image' AS kind, CAST(b.n AS BIGINT) AS n_bytes,
+       COALESCE(c0 / CAST(b.n AS DOUBLE), 0.0) AS f0,
+       COALESCE(c1 / CAST(b.n AS DOUBLE), 0.0) AS f1,
+       COALESCE(c2 / CAST(b.n AS DOUBLE), 0.0) AS f2,
+       COALESCE(c3 / CAST(b.n AS DOUBLE), 0.0) AS f3,
+       COALESCE(c4 / CAST(b.n AS DOUBLE), 0.0) AS f4,
+       COALESCE(c5 / CAST(b.n AS DOUBLE), 0.0) AS f5,
+       COALESCE(c6 / CAST(b.n AS DOUBLE), 0.0) AS f6,
+       COALESCE(c7 / CAST(b.n AS DOUBLE), 0.0) AS f7
+FROM b LEFT JOIN hist USING (doc_id)
+"""
+
+
+def packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: the 128-token chunks greedily packed into
+    512-token training sequences, sharded mod 8 on doc_id. The stateful
+    greedy recurrence runs per-shard in applyInPandas; the oracle replays
+    the identical recurrence with a recursive CTE."""
+    from ..operators.packing import pack_chunks
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=128, stride=64
+    )
+    return pack_chunks(chunks, capacity=512, shards=8).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "shard", "seq_id"
+    )
+
+
+_PACKED_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s // 64 AS INTEGER) AS chunk_idx,
+         CAST(len(t[s + 1 : s + 128]) AS INTEGER) AS n_chunk_tokens,
+         CAST(doc_id % 8 AS INTEGER) AS shard
+  FROM (SELECT doc_id, t, unnest(range(0, len(t), 64)) AS s
+        FROM base WHERE len(t) > 0)
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+pack(shard, rn, doc_id, chunk_idx, n_chunk_tokens, seq_id, fill) AS (
+  SELECT shard, rn, doc_id, chunk_idx, n_chunk_tokens, 0, n_chunk_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_chunk_tokens,
+         CASE WHEN p.fill + c.n_chunk_tokens > 512
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + c.n_chunk_tokens > 512
+              THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
+  FROM pack p JOIN ordered c ON c.shard = p.shard AND c.rn = p.rn + 1
+)
+SELECT doc_id, chunk_idx, n_chunk_tokens, shard, CAST(seq_id AS INTEGER) AS seq_id
+FROM pack
+"""
+
+
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: English, mid-length, decent
+    heuristic quality — the filter stage every training pipeline runs
+    between text_stats and tokenization. Pure scan-side predicates."""
+    stats = text_stats(_t(spark, sf_dir, "documents"))
+    return stats.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(10, 5000)
+    ).select("doc_id", "n_tokens", "quality")
+
+
+_QUALITY_FILTER_ORACLE = f"""
+SELECT doc_id, n_tokens, quality FROM ({_TEXT_STATS_ORACLE})
+WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+"""
 
 
 QUERIES = [
@@ -498,5 +605,7 @@ QUERIES = [
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
-    QuerySpec("multimodal_features", multimodal_features, None),
+    QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
+    QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
+    QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
 ]

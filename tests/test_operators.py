@@ -547,3 +547,52 @@ def test_top_ngrams_ranks_and_ties(spark):
         ("en", "a b", 3, 1),
         ("en", "b a", 2, 2),
     ]
+
+
+# --- sequence packing ------------------------------------------------------------
+
+
+def test_pack_chunks_greedy_semantics(spark):
+    """Greedy fill in (doc_id, chunk_idx) order: bins close exactly when
+    the next chunk would overflow; an oversized chunk gets its own bin
+    (never split); packing is per-shard independent."""
+    from clickhouse_segments_tutorial_spark.operators.packing import pack_chunks
+
+    rows = [
+        # shard 0 (doc_id % 2 == 0): sizes 60, 60, 60 at cap 128 -> bins 0,0,1
+        (0, 0, 60), (0, 1, 60), (2, 0, 60),
+        # shard 1: 100, 200(oversized), 50 -> bins 0, 1, 2
+        (1, 0, 100), (1, 1, 200), (3, 0, 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.seq_id)
+        for r in pack_chunks(df, capacity=128, shards=2).collect()
+    }
+    assert got == {
+        (0, 0): (0, 0), (0, 1): (0, 0), (2, 0): (0, 1),
+        (1, 0): (1, 0), (1, 1): (1, 1), (3, 0): (1, 2),
+    }
+
+
+def test_pack_chunks_partitioning_invariant(spark):
+    """The assignment must be a pure function of the data — identical
+    under any input partitioning (the group sort + mod-shard make the
+    stateful loop deterministic)."""
+    from clickhouse_segments_tutorial_spark.operators.packing import pack_chunks
+
+    rows = [(i, j, 30 + (i * 7 + j) % 50) for i in range(20) for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+    a = sorted(map(tuple, pack_chunks(df, capacity=100, shards=4).collect()))
+    b = sorted(
+        map(tuple, pack_chunks(df.repartition(7), capacity=100, shards=4).collect())
+    )
+    assert a == b
+    # every bin respects capacity unless it holds a single oversized chunk
+    import collections
+
+    fills = collections.defaultdict(list)
+    for doc_id, chunk_idx, tok, shard, seq in a:
+        fills[(shard, seq)].append(tok)
+    for toks in fills.values():
+        assert sum(toks) <= 100 or len(toks) == 1
