@@ -140,3 +140,46 @@ def test_microbatch_finalize_broadcasts_changed_users(spark, tmp_path):
         members._jdf.queryExecution(), "formatted"
     )
     assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_hash_sample_is_scan_side_and_pruned(spark):
+    """Deterministic sampling must stay a pure scan-side predicate: zero
+    exchanges, and column pruning must reach the parquet scan (only the
+    key column is read when only it is selected)."""
+    from clickhouse_segments_tutorial_spark.operators.sampling import hash_sample
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = hash_sample(docs, 0.1, "doc_id").select("doc_id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df.queryExecution() if hasattr(df, "queryExecution") else df._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking is explode + expressions — any Exchange would mean a
+    100 TB shuffle of raw text."""
+    plan = plan_of(spark, "doc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_top_ngrams_shuffles_aggregates_not_grams(spark):
+    """Two exchanges exactly: (grp, ngram) partial-aggregated counts, then
+    the tiny (grp) exchange for the rank window. The first must be a
+    hash-partial aggregate — shuffling RAW exploded grams on a handful of
+    language keys would be the 100 TB anti-pattern."""
+    plan = plan_of(spark, "top_bigrams_per_lang")
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("Exchange") // 2 == 2
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Packing is one Exchange on the shard key feeding one Arrow
+    FlatMapGroupsInPandas — per-shard state never crosses executors."""
+    plan = plan_of(spark, "packed_chunks")
+    assert plan.count("Exchange") // 2 == 1
+    assert "FlatMapGroupsInPandas" in plan

@@ -214,3 +214,75 @@ def test_asof_join_matches_python_model(spark, times):
             rt,
             got[i],
         )
+
+
+# --- connected components vs union-find ------------------------------------------
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find model: node -> min reachable node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edge_strategy)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from clickhouse_segments_tutorial_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == py_components(edges)
+
+
+# --- sequence packing invariants ---------------------------------------------------
+
+
+@given(
+    sizes=st.lists(st.integers(1, 150), min_size=1, max_size=25),
+    capacity=st.integers(50, 200),
+)
+@settings(**SETTINGS)
+def test_pack_chunks_matches_python_greedy(spark, sizes, capacity):
+    """The Spark packing must equal a per-shard pure-Python greedy replay,
+    and every multi-chunk bin must respect capacity."""
+    from clickhouse_segments_tutorial_spark.operators.packing import pack_chunks
+
+    rows = [(i % 5, i // 5, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.seq_id)
+        for r in pack_chunks(df, capacity=capacity, shards=3).collect()
+    }
+
+    expected = {}
+    for shard in range(3):
+        shard_rows = sorted(r for r in rows if r[0] % 3 == shard)
+        seq, fill = 0, 0
+        for doc_id, chunk_idx, tok in shard_rows:
+            if fill > 0 and fill + tok > capacity:
+                seq, fill = seq + 1, 0
+            fill += tok
+            expected[(doc_id, chunk_idx)] = (shard, seq)
+    assert got == expected
