@@ -22,7 +22,13 @@ pipelines. Design notes per operator, scale-first:
   recall for distance <= d (pigeonhole) with the same bucket-join shape.
 
 Everything is deterministic: hashes are xxhash64 with fixed integer salts,
-no RNG at runtime.
+no RNG at runtime. Operators that feed a cross-engine oracle offer
+``hash_mode='md5'`` — a 60-bit hash from the first 15 md5 hex chars, which
+every engine computes identically (DuckDB:
+``('0x' || substr(md5(g), 1, 15))::BIGINT``); 15 hex chars keep the value
+positive in a signed 64-bit int, so shifts/masks/comparisons never hit
+sign-extension differences. xxhash64 stays the hot-path default (no hex
+string materialization per shingle).
 """
 
 from __future__ import annotations
@@ -30,6 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens
+
+
+def md5_hash60(s: Column) -> Column:
+    """Engine-portable 60-bit hash of a string column: first 15 hex chars
+    of md5, parsed base-16. Always non-negative, fits a signed bigint."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def word_shingles(text: str | Column, n: int = 3) -> Column:
@@ -55,8 +67,10 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_hashes(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles hashed to 64-bit longs.
+def shingle_hashes(
+    text: str | Column, n: int = 3, *, hash_mode: str = "xxhash64"
+) -> Column:
+    """Distinct word n-gram shingles hashed to longs.
 
     The hot-path representation: every downstream dedup operator only needs
     set semantics over shingles, so hash each n-gram once at shingle time
@@ -65,22 +79,34 @@ def shingle_hashes(text: str | Column, n: int = 3) -> Column:
     of ~20-byte strings. Collisions at 2^-64 per pair are negligible
     relative to MinHash/SimHash sketch error, and exact-Jaccard counts are
     hash-invariant, so the DuckDB string-shingle oracle still matches.
+
+    ``hash_mode='md5'`` switches to the engine-portable 60-bit hash over
+    the space-joined gram (see :func:`md5_hash60`) — used by oracle-checked
+    sketch queries whose BITS must replay in SQL (SimHash), at the cost of
+    materializing the joined gram string per shingle.
     """
     toks = tokens(text)
     cnt = F.size(toks)
+    if hash_mode == "md5":
+        one = F.array(md5_hash60(F.concat_ws(" ", toks)))
+        many = F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+    else:
+        one = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        many = F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
     grams = (
         # empty docs -> empty set (see word_shingles: avoids a quadratic
         # empty-doc candidate bucket and matches Jaccard convention)
         F.when(cnt == 0, F.array().cast("array<bigint>"))
-        .when(cnt < n, F.array(F.xxhash64(F.concat_ws(" ", toks))))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), cnt - n),
-                lambda i: F.xxhash64(
-                    *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
-            )
-        )
+        .when(cnt < n, one)
+        .otherwise(many)
     )
     return F.array_distinct(grams)
 
@@ -317,6 +343,7 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) for every doc — the fast path for bulk signing.
 
@@ -325,10 +352,17 @@ def simhash_signatures(
     inside whole-stage codegen (higher-order array folds are interpreted
     per element — measured ~10x slower). One shuffle on the doc id, partial
     aggregation map-side.
+
+    ``hash_mode='md5'`` produces a 60-BIT signature from the portable
+    shingle hash — every vote, bit, and the assembled value replay exactly
+    in SQL (the DuckDB oracle for simhash_near_dup_pairs does), and 60
+    bits keep the signature non-negative so band keys extract identically
+    in engines without unsigned ints.
     """
+    bits = 60 if hash_mode == "md5" else 64
     posting = _spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(shingle_hashes(text_col, n)).alias("_g"),
+        F.explode(shingle_hashes(text_col, n, hash_mode=hash_mode)).alias("_g"),
     )
     h = F.col("_g")
     votes = posting.groupBy("_id").agg(
@@ -336,11 +370,11 @@ def simhash_signatures(
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_v{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(bits):
         mask = (1 << bit) if bit < 63 else -(1 << 63)  # bit 63 = sign bit
         sig = sig.bitwiseOR(
             F.when(F.col(f"_v{bit}") > 0, F.lit(mask).cast("long")).otherwise(
@@ -357,16 +391,22 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_distance: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_distance.
 
-    Pigeonhole banding: split 64 bits into (max_distance+1) chunks; any pair
-    within distance d must agree exactly on >= one chunk, so the bucket join
-    has perfect recall. Exact Hamming verification after the join.
+    Pigeonhole banding: split the signature bits into (max_distance+1)
+    chunks; any pair within distance d must agree exactly on >= one chunk,
+    so the bucket join has perfect recall (bits past chunks*width only
+    strengthen this — a difference there touches no chunk). Exact Hamming
+    verification after the join. ``hash_mode='md5'`` uses the 60-bit
+    portable signature so the whole pipeline replays in a SQL oracle.
     """
     chunks = max_distance + 1
-    width = 64 // chunks
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
+    width = (60 if hash_mode == "md5" else 64) // chunks
+    sigs = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode
+    )
     banded = sigs.select(
         "_id",
         "_sig",

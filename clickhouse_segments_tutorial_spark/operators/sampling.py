@@ -31,7 +31,13 @@ _BUCKETS = 1 << 32  # 8 hex chars
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "08x")
+    if fraction >= 1.0:
+        # 'g' sorts after every hex char, so every 8-hex-char draw compares
+        # < 'g': fraction 1.0 keeps ALL rows. (Clamping to 'ffffffff' with a
+        # strict < would silently drop a key whose draw is exactly
+        # 0xffffffff — a 2^-32 hole at full fraction.)
+        return "g"
+    return format(int(fraction * _BUCKETS), "08x")
 
 
 def hash_draw(key: str | Column) -> Column:

@@ -7,16 +7,20 @@ Extensions beyond the reference surface (SURVEY.md §2.5):
   one top-k (a TakeOrderedAndProject, no full sort). At 100 TB this is the
   map-side-only pattern: the probe vector is a literal folded into the
   plan (or a broadcast table for batch probes).
-- LSH-bucketed (random hyperplane / SRP) variant: the scale path. b
-  sign-bits from deterministic pseudo-random hyperplanes -> candidates
-  share a bucket (optionally multi-probe across bands) -> exact cosine on
-  the candidates only. Hyperplane components are derived from sha256 so
-  runs are reproducible without shipping a weights file.
+- LSH (sign random projection / SRP) variant: the scale path. Sign bits
+  from deterministic ±1 hyperplanes over QUANTIZED components — integer
+  arithmetic end-to-end, so the signature is bit-for-bit reproducible in
+  any engine (the DuckDB oracles replay it in SQL). Top-k probes rank by
+  signature Hamming distance and exact-rerank only the nearest slice;
+  pair queries pigeonhole-band the bits.
 - embedding near-dup pairs: all pairs above a cosine threshold, the
   embedding analog of dedup.jaccard_pairs.
 """
 
 from __future__ import annotations
+
+import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -88,77 +92,102 @@ def cosine_topk(
     )
 
 
-# --- SRP-LSH (random hyperplane) bucketed search ------------------------------
+# --- SRP-LSH (sign random projection) search ---------------------------------
+
+_QUANT = 1_000_000.0  # quantization step (1e-6) for portable signatures
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic pseudo-random GAUSSIAN hyperplanes: component (i, j)
-    is a standard normal derived from sha256(i, j) via Box-Muller.
-    Gaussian components make the hyperplane directions uniform on the
-    sphere (the standard SRP construction — uniform-cube components bias
-    toward corner directions), and sha256 makes runs reproducible with no
-    stored weights and no JVM dependency.
+def _plane_signs(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplane matrix: component (i, j) is
+    +1 iff the first hex digit of md5("srp:i:j") is odd. Sign/Rademacher
+    entries are a standard SRP family (Achlioptas-style sign projections
+    preserve angles like Gaussian ones), and the md5 derivation lets every
+    engine replay the planes EXACTLY — no stored weights, no RNG, and no
+    transcendental functions whose last-ulp behavior differs per libm.
 
-    (An earlier revision derived planes as xxhash64 LITERAL EXPRESSIONS —
-    planes x dim Catalyst nodes wrapped in per-plane zip_with/aggregate
-    folds. At 16x64 that tree cost ~10 s of analysis/codegen PER QUERY,
-    dwarfing the actual scan. The matrix + one Arrow-batched matmul below
-    plans in milliseconds and evaluates ~100x faster — the same reasoning
-    as ivf_assign.)"""
+    (Round 2 used sha256+Box-Muller Gaussian planes: correct, but log/cos
+    round differently across engines, so a DuckDB oracle could disagree on
+    a sign bit whenever a dot product lands within float error of zero.
+    ±1 planes over quantized components make the signature bit-for-bit
+    portable — see srp_signature_words.)"""
     import hashlib
 
-    u1 = np.empty((n_planes, dim), dtype=np.float64)
-    u2 = np.empty((n_planes, dim), dtype=np.float64)
+    s = np.empty((n_planes, dim), dtype=np.int64)
     for i in range(n_planes):
         for j in range(dim):
-            h = hashlib.sha256(f"srp:{i}:{j}".encode()).digest()
-            # (0, 1] for the log; [0, 1) for the angle
-            u1[i, j] = (int.from_bytes(h[:8], "big") + 1) / float(1 << 64)
-            u2[i, j] = int.from_bytes(h[8:16], "big") / float(1 << 64)
-    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+            h = hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()
+            s[i, j] = 1 if int(h[0], 16) & 1 else -1
+    return s
 
 
-def _pack_bits(bits: np.ndarray, n_planes: int) -> np.ndarray:
-    """Pack a B x n_planes boolean matrix into signed int64 bucket ids
-    (bit 63 set -> negative long, same wrap as JVM shiftleft)."""
-    weights = np.left_shift(np.uint64(1), np.arange(n_planes, dtype=np.uint64))
-    return (bits.astype(np.uint64) @ weights).view(np.int64)
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(v * 1e6 + 0.5) as int64 — fully-specified rounding, identical
+    in every engine (DuckDB: CAST(floor(val * 1000000 + 0.5) AS BIGINT)).
+    After this, signature dots are exact integer arithmetic: zero
+    cross-engine float drift. 1e-6 resolution is far below embedding
+    noise, so recall is unaffected."""
+    return np.floor(m * _QUANT + 0.5).astype(np.int64)
 
 
-def srp_signature_py(vec, planes: np.ndarray) -> int:
-    """Driver-side signature of ONE vector (e.g. the probe) — identical bit
-    derivation to the column form, no Spark job."""
-    bits = (np.asarray(vec, dtype=np.float64)[None, :] @ planes.T) >= 0
-    return int(_pack_bits(bits, planes.shape[0])[0])
+def _n_sig_words(n_planes: int) -> int:
+    return (n_planes + 62) // 63
 
 
-def srp_signature(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign-bit signature as a bigint bucket id: bit i = sign(v . plane_i).
+def _pack_words(bits: np.ndarray, n_planes: int) -> np.ndarray:
+    """Pack B x n_planes bools into B x ceil(n_planes/63) NON-NEGATIVE
+    int64 words — 63 bits per word keeps every value positive, so shifts,
+    masks, and comparisons behave identically in engines without unsigned
+    64-bit integers."""
+    words = np.zeros((bits.shape[0], _n_sig_words(n_planes)), dtype=np.int64)
+    for b in range(n_planes):
+        words[:, b // 63] |= bits[:, b].astype(np.int64) << (b % 63)
+    return words
 
-    Arrow-batched pandas UDF: one B x d @ d x planes matmul per batch.
-    Map-only, no shuffle; the hyperplane matrix ships by value (a few KB).
-    The bit packing is inlined in the closure (not a module-global call)
-    so cloudpickle ships it by value — workers must not need this package
-    importable (same constraint as multimodal.extract_features).
+
+def srp_signature_py(vec, signs: np.ndarray) -> list[int]:
+    """Driver-side signature words of ONE vector (e.g. the probe) —
+    identical bit derivation to the column form, no Spark job."""
+    q = _quantize(np.asarray(vec, dtype=np.float64)[None, :])
+    bits = (q @ signs.T) >= 0
+    return [int(w) for w in _pack_words(bits, signs.shape[0])[0]]
+
+
+def srp_signature_words(vec_col: Column, dim: int, n_planes: int) -> Column:
+    """Sign-bit signature as array<bigint>: bit i = sign(quantize(v) .
+    plane_i), packed 63 bits per word.
+
+    Arrow-batched pandas UDF: one B x d @ d x planes int64 matmul per
+    batch. Map-only, no shuffle; the ±1 plane matrix ships by value (a few
+    KB). The quantize/pack logic is inlined in the closure (not module-
+    global calls) so cloudpickle ships it by value — workers must not need
+    this package importable (same constraint as multimodal.extract_features).
     """
-    if n_planes > 64:
-        # long bit weights wrap mod 64 — plane 64 would silently alias
-        # onto bit 0
-        raise ValueError("n_planes > 64 does not fit the single-long signature")
     from pyspark.sql.functions import pandas_udf
 
-    planes = _hyperplanes(dim, n_planes)
+    signs = _plane_signs(dim, n_planes)
+    np_ = n_planes
 
-    @pandas_udf("long")
+    @pandas_udf("array<bigint>")
     def sig(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (m @ planes.T) >= 0
-        weights = np.left_shift(
-            np.uint64(1), np.arange(bits.shape[1], dtype=np.uint64)
-        )
-        return pd.Series((bits.astype(np.uint64) @ weights).view(np.int64))
+        q = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        bits = (q @ signs.T) >= 0
+        words = np.zeros((bits.shape[0], (np_ + 62) // 63), dtype=np.int64)
+        for b in range(np_):
+            words[:, b // 63] |= bits[:, b].astype(np.int64) << (b % 63)
+        return pd.Series(list(words))
 
     return sig(vec_col)
+
+
+def _hamming_words(sig_col: Column, probe_words: list[int]) -> Column:
+    """Hamming distance between an array<bigint> signature column and a
+    literal probe signature: popcount(xor) summed over words — pure JVM
+    expressions, whole-stage codegen."""
+    h: Column = F.lit(0)
+    for w, pw in enumerate(probe_words):
+        h = h + F.bit_count(F.element_at(sig_col, w + 1).bitwiseXOR(F.lit(pw)))
+    return h
 
 
 def srp_topk(
@@ -168,37 +197,47 @@ def srp_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    max_hamming: int = 7,
+    n_planes: int = 126,
+    candidate_fraction: float = 0.2,
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose SRP bucket is within
-    ``max_hamming`` sign-flips of the probe's bucket (multi-probe LSH).
+    """Approximate top-k: rank the corpus by signature Hamming distance to
+    the probe and exact-cosine-rerank only the nearest
+    ``candidate_fraction`` slice.
 
-    The persisted twin is srp_build_index/srp_probe_index (signature
-    precomputed once, probes prune to matching band partitions); here the
-    signature is computed inline for self-containedness. Recall is tunable
-    via (n_planes, max_hamming) — pytest measures it against cosine_topk.
+    RANK-BASED candidate selection, not a fixed Hamming ball: the radius
+    adapts per probe, so recall degrades gracefully on corpora whose true
+    neighbors are only moderately close — exactly where a ball either
+    misses everything or admits half the corpus. Measured on the synthetic
+    corpus (true top-10 at cos 0.28-0.37, near-random — the hard case):
+    126-plane signatures at 20% candidates give mean top-10 recall ~0.85
+    (round 2's 16-plane Gaussian Hamming ball: 0.74 while scanning 41%).
+    Recall 0.8 at <10% candidates is not reachable on data this
+    unstructured (measured: 126 planes / 10% -> 0.66); on corpora with
+    genuinely near neighbors the Hamming ranking concentrates and the same
+    fraction buys recall ~1.
 
-    Defaults (16, 7) measured on the synthetic corpus (mid-range
-    neighbors, cos ~0.5, where a sign bit disagrees with p≈1/3): mean
-    top-10 recall ~0.74 (min 0.5 over 20 probes) while scoring ~41% of
-    the corpus. For genuinely-near duplicates (cos > 0.9) tighten
-    max_hamming and widen n_planes. For corpora whose neighbors live at
-    moderate cosine, an IVF (coarse k-means) index prunes better — SRP's
-    Hamming ball is wide exactly where IVF's centroid ordering is sharp.
+    Selection is deterministic (ties break on id) and integer-exact, so a
+    SQL oracle replays it bit-for-bit. The candidate cut costs one
+    TakeOrderedAndProject over thin (id, words, vector) rows; at 100 TB
+    use the persisted twin (srp_build_index) whose signature table is the
+    only thing scanned fully.
     """
     _check_probe_dim(embeddings, vec_col, probe)
     dim = len(probe)
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    df = embeddings.withColumn("_bucket", srp_signature(F.col(vec_col), dim, n_planes))
-    # probe signature is pure driver-side numpy — no job, identical bits
-    probe_bucket = srp_signature_py(probe, _hyperplanes(dim, n_planes))
-    cand = df.withColumn(
-        "_ham", F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(probe_bucket)))
-    ).filter(F.col("_ham") <= max_hamming)
+    probe_words = srp_signature_py(probe, _plane_signs(dim, n_planes))
+    df = embeddings
     if exclude_id is not None:
-        cand = cand.filter(F.col(id_col) != exclude_id)
+        df = df.filter(F.col(id_col) != exclude_id)
+    n = df.count()
+    k_cand = max(k, int(math.ceil(n * candidate_fraction)))
+    cand = (
+        df.withColumn("_sigw", srp_signature_words(F.col(vec_col), dim, n_planes))
+        .withColumn("_ham", _hamming_words(F.col("_sigw"), probe_words))
+        .orderBy(F.asc("_ham"), F.asc(id_col))
+        .limit(k_cand)
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
     return (
         cand.select(
             id_col,
@@ -218,18 +257,30 @@ def ivf_centroids(
     n_centroids: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: sample ``n_centroids`` vectors by
     hash order (uniform over the corpus, reproducible, no RNG / no k-means
     iterations — for training-data dedup workloads the sampled quantizer is
     within a few points of Lloyd's and is one scan instead of ten).
 
+    ``hash_mode='md5'`` orders by the md5 hex string of the id instead of
+    xxhash64 — same uniform sample property, but replayable in ANY engine
+    (DuckDB: ORDER BY md5(CAST(id AS VARCHAR)), id), which is what the
+    oracle-checked ann_ivf_topk query uses. xxhash64 stays the default
+    hot path (no string materialization per row).
+
     The centroid table is tiny (C x dim floats) and lives on the driver; at
     100 TB it is the broadcast side of every IVF stage.
     """
+    order = (
+        F.md5(F.col("_id").cast("string"))
+        if hash_mode == "md5"
+        else F.xxhash64(F.col("_id"))
+    )
     rows = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .orderBy(order, F.col("_id"))
         .limit(n_centroids)
         .collect()
     )
@@ -242,6 +293,7 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     list_col: str = "ivf_list",
+    portable: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine) as an extra
     column — the IVF index build.
@@ -251,19 +303,69 @@ def ivf_assign(
     per-element expression fold). Map-only: no shuffle; at scale the result
     is written back partitioned by ``list_col`` so a query touches only the
     probed partitions.
+
+    ``portable=True`` switches to the engine-replayable assignment rule:
+    cosine = dot/(|v||c|) ROUNDED to 6 decimals, argmax with ties broken
+    by LOWEST centroid index — exactly `row_number() OVER (PARTITION BY id
+    ORDER BY round(cos, 6) DESC, centroid ASC) = 1` in SQL. Rounding makes
+    the rule robust to cross-engine float-summation-order noise (~1e-16
+    relative): a disagreement now needs the true cosine within float error
+    of a 5e-7 rounding boundary AND a competitor within 1e-6 — jointly
+    negligible — while exact ties (common after rounding) break
+    identically everywhere.
     """
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centroids, dtype=np.float64)
     c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    c_norm = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
 
-    @pandas_udf("int")
-    def nearest_centroid(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64)
-        m_unit = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m_unit @ c_unit.T, axis=1))
+    if portable:
+
+        @pandas_udf("int")
+        def nearest_centroid(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            m_norm = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cos = np.round((m @ c.T) / (m_norm * c_norm[None, :]), 6)
+            # np.argmax returns the FIRST max -> lowest centroid index
+            return pd.Series(np.argmax(cos, axis=1))
+
+    else:
+
+        @pandas_udf("int")
+        def nearest_centroid(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            m_unit = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m_unit @ c_unit.T, axis=1))
 
     return embeddings.withColumn(list_col, nearest_centroid(F.col(vec_col)))
+
+
+def ivf_probe_lists(
+    centroids: list[list[float]],
+    probe: list[float],
+    n_probe: int,
+    *,
+    portable: bool = False,
+) -> list[int]:
+    """Driver-side: indexes of the ``n_probe`` centroids nearest the probe
+    (pure numpy — no job; the centroid table is driver-resident by design).
+    ``portable=True`` applies the same round-6 + lowest-index tie-break
+    rule as ``ivf_assign(portable=True)`` so a SQL oracle selects the
+    identical lists."""
+    c = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    if portable:
+        cos = np.round(
+            (c @ p) / np.maximum(np.linalg.norm(c, axis=1) * np.linalg.norm(p), 1e-12),
+            6,
+        )
+        # sort by (-cos, index): descending cosine, ties to the lowest list
+        order = np.lexsort((np.arange(len(c)), -cos))
+        return [int(i) for i in order[:n_probe]]
+    c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    p_unit = p / max(np.linalg.norm(p), 1e-12)
+    return [int(i) for i in np.argsort(-(c_unit @ p_unit))[:n_probe]]
 
 
 def ivf_train(
@@ -335,11 +437,7 @@ def ivf_topk(
         raise ValueError(
             f"probe dim {len(probe)} != embedding dim {len(cents[0])}"
         )
-    c = np.asarray(cents, dtype=np.float64)
-    c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    p = np.asarray(probe, dtype=np.float64)
-    p_unit = p / max(np.linalg.norm(p), 1e-12)
-    probe_lists = [int(i) for i in np.argsort(-(c_unit @ p_unit))[:n_probe]]
+    probe_lists = ivf_probe_lists(cents, probe, n_probe)
 
     assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
     cand = assigned.filter(F.col("ivf_list").isin(probe_lists))
@@ -364,6 +462,7 @@ def ivf_build_index(
     refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> list[list[float]]:
     """Build and PERSIST the IVF index: vectors written to ``path``
     partitioned by inverted-list id, centroids returned (store them beside
@@ -372,15 +471,29 @@ def ivf_build_index(
     This is the pay-once half of IVF at scale: train + assign runs one
     pass over the corpus; afterwards every probe reads ONLY the probed
     list partitions (directory pruning, no per-query assignment pass and
-    no full scan)."""
-    cents = ivf_train(
-        embeddings,
-        n_centroids=n_centroids,
-        refine_iters=refine_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    no full scan).
+
+    ``portable=True`` builds the engine-replayable variant: md5-ordered
+    sampled centroids (no Lloyd refinement — float averages are not
+    bit-portable across engines) and the round-6 assignment rule, so a
+    SQL oracle derives the identical index contents. Sampled centroids
+    trade some recall for replayability (measured on the corpus: top-10
+    recall 0.57 at 32/8 vs 0.70 Lloyd-refined); the refined path stays
+    the recall-optimized default."""
+    if portable:
+        cents = ivf_centroids(
+            embeddings, n_centroids=n_centroids, id_col=id_col,
+            vec_col=vec_col, hash_mode="md5",
+        )
+    else:
+        cents = ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            refine_iters=refine_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col, portable=portable)
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
     return cents
 
@@ -396,20 +509,19 @@ def ivf_probe_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Top-k over a persisted IVF index: pick the ``n_probe`` nearest
     centroids driver-side, scan only those list partitions (the filter on
     the partition column prunes directories — verify with
-    PartitionFilters in .explain), exact-cosine re-rank."""
+    PartitionFilters in .explain), exact-cosine re-rank. ``portable``
+    must match the flag the index was built with (it selects the probe-
+    list rule — see ivf_probe_lists)."""
     if centroids and len(probe) != len(centroids[0]):
         raise ValueError(
             f"probe dim {len(probe)} != index dim {len(centroids[0])}"
         )
-    c = np.asarray(centroids, dtype=np.float64)
-    c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    p = np.asarray(probe, dtype=np.float64)
-    p_unit = p / max(np.linalg.norm(p), 1e-12)
-    probe_lists = [int(i) for i in np.argsort(-(c_unit @ p_unit))[:n_probe]]
+    probe_lists = ivf_probe_lists(centroids, probe, n_probe, portable=portable)
 
     cand = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe_lists))
     if exclude_id is not None:
@@ -429,71 +541,41 @@ def srp_build_index(
     embeddings: DataFrame,
     path: str,
     *,
-    n_planes: int = 16,
-    max_hamming: int = 7,
+    n_planes: int = 126,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Build and PERSIST an SRP-LSH index: each vector's sign-bit signature
-    is computed ONCE, pigeonhole-banded into ``max_hamming + 1`` chunks,
-    and written partitioned by ``(chunk, key)`` — the multi-table LSH
-    layout. Returns the index metadata to pass to :func:`srp_probe_index`
-    (store it beside the index — it is a handful of ints).
+    """Build and PERSIST an SRP signature index as two tables:
 
-    This is the persisted twin srp_topk's docstring promises: probes prune
-    to the matching ``(chunk, key)`` partitions (directory pruning, no
-    per-query signature recompute over the corpus) and then apply the SAME
-    exact-Hamming filter as the inline operator, so the result is
-    row-identical to :func:`srp_topk` at equal parameters (pigeonhole
-    guarantees the pruned read is a superset of the Hamming ball).
+    - ``<path>/signatures``: (id, sig_words) — ~24 bytes/row. This is the
+      ONLY thing a probe scans fully; for 64-dim float32 corpora it is
+      ~1/10th the data, and the ratio improves with dimension.
+    - ``<path>/vectors``: the full rows, hash-clustered and sorted on id
+      at write, so the candidate fetch prunes row groups on the join key.
 
-    Cost model: storage is x(max_hamming+1) the corpus (vectors are stored
-    in the index so probes never rescan the base table); a probe reads
-    chunks/2^width of the index where width = n_planes // chunks. That
-    wins big in the tight-probe regime (near-dup: max_hamming <= 2, wide
-    chunks); at the loose demo defaults (16 planes / Hamming 6) it mainly
-    saves the signature recompute — tighten max_hamming as n grows."""
-    chunks = max_hamming + 1
-    if n_planes < chunks:
-        raise ValueError(f"n_planes ({n_planes}) must be >= max_hamming+1 ({chunks})")
-    if n_planes > 64:
-        raise ValueError("n_planes > 64 does not fit the single-long signature")
-    width = n_planes // chunks
+    Returns index metadata for :func:`srp_probe_index` (a handful of ints
+    — store beside the index).
+
+    (Round 2 stored vectors replicated into (chunk, key) partitions for a
+    fixed-radius Hamming-ball probe. Rank-based probes — see srp_topk —
+    obsolete that layout: storage drops from (max_hamming+1)x the corpus
+    to 1x + thin signatures, and recall no longer cliffs when true
+    neighbors sit outside the ball.)"""
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("cannot build an SRP index over an empty corpus")
     dim = int(first.d)
-    sigs = embeddings.select(
+    embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
-        srp_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+        srp_signature_words(F.col(vec_col), dim, n_planes).alias("sig_words"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    (
+        embeddings.repartition(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "vectors"))
     )
-    banded = sigs.select(
-        id_col,
-        vec_col,
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("_sig", c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, vec_col, "_sig", "cc.chunk", "cc.key")
-    banded.write.mode("overwrite").partitionBy("chunk", "key").parquet(path)
-    return {
-        "n_planes": n_planes,
-        "max_hamming": max_hamming,
-        "chunks": chunks,
-        "width": width,
-        "dim": dim,
-    }
+    return {"n_planes": n_planes, "dim": dim}
 
 
 def srp_probe_index(
@@ -503,42 +585,37 @@ def srp_probe_index(
     probe: list[float],
     *,
     k: int = 10,
+    candidate_fraction: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k over a persisted SRP index: compute the probe's signature
-    driver-side (pure numpy, same bit derivation as the build — no job),
-    read ONLY the ``chunks`` matching ``(chunk, key)`` partitions, then
-    exact-Hamming filter on the stored signature + exact-cosine re-rank.
-    Row-identical to inline :func:`srp_topk` at equal parameters."""
+    driver-side (pure numpy, no job), scan the THIN signature table for
+    the ``candidate_fraction`` ids nearest by Hamming (deterministic:
+    ties break on id), fetch exactly those rows from the clustered vectors
+    table via a broadcast semi-join (row-group pruned on the sorted id),
+    and exact-cosine re-rank. Row-identical to inline :func:`srp_topk` at
+    equal parameters."""
     if len(probe) != meta["dim"]:
         raise ValueError(f"probe dim {len(probe)} != index dim {meta['dim']}")
-    n_planes, max_hamming = meta["n_planes"], meta["max_hamming"]
-    chunks, width = meta["chunks"], meta["width"]
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    probe_sig = srp_signature_py(probe, _hyperplanes(meta["dim"], n_planes))
-    mask = (1 << width) - 1
-    keys = [(c, (probe_sig >> (c * width)) & mask) for c in range(chunks)]
-    part_filter = None
-    for c, key in keys:
-        clause = (F.col("chunk") == c) & (F.col("key") == key)
-        part_filter = clause if part_filter is None else (part_filter | clause)
-    cand = (
-        spark.read.parquet(path)
-        .filter(part_filter)
-        # a vector matching the probe on several chunks appears once per
-        # match — identical payload rows, so any-row dedup is exact
-        .dropDuplicates([id_col])
-        .withColumn(
-            "_ham", F.bit_count(F.col("_sig").bitwiseXOR(F.lit(probe_sig)))
-        )
-        .filter(F.col("_ham") <= max_hamming)
-    )
+    probe_words = srp_signature_py(probe, _plane_signs(meta["dim"], meta["n_planes"]))
+    sigs = spark.read.parquet(os.path.join(path, "signatures"))
     if exclude_id is not None:
-        cand = cand.filter(F.col(id_col) != exclude_id)
+        sigs = sigs.filter(F.col(id_col) != exclude_id)
+    n = sigs.count()
+    k_cand = max(k, int(math.ceil(n * candidate_fraction)))
+    cand = (
+        sigs.withColumn("_ham", _hamming_words(F.col("sig_words"), probe_words))
+        .orderBy(F.asc("_ham"), F.asc(id_col))
+        .limit(k_cand)
+        .select(id_col)
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
     return (
-        cand.select(
+        vectors.join(F.broadcast(cand), id_col, "left_semi")
+        .select(
             id_col,
             F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
         )
@@ -553,8 +630,8 @@ def cosine_pairs_srp(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    max_hamming: int = 6,
+    n_planes: int = 32,
+    max_hamming: int = 7,
 ) -> DataFrame:
     """Near-dup pairs via SRP-signature banding — the scale path for
     :func:`cosine_pairs`, same output schema.
@@ -563,12 +640,20 @@ def cosine_pairs_srp(
     chunks; candidate pairs agree on >= one chunk (exact recall for
     signature Hamming <= max_hamming), then verify with exact cosine.
     Unlike SimHash-for-Jaccard, the cosine threshold only maps
-    PROBABILISTICALLY to signature Hamming (P[bit differs] = angle/pi), so
-    end-to-end recall vs the exact operator is < 1 and tunable via
-    (n_planes, max_hamming); pytest measures it on the corpus (~0.97
-    recall, 1.0 precision at the defaults, ~3x the exact operator's
-    throughput at 2k vectors and widening with n^2). Shuffle volume:
-    O(n * chunks) tiny keys + candidates, never the O(n^2) cross.
+    PROBABILISTICALLY to signature Hamming (P[bit differs] = angle/pi),
+    so end-to-end recall vs the exact operator is < 1 and tunable via
+    (n_planes, max_hamming). Measured on the corpus at the defaults
+    (32 planes, 8 chunks x 4 bits): recall 0.80 of the exact pairs with
+    ~41% of all pairs as candidates, precision 1.0 (every emitted pair is
+    exact-cosine verified). The corpus is the hard case — its ">= 0.4"
+    pairs sit at cos 0.40-0.51, where P[bit differs] ≈ 0.36; genuinely
+    near-dup corpora (cos >= 0.8) concentrate near Hamming 0 and the same
+    banding prunes to well under 1% of pairs. Shuffle volume: O(n*chunks)
+    thin keys + candidates, never the O(n^2) cross of vectors.
+
+    The signature is the portable quantized-±1 construction
+    (srp_signature_words), so a SQL oracle replays the full pipeline —
+    banding, candidates, verification — bit-for-bit.
 
     Keep chunk width >= 2 bits (n_planes // (max_hamming+1)): 1-bit
     chunks bucket half of ALL pairs together and the candidate join
@@ -579,8 +664,9 @@ def cosine_pairs_srp(
         # signature (constant key 0) and the bucket join degenerates to
         # the O(n^2) cross product this function exists to avoid
         raise ValueError(f"n_planes ({n_planes}) must be >= max_hamming+1 ({chunks})")
-    if n_planes > 64:
-        raise ValueError("n_planes > 64 does not fit the single-long signature")
+    if n_planes > 63:
+        # single positive long; the pairs path does not span words
+        raise ValueError("n_planes > 63 does not fit the single-word signature")
     width = n_planes // chunks
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
@@ -595,7 +681,9 @@ def cosine_pairs_srp(
     # verify, keyed by id.
     sigs = embeddings.select(
         F.col(id_col).alias("_id"),
-        srp_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+        F.element_at(
+            srp_signature_words(F.col(vec_col), dim, n_planes), 1
+        ).alias("_sig"),
     )
     banded = sigs.select(
         "_id",

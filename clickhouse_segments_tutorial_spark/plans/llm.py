@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import os
 import tempfile
 
 from ..operators.components import dedup_groups
@@ -102,9 +103,71 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit, Hamming <= 3 via pigeonhole banding (no SQL oracle —
-    rows-only check; pytest verifies against brute-force Hamming)."""
-    return simhash_pairs(_t(spark, sf_dir, "documents"), n=3, max_distance=3)
+    """SimHash with the 60-bit engine-portable signature (md5-derived
+    shingle hashes), Hamming <= 3 via pigeonhole banding (4 chunks x 15
+    bits). The DuckDB oracle replays every vote, bit, band key, and the
+    final Hamming filter — flipping this query from rows-only to
+    value-checked. pytest additionally verifies the banding against
+    brute-force Hamming on both hash modes."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), n=3, max_distance=3, hash_mode="md5"
+    )
+
+
+# Replays simhash_pairs(hash_mode='md5') exactly: same tokens/shingles as
+# _JACCARD_ORACLE, 60-bit hash = first 15 md5 hex chars (positive bigint,
+# so >> and & behave identically to Spark's shiftright/bitwiseAND), one
+# ±1 vote per (shingle, bit), sign -> signature, 4x15-bit pigeonhole bands,
+# exact bit_count(xor) verification.
+_SIMHASH_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           END
+         ) AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                THEN []::VARCHAR[]
+                ELSE string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+           END AS t
+    FROM documents
+  )
+),
+posting AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h
+  FROM docs
+),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM posting CROSS JOIN range(60) bits(b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sig, c, (sig >> CAST(c * 15 AS INTEGER)) & 32767 AS key
+  FROM sigs CROSS JOIN range(4) chunks(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+FROM pairs
+JOIN sigs sa ON sa.doc_id = pairs.id_a
+JOIN sigs sb ON sb.doc_id = pairs.id_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+"""
 
 
 def dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,71 +367,261 @@ LIMIT 10
 """
 
 
-# Persisted ANN indexes, built ONCE per (kind, sf_dir) per process — the
-# pay-once index-build / partition-pruned-probe shape that matters at
+# Persisted ANN indexes, built ONCE per (kind, source-table identity) per
+# process — the pay-once index-build / pruned-probe shape that matters at
 # 100 TB (retraining the quantizer or recomputing corpus signatures per
 # query is the scale anti-pattern the inline operators demo against).
-_ANN_INDEX: dict[tuple[str, str], tuple[str, object]] = {}
+# The cache key carries the source parquet's (path, mtime, size) stamp: a
+# table regenerated in-process changes the stamp, so the stale index is
+# wiped and rebuilt instead of silently served; superseded dirs are
+# removed on rebuild and every dir is removed atexit (repeated runs no
+# longer leak /tmp state — round-2 ADVICE).
+_ANN_INDEX: dict[tuple, tuple[str, object]] = {}
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
-    key = ("ivf", sf_dir)
+def _table_stamp(sf_dir: str, name: str) -> tuple:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (p, 0, 0)
+
+
+def _ann_index(kind: str, sf_dir: str, build) -> tuple[str, object]:
+    import atexit
+    import shutil
+
+    key = (kind, _table_stamp(sf_dir, "embeddings"))
     if key not in _ANN_INDEX:
-        path = tempfile.mkdtemp(prefix="ivf_index_")
-        cents = ivf_build_index(
-            _t(spark, sf_dir, "embeddings"), path, n_centroids=32, refine_iters=2
-        )
-        _ANN_INDEX[key] = (path, cents)
-    return _ANN_INDEX[key]  # type: ignore[return-value]
-
-
-def _srp_index(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
-    key = ("srp", sf_dir)
-    if key not in _ANN_INDEX:
-        path = tempfile.mkdtemp(prefix="srp_index_")
-        meta = srp_build_index(
-            _t(spark, sf_dir, "embeddings"), path, n_planes=16, max_hamming=7
-        )
+        stale = [
+            k for k in _ANN_INDEX
+            if k[0] == kind and k[1][0] == key[1][0] and k != key
+        ]
+        for k in stale:
+            shutil.rmtree(_ANN_INDEX.pop(k)[0], ignore_errors=True)
+        path = tempfile.mkdtemp(prefix=f"{kind}_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        meta = build(path)
         _ANN_INDEX[key] = (path, meta)
-    return _ANN_INDEX[key]  # type: ignore[return-value]
+    return _ANN_INDEX[key]
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    return _ann_index(
+        "ivf",
+        sf_dir,
+        lambda path: ivf_build_index(
+            _t(spark, sf_dir, "embeddings"), path, n_centroids=32, portable=True
+        ),
+    )
+
+
+def _srp_index(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    return _ann_index(
+        "srp",
+        sf_dir,
+        lambda path: srp_build_index(
+            _t(spark, sf_dir, "embeddings"), path, n_planes=126
+        ),
+    )
 
 
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-random-projection banding over a
-    PERSISTED signature index (built once per process; probes prune to the
-    matching (chunk, key) partitions — row-identical to the inline
-    srp_topk, which tests/test_operators.py keeps for the recall floor).
-    Rows-only check; pytest measures recall vs the brute-force baseline."""
+    """Approximate top-10 via sign-random-projection signatures over a
+    PERSISTED index (built once per process): thin signature scan -> top
+    20% of ids by Hamming distance (deterministic, ties on id) -> clustered
+    vector fetch -> exact-cosine re-rank. Row-identical to inline srp_topk.
+
+    The signature is integer-exact (quantized ±1 planes from md5 bits), so
+    the DuckDB oracle replays every bit; measured mean top-10 recall ~0.85
+    on this near-random corpus (the 20 fixed probes of
+    tests/test_operators.py), vs 0.74 at 41% scanned for the round-2
+    Gaussian Hamming ball."""
     path, meta = _srp_index(spark, sf_dir)
     probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
-    return srp_probe_index(spark, path, meta, list(probe), k=10, exclude_id=0)
+    return srp_probe_index(
+        spark, path, meta, list(probe), k=10, candidate_fraction=0.2, exclude_id=0
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via a PERSISTED IVF index: the coarse quantizer
-    trains once per process (2 Lloyd passes), vectors land partitioned by
-    inverted list, and each probe scans only the 8 nearest of 32 list
-    partitions (~25% of the corpus, directory-pruned — PartitionFilters
-    asserted in tests/test_plans.py). Row-identical to the inline
-    ivf_topk at equal parameters. Rows-only check; pytest measures recall
-    vs the brute-force baseline."""
+    """Approximate top-10 via a PERSISTED IVF index in its engine-portable
+    configuration: md5-ordered sampled centroids (no Lloyd — float
+    averages are not bit-portable), round-6 cosine argmax assignment,
+    vectors partitioned by inverted list; each probe scans only the 8
+    nearest of 32 list partitions (~26% of the corpus, directory-pruned —
+    PartitionFilters asserted in tests/test_operators.py). The DuckDB
+    oracle replays sampling, assignment, and probe selection exactly.
+    Measured top-10 recall ~0.57 at these parameters (the Lloyd-refined
+    non-portable path reaches ~0.70; tests keep that recall floor)."""
     path, cents = _ivf_index(spark, sf_dir)
     probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
     return ivf_probe_index(
-        spark, path, cents, list(probe), k=10, n_probe=8, exclude_id=0
+        spark, path, cents, list(probe), k=10, n_probe=8, exclude_id=0,
+        portable=True,
     )
 
 
 def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-banded near-dup pairs (the scale path; candidate fraction
-    ~O(n*chunks) vs the exact O(n^2) cross). Rows-only check; pytest
-    measures recall vs embedding_near_dup_pairs (0.97 on the corpus,
-    precision 1.0 — every emitted pair is exact-cosine verified)."""
+    """SRP-banded near-dup pairs (the scale path: thin banded keys +
+    verified candidates, never the O(n^2) cross of vectors). Banding
+    recall 0.80 of the exact pairs at (32 planes, Hamming<=7) on this
+    corpus — its ">=0.4" pairs sit at cos 0.40-0.51, the hard case —
+    with precision 1.0 (exact-cosine verified). The DuckDB oracle replays
+    the full pipeline bit-for-bit (quantized ±1 signatures), so this row
+    is value-checked even though its output is deliberately a subset of
+    embedding_near_dup_pairs."""
     from ..operators.similarity import cosine_pairs_srp
 
     return cosine_pairs_srp(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=16, max_hamming=6
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=32, max_hamming=7
     )
+
+
+def _srp_sig_ctes(n_planes: int) -> str:
+    """Shared oracle CTEs replaying srp_signature_words in SQL: quantize
+    components with floor(v*1e6 + 0.5) (the fully-specified rounding the
+    pandas UDF uses), ±1 plane signs from the md5 first-hex-digit parity,
+    exact integer dots, sign bits packed 63 per word. Bit-for-bit equal to
+    the Spark signature by construction — no float ops after quantization."""
+    n_words = (n_planes + 62) // 63
+    word_cols = ",\n         ".join(
+        "CAST(sum(CASE WHEN i >= {lo} AND i < {hi} THEN bit << (i - {lo}) "
+        "ELSE 0 END) AS BIGINT) AS w{w}".format(lo=w * 63, hi=min((w + 1) * 63, n_planes), w=w)
+        for w in range(n_words)
+    )
+    return f"""
+comps AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+),
+planes AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || j), 1, 1))::INTEGER % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range({n_planes}) p(i)
+  CROSS JOIN (SELECT DISTINCT j FROM comps) d
+),
+bits AS (
+  SELECT c.vec_id, p.i,
+         CASE WHEN sum(c.q * p.s) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM comps c JOIN planes p USING (j)
+  GROUP BY c.vec_id, p.i
+),
+sigs AS (
+  SELECT vec_id,
+         {word_cols}
+  FROM bits GROUP BY vec_id
+)"""
+
+
+# ann_srp_topk replay: signature words for every vector (probe included),
+# Hamming ranking with id tie-break, top max(10, ceil(0.2 * n)) candidates,
+# exact-cosine re-rank of exactly those ids.
+_ANN_SRP_ORACLE = f"""
+WITH {_srp_sig_ctes(126)},
+probe_sig AS (SELECT w0, w1 FROM sigs WHERE vec_id = 0),
+hams AS (
+  SELECT s.vec_id,
+         bit_count(xor(s.w0, p.w0)) + bit_count(xor(s.w1, p.w1)) AS ham
+  FROM sigs s CROSS JOIN probe_sig p
+  WHERE s.vec_id != 0
+),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY ham, vec_id) AS rn FROM hams
+),
+total AS (SELECT count(*) AS cnt FROM hams),
+cand AS (
+  SELECT vec_id FROM ranked, total
+  WHERE rn <= greatest(10, CAST(ceil(0.2 * cnt) AS BIGINT))
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(pr.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e
+JOIN cand USING (vec_id)
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) pr
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+# embedding_near_dup_pairs_lsh replay: single-word 32-plane signatures,
+# 8x4-bit pigeonhole bands, candidate pairs sharing >= 1 band key, exact
+# rounded-cosine verification at the threshold.
+_COS_PAIRS_LSH_ORACLE = f"""
+WITH {_srp_sig_ctes(32)},
+banded AS (
+  SELECT vec_id, c, (w0 >> CAST(c * 4 AS INTEGER)) & 15 AS key
+  FROM sigs CROSS JOIN range(8) chunks(c)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.c = b.c AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+# ann_ivf_topk replay: 32 centroids sampled by (md5(id), id) order, every
+# vector assigned to its argmax round-6-cosine centroid (ties to the lowest
+# centroid index — row_number replays numpy's first-max argmax), probe
+# scans the 8 nearest lists by the same rule, exact-cosine re-rank.
+_ANN_IVF_ORACLE = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 32
+),
+assign AS (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+vec_list AS (SELECT vec_id, cidx AS ivf_list FROM assign WHERE rk = 1),
+probe_rank AS (
+  SELECT c.cidx,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM cents c
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+),
+probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= 8),
+cand AS (
+  SELECT v.vec_id
+  FROM vec_list v JOIN probe_lists pl ON v.ivf_list = pl.cidx
+  WHERE v.vec_id != 0
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(pr.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e
+JOIN cand USING (vec_id)
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) pr
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,16 +845,20 @@ QUERIES = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
     QuerySpec("jaccard_near_dup_pairs", jaccard_near_dup_pairs, _JACCARD_ORACLE, headline=True),
     QuerySpec("minhash_near_dup_pairs", minhash_near_dup_pairs, _JACCARD_ORACLE, headline=True),
-    QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, None),
+    QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, _SIMHASH_ORACLE),
     QuerySpec("dedup_groups_docs", dedup_groups_docs, _DEDUP_GROUPS_ORACLE),
     QuerySpec("sample_docs_stratified", sample_docs_stratified, _SAMPLE_ORACLE),
     QuerySpec("train_test_split_docs", train_test_split_docs, _SPLIT_ORACLE),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
-    QuerySpec("ann_srp_topk", ann_srp_topk, None),
-    QuerySpec("ann_ivf_topk", ann_ivf_topk, None),
-    QuerySpec("embedding_near_dup_pairs_lsh", embedding_near_dup_pairs_lsh, None),
+    QuerySpec("ann_srp_topk", ann_srp_topk, _ANN_SRP_ORACLE),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE),
+    QuerySpec(
+        "embedding_near_dup_pairs_lsh",
+        embedding_near_dup_pairs_lsh,
+        _COS_PAIRS_LSH_ORACLE,
+    ),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),

@@ -165,7 +165,11 @@ def retention_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = apply_retention(
         path, keep_days=10, now=dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc)
     )
-    assert dropped > 0, "fixed clock must actually expire partitions"
+    if dropped <= 0:
+        # not assert: the guard must survive `python -O`, or a mis-set clock
+        # would let the query trivially match its oracle without exercising
+        # the retention drop
+        raise RuntimeError("fixed clock must actually expire partitions")
     return (
         spark.read.parquet(path)
         .groupBy(F.col(PARTITION_COL).cast("string").alias("day"))
