@@ -140,12 +140,31 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_rows: int | None = 2000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All unordered doc pairs with shingle-Jaccard >= threshold.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. Exact — used both as a
     standalone operator and as the verifier for MinHash candidates.
-    """
+
+    SCALE GUARD: the posting self-join is O(sum of postings^2) in hot
+    shingles — superlinear (measured 57.5s at 10x the corpus vs MinHash's
+    19.1s, BASELINE.md). This is the documented ORACLE path, not the scale
+    path, so by default it refuses inputs over ``max_rows`` rows; pass
+    ``allow_quadratic=True`` (what the registered oracle queries do, with
+    the cost acknowledged) or ``hash_sample`` the input first. The scale
+    twin with the same output contract is :func:`minhash_lsh_pairs`."""
+    if not allow_quadratic and max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"jaccard_pairs is quadratic in hot-shingle postings and the "
+                f"input has {n_rows} rows (> budget {max_rows}). Use "
+                f"minhash_lsh_pairs (the scale path), hash_sample the input, "
+                f"or pass allow_quadratic=True if this is a deliberate "
+                f"oracle/verification run."
+            )
     # Persist BEFORE the explode: both self-join sides consume the posting
     # list, and `_n` + explode each reference the shingle array, so without
     # a materialization barrier the interpreted higher-order shingle

@@ -728,13 +728,29 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 1000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All unordered pairs with cosine >= threshold (embedding near-dup).
 
     Exact O(n^2/2) self-join — the oracle/baseline. The scale path buckets
     by SRP signature first (join on bucket instead of cross), trading
-    recall for the quadratic blowup; see srp_topk for the bucket machinery.
-    """
+    recall for the quadratic blowup: :func:`cosine_pairs_srp`, same output
+    schema.
+
+    SCALE GUARD: by default refuses inputs over ``max_rows`` rows — at
+    100x the corpus the cross join is a cluster-killer nobody should hit
+    by accident. Pass ``allow_quadratic=True`` (what the registered oracle
+    query does, with the cost acknowledged) or sample the input first."""
+    if not allow_quadratic and max_rows is not None:
+        n_rows = embeddings.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"cosine_pairs is an O(n^2) self-join and the input has "
+                f"{n_rows} rows (> budget {max_rows}). Use cosine_pairs_srp "
+                f"(the scale path), sample the input, or pass "
+                f"allow_quadratic=True if this is a deliberate oracle run."
+            )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

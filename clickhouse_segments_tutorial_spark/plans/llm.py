@@ -56,7 +56,12 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 
 
 def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    """Exact n-gram Jaccard pairs — the documented quadratic ORACLE path
+    (allow_quadratic acknowledged; the scale twin with the same output and
+    oracle is minhash_near_dup_pairs)."""
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, allow_quadratic=True
+    )
 
 
 _JACCARD_ORACLE = """
@@ -626,8 +631,11 @@ LIMIT 10
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.4 (exact O(n^2) — the oracle baseline for
-    the bucketed path)."""
-    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    the bucketed path; allow_quadratic acknowledged, scale twin =
+    embedding_near_dup_pairs_lsh)."""
+    return cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, allow_quadratic=True
+    )
 
 
 _COS_PAIRS_ORACLE = """

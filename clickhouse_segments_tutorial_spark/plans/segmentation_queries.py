@@ -119,6 +119,44 @@ def segment_eventtime_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.members_with_last_event_time().select("user_id", "last_event_time")
 
 
+def segment_eventtime_members_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 4 run as an ACTUAL Structured Streaming job — the
+    reference's incremental event-time cascade (4-eventTime.test.ts:129-193)
+    with Spark-managed offsets playing the processing-time cursor.
+
+    Two checkpointed ``availableNow`` runs over a file source split at the
+    median ts replay the reference's "run the micro-batch job for the new
+    window" loop; each foreachBatch appends mergeable HLL partial state
+    (uniqState/maxState), finalizes only the batch's changed users, and
+    appends latest-wins assignment versions
+    (streaming/hll_cascade.py). The state table is interchangeable with
+    the batch EventTimeSegmenter's, and the final membership is
+    deterministic (merged sketches are exact at per-user cardinalities,
+    order-independent merge), so this query SHARES the batch cascade's
+    oracle — the driver now value-checks the streaming path too."""
+    from ..streaming.hll_cascade import HllCascadeStreamingSegmenter
+
+    events = _events(spark, sf_dir)
+    mid = _median_ts(events)
+    seg = HllCascadeStreamingSegmenter(
+        spark,
+        _scratch_dir("eventtime_streaming"),
+        SPEC,
+        CORPUS_EVENTS,
+        schema=events.schema,
+        compact_every=2,
+    )
+    events.filter(F.col("ts") < F.lit(mid)).write.mode("append").parquet(
+        seg.events_dir
+    )
+    seg.run_available_now()
+    events.filter(F.col("ts") >= F.lit(mid)).write.mode("append").parquet(
+        seg.events_dir
+    )
+    seg.run_available_now()
+    return seg.members_with_last_event_time().select("user_id", "last_event_time")
+
+
 def segment_members_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant 1 through the SQL-text entry point with NAMED PARAMETERS —
     the reference's parameterized-query surface ({threshold:...} +
@@ -268,6 +306,18 @@ QUERIES = [
         HAVING count(DISTINCT event_id) >= 13
         """,
         headline=True,
+    ),
+    QuerySpec(
+        "segment_eventtime_members_streaming",
+        segment_eventtime_members_streaming,
+        """
+        SELECT user_id,
+               CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_event_time
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY user_id
+        HAVING count(DISTINCT event_id) >= 13
+        """,
     ),
     QuerySpec("segment_members_sql", segment_members_sql, _MEMBER_ORACLE),
     QuerySpec("retention_event_counts", retention_event_counts, _RETENTION_ORACLE),

@@ -43,9 +43,25 @@ from ..operators.hll_state import accumulate_state, hll_merge, hll_merge_estimat
 from ..sources.writers import (
     PARTITION_COL,
     append_clustered,
+    apply_retention,
     recover_rewrite,
     rewrite_table,
 )
+
+
+def _as_utc(value) -> dt.datetime | None:
+    """Coerce a batch clock (datetime or ISO string) to aware UTC for the
+    retention cutoff; None when unparseable (retention then skips — never
+    guess a clock)."""
+    if isinstance(value, dt.datetime):
+        return value if value.tzinfo else value.replace(tzinfo=dt.timezone.utc)
+    if isinstance(value, str):
+        try:
+            parsed = dt.datetime.fromisoformat(value)
+        except ValueError:
+            return None
+        return parsed if parsed.tzinfo else parsed.replace(tzinfo=dt.timezone.utc)
+    return None
 from .naive import serve_membership, serve_segment  # noqa: F401  (re-served here)
 
 
@@ -66,11 +82,24 @@ class MicroBatchSegmenter:
         workdir: str,
         spec: SegmentSpec,
         log: EventLog = EventLog(),
+        *,
+        changelog_retention_days: int | None = 100,
     ):
+        if changelog_retention_days is not None and changelog_retention_days < 1:
+            raise ValueError(
+                f"changelog_retention_days must be >= 1, got {changelog_retention_days}"
+            )
         self.spark = spark
         self.workdir = workdir
         self.spec = spec
         self.log = log
+        # TTL toStartOfDay(computed_at) + interval 100 day on the changelog
+        # (/root/reference/src/3-microBatch.test.ts:38) — without it
+        # updated_user_states grows one partition set per batch FOREVER.
+        # Finalize only ever reads partitions >= the current batch day, so
+        # dropping partitions older than the TTL can never lose a
+        # finalization (the reference relies on the same invariant).
+        self.changelog_retention_days = changelog_retention_days
         self.states_path = os.path.join(workdir, "user_states")
         self.changelog_path = os.path.join(workdir, "updated_user_states")
         self.assignments_path = os.path.join(workdir, "segment_assignments")
@@ -144,6 +173,17 @@ class MicroBatchSegmenter:
                 partition_ts="computed_at",
             )
             self._finalize(changed_since=now, assigned_at=now)
+            # changelog TTL on the batch cadence (the reference's TTL is
+            # background; between-batches is our equivalent slot, same as
+            # compaction) — O(partitions) directory drops, no data rewrite
+            if self.changelog_retention_days is not None:
+                now_dt = _as_utc(now)
+                if now_dt is not None:
+                    apply_retention(
+                        self.changelog_path,
+                        keep_days=self.changelog_retention_days,
+                        now=now_dt,
+                    )
         finally:
             state_rows.unpersist()
 

@@ -628,3 +628,93 @@ def test_pack_chunks_partitioning_invariant(spark):
         fills[(shard, seq)].append(tok)
     for toks in fills.values():
         assert sum(toks) <= 100 or len(toks) == 1
+
+
+# --- scale guards -----------------------------------------------------------------
+
+
+def test_quadratic_guards_trip_on_large_corpus(spark):
+    """The exact quadratic pair operators must refuse a corpus over their
+    row budget unless explicitly acknowledged — nobody points them at a
+    full corpus by accident — while the sketch twins accept the same
+    input. Uses the sf0.1 tables (5000 docs / 2000 vectors, both over the
+    defaults)."""
+    import os
+
+    from clickhouse_segments_tutorial_spark.operators.similarity import cosine_pairs
+
+    sf_big = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.1"
+    )
+    docs = load_table(spark, sf_big, "documents")
+    emb = load_table(spark, sf_big, "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        jaccard_pairs(docs, n=3, threshold=0.8)
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        cosine_pairs(emb, threshold=0.4)
+    # the scale twins accept the identical input (plan construction only —
+    # execution is covered by the oracle-parity suite)
+    assert minhash_lsh_pairs(docs, n=3, k=64, bands=32, threshold=0.8).columns == [
+        "id_a", "id_b", "jaccard",
+    ]
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        cosine_pairs_srp,
+    )
+
+    assert cosine_pairs_srp(emb, threshold=0.4).columns == [
+        "id_a", "id_b", "cos_sim",
+    ]
+
+
+def test_quadratic_guard_override_and_small_inputs_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    assert jaccard_pairs(df, n=3, threshold=0.5).count() == 1
+    assert jaccard_pairs(df, n=3, threshold=0.5, allow_quadratic=True).count() == 1
+
+
+# --- sequence packing scale guard --------------------------------------------------
+
+
+def test_pack_chunks_auto_shards_scale_with_corpus(spark):
+    """shards=None must derive the shard count from corpus token volume —
+    a 10x corpus gets ~10x the shards, so per-shard pandas-group memory
+    stays bounded as data grows (the 100 TB constraint)."""
+    from clickhouse_segments_tutorial_spark.operators.packing import pack_chunks
+
+    def corpus(n_docs):
+        return spark.createDataFrame(
+            [(d, 0, 100) for d in range(n_docs)],
+            "doc_id long, chunk_idx int, n_chunk_tokens int",
+        )
+
+    small = pack_chunks(corpus(10), capacity=512, tokens_per_shard=500)
+    big = pack_chunks(corpus(100), capacity=512, tokens_per_shard=500)
+    n_small = small.select("shard").distinct().count()
+    n_big = big.select("shard").distinct().count()
+    # 10 docs x 100 tok / 500 -> 2 shards; 100 docs -> 20 shards
+    assert n_small == 2 and n_big == 20
+    # every shard's token volume respects the budget (uniform rows here)
+    worst = (
+        big.groupBy("shard").agg(F.sum("n_chunk_tokens").alias("t"))
+        .agg(F.max("t").alias("m")).collect()[0].m
+    )
+    assert worst <= 500 + 100  # budget + one row of overshoot
+
+
+def test_pack_chunks_hashes_non_numeric_keys(spark):
+    """A string key must shard via a hash — never cast to NULL and
+    collapse the corpus into one shard (round-2 ADVICE)."""
+    from clickhouse_segments_tutorial_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(f"doc-{d}", 0, 100) for d in range(40)],
+        "doc_id string, chunk_idx int, n_chunk_tokens int",
+    )
+    out = pack_chunks(
+        df, capacity=512, shards=8, order_cols=("doc_id", "chunk_idx")
+    )
+    rows = out.collect()
+    assert all(r.shard is not None for r in rows)
+    assert out.select("shard").distinct().count() > 1

@@ -331,3 +331,70 @@ def test_except_set_op_is_distinct_safe(spark):
     b = spark.createDataFrame([("u2",), ("u2",)], "user_id string")
     got = [r.user_id for r in a.subtract(b).collect()]
     assert got == ["u1"]  # one row despite the duplicated input
+
+
+def test_changelog_retention_ages_out_without_breaking_finalize(spark, tmp_path):
+    """The changelog TTL (reference: TTL toStartOfDay(computed_at) + 100
+    day, 3-microBatch.test.ts:38): partitions older than the retention
+    window must be dropped on the batch cadence, and finalization of later
+    batches must stay correct (finalize only reads partitions >= the
+    current batch day, so the drop can never lose an assignment)."""
+    import os
+
+    from clickhouse_segments_tutorial_spark.sources.writers import PARTITION_COL
+
+    seg = MicroBatchSegmenter(
+        spark, str(tmp_path), SPEC, changelog_retention_days=10
+    )
+    t1 = ts("2023-01-01 00:00:00")
+    t2 = ts("2023-02-01 00:00:00")  # 31 days later: batch-1 partition expired
+    b1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t1),
+            ("2", "BUTTON_CLICK", "m2", t1),
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    seg.process_batch(b1, lower_bound=t1, now=t1)
+    day1_parts = {
+        p for p in os.listdir(seg.changelog_path) if p.startswith(PARTITION_COL)
+    }
+    assert f"{PARTITION_COL}=20230101" in day1_parts
+
+    b2 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m3", t2)], USER_EVENTS_IDEMPOTENT
+    )
+    seg.process_batch(b2, lower_bound=t2, now=t2)
+    parts = {
+        p for p in os.listdir(seg.changelog_path) if p.startswith(PARTITION_COL)
+    }
+    # batch-1 day dropped by the TTL, batch-2 day present
+    assert f"{PARTITION_COL}=20230101" not in parts
+    assert f"{PARTITION_COL}=20230201" in parts
+    # finalization of batch 2 still happened: user 1 crossed the threshold
+    # via the merged state (m1 from batch 1 + m3 from batch 2)
+    assert members(seg.members()) == ["1"]
+
+
+def test_changelog_retention_disabled_keeps_partitions(spark, tmp_path):
+    import os
+
+    from clickhouse_segments_tutorial_spark.sources.writers import PARTITION_COL
+
+    seg = MicroBatchSegmenter(
+        spark, str(tmp_path), SPEC, changelog_retention_days=None
+    )
+    t1 = ts("2023-01-01 00:00:00")
+    t2 = ts("2023-02-01 00:00:00")
+    b1 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m1", t1)], USER_EVENTS_IDEMPOTENT
+    )
+    seg.process_batch(b1, lower_bound=t1, now=t1)
+    b2 = spark.createDataFrame(
+        [("1", "BUTTON_CLICK", "m2", t2)], USER_EVENTS_IDEMPOTENT
+    )
+    seg.process_batch(b2, lower_bound=t2, now=t2)
+    parts = {
+        p for p in os.listdir(seg.changelog_path) if p.startswith(PARTITION_COL)
+    }
+    assert {f"{PARTITION_COL}=20230101", f"{PARTITION_COL}=20230201"} <= parts
