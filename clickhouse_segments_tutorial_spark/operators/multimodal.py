@@ -62,11 +62,33 @@ def decode_stub(payload: bytes) -> list[float]:
 
 
 def real_decode(payload: bytes, kind: str) -> list[float]:
-    """The genuine codec path — unavailable here by design."""
-    raise NotImplementedError(
-        "media codecs (PIL/libav) are not installed in this environment; "
-        "use decode_stub for plumbing tests"
-    )
+    """The genuine codec path: decode the image and pool PIXEL intensities
+    into the same 8-bucket normalized histogram shape as ``decode_stub``
+    pools raw bytes (bucket = value >> 5) — so swapping the stub for the
+    real decoder changes feature VALUES, never schema or batch shape.
+
+    Guarded: raises NotImplementedError when PIL is absent (this
+    container); tests/test_operators.py carries a golden-PNG test that
+    skips cleanly in that case. Audio/video codecs (libav) stay stubbed.
+    """
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "media codecs (PIL/libav) are not installed in this environment; "
+            "use decode_stub for plumbing tests"
+        )
+    if kind != "image":
+        raise NotImplementedError(f"real decode implemented for images only, got {kind!r}")
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    pixels = list(img.getdata())
+    if not pixels:
+        return [0.0] * 8
+    buckets = [0] * 8
+    for v in pixels:
+        buckets[v >> 5] += 1
+    n = float(len(pixels))
+    return [b / n for b in buckets]
 
 
 def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
@@ -86,13 +108,28 @@ def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(payload) -> list[float]:
-            # by-value copy of decode_stub (see module docstring)
+            # by-value copies of decode_stub / real_decode (see module
+            # docstring: workers must not need this package importable)
             if payload is None or len(payload) == 0:
                 return [0.0] * 8
             buckets = [0] * 8
-            for byte in payload:
-                buckets[byte >> 5] += 1
-            n = float(len(payload))
+            if use_stub:
+                for byte in payload:
+                    buckets[byte >> 5] += 1
+                n = float(len(payload))
+            else:
+                import io
+
+                import PIL.Image as _img
+
+                values = list(
+                    _img.open(io.BytesIO(payload)).convert("L").getdata()
+                )
+                if not values:
+                    return [0.0] * 8
+                for v in values:
+                    buckets[v >> 5] += 1
+                n = float(len(values))
             return [b / n for b in buckets]
 
         for pdf in batches:

@@ -39,17 +39,25 @@ class BucketedMicroBatchSegmenter(MicroBatchSegmenter):
         *,
         namespace: str,
         buckets: int = 32,
+        database: str | None = None,
     ):
         import re
 
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace):
+        ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        if not ident.fullmatch(namespace):
             # interpolated into DDL below — fail at construction, not at
             # maintenance time
             raise ValueError(f"namespace must be a SQL identifier: {namespace!r}")
+        if database is not None and not ident.fullmatch(database):
+            raise ValueError(f"database must be a SQL identifier: {database!r}")
         super().__init__(spark, workdir, spec, log)
         self.buckets = buckets
-        self.states_table = f"{namespace}_user_states"
-        self.assignments_table = f"{namespace}_segment_assignments"
+        # optional named-database binding (sources/database.SegmentDatabase
+        # — the reference's per-run database, jestGlobalSetup.ts:11-13);
+        # unqualified names land in the session's current database
+        prefix = f"{database}." if database else ""
+        self.states_table = f"{prefix}{namespace}_user_states"
+        self.assignments_table = f"{prefix}{namespace}_segment_assignments"
 
     # -- storage hooks ---------------------------------------------------------
 

@@ -718,3 +718,67 @@ def test_pack_chunks_hashes_non_numeric_keys(spark):
     rows = out.collect()
     assert all(r.shard is not None for r in rows)
     assert out.select("shard").distinct().count() > 1
+
+
+# --- multimodal real-codec golden (skips when PIL absent) ---------------------------
+
+
+def _tiny_png(rows: list[list[int]]) -> bytes:
+    """Minimal valid 8-bit grayscale PNG built from stdlib only — the
+    golden bytes live in code, not a binary fixture."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w = len(rows), len(rows[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit, grayscale
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)  # filter 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "clickhouse_segments_tutorial_spark.operators.multimodal",
+        fromlist=["HAVE_PIL"],
+    ).HAVE_PIL,
+    reason="PIL not installed in this container (stub codec path is oracle-checked instead)",
+)
+def test_real_decode_golden_png(spark):
+    """With a real codec present, real_decode must produce the exact
+    pixel-domain 8-bucket histogram for known PNG bytes, and the
+    use_stub=False pipeline must move it through Arrow unchanged."""
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    png = _tiny_png([[0, 255], [128, 255]])
+    # pixels 0 -> bucket 0, 128 -> bucket 4, 255 x2 -> bucket 7
+    assert real_decode(png, "image") == [0.25, 0, 0, 0, 0.25, 0, 0, 0.5]
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), None, None, None)],
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_sample_rate int",
+    )
+    row = extract_features(media, use_stub=False).collect()[0]
+    assert row.n_bytes == len(png)
+    assert list(row.feature) == [0.25, 0, 0, 0, 0.25, 0, 0, 0.5]
+
+
+def test_real_decode_raises_without_pil():
+    from clickhouse_segments_tutorial_spark.operators import multimodal
+
+    if multimodal.HAVE_PIL:
+        pytest.skip("PIL present; the guard path is unreachable")
+    with pytest.raises(NotImplementedError, match="not installed"):
+        real_decode(b"\x89PNG", "image")

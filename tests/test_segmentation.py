@@ -398,3 +398,57 @@ def test_changelog_retention_disabled_keeps_partitions(spark, tmp_path):
         p for p in os.listdir(seg.changelog_path) if p.startswith(PARTITION_COL)
     }
     assert {f"{PARTITION_COL}=20230101", f"{PARTITION_COL}=20230201"} <= parts
+
+
+def test_named_database_cascade_lifecycle(spark, tmp_path):
+    """S1/S12 literally: the reference creates a per-run DATABASE and all
+    tables live inside it (jestGlobalSetup.ts:11-13, dropped at teardown).
+    Here: CREATE DATABASE -> ingest events as a catalog table in it ->
+    run the bucketed cascade bound to the database -> membership matches
+    the exact recompute -> DROP DATABASE CASCADE removes every table."""
+    from clickhouse_segments_tutorial_spark.segmentation import (
+        BucketedMicroBatchSegmenter,
+    )
+    from clickhouse_segments_tutorial_spark.sources import SegmentDatabase
+
+    t0 = ts("2023-01-01 00:00:00")
+    rows = [
+        ("1", "BUTTON_CLICK", "m1", t0),
+        ("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(seconds=5)),
+        ("2", "BUTTON_CLICK", "m3", t0),
+    ]
+    events = spark.createDataFrame(rows, USER_EVENTS_IDEMPOTENT)
+
+    with SegmentDatabase(spark, "seg_run_test") as db:
+        # S1: named table in the database (MergeTree CREATE TABLE analog)
+        events.write.mode("overwrite").saveAsTable(db.qualify("user_events"))
+        cat_events = spark.table(db.qualify("user_events"))
+
+        seg = BucketedMicroBatchSegmenter(
+            spark, str(tmp_path), SPEC,
+            namespace="heavy", buckets=4, database=db.name,
+        )
+        seg.process_batch(cat_events, lower_bound=t0, now=t0)
+        assert members(seg.members()) == ["1"]
+        # compaction must keep the database-qualified rename path working
+        seg.compact_states()
+        assert members(seg.members()) == ["1"]
+        assert set(db.tables()) >= {
+            "user_events", "heavy_user_states", "heavy_segment_assignments",
+        }
+    # teardown dropped the namespace and everything in it
+    assert not spark.catalog.databaseExists("seg_run_test")
+
+
+def test_database_name_validation(spark, tmp_path):
+    from clickhouse_segments_tutorial_spark.segmentation import (
+        BucketedMicroBatchSegmenter,
+    )
+    from clickhouse_segments_tutorial_spark.sources import SegmentDatabase
+
+    with pytest.raises(ValueError, match="identifier"):
+        SegmentDatabase(spark, "bad-name; drop")
+    with pytest.raises(ValueError, match="identifier"):
+        BucketedMicroBatchSegmenter(
+            spark, str(tmp_path), SPEC, namespace="ok", database="no;pe"
+        )
