@@ -35,10 +35,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import llm, relational, segmentation_queries
+    from . import llm, relational, scale, segmentation_queries
 
     out: dict[str, QuerySpec] = {}
-    for mod in (segmentation_queries, relational, llm):
+    for mod in (segmentation_queries, relational, llm, scale):
         for spec in mod.QUERIES:
             if spec.name in out:
                 raise ValueError(f"duplicate query name {spec.name}")
