@@ -28,6 +28,11 @@ def _pin_session_conf(spark: SparkSession) -> None:
     date-bearing oracle)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The driver corpus stores timestamps as parquet micros with
+    # isAdjustedToUTC=false; Spark 4 infers those as TIMESTAMP_NTZ, which
+    # watermarks and unix_micros reject. Read them as instants (UTC session
+    # tz above makes the interpretation identical to DuckDB's naive reads).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # error. div 1000 truncates toward zero == floor for the corpus's
     # non-negative epochs (pre-1970 nanos would need floor-div).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Micros-without-timezone parquet (the current driver corpus) would
+    # otherwise infer as TIMESTAMP_NTZ under Spark 4 defaults — a type that
+    # watermarks, unix_micros and timestamp arithmetic reject. Read as
+    # instants; with the UTC session timezone the values match DuckDB's
+    # naive interpretation exactly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = CORPUS_TABLES[name]
     for field in declared.fields:
@@ -53,6 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, T.TimestampType) and isinstance(
+            actual, T.TimestampNTZType
+        ):
+            # Defensive: a scan planned before the conf above was set (or an
+            # externally-built session) can still surface NTZ; under the UTC
+            # session timezone this cast is value-preserving.
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
