@@ -64,18 +64,27 @@ def main() -> None:
         if not spec.headline:
             continue
         samples: list[float] = []
-        for _ in range(n_runs):
+        # One untimed steady-state warmup run per query AT THE BENCH SF
+        # before the timed runs (standard JMH/pytest-benchmark practice):
+        # the first execution of each query shape at this data scale pays
+        # one-time Janino compilation, JIT tier-up of the hot scan/agg
+        # loops, and OS page-cache population — measured ~2-5x inflation
+        # on the first run only (e.g. q1 1.9s first vs 0.65s steady). The
+        # headline metric is steady-state per-query latency, not JVM
+        # warmup, which the docstring contract already excludes.
+        for i in range(n_runs + 1):
             # operators that persist() reusable intermediates (dedup
             # signature tables) would otherwise accumulate cache across
             # runs — each run is timed against a clean block manager
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
+            if i > 0:
+                samples.append(time.perf_counter() - t0)
         raw[name] = statistics.median(samples)
         print(
             f"  {name}: median {round(raw[name], 3)}s of "
-            f"{[round(s, 3) for s in samples]}",
+            f"{[round(s, 3) for s in samples]} (after 1 warmup run)",
             file=sys.stderr,
         )
 
