@@ -160,19 +160,42 @@ class MicroBatchSegmenter:
         """Run one micro-batch: state update + changelog + finalize."""
         # The batch aggregate feeds two writes (states + changelog MV
         # analog); persist so the event scan + HLL build runs once.
+        # Materialize eagerly (count) so the two concurrent writers below
+        # hit cached blocks instead of racing to compute the same lineage.
         state_rows = self._batch_state(events, lower_bound, now).persist()
+        state_rows.count()
         try:
-            self._append_states(state_rows)
-            # MV trigger analog: project the same inserted block into the
-            # changelog
+            # The states append and the changelog append are independent
+            # projections of the same cached block — run them as concurrent
+            # Spark jobs (one session, two submitting threads; the scheduler
+            # interleaves their tasks). This is exactly ClickHouse's insert
+            # path: the MV trigger writes the changelog in the same insert
+            # pipeline, not as a second sequential scan.
+            from concurrent.futures import ThreadPoolExecutor
+
             changelog_rows = state_rows.select("user_id", "computed_at")
-            append_clustered(
-                changelog_rows,
-                self.changelog_path,
-                cluster_by=["user_id"],
-                partition_ts="computed_at",
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_states = pool.submit(self._append_states, state_rows)
+                f_changelog = pool.submit(
+                    append_clustered,
+                    changelog_rows,
+                    self.changelog_path,
+                    cluster_by=["user_id"],
+                    partition_ts="computed_at",
+                )
+                f_states.result()
+                f_changelog.result()
+            # Finalize with the inserted block's user set directly — the MV
+            # trigger already holds it in memory, so re-reading the changelog
+            # table it just wrote would be a pure round-trip. The
+            # changelog-driven path (finalize_pending) computes the same set
+            # for any monotone batch clock and remains the replay/recovery
+            # cadence (tested equivalent in tests/test_segmentation.py).
+            self._finalize(
+                changed_since=now,
+                assigned_at=now,
+                changed=state_rows.select("user_id").distinct(),
             )
-            self._finalize(changed_since=now, assigned_at=now)
             # changelog TTL on the batch cadence (the reference's TTL is
             # background; between-batches is our equivalent slot, same as
             # compaction) — O(partitions) directory drops, no data rewrite
@@ -190,31 +213,42 @@ class MicroBatchSegmenter:
     def _merged_aggs(self) -> list:
         return [(hll_merge_estimate("event_count") >= self.spec.threshold).alias("value")]
 
-    def _finalize(self, changed_since, assigned_at) -> None:
+    def _finalize(self, changed_since, assigned_at, changed: DataFrame | None = None) -> None:
         """Stage 3: re-derive assignments for users changed since the cursor.
 
         Mirrors INSERT INTO segment_assignments SELECT user_id,
         uniqMerge(event_count) >= 2 FROM user_states WHERE user_id IN
         (SELECT user_id FROM updated_user_states WHERE computed_at >= lb)
         GROUP BY user_id (3-microBatch.test.ts:136-154).
+
+        ``changed``: optional pre-computed changed-user set (one user_id
+        column). ``process_batch`` passes its in-memory inserted block —
+        identical to the changelog read below whenever the batch clock is
+        monotone (every changelog row with computed_at >= now is this
+        batch's own block). When omitted, the set comes from the
+        day-partition-pruned changelog scan — the reference's decoupled
+        finalize cadence.
         """
         states = self.states()
-        changelog = self._read(self.changelog_path)  # keep the partition col
-        if states is None or changelog is None:
+        if states is None:
             return
-        # Filter the DAY PARTITION first (directory pruning — the reason
-        # the changelog is day-partitioned), then the row-level cursor:
-        # without the partition predicate every batch would rescan the
-        # entire changelog history, O(batches ever run) instead of O(new).
-        day = _ts(changed_since)
-        changed = (
-            changelog.filter(
-                F.col(PARTITION_COL) >= F.date_format(day, "yyyyMMdd")
+        if changed is None:
+            changelog = self._read(self.changelog_path)  # keep the partition col
+            if changelog is None:
+                return
+            # Filter the DAY PARTITION first (directory pruning — the reason
+            # the changelog is day-partitioned), then the row-level cursor:
+            # without the partition predicate every batch would rescan the
+            # entire changelog history, O(batches ever run) instead of O(new).
+            day = _ts(changed_since)
+            changed = (
+                changelog.filter(
+                    F.col(PARTITION_COL) >= F.date_format(day, "yyyyMMdd")
+                )
+                .filter(F.col("computed_at") >= day)
+                .select("user_id")
+                .distinct()
             )
-            .filter(F.col("computed_at") >= day)
-            .select("user_id")
-            .distinct()
-        )
         finalized = (
             states.join(F.broadcast(changed), "user_id", "left_semi")
             .groupBy("user_id")
@@ -222,6 +256,14 @@ class MicroBatchSegmenter:
             .withColumn("assigned_at", _ts(assigned_at))
         )
         self._append_assignments(finalized)
+
+    def finalize_pending(self, changed_since, assigned_at) -> None:
+        """Changelog-driven finalization (the reference's periodic cadence,
+        3-microBatch.test.ts:136-154): re-derive assignments for every user
+        whose changelog cursor is at/after ``changed_since``, regardless of
+        which batch produced the change. Use for replay/recovery or when
+        finalize runs on a slower schedule than ingest."""
+        self._finalize(changed_since=changed_since, assigned_at=assigned_at)
 
     # -- serving --------------------------------------------------------------
 

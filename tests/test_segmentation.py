@@ -452,3 +452,26 @@ def test_database_name_validation(spark, tmp_path):
         BucketedMicroBatchSegmenter(
             spark, str(tmp_path), SPEC, namespace="ok", database="no;pe"
         )
+
+
+def test_finalize_pending_matches_inserted_block_fast_path(spark, tmp_path):
+    """process_batch finalizes with its in-memory inserted block; the
+    changelog-driven finalize_pending over the same cursor must produce the
+    identical served membership (the equivalence the fast path relies on),
+    and re-finalizing is idempotent on the serve result."""
+    seg = MicroBatchSegmenter(spark, str(tmp_path), SPEC)
+    t0 = ts("2023-01-01 00:00:00")
+    batch = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("1", "BUTTON_CLICK", "m2", t0),
+            ("2", "BUTTON_CLICK", "m3", t0),
+        ],
+        "user_id string, event_name string, message_id string, timestamp timestamp",
+    )
+    seg.process_batch(batch, lower_bound=t0, now=t0)
+    served_fast = members(seg.members())
+    assert served_fast == ["1"]
+    # replay the decoupled cadence over the changelog the batch wrote
+    seg.finalize_pending(changed_since=t0, assigned_at=t0 + dt.timedelta(seconds=1))
+    assert members(seg.members()) == served_fast
