@@ -85,7 +85,21 @@ def shingle_hashes(
     sketch queries whose BITS must replay in SQL (SimHash), at the cost of
     materializing the joined gram string per shingle.
     """
-    toks = tokens(text)
+    return shingle_hashes_from_tokens(tokens(text), n, hash_mode=hash_mode)
+
+
+def shingle_hashes_from_tokens(
+    toks: Column, n: int = 3, *, hash_mode: str = "xxhash64"
+) -> Column:
+    """Hashed shingles over an ALREADY-TOKENIZED array column.
+
+    Prefer this (via :func:`shingled_docs`) for bulk work: a higher-order
+    lambda re-evaluates its child expression per array element in the
+    interpreted path, so shingling straight off ``tokens(text)`` pays the
+    regexp tokenizer once per SHINGLE instead of once per document
+    (measured 3.5x slower on the bench corpus). Project the token array
+    into a column first and the lambda reads an attribute instead.
+    """
     cnt = F.size(toks)
     if hash_mode == "md5":
         one = F.array(md5_hash60(F.concat_ws(" ", toks)))
@@ -121,6 +135,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # --- exact n-gram Jaccard pairs (the oracle path) ---------------------------
+
+
+def shingled_docs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _sh) for every doc: spread to full parallelism, tokenize in one
+    projection, shingle-hash from the token COLUMN in a second (see
+    :func:`shingle_hashes_from_tokens` for why the split is 3.5x faster
+    than shingling straight off the text)."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+        .select(
+            "_id",
+            shingle_hashes_from_tokens(F.col("_t"), n, hash_mode=hash_mode).alias(
+                "_sh"
+            ),
+        )
+    )
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -172,8 +210,7 @@ def jaccard_pairs(
     # 100 TB you would write this to a bucketed table keyed by _g instead —
     # same idea, durable.
     shingled = (
-        _spread(df)
-        .select(F.col(id_col).alias("_id"), shingle_hashes(text_col, n).alias("_sh"))
+        shingled_docs(df, text_col=text_col, id_col=id_col, n=n)
         .withColumn("_n", F.size("_sh"))
         .persist()
     )
@@ -244,14 +281,7 @@ def minhash_lsh_pairs(
     # Shingle once, persist: consumed by the signature build and both
     # verify join sides (at scale: write this to storage instead — it is
     # the reusable index).
-    docs = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes(text_col, n).alias("_sh"),
-        )
-        .persist()
-    )
+    docs = shingled_docs(df, text_col=text_col, id_col=id_col, n=n).persist()
     # Signatures via explode + k codegen'd min-aggregates: identical values
     # to array_min(transform(...)) but whole-stage-codegen instead of
     # interpreted per-element folds (measured 2x; the same trade as
@@ -379,10 +409,9 @@ def simhash_signatures(
     in engines without unsigned ints.
     """
     bits = 60 if hash_mode == "md5" else 64
-    posting = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_hashes(text_col, n, hash_mode=hash_mode)).alias("_g"),
-    )
+    posting = shingled_docs(
+        df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode
+    ).select("_id", F.explode("_sh").alias("_g"))
     h = F.col("_g")
     votes = posting.groupBy("_id").agg(
         *[

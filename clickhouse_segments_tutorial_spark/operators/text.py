@@ -138,7 +138,16 @@ def ngrams(text: str | Column, n: int = 2) -> Column:
     """ALL word n-grams in order (not deduplicated — frequency analysis
     needs multiplicity, unlike dedup's shingle sets). Docs with fewer
     than n tokens yield an empty array (no partial grams)."""
-    toks = tokens(text)
+    return ngrams_from_tokens(tokens(text), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """n-grams over an already-tokenized array column. For bulk work,
+    project the token array into a column first: the transform lambda below
+    re-evaluates its outer ``toks`` expression per element in the
+    interpreted path, so passing ``tokens(text)`` directly re-runs the
+    regexp tokenizer once per gram (see dedup.shingle_hashes_from_tokens,
+    measured 3.5x)."""
     cnt = F.size(toks)
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -168,7 +177,8 @@ def top_ngrams(
     from pyspark.sql import Window
 
     counts = (
-        df.select(F.col(group_col).alias("grp"), F.explode(ngrams(text_col, n)).alias("ngram"))
+        df.select(F.col(group_col).alias("grp"), tokens(text_col).alias("_t"))
+        .select("grp", F.explode(ngrams_from_tokens(F.col("_t"), n)).alias("ngram"))
         .groupBy("grp", "ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
