@@ -21,7 +21,8 @@ pipelines. Design notes per operator, scale-first:
   Hamming distance d. Banding the 64 bits into (d+1) chunks gives exact
   recall for distance <= d (pigeonhole) with the same bucket-join shape.
 
-Everything is deterministic: hashes are xxhash64 with fixed integer salts,
+Everything is deterministic: shingle hashes are xxhash64, MinHash
+permutations are fixed-coefficient universal hashes (see _minhash_coeffs),
 no RNG at runtime. Operators that feed a cross-engine oracle offer
 ``hash_mode='md5'`` — a 60-bit hash from the first 15 md5 hex chars, which
 every engine computes identically (DuckDB:
@@ -239,6 +240,35 @@ def jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+# The k "permutations" are universal hashes h_i(x) = (a_i*x + b_i) mod P
+# over the low 32 bits of the shingle hash — the same family Spark MLlib's
+# MinHashLSH uses (org.apache.spark.ml.feature.MinHashLSH: perfect hash
+# seeded per function), ~5x cheaper per shingle than k independent
+# xxhash64 calls. P is the smallest prime > 2^32, so a_i*x + b_i stays
+# under 2^63 (a_i, b_i < 2^31; x < 2^32) — no overflow even under ANSI.
+# Coefficients are FIXED, derived from a splitmix64-style mix of i, so
+# signatures are deterministic across sessions and engines.
+_MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _minhash_coeffs(i: int) -> tuple[int, int]:
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        return z ^ (z >> 31)
+
+    a = mix(2 * i) % ((1 << 31) - 1) + 1  # 1 <= a < 2^31 (never 0)
+    b = mix(2 * i + 1) % (1 << 31)
+    return a, b
+
+
+def _minhash_perm(x: Column, i: int) -> Column:
+    a, b = _minhash_coeffs(i)
+    x32 = x.bitwiseAND(F.lit((1 << 32) - 1))
+    return (F.lit(a) * x32 + F.lit(b)) % F.lit(_MINHASH_PRIME)
+
+
 def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
     """k-permutation MinHash signature as array<bigint> over hashed shingles
     — the shuffle-free expression form (array folds, interpreted).
@@ -246,12 +276,13 @@ def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
     NOT used by :func:`minhash_lsh_pairs`, which builds the same values via
     explode + codegen'd min-aggregates (2x faster in bulk); this form is for
     signing a stream/row-at-a-time context where a groupBy is unavailable.
-    Values are identical: min over {xxhash64(shingle_hash, salt_i)}.
+    Values are identical: min over {h_i(shingle_hash)} for the same fixed
+    universal-hash family.
     """
     def salted(i: int):
         # arity-1 lambda via factory: pyspark passes (element, index) to
         # arity-2 lambdas, so `i=i` defaults would bind the array index.
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda s: _minhash_perm(s, i)
 
     return F.array(
         *[F.array_min(F.transform(shingle_hash_col, salted(i))) for i in range(k)]
@@ -291,7 +322,7 @@ def minhash_lsh_pairs(
         .groupBy("_id")
         .agg(
             *[
-                F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_h{i}")
+                F.min(_minhash_perm(F.col("_g"), i)).alias(f"_h{i}")
                 for i in range(k)
             ]
         )
