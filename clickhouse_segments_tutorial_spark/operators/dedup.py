@@ -520,3 +520,80 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
     )
     return pairs
+
+
+# --- eval-set decontamination ------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Per-train-doc n-gram overlap with an eval/benchmark set — the
+    standard pre-training decontamination check (flag training documents
+    that share >= ``min_common`` distinct word n-grams with ANY eval
+    document, the GPT-3/PaLM-style 13-gram collision rule scaled to this
+    corpus's short docs).
+
+    Returns one row per train doc: (id, n_common_grams, contaminated).
+
+    Scale shape: the eval side collapses to its DISTINCT shingle-hash set —
+    eval suites are tiny relative to a 100 TB corpus, so it is broadcast;
+    the train side is a map-only explode into a broadcast hash join, and
+    only HIT rows (rare) reach the per-doc count shuffle. The final
+    zero-fill join is train-ids against the tiny hit table, broadcast
+    again: the full corpus is never shuffled.
+
+    Counting distinct shared grams over xxhash64 shingle hashes equals
+    counting over the gram strings (collisions at 2^-64 — same argument as
+    jaccard_pairs), so a string-shingling SQL oracle replays this exactly.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    eval_grams = (
+        shingled_docs(eval_df, text_col=text_col, id_col=id_col, n=n)
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    train_sh = shingled_docs(train, text_col=text_col, id_col=id_col, n=n)
+    # _sh is already distinct within a doc, so count(*) after the gram join
+    # IS the distinct common-gram count.
+    hits = (
+        train_sh.select("_id", F.explode("_sh").alias("_g"))
+        .join(F.broadcast(eval_grams), "_g")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n_common"))
+    )
+    return (
+        train.select(F.col(id_col).alias("_id"))
+        .join(F.broadcast(hits), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_n_common", F.lit(0)).alias("n_common_grams"),
+            (F.coalesce("_n_common", F.lit(0)) >= min_common).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Drop contaminated rows from ``train`` (all original columns kept).
+
+    Broadcast anti-join against the (small) flagged-id set — the corpus
+    side stays map-only."""
+    flagged = ngram_contamination(
+        train, eval_df, text_col=text_col, id_col=id_col, n=n, min_common=min_common
+    ).filter(F.col("contaminated")).select(F.col(id_col))
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -23,7 +23,13 @@ import os
 import tempfile
 
 from ..operators.components import dedup_groups
-from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    ngram_contamination,
+    simhash_pairs,
+)
 from ..operators.multimodal import documents_as_media, extract_features
 from ..operators.sampling import stratified_sample, train_test_split
 from ..operators.similarity import (
@@ -849,8 +855,62 @@ WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """
 
 
+def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination report: per train-split doc, the count of
+    distinct word 5-grams shared with ANY test-split doc and the resulting
+    contaminated flag (GPT-3/PaLM-style n-gram collision rule; eval side
+    broadcast, corpus side map-only — see operators.dedup.ngram_contamination)."""
+    docs = train_test_split(_t(spark, sf_dir, "documents"), 0.1, key_col="doc_id")
+    return ngram_contamination(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        n=5,
+        min_common=1,
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split,
+         list_distinct(
+           CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]
+           END
+         ) AS sh
+  FROM tok
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE split = 'test'
+),
+hits AS (
+  SELECT p.doc_id, count(*) AS n_common
+  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE split = 'train') p
+  JOIN eval_grams e ON p.g = e.g
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       COALESCE(h.n_common, 0) AS n_common_grams,
+       COALESCE(h.n_common, 0) >= 1 AS contaminated
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.split = 'train'
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
+    QuerySpec("contamination_check_docs", contamination_check_docs, _CONTAMINATION_ORACLE),
     QuerySpec("jaccard_near_dup_pairs", jaccard_near_dup_pairs, _JACCARD_ORACLE, headline=True),
     QuerySpec("minhash_near_dup_pairs", minhash_near_dup_pairs, _JACCARD_ORACLE, headline=True),
     QuerySpec("simhash_near_dup_pairs", simhash_near_dup_pairs, _SIMHASH_ORACLE),

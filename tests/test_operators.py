@@ -782,3 +782,48 @@ def test_real_decode_raises_without_pil():
         pytest.skip("PIL present; the guard path is unreachable")
     with pytest.raises(NotImplementedError, match="not installed"):
         real_decode(b"\x89PNG", "image")
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    """Planted overlap: a train doc sharing a 5-gram with an eval doc is
+    flagged with the right distinct-gram count; clean docs report 0 and
+    survive decontaminate with all columns."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares 2 distinct 5-grams with eval ("quick brown fox jumps
+            # over", "brown fox jumps over the")
+            (1, "a quick brown fox jumps over the wall"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, ""),  # empty doc: zero shingles, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_common_grams, r.contaminated)
+        for r in ngram_contamination(train, eval_df, n=5, min_common=1).collect()
+    }
+    assert rows[1][1] and rows[1][0] == 2
+    assert rows[2] == (0, False)
+    assert rows[3] == (0, False)
+    clean = decontaminate(train, eval_df, n=5, min_common=1)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    assert clean.columns == train.columns
+
+    # threshold: min_common above the planted overlap keeps everything
+    lax = ngram_contamination(train, eval_df, n=5, min_common=3)
+    assert not any(r.contaminated for r in lax.collect())
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_contamination(train, eval_df, min_common=0)
