@@ -87,3 +87,90 @@ def train_test_split(
             hash_draw(key_col) < _threshold_hex(test_fraction), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str,
+    total_rows: int | None = None,
+    max_rate: float = 20.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic corpus mixture: resample strata (domains, languages,
+    sources) to TARGET proportions, up- or down-sampling each stratum as
+    needed — the Pile/LLaMA-style data-mixing step of a training pipeline.
+
+    A stratum with target share above its natural share is UPSAMPLED by
+    repetition: each row appears floor(rate) times (full epochs, stamped
+    0..k in ``epoch_col``) plus one more with probability frac(rate),
+    decided by the content-hash draw of (key, stratum) — so the output is
+    partitioning-invariant and engine-reproducible like every sampler in
+    this module. Strata absent from ``weights`` are dropped.
+
+    Scale shape: ONE tiny aggregation (stratum counts, collected — #strata
+    rows) to derive per-stratum rates, then a map-only
+    sequence+explode over the scan. No corpus shuffle; the output is
+    ~``total_rows`` rows (expectation, per-stratum deviation O(sqrt n)).
+
+    ``max_rate`` guards pathological upsampling (a 1e-6-share stratum
+    asked to be 50% of the mix would replicate rows millions of times).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    counts = {
+        r["_s"]: r["_n"]
+        for r in df.groupBy(F.col(strata_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    total = total_rows if total_rows is not None else sum(
+        counts.get(s, 0) for s in weights
+    )
+    wsum = sum(weights.values())
+    rate_expr = None
+    for stratum, w in weights.items():
+        n_s = counts.get(stratum, 0)
+        if n_s == 0:
+            continue
+        rate = (total * w / wsum) / n_s
+        if rate > max_rate:
+            raise ValueError(
+                f"stratum {stratum!r} needs rate {rate:.1f}x (> max_rate "
+                f"{max_rate}); its natural share is too small for the "
+                f"requested mix — raise max_rate only if the repetition "
+                f"is intended"
+            )
+        lit = F.lit(float(rate))
+        rate_expr = (
+            F.when(F.col(strata_col) == stratum, lit)
+            if rate_expr is None
+            else rate_expr.when(F.col(strata_col) == stratum, lit)
+        )
+    if rate_expr is None:
+        raise ValueError("no stratum in weights exists in the data")
+    rate = rate_expr.otherwise(F.lit(0.0))
+    n_full = F.floor(rate).cast("int")
+    # fractional epoch: drawn on (key, stratum) so the SAME key reused
+    # across strata draws independently, and frac-kept rows are a
+    # deterministic subset — identical across engines and partitionings
+    frac = rate - F.floor(rate)
+    frac_hex = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(float(1 << 32))).cast("long"))), 8, "0"
+    )
+    extra = F.when(
+        hash_draw(F.concat_ws(":", F.col(key_col).cast("string"), F.col(strata_col)))
+        < frac_hex,
+        1,
+    ).otherwise(0)
+    n_copies = n_full + extra
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") >= 1)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc")
+    )

@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import documents_as_media, extract_features
-from ..operators.sampling import stratified_sample, train_test_split
+from ..operators.sampling import mix_corpus, stratified_sample, train_test_split
 from ..operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -855,6 +855,58 @@ WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """
 
 
+# Target language mix for the mixture query: en-dominant with long-tail
+# upsampling (zh's natural share is ~3x its target's inverse — it gets
+# repeated epochs). Weights and their sum are inlined as repr() literals
+# into BOTH engines' expressions so the per-stratum double rates are
+# bit-identical (same IEEE-754 ops in the same order).
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def mixed_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language remix of the documents corpus to the
+    _MIX_WEIGHTS proportions: under-represented languages are upsampled by
+    whole-epoch repetition plus a content-hash-drawn fractional epoch,
+    over-represented ones are downsampled — partitioning-invariant and
+    replayed exactly by the SQL oracle (see operators.sampling.mix_corpus)."""
+    return mix_corpus(
+        _t(spark, sf_dir, "documents"),
+        _MIX_WEIGHTS,
+        strata_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "lang", "epoch")
+
+
+_MIX_CASES = "\n".join(
+    f"    ('{s}', {w!r})," for s, w in _MIX_WEIGHTS.items()
+).rstrip(",")
+_MIX_WSUM = repr(sum(_MIX_WEIGHTS.values()))
+
+_MIX_ORACLE = f"""
+WITH w(s, wt) AS (VALUES
+{_MIX_CASES}
+),
+counts AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),
+total AS (
+  SELECT CAST(sum(n_s) AS DOUBLE) AS t FROM counts JOIN w USING (s)
+),
+rates AS (
+  SELECT s, (t * wt / {_MIX_WSUM}) / n_s AS rate
+  FROM counts JOIN w USING (s), total
+),
+expanded AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), 1, 8)
+                     < lpad(lower(hex(CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r ON d.lang = r.s
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+FROM expanded WHERE n_copies >= 1
+"""
+
+
 def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination report: per train-split doc, the count of
     distinct word 5-grams shared with ANY test-split doc and the resulting
@@ -917,6 +969,7 @@ QUERIES = [
     QuerySpec("dedup_groups_docs", dedup_groups_docs, _DEDUP_GROUPS_ORACLE),
     QuerySpec("sample_docs_stratified", sample_docs_stratified, _SAMPLE_ORACLE),
     QuerySpec("train_test_split_docs", train_test_split_docs, _SPLIT_ORACLE),
+    QuerySpec("mixed_corpus_docs", mixed_corpus_docs, _MIX_ORACLE),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),

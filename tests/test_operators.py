@@ -827,3 +827,48 @@ def test_ngram_contamination_and_decontaminate(spark):
 
     with _pytest.raises(ValueError):
         ngram_contamination(train, eval_df, min_common=0)
+
+
+def test_mix_corpus_epochs_and_determinism(spark):
+    """Upsampled strata repeat with dense epoch ids; the kept set is
+    partitioning-invariant; guards trip on empty/pathological mixes."""
+    from clickhouse_segments_tutorial_spark.operators.sampling import mix_corpus
+
+    rows = [(i, "small" if i < 10 else "big") for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    # target 50/50 over ~110 rows: 'small' (10 docs) needs rate ~5.5x,
+    # 'big' (100 docs) ~0.55x
+    mixed = mix_corpus(df, {"small": 0.5, "big": 0.5}, strata_col="src", key_col="doc_id")
+    out = mixed.groupBy("src").count().collect()
+    by = {r.src: r["count"] for r in out}
+    assert 45 <= by["small"] <= 65 and 45 <= by["big"] <= 65
+    # every 'small' doc appears at least floor(5.5)=5 times, epochs dense 0..k
+    per_doc = (
+        mixed.filter(F.col("src") == "small")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"), F.min("epoch").alias("mn"))
+        .collect()
+    )
+    assert all(r.n >= 5 and r.mn == 0 and r.mx == r.n - 1 for r in per_doc)
+    # partitioning-invariant
+    again = mix_corpus(
+        df.repartition(13), {"small": 0.5, "big": 0.5}, strata_col="src", key_col="doc_id"
+    )
+    a = sorted((r.doc_id, r.epoch) for r in mixed.collect())
+    b = sorted((r.doc_id, r.epoch) for r in again.collect())
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_corpus(df, {}, strata_col="src", key_col="doc_id")
+    with _pytest.raises(ValueError):  # absent stratum only
+        mix_corpus(df, {"nope": 1.0}, strata_col="src", key_col="doc_id")
+    with _pytest.raises(ValueError):  # rate above the replication guard
+        mix_corpus(
+            df,
+            {"small": 0.999, "big": 0.001},
+            strata_col="src",
+            key_col="doc_id",
+            max_rate=5.0,
+        )
