@@ -183,3 +183,22 @@ def test_pack_chunks_single_shuffle(spark):
     plan = plan_of(spark, "packed_chunks")
     assert plan.count("Exchange") // 2 == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_mix_corpus_is_map_only(spark):
+    """The mixture decision is a scan-side expression + explode: after the
+    one driver-side counts collect, the corpus must NOT shuffle (no
+    Exchange) — that is the whole scale story of the operator."""
+    plan = plan_of(spark, "mixed_corpus_docs")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval-gram set and the hit table must both ride broadcast joins;
+    the only corpus-side Exchange allowed is the per-doc hit count (rare
+    rows), never a full-corpus shuffle on text or grams."""
+    plan = plan_of(spark, "contamination_check_docs")
+    assert "BroadcastHashJoin" in plan
+    # broadcast LEFT join for the zero-fill + broadcast inner for grams
+    assert plan.count("BroadcastExchange") >= 2
