@@ -855,6 +855,52 @@ WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """
 
 
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content fingerprints: exact (md5 of the full text — the
+    exact-dedup key) and winnowing-style robust (min portable 60-bit hash
+    over word 8-gram windows — stable under small edits outside the
+    minimizing window; operators/text.py:rolling_fingerprint is the
+    xxhash64 hot-path twin). Map-only: tokenize once, hash grams, one
+    array_min — no shuffle."""
+    from ..operators.dedup import shingle_hashes_from_tokens
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    with_toks = docs.select("doc_id", F.col("text"), tokens("text").alias("_t"))
+    gram_hashes = shingle_hashes_from_tokens(F.col("_t"), 8, hash_mode="md5")
+    return with_toks.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.array_min(gram_hashes).alias("rolling_fp"),
+    )
+
+
+_FINGERPRINTS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, text,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS g
+  FROM tok
+)
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       (SELECT min(CAST(('0x' || substr(md5(u.x), 1, 15)) AS BIGINT))
+        FROM unnest(g) AS u(x)) AS rolling_fp
+FROM grams
+"""
+
+
 # Target language mix for the mixture query: en-dominant with long-tail
 # upsampling (zh's natural share is ~3x its target's inverse — it gets
 # repeated epochs). Weights and their sum are inlined as repr() literals
@@ -970,6 +1016,7 @@ QUERIES = [
     QuerySpec("sample_docs_stratified", sample_docs_stratified, _SAMPLE_ORACLE),
     QuerySpec("train_test_split_docs", train_test_split_docs, _SPLIT_ORACLE),
     QuerySpec("mixed_corpus_docs", mixed_corpus_docs, _MIX_ORACLE),
+    QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINTS_ORACLE),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
