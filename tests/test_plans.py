@@ -202,3 +202,27 @@ def test_contamination_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan
     # broadcast LEFT join for the zero-fill + broadcast inner for grams
     assert plan.count("BroadcastExchange") >= 2
+
+
+# Queries whose physical plan legitimately contains a non-equi join:
+# the documented exact quadratic oracle paths (their scale twins are
+# bucketed) and the single-probe-row brute-force baseline.
+_NON_EQUI_OK = {
+    "embedding_near_dup_pairs",  # exact O(n^2) oracle (twin: ..._lsh)
+    "knn_cosine_bruteforce",     # one probe row x corpus, by design
+    "rich_idle_customers",       # scalar-subquery: ONE-row broadcast x corpus
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()), ids=str)
+def test_no_cartesian_or_python_row_udfs_anywhere(spark, name):
+    """Global plan hygiene across EVERY registered query: no cartesian /
+    nested-loop joins outside the documented quadratic oracle paths, and no
+    row-at-a-time Python UDFs ever (Arrow-batched pandas stages show as
+    ArrowEvalPython and are allowed; BatchEvalPython is the 10-100x slow
+    path this repo bans)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _NON_EQUI_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: non-equi join"
