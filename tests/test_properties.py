@@ -286,3 +286,75 @@ def test_pack_chunks_matches_python_greedy(spark, sizes, capacity):
             fill += tok
             expected[(doc_id, chunk_idx)] = (shard, seq)
     assert got == expected
+
+
+@given(
+    train_texts=doc_strategy,
+    eval_texts=doc_strategy,
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_contamination_matches_python_model(spark, train_texts, eval_texts, n):
+    """n_common_grams == |shingles(train doc) ∩ union(eval shingles)| for
+    every train doc, on arbitrary tiny corpora (empty docs, single tokens,
+    full overlap)."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(list(enumerate(train_texts)), "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+    eval_grams = frozenset().union(*(py_shingles(t, n) for t in eval_texts))
+    got = {
+        r.doc_id: (r.n_common_grams, r.contaminated)
+        for r in ngram_contamination(train, eval_df, n=n, min_common=1).collect()
+    }
+    want = {
+        i: (len(py_shingles(t, n) & eval_grams), len(py_shingles(t, n) & eval_grams) >= 1)
+        for i, t in enumerate(train_texts)
+    }
+    assert got == want
+
+
+@given(
+    strata=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=40),
+    w_a=st.floats(min_value=0.1, max_value=0.9),
+)
+@settings(**SETTINGS)
+def test_mix_corpus_copy_counts_match_python_model(spark, strata, w_a):
+    """Every row's copy count equals the Python-computed floor(rate) +
+    md5-draw fractional epoch — exact replication of the engine rule, so
+    the operator is provably partitioning- and engine-invariant."""
+    import hashlib
+    import math
+
+    from clickhouse_segments_tutorial_spark.operators.sampling import mix_corpus
+
+    weights = {"a": w_a, "b": 1.0 - w_a}
+    df = spark.createDataFrame(list(enumerate(strata)), "doc_id long, src string")
+    counts = {}
+    for _, s in enumerate(strata):
+        counts[s] = counts.get(s, 0) + 1
+    total = sum(counts.get(s, 0) for s in weights)
+    wsum = sum(weights.values())
+    try:
+        mixed = mix_corpus(
+            df, weights, strata_col="src", key_col="doc_id", max_rate=50.0
+        ).collect()
+    except ValueError:
+        return  # guard tripped (stratum absent) — nothing to compare
+    got = {}
+    for r in mixed:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    want = {}
+    for i, s in enumerate(strata):
+        if s not in weights or counts.get(s, 0) == 0:
+            continue
+        rate = (total * weights[s] / wsum) / counts[s]
+        frac = rate - math.floor(rate)
+        thresh = format(int(frac * (1 << 32)), "08x")
+        draw = hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8]
+        n = math.floor(rate) + (1 if draw < thresh else 0)
+        if n >= 1:
+            want[i] = n
+    assert got == want
