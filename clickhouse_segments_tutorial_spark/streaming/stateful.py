@@ -33,6 +33,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from .stream_segment import StreamingSegmenter
 
@@ -137,3 +141,138 @@ class ExactStreamingSegmenter(StreamingSegmenter):
             "last_event_time",
             F.lit(batch_id).alias("version"),
         )
+
+
+# --- transformWithState twin -------------------------------------------------
+
+
+def _make_distinct_processor(
+    message_col: str, time_col: str, threshold: int, msg_type: str
+) -> StatefulProcessor:
+    """Spark 4 arbitrary-state processor holding each user's distinct id set
+    (ListState — appended incrementally, never rewritten whole) and max
+    event time (ValueState). Same semantics as exact_distinct_membership;
+    the typed per-field state API is the difference: only NEW ids are
+    appended per batch, so state-store write amplification is O(new ids),
+    not O(all ids) as with applyInPandasWithState's single-blob state.
+
+    Defined inside a factory ON PURPOSE: transformWithState deserializes
+    the processor in a dedicated Python runner process that does not share
+    the driver's sys.path, so a module-level class (pickled by reference)
+    raises ModuleNotFoundError there. A locally-defined class is
+    cloudpickled BY VALUE and needs only pandas on the worker."""
+    import pandas as pd  # worker-side import, by value with the class
+
+    class DistinctMembershipProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ids = handle.getListState("ids", f"id {msg_type}")
+            self._last = handle.getValueState("last_ts", "last_ts long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            ids = {t[0] for t in self._ids.get()}
+            stored = self._last.get()
+            last_ts = stored[0] if stored is not None else None
+            fresh: set = set()
+            for pdf in rows:
+                col = pdf[message_col].dropna()
+                # long column with nulls arrives as float64 + NaN (same
+                # normalization as exact_distinct_membership)
+                if pd.api.types.is_float_dtype(col):
+                    col = col.astype("int64")
+                fresh.update(col.tolist())
+                if len(pdf):
+                    batch_max = pdf[time_col].max()
+                    if pd.notna(batch_max):
+                        secs = int(batch_max.value // 1_000_000_000)
+                        last_ts = secs if last_ts is None else max(last_ts, secs)
+            fresh -= ids
+            if fresh:
+                self._ids.appendList([(i,) for i in sorted(fresh)])
+            n = len(ids) + len(fresh)
+            if last_ts is not None:
+                self._last.update((last_ts,))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_distinct": n,
+                        "value": n >= threshold,
+                        "last_event_time": (
+                            pd.Timestamp(last_ts, unit="s")
+                            if last_ts is not None
+                            else pd.NaT
+                        ),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return DistinctMembershipProcessor()
+
+
+class TransformWithStateSegmenter(ExactStreamingSegmenter):
+    """Exact streaming segmenter on Spark 4's ``transformWithStateInPandas``
+    (the successor to applyInPandasWithState): typed per-field state
+    (ListState of ids + ValueState of max event time) in the RocksDB state
+    store, append-only id growth per batch.
+
+    The RocksDB provider is REQUIRED by transformWithState; it is set for
+    the duration of the run and restored afterwards so co-resident streams
+    keep whatever provider their checkpoints were created with."""
+
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def _stream(self) -> DataFrame:
+        log = self.log
+        filtered = self._filtered().withColumnRenamed(log.user, "user_id")
+        user_t = filtered.schema["user_id"].dataType.simpleString()
+        msg_t = filtered.schema[log.message].dataType.simpleString()
+        out_schema = (
+            f"user_id {user_t}, n_distinct long, value boolean, "
+            "last_event_time timestamp"
+        )
+        return filtered.groupBy("user_id").transformWithStateInPandas(
+            _make_distinct_processor(
+                log.message, log.time, self.spec.threshold, msg_t
+            ),
+            out_schema,
+            "Update",
+            "None",
+        )
+
+    def run_available_now(self) -> None:
+        # transformWithState's state-server protocol between the JVM and the
+        # Python runner is protobuf-encoded; without the protobuf package
+        # the runner dies at init with an opaque -2. Fail fast with the
+        # actionable message instead (the applyInPandasWithState twin,
+        # ExactStreamingSegmenter, has no such dependency).
+        import importlib.util
+
+        try:
+            # raises (not returns None) when even the parent 'google'
+            # namespace package is absent
+            have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:
+            have_protobuf = False
+        if not have_protobuf:
+            raise RuntimeError(
+                "transformWithStateInPandas requires the 'protobuf' package "
+                "for its state-server protocol; it is not installed in this "
+                "environment. Use ExactStreamingSegmenter "
+                "(applyInPandasWithState) for the same exact-distinct "
+                "semantics without the dependency."
+            )
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        before = self.spark.conf.get(conf_key, None)
+        self.spark.conf.set(conf_key, self._ROCKSDB)
+        try:
+            super().run_available_now()
+        finally:
+            if before is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, before)

@@ -328,3 +328,65 @@ def test_exact_stateful_streaming_golden(spark, tmp_path):
     batch3.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
     seg.run_available_now()
     assert members(seg.members()) == ["1", "2"]
+
+
+def test_transform_with_state_matches_exact(spark, tmp_path):
+    """The transformWithStateInPandas twin (typed ListState/ValueState in
+    RocksDB) must serve the same membership as the applyInPandasWithState
+    segmenter across two incremental ingests, including duplicate ids and
+    the event-time max. Skips when protobuf (required by the
+    transformWithState state-server protocol) is absent; the guard error
+    is still asserted."""
+    import pytest
+
+    from clickhouse_segments_tutorial_spark.streaming.stateful import (
+        TransformWithStateSegmenter,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        seg = TransformWithStateSegmenter(
+            spark, str(tmp_path), SPEC, schema=USER_EVENTS_IDEMPOTENT
+        )
+        with pytest.raises(RuntimeError, match="protobuf"):
+            seg.run_available_now()
+        pytest.skip("protobuf not installed: transformWithState runner unavailable")
+
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0)
+    seg = TransformWithStateSegmenter(
+        spark, str(tmp_path), SPEC, schema=USER_EVENTS_IDEMPOTENT
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("1", "BUTTON_CLICK", "m1", t0),
+            ("1", "BUTTON_CLICK", "m2", t0 + dt.timedelta(seconds=5)),
+            ("2", "BUTTON_CLICK", "m3", t0),
+            ("2", "BUTTON_CLICK", "m3", t0),  # duplicate delivery
+        ],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch1.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1"]
+
+    batch2 = spark.createDataFrame(
+        [("2", "BUTTON_CLICK", "m5", t0 + dt.timedelta(minutes=1))],
+        USER_EVENTS_IDEMPOTENT,
+    )
+    batch2.write.mode("append").parquet(os.path.join(str(tmp_path), "events_in"))
+    seg.run_available_now()
+    assert members(seg.members()) == ["1", "2"]
+
+    latest = (
+        spark.read.parquet(seg.assignments_path)
+        .orderBy("version", ascending=False)
+        .limit(1)
+        .collect()[0]
+    )
+    assert latest.last_event_time == t0 + dt.timedelta(minutes=1)
+    # provider conf restored for co-resident streams
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        == "unset"
+    )
