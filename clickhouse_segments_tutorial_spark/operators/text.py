@@ -238,3 +238,16 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def normalize_text(text: str | Column) -> Column:
+    """C4-style cleaning normalization, expression-only and engine-portable:
+    strip HTML-ish tags, collapse all whitespace runs to single spaces, trim,
+    lowercase. Every step is a simple character-class regex that behaves
+    identically under Java regex (Spark) and RE2 (DuckDB), so cleaned output
+    is value-oracle-able. Map-only — composes with quality_filter/dedup
+    upstream of tokenization."""
+    col = F.col(text) if isinstance(text, str) else text
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    collapsed = F.regexp_replace(no_tags, r"\s+", " ")
+    return F.lower(F.trim(collapsed))

@@ -40,7 +40,7 @@ from ..operators.similarity import (
     srp_build_index,
     srp_probe_index,
 )
-from ..operators.text import chunk_documents, text_stats, top_ngrams
+from ..operators.text import chunk_documents, normalize_text, text_stats, top_ngrams
 from ..sources.catalog import load_table
 from .registry import QuerySpec
 
@@ -855,6 +855,30 @@ WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """
 
 
+def cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning pass: tag-strip + whitespace-collapse + trim +
+    lowercase, with before/after char counts (the shrinkage a cleaning
+    stage reports). Map-only expressions, value-oracled byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text("text").alias("clean_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(normalize_text("text")).alias("n_chars_clean"),
+    )
+
+
+_CLEANED_ORACLE = """
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS clean_text,
+       length(text) AS n_chars_raw,
+       length(lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                        '\\s+', ' ', 'g')))) AS n_chars_clean
+FROM documents
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc content fingerprints: exact (md5 of the full text — the
     exact-dedup key) and winnowing-style robust (min portable 60-bit hash
@@ -1017,6 +1041,7 @@ QUERIES = [
     QuerySpec("train_test_split_docs", train_test_split_docs, _SPLIT_ORACLE),
     QuerySpec("mixed_corpus_docs", mixed_corpus_docs, _MIX_ORACLE),
     QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINTS_ORACLE),
+    QuerySpec("cleaned_docs", cleaned_docs, _CLEANED_ORACLE),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),

@@ -872,3 +872,20 @@ def test_mix_corpus_epochs_and_determinism(spark):
             key_col="doc_id",
             max_rate=5.0,
         )
+
+
+def test_normalize_text_cleaning(spark):
+    from clickhouse_segments_tutorial_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "<p>Hello   <b>World</b></p>\n\nnew\tline"),
+        (2, "  UPPER Case  "),
+        (3, ""),
+        (4, "<div attr='x'>中文 Text</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.c for r in df.select("doc_id", normalize_text("text").alias("c")).collect()}
+    assert got[1] == "hello world new line"
+    assert got[2] == "upper case"
+    assert got[3] == ""
+    assert got[4] == "中文 text"
