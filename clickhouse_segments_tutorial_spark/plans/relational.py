@@ -707,8 +707,114 @@ FROM events GROUP BY user_id
 """
 
 
+def small_quantity_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate: per brand, the revenue
+    sitting in lineitems whose quantity is below 20% of their part's average
+    quantity (the 'small-order' slice a sourcing team would consolidate).
+
+    Spark shape: the per-part average is a groupBy over lineitem joined
+    back on l_partkey (Catalyst turns the correlated subquery into exactly
+    this), the brand dimension is a broadcast. Averages are decimal-exact
+    sum / count so the 0.2x threshold compare is bit-identical to the SQL
+    oracle (a distributed double avg differs in the last ulp and could
+    flip a boundary row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+"""
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-per-group correlated lookup: for every part,
+    the supplier offering the lowest observed unit price (extendedprice /
+    quantity) across its lineitems, ties broken on the lower suppkey.
+
+    Spark shape: one window rank over (part, unit price, suppkey) — a
+    single shuffle on l_partkey — then broadcast joins to both dimensions.
+    The unit price is one double division, bit-identical across engines."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    best = (
+        unit.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rk
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT p_partkey, p_name, s_name, round(unit_price, 6) AS unit_price
+FROM ranked
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rk = 1
+"""
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, headline=True),
+    QuerySpec(
+        "small_quantity_revenue_by_brand",
+        small_quantity_revenue_by_brand,
+        _Q17_ORACLE,
+    ),
+    QuerySpec(
+        "cheapest_supplier_per_part", cheapest_supplier_per_part, _Q2_ORACLE
+    ),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, _Q3_ORACLE, headline=True),
     QuerySpec("q5_nation_revenue", q5_nation_revenue, _Q5_ORACLE, headline=True),
     QuerySpec("top3_orders_per_customer", top3_orders_per_customer, _TOP3_ORACLE),
