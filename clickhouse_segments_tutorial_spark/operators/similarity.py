@@ -759,3 +759,97 @@ def cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard 4x
+    compression step before shipping an embedding corpus into an ANN index
+    (qvec = round(x / scale), scale = max|x| / 127, so every component
+    lands in [-127, 127]).
+
+    Pure JVM array expressions, map-only, no shuffle. Cosine is invariant
+    to the per-vector scale, so quantized cosine needs only the int
+    arrays; the scale column is kept for value reconstruction. All-zero
+    vectors get scale 0 and an all-zero qvec (no 0/0 NaNs). Every step
+    (abs/max/divide/round-half-away-from-zero) is bit-identical in DuckDB,
+    so the output is fully value-oracle-able.
+    """
+    vec = F.col(vec_col)
+    scale = (F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+        "scale"
+    )
+    with_scale = df.select(F.col(id_col), vec.alias("_v"), scale)
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / F.col("scale")).cast("int")
+        )
+    )
+    return with_scale.select(id_col, "scale", qvec.alias("qvec"))
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over the int8-quantized corpus: rank by cosine of
+    the quantized vectors (scale cancels out of cosine). The int dot
+    products run over 4x less data than the float path — the memory-
+    bandwidth win that makes int8 the default at billion-vector scale —
+    while recall@10 stays high (pytest measures it vs the exact path)."""
+    _check_probe_dim(df, vec_col, probe)
+    q = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    if exclude_id is not None:
+        q = q.filter(F.col(id_col) != exclude_id)
+    # quantize the probe driver-side with the same rule
+    pscale = max(abs(x) for x in probe) / 127.0
+    qprobe = (
+        [0 for _ in probe]
+        if pscale == 0
+        else [int(_round_half_away(x / pscale)) for x in probe]
+    )
+    probe_col = F.array(*[F.lit(v) for v in qprobe])
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), probe_col, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    pnorm = float(sum(v * v for v in qprobe)) ** 0.5
+    if pnorm == 0:
+        raise ValueError("probe vector is all zeros")
+    cos = dot.cast("double") / (norm(F.col("qvec")) * F.lit(pnorm))
+    return (
+        q.select(id_col, F.round(cos, 6).alias("cos_sim_q"))
+        .orderBy(F.desc("cos_sim_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _round_half_away(x: float) -> float:
+    """Python round() is half-even; Spark/DuckDB round() is half away from
+    zero — match them for the driver-side probe quantization."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)

@@ -37,6 +37,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_build_index,
     ivf_probe_index,
+    quantize_embeddings,
     srp_build_index,
     srp_probe_index,
 )
@@ -855,6 +856,29 @@ WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """
 
 
+def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus (per-vector scale +
+    int components — the 4x compression step before ANN indexing at
+    billion-vector scale). Map-only expressions, fully value-oracled; the
+    quantized-search recall is pytest-measured vs the exact path."""
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZED_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / CAST(127.0 AS DOUBLE) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding, x -> CAST(round(x / scale) AS INT))
+       END AS qvec
+FROM s
+"""
+
+
 def cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cleaning pass: tag-strip + whitespace-collapse + trim +
     lowercase, with before/after char counts (the shrinkage a cleaning
@@ -1042,6 +1066,7 @@ QUERIES = [
     QuerySpec("mixed_corpus_docs", mixed_corpus_docs, _MIX_ORACLE),
     QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINTS_ORACLE),
     QuerySpec("cleaned_docs", cleaned_docs, _CLEANED_ORACLE),
+    QuerySpec("embedding_quantized", embedding_quantized, _QUANTIZED_ORACLE),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),

@@ -889,3 +889,46 @@ def test_normalize_text_cleaning(spark):
     assert got[2] == "upper case"
     assert got[3] == ""
     assert got[4] == "中文 text"
+
+
+def test_quantized_cosine_recall(spark, sf_oracle):
+    """int8 scalar quantization must preserve ranking: recall@10 of the
+    quantized search vs the exact float path >= 0.9 on the corpus, and the
+    quantized components must all be in [-127, 127] with zero-vectors safe."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = quantize_embeddings(emb)
+    bounds = q.select(
+        F.min(F.array_min("qvec")).alias("lo"), F.max(F.array_max("qvec")).alias("hi")
+    ).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
+    recalls = []
+    for pid in range(3):
+        probe = list(emb.filter(F.col("vec_id") == pid).collect()[0].embedding)
+        exact = [r.vec_id for r in cosine_topk(emb, probe, k=10, exclude_id=pid).collect()]
+        quant = [
+            r.vec_id
+            for r in quantized_cosine_topk(emb, probe, k=10, exclude_id=pid).collect()
+        ]
+        recalls.append(len(set(exact) & set(quant)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # zero vector: scale 0, all-zero qvec, no NaNs
+    import pyspark.sql.types as T
+
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    zq = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_embeddings(zdf).collect()}
+    assert zq[1] == (0.0, [0, 0, 0, 0])
+    assert zq[2][1][1] == -127  # max-magnitude component pins to -127
