@@ -731,6 +731,44 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-demux shape): one payload -> every 4th 64-byte
+    'frame' row, exploded INSIDE the Arrow batch (operators/multimodal.py:
+    sample_frames — no shuffle). Frames are value-checked end-to-end as
+    uppercase hex (DuckDB can neither md5 nor slice BLOBs, but hex(blob)
+    is a sliceable VARCHAR and bit-exact with Spark's hex), proving the
+    one-to-many mapInPandas plumbing moves every sampled byte."""
+    from ..operators.multimodal import sample_frames
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=64, every_n=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.hex("payload").alias("frame_hex"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hexpay,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id, hexpay,
+         CAST(unnest(range(0, greatest(1, n // 64), 4)) AS INT) AS frame_idx
+  FROM media
+)
+SELECT media_id, frame_idx,
+       substring(hexpay, frame_idx * 128 + 1, 128) AS frame_hex,
+       CAST(length(substring(hexpay, frame_idx * 128 + 1, 128)) // 2 AS INT)
+         AS n_bytes
+FROM f
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature pipeline output, FULLY value-oracled: the stub codec's
     8-bucket byte histogram is projected to scalar double columns f0..f7
@@ -1081,6 +1119,9 @@ QUERIES = [
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
+    QuerySpec(
+        "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE
+    ),
     QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
 ]
