@@ -122,8 +122,19 @@ def fingerprint(text: str | Column) -> Column:
 def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
     """Winnowing-style robust fingerprint: min xxhash64 over word ``window``-
     grams. Stable under small edits outside the minimizing window — the
-    standard near-dup document sketch primitive."""
-    toks = tokens(text)
+    standard near-dup document sketch primitive.
+
+    For bulk use, project ``tokens(text)`` into a column first and call
+    :func:`rolling_fingerprint_from_tokens` (same re-eval trap as
+    dedup.shingle_hashes_from_tokens: the gram lambda re-runs its outer
+    expression per element, so this convenience form pays the tokenizer
+    once per gram). The engine-portable md5 twin is the ``rolling_fp``
+    column of plans/llm.py's ``doc_fingerprints``."""
+    return rolling_fingerprint_from_tokens(tokens(text), window)
+
+
+def rolling_fingerprint_from_tokens(toks: Column, window: int = 8) -> Column:
+    """Rolling fingerprint over an already-tokenized array column."""
     n = F.size(toks)
     grams = F.when(n < window, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
