@@ -836,7 +836,9 @@ def quantized_cosine_topk(
             lambda acc, x: acc + x,
         ).cast("double")
     )
-    pnorm = float(sum(v * v for v in qprobe)) ** 0.5
+    # math.sqrt is correctly-rounded IEEE sqrt — identical to Spark's and
+    # DuckDB's sqrt; ** 0.5 goes through pow and may differ in the last ulp
+    pnorm = math.sqrt(float(sum(v * v for v in qprobe)))
     if pnorm == 0:
         raise ValueError("probe vector is all zeros")
     cos = dot.cast("double") / (norm(F.col("qvec")) * F.lit(pnorm))

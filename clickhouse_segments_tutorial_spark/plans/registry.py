@@ -20,8 +20,11 @@ across engines:
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,13 +37,60 @@ class QuerySpec:
     headline: bool = False  # included in bench.py's timed set
 
 
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r{N}.json has a green row
+    (hash_match, or rows_match for the weaker rows-only checks).
+
+    The correctness harness checks a fixed-size prefix of the registration
+    order (50 rows in rounds 1-5), so with more registered queries than
+    slots a static order leaves a permanent blind tail. Reading the
+    recorded results back makes the order self-rotating: see all_queries().
+    Missing/unreadable files degrade to {} (static order) — e.g. when the
+    repo is checked out without the driver's round artifacts."""
+    root = Path(__file__).resolve().parents[2]
+    out: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match") or (row.get("err") is None and row.get("rows_match"))
+            ):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
 def all_queries() -> dict[str, QuerySpec]:
+    """All registered queries, least-recently-verified first.
+
+    Order = ascending (last green-checked round, registration index):
+    queries with no green CORRECTNESS row ever come first, then the ones
+    whose last green row is oldest. The harness checks a prefix of this
+    dict, so any query it skips this round was green last round and gets
+    priority next round — over any two consecutive rounds every
+    registered query receives a driver correctness row (the r5 verdict's
+    60-into-50 window fix). Deterministic for a given set of recorded
+    round files; falls back to plain registration order when none exist."""
     from . import llm, relational, scale, segmentation_queries
 
-    out: dict[str, QuerySpec] = {}
+    specs: list[QuerySpec] = []
+    seen: set[str] = set()
     for mod in (segmentation_queries, relational, llm, scale):
         for spec in mod.QUERIES:
-            if spec.name in out:
+            if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name}")
-            out[spec.name] = spec
-    return out
+            seen.add(spec.name)
+            specs.append(spec)
+    last_green = _last_green_round()
+    order = sorted(
+        range(len(specs)), key=lambda i: (last_green.get(specs[i].name, -1), i)
+    )
+    return {specs[i].name: specs[i] for i in order}
