@@ -539,6 +539,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 5,
     min_common: int = 1,
+    broadcast_hits: bool = False,
 ) -> DataFrame:
     """Per-train-doc n-gram overlap with an eval/benchmark set — the
     standard pre-training decontamination check (flag training documents
@@ -549,11 +550,17 @@ def ngram_contamination(
     Returns one row per train doc: (id, n_common_grams, contaminated).
 
     Scale shape: the eval side collapses to its DISTINCT shingle-hash set —
-    eval suites are tiny relative to a 100 TB corpus, so it is broadcast;
-    the train side is a map-only explode into a broadcast hash join, and
-    only HIT rows (rare) reach the per-doc count shuffle. The final
-    zero-fill join is train-ids against the tiny hit table, broadcast
-    again: the full corpus is never shuffled.
+    eval suites are tiny relative to a 100 TB corpus, so it is broadcast
+    unconditionally (that bound IS the operator's precondition); the train
+    side is a map-only explode into a broadcast hash join, and only HIT
+    rows reach the per-doc count shuffle. The final zero-fill join keys
+    train-ids against the hit table — but hits is one row per contaminated
+    train doc, which nothing bounds when contamination is widespread
+    (small n, min_common=1, overlapping corpora), so it is NOT broadcast-
+    hinted by default: AQE broadcasts it at runtime when it is actually
+    small and falls back to a shuffled join when it is not (r5 ADVICE).
+    Pass ``broadcast_hits=True`` to force the hint when the caller knows
+    the hit count is bounded (e.g. the registered corpus query).
 
     Counting distinct shared grams over xxhash64 shingle hashes equals
     counting over the gram strings (collisions at 2^-64 — same argument as
@@ -575,9 +582,11 @@ def ngram_contamination(
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("_n_common"))
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     return (
         train.select(F.col(id_col).alias("_id"))
-        .join(F.broadcast(hits), "_id", "left")
+        .join(hits, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("_n_common", F.lit(0)).alias("n_common_grams"),
@@ -594,12 +603,19 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     min_common: int = 1,
+    broadcast_hits: bool = False,
 ) -> DataFrame:
     """Drop contaminated rows from ``train`` (all original columns kept).
 
-    Broadcast anti-join against the (small) flagged-id set — the corpus
-    side stays map-only."""
+    Anti-join against the flagged-id set — the corpus side stays map-only.
+    Like the hit table in :func:`ngram_contamination`, the flagged set is
+    unbounded under widespread contamination, so the broadcast hint is
+    opt-in (``broadcast_hits``); by default AQE picks the join strategy
+    from the runtime size."""
     flagged = ngram_contamination(
-        train, eval_df, text_col=text_col, id_col=id_col, n=n, min_common=min_common
+        train, eval_df, text_col=text_col, id_col=id_col, n=n,
+        min_common=min_common, broadcast_hits=broadcast_hits,
     ).filter(F.col("contaminated")).select(F.col(id_col))
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    if broadcast_hits:
+        flagged = F.broadcast(flagged)
+    return train.join(flagged, id_col, "left_anti")

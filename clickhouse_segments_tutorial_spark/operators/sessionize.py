@@ -22,13 +22,22 @@ def with_session_id(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Append a per-user ``session_id`` (0-based, in time order).
 
-    Ties on ts are ordered deterministically only if (user, ts) is unique —
-    true for the test corpus (verified: no duplicate pairs at any SF).
+    ``tiebreak_col``: optional unique column appended to the window order,
+    making the ordering unconditionally deterministic. Without it, ties on
+    ts are ordered deterministically only if (user, ts) is unique — true
+    for the test corpus (verified: no duplicate pairs at any SF), and the
+    session ASSIGNMENT is tie-order-invariant anyway (tied rows have gap 0
+    between them, so however they order, the same rows land in the same
+    session) — the tie-break removes the assumption, not a measured bug.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [F.col(ts_col)] if tiebreak_col is None else [
+        F.col(ts_col), F.col(tiebreak_col)
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(ts_col).over(w)
     # Microsecond-precision gap test (unix_timestamp floors to seconds,
     # which would split a true 1799.002s gap rated against gap=1800).
@@ -53,10 +62,15 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-user session summary: session count, max events per session."""
     with_ids = with_session_id(
-        events, user_col=user_col, ts_col=ts_col, gap_seconds=gap_seconds
+        events,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak_col=tiebreak_col,
     )
     per_session = with_ids.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),

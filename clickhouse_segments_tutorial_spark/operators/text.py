@@ -257,8 +257,13 @@ def normalize_text(text: str | Column) -> Column:
     lowercase. Every step is a simple character-class regex that behaves
     identically under Java regex (Spark) and RE2 (DuckDB), so cleaned output
     is value-oracle-able. Map-only — composes with quality_filter/dedup
-    upstream of tokenization."""
+    upstream of tokenization.
+
+    The whitespace run is an EXPLICIT class, not \\s: Java's \\s includes
+    vertical tab (\\x0B) while RE2's does not, so \\s+ silently diverges
+    across engines on documents containing VT (r5 ADVICE). The explicit
+    class is the Java \\s set, spelled identically in both dialects."""
     col = F.col(text) if isinstance(text, str) else text
     no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
-    collapsed = F.regexp_replace(no_tags, r"\s+", " ")
+    collapsed = F.regexp_replace(no_tags, "[ \\t\\n\\x0B\\f\\r]+", " ")
     return F.lower(F.trim(collapsed))

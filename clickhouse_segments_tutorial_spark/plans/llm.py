@@ -478,18 +478,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-banded near-dup pairs (the scale path: thin banded keys +
-    verified candidates, never the O(n^2) cross of vectors). Banding
-    recall 0.80 of the exact pairs at (32 planes, Hamming<=7) on this
-    corpus — its ">=0.4" pairs sit at cos 0.40-0.51, the hard case —
-    with precision 1.0 (exact-cosine verified). The DuckDB oracle replays
-    the full pipeline bit-for-bit (quantized ±1 signatures), so this row
-    is value-checked even though its output is deliberately a subset of
+    verified candidates, never the O(n^2) cross of vectors), at the tuned
+    defaults (56 planes, 8 chunks x 7 bits — candidate fraction 0.067 of
+    all pairs on this corpus vs 0.41 at the old 8x4-bit setting, r5
+    verdict item 3). Precision 1.0 (exact-cosine verified); recall is
+    regime-dependent — high (>= 0.9, pinned in tests) for genuine
+    near-dups at cos >= 0.8, deliberately low on this corpus's artificial
+    ">= 0.4" pairs (cos 0.40-0.51), which sit far below the near-dup band
+    the pruning is tuned for. The DuckDB oracle replays the full pipeline
+    bit-for-bit (quantized ±1 signatures), so this row is value-checked
+    even though its output is deliberately a subset of
     embedding_near_dup_pairs."""
     from ..operators.similarity import cosine_pairs_srp
 
-    return cosine_pairs_srp(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=32, max_hamming=7
-    )
+    return cosine_pairs_srp(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _srp_sig_ctes(n_planes: int) -> str:
@@ -562,13 +564,13 @@ LIMIT 10
 """
 
 
-# embedding_near_dup_pairs_lsh replay: single-word 32-plane signatures,
-# 8x4-bit pigeonhole bands, candidate pairs sharing >= 1 band key, exact
+# embedding_near_dup_pairs_lsh replay: single-word 56-plane signatures,
+# 8x7-bit pigeonhole bands, candidate pairs sharing >= 1 band key, exact
 # rounded-cosine verification at the threshold.
 _COS_PAIRS_LSH_ORACLE = f"""
-WITH {_srp_sig_ctes(32)},
+WITH {_srp_sig_ctes(56)},
 banded AS (
-  SELECT vec_id, c, (w0 >> CAST(c * 4 AS INTEGER)) & 15 AS key
+  SELECT vec_id, c, (w0 >> CAST(c * 7 AS INTEGER)) & 127 AS key
   FROM sigs CROSS JOIN range(8) chunks(c)
 ),
 cand AS (
@@ -1000,10 +1002,10 @@ def cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLEANED_ORACLE = """
 SELECT doc_id,
        lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                                 '\\s+', ' ', 'g'))) AS clean_text,
+                                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS clean_text,
        length(text) AS n_chars_raw,
        length(lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                                        '\\s+', ' ', 'g')))) AS n_chars_clean
+                                        '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS n_chars_clean
 FROM documents
 """
 
@@ -1117,6 +1119,9 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "test"),
         n=5,
         min_common=1,
+        # hit count here is bounded by the (held-out 10%) eval overlap on a
+        # known corpus — the documented precondition for forcing the hint
+        broadcast_hits=True,
     )
 
 

@@ -532,24 +532,26 @@ FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 
 
 def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands sessionization, 4h inactivity gap."""
+    """Gaps-and-islands sessionization, 4h inactivity gap. event_id
+    tie-breaks the window order so determinism no longer rests on the
+    (user, ts)-uniqueness of the corpus (r5 verdict item 5)."""
     events = _t(spark, sf_dir, "events")
-    return session_stats(events, gap_seconds=14400)
+    return session_stats(events, gap_seconds=14400, tiebreak_col="event_id")
 
 
 _SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                OR epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 14400000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
   FROM flagged
 ),

@@ -171,20 +171,50 @@ class MicroBatchSegmenter:
             # interleaves their tasks). This is exactly ClickHouse's insert
             # path: the MV trigger writes the changelog in the same insert
             # pipeline, not as a second sequential scan.
-            from concurrent.futures import ThreadPoolExecutor
+            #
+            # InheritableThread, not ThreadPoolExecutor: under PySpark's
+            # default pinned-thread mode plain threads do NOT inherit local
+            # properties, so job tags/cancellation scope would not reach the
+            # writers (r5 ADVICE). Each writer carries a shared job tag; the
+            # first failure cancels the sibling's jobs by tag, both threads
+            # are always joined before re-raising, so the partial-failure
+            # state is deterministic: no write is still in flight when the
+            # caller sees the error.
+            from pyspark import InheritableThread
 
             changelog_rows = state_rows.select("user_id", "computed_at")
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_states = pool.submit(self._append_states, state_rows)
-                f_changelog = pool.submit(
-                    append_clustered,
-                    changelog_rows,
-                    self.changelog_path,
-                    cluster_by=["user_id"],
-                    partition_ts="computed_at",
-                )
-                f_states.result()
-                f_changelog.result()
+            sc = state_rows.sparkSession.sparkContext
+            tag = f"microbatch-dual-append-{id(state_rows)}"
+            errs: list[BaseException] = []
+
+            def _run(fn, *args, **kwargs):
+                try:
+                    fn(*args, **kwargs)
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    errs.append(exc)
+                    try:
+                        sc.cancelJobsWithTag(tag)
+                    except Exception:
+                        pass
+
+            sc.addJobTag(tag)
+            try:
+                threads = [
+                    InheritableThread(target=_run, args=(self._append_states, state_rows)),
+                    InheritableThread(
+                        target=_run,
+                        args=(append_clustered, changelog_rows, self.changelog_path),
+                        kwargs={"cluster_by": ["user_id"], "partition_ts": "computed_at"},
+                    ),
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            finally:
+                sc.removeJobTag(tag)
+            if errs:
+                raise errs[0]
             # Finalize with the inserted block's user set directly — the MV
             # trigger already holds it in memory, so re-reading the changelog
             # table it just wrote would be a pure round-trip. The
