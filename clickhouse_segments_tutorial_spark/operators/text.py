@@ -201,6 +201,96 @@ def top_ngrams(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition metrics — the quality-filter family that
+    catches boilerplate and degenerate generation loops (Rae et al. 2021,
+    Table A1): per doc,
+
+    - ``n_lines``: non-empty (whitespace-trimmed) lines;
+    - ``dup_line_frac``: fraction of lines that are repeats of an earlier
+      line (1 - distinct/total);
+    - ``dup_line_char_frac``: fraction of line characters inside line
+      values occurring more than once (all occurrences counted);
+    - ``top_2gram_char_frac``: characters covered by the most frequent
+      word 2-gram (count x gram length) over total doc characters;
+    - ``dup_5gram_char_frac``: characters inside word 5-grams occurring
+      more than once, over total doc characters (overlapping grams can
+      push this past 1.0 on pathological inputs — same artifact as the
+      published definition).
+
+    Shape at scale: ONE scan — lines, 2-grams, and 5-grams ride a single
+    tagged explode — then a (doc, tag, item) count with map-side partial
+    aggregation and a per-doc rollup: shuffle volume is one row per
+    distinct item per map task, never per occurrence. A sentinel row per
+    doc keeps empty documents in the output without a zero-fill join.
+    Every ratio is one exact-int division rounded to 6, so a DuckDB
+    oracle replays the output bit-for-bit. Ties for the top 2-gram break
+    on the gram string (min over (-count, gram) structs), making the
+    result deterministic and engine-portable."""
+    col = F.col(text_col)
+    ws = "[ \\t\\x0B\\f\\r]+"  # explicit class: engine-portable (see normalize_text)
+    lines = F.filter(
+        F.transform(
+            F.split(col, "\n"),
+            lambda l: F.regexp_replace(l, f"^{ws}|{ws}$", ""),
+        ),
+        lambda l: l != "",
+    )
+    toks = tokens(col)
+    tag = lambda t, arr: F.transform(  # noqa: E731
+        arr, lambda x: F.struct(F.lit(t).alias("tag"), x.alias("item"))
+    )
+    items = F.concat(
+        F.array(F.struct(F.lit("D").alias("tag"), F.lit("").alias("item"))),
+        tag("L", lines),
+        tag("2", ngrams_from_tokens(toks, 2)),
+        tag("5", ngrams_from_tokens(toks, 5)),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.length(col).alias("_nc"),
+        F.explode(items).alias("_it"),
+    ).select(id_col, "_nc", F.col("_it.tag").alias("_tag"), F.col("_it.item").alias("_item"))
+    counts = exploded.groupBy(id_col, "_tag", "_item").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("_nc").alias("_nc")
+    )
+    is_line = F.col("_tag") == "L"
+    chars = F.col("_cnt") * F.length("_item")
+    per_doc = counts.groupBy(id_col).agg(
+        F.max("_nc").alias("_n_chars"),
+        F.coalesce(F.sum(F.when(is_line, F.col("_cnt"))), F.lit(0)).cast("int").alias("n_lines"),
+        F.count(F.when(is_line, F.lit(1))).cast("int").alias("_n_dist_lines"),
+        F.coalesce(F.sum(F.when(is_line & (F.col("_cnt") > 1), chars)), F.lit(0)).alias("_dup_line_chars"),
+        F.coalesce(F.sum(F.when(is_line, chars)), F.lit(0)).alias("_tot_line_chars"),
+        F.min(
+            F.when(
+                F.col("_tag") == "2",
+                F.struct((-F.col("_cnt")).alias("nc"), F.col("_item").alias("g")),
+            )
+        ).alias("_top2"),
+        F.coalesce(
+            F.sum(F.when((F.col("_tag") == "5") & (F.col("_cnt") > 1), chars)), F.lit(0)
+        ).alias("_dup5_chars"),
+    )
+    nz = lambda num, den: F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))  # noqa: E731
+    return per_doc.select(
+        id_col,
+        "n_lines",
+        nz(F.col("n_lines") - F.col("_n_dist_lines"), F.col("n_lines")).alias("dup_line_frac"),
+        nz(F.col("_dup_line_chars"), F.col("_tot_line_chars")).alias("dup_line_char_frac"),
+        F.when(
+            F.col("_top2").isNotNull() & (F.col("_n_chars") > 0),
+            F.round((-F.col("_top2.nc")) * F.length("_top2.g") / F.col("_n_chars"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+        nz(F.col("_dup5_chars"), F.col("_n_chars")).alias("dup_5gram_char_frac"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

@@ -42,7 +42,13 @@ from ..operators.similarity import (
     srp_build_index,
     srp_probe_index,
 )
-from ..operators.text import chunk_documents, normalize_text, text_stats, top_ngrams
+from ..operators.text import (
+    chunk_documents,
+    normalize_text,
+    repetition_stats,
+    text_stats,
+    top_ngrams,
+)
 from ..sources.catalog import load_table
 from .registry import QuerySpec
 
@@ -1010,6 +1016,89 @@ FROM documents
 """
 
 
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document (duplicate-line
+    fractions, top-2-gram and duplicate-5-gram character coverage — the
+    boilerplate/degenerate-text filter family; operators/text.py:
+    repetition_stats). One tagged explode + two map-side-combined
+    aggregations; every ratio is a single exact-int division, replayed
+    bit-for-bit by the oracle."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, item FROM (
+    SELECT doc_id,
+           regexp_replace(unnest(string_split(text, chr(10))),
+                          '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '', 'g') AS item
+    FROM documents
+  ) WHERE item != ''
+),
+lc AS (SELECT doc_id, item, count(*) AS cnt FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS INT) AS n_lines,
+         CAST(count(*) AS INT) AS n_dist,
+         COALESCE(sum(CASE WHEN cnt > 1 THEN cnt * length(item) END), 0) AS dup_chars,
+         sum(cnt * length(item)) AS tot_chars
+  FROM lc GROUP BY doc_id
+),
+g2c AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                               ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                          END) AS g
+    FROM tok
+  ) GROUP BY 1, 2
+),
+top2 AS (
+  SELECT doc_id, cnt, g FROM (
+    SELECT doc_id, cnt, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+    FROM g2c
+  ) WHERE rn = 1
+),
+g5s AS (
+  SELECT doc_id, sum(cnt * length(g)) AS dup5 FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+                                 ELSE [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]
+                            END) AS g
+      FROM tok
+    ) GROUP BY 1, 2
+  ) WHERE cnt > 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       CASE WHEN COALESCE(ls.n_lines, 0) > 0
+            THEN round(CAST(ls.n_lines - ls.n_dist AS DOUBLE) / ls.n_lines, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN COALESCE(ls.tot_chars, 0) > 0
+            THEN round(CAST(ls.dup_chars AS DOUBLE) / ls.tot_chars, 6)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN top2.g IS NOT NULL AND length(d.text) > 0
+            THEN round(CAST(top2.cnt * length(top2.g) AS DOUBLE) / length(d.text), 6)
+            ELSE 0.0 END AS top_2gram_char_frac,
+       CASE WHEN length(d.text) > 0
+            THEN round(CAST(COALESCE(g5s.dup5, 0) AS DOUBLE) / length(d.text), 6)
+            ELSE 0.0 END AS dup_5gram_char_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN top2 ON top2.doc_id = d.doc_id
+LEFT JOIN g5s ON g5s.doc_id = d.doc_id
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc content fingerprints: exact (md5 of the full text — the
     exact-dedup key) and winnowing-style robust (min portable 60-bit hash
@@ -1190,6 +1279,7 @@ QUERIES = [
     ),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
+    QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(

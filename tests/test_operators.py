@@ -945,6 +945,35 @@ def test_normalize_text_cleaning(spark):
     assert got[4] == "中文 text"
 
 
+def test_repetition_stats_fixture(spark):
+    """Hand-computed Gopher repetition metrics on crafted docs: duplicate
+    lines, a dominant 2-gram, a repeated 5-gram, and the empty doc."""
+    from clickhouse_segments_tutorial_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b\na b\nc d"),        # line 'a b' twice
+        (2, "x y x y x y"),          # 2-gram 'x y' three times
+        (3, ""),                      # empty -> all zeros, still present
+        (4, "p q r s t p q r s t"),  # 5-gram 'p q r s t' twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[1]["dup_line_char_frac"] == round(6 / 9, 6)
+    assert got[1]["top_2gram_char_frac"] == round(2 * 3 / 11, 6)  # 'a b' x2
+    assert got[2]["top_2gram_char_frac"] == round(3 * 3 / 11, 6)  # 'x y' x3
+    assert got[3] == {
+        "doc_id": 3,
+        "n_lines": 0,
+        "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0,
+        "top_2gram_char_frac": 0.0,
+        "dup_5gram_char_frac": 0.0,
+    }
+    assert got[4]["dup_5gram_char_frac"] == round(2 * 9 / 19, 6)
+
+
 def test_normalize_text_vertical_tab_engine_parity(spark):
     """Java's \\s includes \\x0B, RE2's does not — normalize_text uses an
     explicit whitespace class so a VT-bearing document cleans identically
