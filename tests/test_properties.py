@@ -316,6 +316,54 @@ def test_contamination_matches_python_model(spark, train_texts, eval_texts, n):
     assert got == want
 
 
+multiline_doc = st.lists(
+    st.lists(st.sampled_from(WORDS[:3]), min_size=0, max_size=5).map(" ".join),
+    min_size=0,
+    max_size=5,
+).map("\n".join)
+
+
+def py_repetition(text: str) -> dict:
+    from collections import Counter
+
+    strip_chars = " \t\x0b\f\r"
+    lines = [l.strip(strip_chars) for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    tot = sum(c * len(l) for l, c in lc.items())
+    dup = sum(c * len(l) for l, c in lc.items() if c > 1)
+    toks = text.split()
+    g2 = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    g5 = Counter(" ".join(toks[i : i + 5]) for i in range(len(toks) - 4))
+    top2 = 0.0
+    if g2 and text:
+        neg_cnt, gram = min((-c, g) for g, c in g2.items())
+        top2 = (-neg_cnt) * len(gram) / len(text)
+    dup5 = sum(c * len(g) for g, c in g5.items() if c > 1)
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": round((n_lines - len(lc)) / n_lines, 6) if n_lines else 0.0,
+        "dup_line_char_frac": round(dup / tot, 6) if tot else 0.0,
+        "top_2gram_char_frac": round(top2, 6),
+        "dup_5gram_char_frac": round(dup5 / len(text), 6) if text else 0.0,
+    }
+
+
+@given(texts=st.lists(multiline_doc, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_repetition_stats_matches_python_model(spark, texts):
+    """Every metric equals the pure-Python replay on arbitrary tiny docs
+    (empty docs, duplicate lines, tie-broken top 2-grams)."""
+    from clickhouse_segments_tutorial_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: {k: v for k, v in r.asDict().items() if k != "doc_id"}
+           for r in repetition_stats(df).collect()}
+    want = {i: py_repetition(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
 @given(
     strata=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=40),
     w_a=st.floats(min_value=0.1, max_value=0.9),
