@@ -105,6 +105,37 @@ def segment_microbatch_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.members()
 
 
+def segment_bucketed_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant 3 over BUCKETED catalog tables — the zero-Exchange storage
+    layout (sources/bucketed.py, the Spark analog of the reference's
+    ORDER BY clustering, 3-microBatch.test.ts:21): states and assignments
+    are bucketed on user_id at write time, so the finalize merge and the
+    latest-wins serve read co-located sorted buckets with no shuffle
+    (plan-asserted in tests/test_plans.py / test_segmentation.py). Same
+    two-batch cascade and the same final membership as
+    segment_microbatch_members, hence the shared oracle; the catalog
+    tables live in a scratch-located database so repeated runs are
+    idempotent and nothing touches the session warehouse."""
+    from ..segmentation import BucketedMicroBatchSegmenter
+    from ..sources.database import SegmentDatabase
+
+    events = _events(spark, sf_dir)
+    mid = _median_ts(events)
+    t0 = dt.datetime(2000, 1, 1)
+    workdir = _scratch_dir("bucketed_members")
+    db = SegmentDatabase(spark, "drvq_bucketed").create(
+        location=os.path.join(workdir, "db")
+    )
+    seg = BucketedMicroBatchSegmenter(
+        spark, workdir, SPEC, CORPUS_EVENTS,
+        namespace="heavy", buckets=8, database=db.name,
+    )
+    seg.drop_tables()  # catalog metadata survives _scratch_dir's file wipe
+    seg.process_batch(events.filter(F.col("ts") < F.lit(mid)), lower_bound=t0, now=t0)
+    seg.process_batch(events.filter(F.col("ts") >= F.lit(mid)), lower_bound=mid, now=mid)
+    return seg.members()
+
+
 def segment_eventtime_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant 4 (4-eventTime.test.ts:129-193): adds maxMerge(last_event_time),
     served as unix seconds."""
@@ -287,6 +318,11 @@ QUERIES = [
         segment_idempotent_members,
         _DISTINCT_MEMBER_ORACLE,
         headline=True,
+    ),
+    QuerySpec(
+        "segment_bucketed_members",
+        segment_bucketed_members,
+        _DISTINCT_MEMBER_ORACLE,
     ),
     QuerySpec(
         "segment_microbatch_members",

@@ -43,8 +43,18 @@ class SegmentDatabase:
         self.spark = spark
         self.name = name
 
-    def create(self) -> "SegmentDatabase":
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.name}")
+    def create(self, location: str | None = None) -> "SegmentDatabase":
+        """``location`` pins the database's storage root (tables created in
+        it land under this path instead of the session warehouse dir) —
+        lets a caller keep catalog-table data in scratch space when the
+        warehouse points somewhere it should not write (ignored by the
+        engine if the database already exists)."""
+        loc = ""
+        if location is not None:
+            if "'" in location:
+                raise ValueError(f"location must not contain quotes: {location!r}")
+            loc = f" LOCATION '{location}'"
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.name}{loc}")
         return self
 
     def drop(self) -> None:
