@@ -595,6 +595,64 @@ def ngram_contamination(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup: drop every repeated
+    paragraph (non-empty trimmed line), keeping only its globally FIRST
+    occurrence by (doc id, position), and rebuild each document from its
+    surviving paragraphs — the boilerplate-removal pass (nav bars, cookie
+    banners, license headers) that document-level dedup cannot touch.
+
+    Returns one row per input doc: (id, clean_text, n_paras,
+    n_kept_paras); docs whose every paragraph was seen earlier come back
+    with empty text, not dropped — the caller decides the length filter.
+
+    Scale shape: posexplode -> first-occurrence ranking windowed on the
+    paragraph's md5 (16-byte shuffle key instead of the paragraph string;
+    distinct-collision odds are the same 2^-128 argument as exact_dedup)
+    -> per-doc rebuild (sorted struct collect) -> doc-keyed zero-fill
+    join. Two content shuffles, both map-side thin. Deterministic: rank
+    ties cannot exist ((doc, pos) is unique per row)."""
+    from pyspark.sql import Window
+
+    ws = "[ \\t\\x0B\\f\\r]+"
+    col = F.col(text_col)
+    paras = F.filter(
+        F.transform(
+            F.split(col, "\n"),
+            lambda p: F.regexp_replace(p, f"^{ws}|{ws}$", ""),
+        ),
+        lambda p: p != "",
+    )
+    exploded = df.select(F.col(id_col).alias("_id"), F.posexplode(paras).alias("_pos", "_p"))
+    w = Window.partitionBy(F.md5("_p")).orderBy("_id", "_pos")
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept_paras"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(paras).cast("int").alias("n_paras"))
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paras",
+            F.coalesce("n_kept_paras", F.lit(0)).alias("n_kept_paras"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -201,6 +201,48 @@ def top_ngrams(
     )
 
 
+# PII patterns, ordered: each stage counts/replaces on the PREVIOUS stage's
+# output, so a replacement token can never be re-matched by a later pattern
+# (the tokens carry no digits). Every class is explicit ASCII — identical
+# under Java regex (Spark) and RE2 (DuckDB), same portability rule as
+# normalize_text. \x20 = literal space (inside the char class, a bare space
+# reads as a typo; the escape is identical in both engines).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\x20]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style PII scrub: replace emails, IPv4 addresses, and
+    phone-shaped digit runs with typed tokens, reporting per-doc match
+    counts and a has_pii flag. Crude by design (regex PII detection always
+    is) but deterministic and engine-portable, so the whole output —
+    redacted text included — is value-oracle-able. Map-only expressions,
+    no shuffle: runs at scan speed over 100 TB."""
+    col = F.col(text_col)
+    out_cols = []
+    red = col
+    total = F.lit(0)
+    for name, pat, token in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        out_cols.append(n.alias(f"n_{name}"))
+        total = total + n
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        id_col,
+        red.alias("redacted_text"),
+        *out_cols,
+        (total > 0).alias("has_pii"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     *,

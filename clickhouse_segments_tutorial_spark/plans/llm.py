@@ -24,6 +24,7 @@ import tempfile
 
 from ..operators.components import dedup_groups
 from ..operators.dedup import (
+    dedup_paragraphs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -43,8 +44,10 @@ from ..operators.similarity import (
     srp_probe_index,
 )
 from ..operators.text import (
+    PII_PATTERNS,
     chunk_documents,
     normalize_text,
+    redact_pii,
     repetition_stats,
     text_stats,
     top_ngrams,
@@ -1016,6 +1019,85 @@ FROM documents
 """
 
 
+def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup over the corpus
+    (operators/dedup.py:dedup_paragraphs): every repeated non-empty line
+    survives only at its globally first (doc_id, position) occurrence and
+    each doc is rebuilt from its survivors — the boilerplate-removal pass
+    document-level dedup cannot express. Fully value-oracled including
+    the rebuilt text (string_agg replays the ordered rejoin)."""
+    return dedup_paragraphs(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_PARAGRAPHS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> regexp_replace(x, '^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '', 'g')),
+           x -> x != '') AS l
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, len(l) + 1)) - 1 AS pos,
+         unnest(l) AS p
+  FROM tok
+),
+kept AS (
+  SELECT doc_id, pos, p,
+         row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(p, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS INT) AS n_kept_paras
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.l) AS INT) AS n_paras,
+       COALESCE(r.n_kept_paras, 0) AS n_kept_paras
+FROM tok t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""
+
+
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (operators/text.py:redact_pii): emails,
+    IPv4s, and phone-shaped digit runs replaced by typed tokens with
+    per-doc counts. Each stage counts/replaces on the previous stage's
+    output; the oracle chains the identical regexp_replace sequence, so
+    the redacted text itself is value-checked byte-for-byte."""
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
+_PII = {name: pat for name, pat, _ in PII_PATTERNS}
+_PII_ORACLE = f"""
+WITH s1 AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS INT) AS n_email,
+         regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{_PII["ipv4"]}')) AS INT) AS n_ipv4,
+         regexp_replace(t1, '{_PII["ipv4"]}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{_PII["phone"]}')) AS INT) AS n_phone,
+         regexp_replace(t2, '{_PII["phone"]}', '<PHONE>', 'g') AS redacted_text
+  FROM s2
+)
+SELECT doc_id, redacted_text, n_email, n_ipv4, n_phone,
+       (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+FROM s3
+"""
+
+
 def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics per document (duplicate-line
     fractions, top-2-gram and duplicate-5-gram character coverage — the
@@ -1280,6 +1362,8 @@ QUERIES = [
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE),
+    QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE),
+    QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(

@@ -945,6 +945,49 @@ def test_normalize_text_cleaning(spark):
     assert got[4] == "中文 text"
 
 
+def test_dedup_paragraphs_fixture(spark):
+    """Cross-doc paragraph dedup: shared boilerplate survives only at its
+    first (doc, pos) occurrence; fully-duplicated docs come back empty."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "cookie banner\nunique alpha"),
+        (2, "cookie banner\nunique beta\ncookie banner"),
+        (3, "cookie banner"),           # nothing left after dedup
+        (4, "  \n\t"),                   # no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in dedup_paragraphs(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "clean_text": "cookie banner\nunique alpha",
+        "n_paras": 2, "n_kept_paras": 2,
+    }
+    assert got[2] == {
+        "doc_id": 2, "clean_text": "unique beta",
+        "n_paras": 3, "n_kept_paras": 1,
+    }
+    assert got[3] == {"doc_id": 3, "clean_text": "", "n_paras": 1, "n_kept_paras": 0}
+    assert got[4] == {"doc_id": 4, "clean_text": "", "n_paras": 0, "n_kept_paras": 0}
+
+
+def test_redact_pii_fixture(spark):
+    from clickhouse_segments_tutorial_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+spam@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 serving"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["redacted_text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 1)
+    assert got[2]["redacted_text"] == "server at <IP> and <IP> serving"
+    assert got[2]["n_ipv4"] == 2 and got[2]["has_pii"]
+    assert got[3]["redacted_text"] == "nothing sensitive here"
+    assert not got[3]["has_pii"]
+
+
 def test_repetition_stats_fixture(spark):
     """Hand-computed Gopher repetition metrics on crafted docs: duplicate
     lines, a dominant 2-gram, a repeated 5-gram, and the empty doc."""
