@@ -364,6 +364,72 @@ def test_repetition_stats_matches_python_model(spark, texts):
     assert got == want
 
 
+@given(texts=st.lists(multiline_doc, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_dedup_paragraphs_matches_python_model(spark, texts):
+    """Cross-doc paragraph dedup == the sequential-scan Python model: keep
+    a paragraph iff its value was never seen at any earlier (doc, pos)."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in dedup_paragraphs(df).collect()}
+
+    seen: set = set()
+    for i, t in enumerate(texts):
+        paras = [p.strip(" \t\x0b\f\r") for p in t.split("\n")]
+        paras = [p for p in paras if p]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == {
+            "doc_id": i,
+            "clean_text": "\n".join(kept),
+            "n_paras": len(paras),
+            "n_kept_paras": len(kept),
+        }, (i, t)
+
+
+pii_fragment = st.sampled_from(
+    [
+        "plain words here",
+        "bob@x.io",
+        "a.b-c_d@mail.example.com",
+        "10.0.0.1",
+        "256.1.1.1",          # still 4 octets -> matched by the crude rule
+        "+44 (0)20 7946 0958",
+        "555-0100x",
+        "v1.2.3.4beta",       # \b keeps this matched inside the word run
+        "no@tld@",
+    ]
+)
+
+
+@given(frags=st.lists(pii_fragment, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_redact_pii_matches_python_re(spark, frags):
+    """The staged redaction equals Python re with the same patterns — the
+    patterns use only explicit ASCII classes, so Java regex, RE2, and
+    Python re agree; proving it against re pins the cross-engine claim."""
+    import re
+
+    from clickhouse_segments_tutorial_spark.operators.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = redact_pii(df).first().asDict()
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        pat_py = pat.replace(r"\x20", " ")
+        assert row[f"n_{name}"] == len(re.findall(pat_py, cur)), (name, cur)
+        cur = re.sub(pat_py, token, cur)
+    assert row["redacted_text"] == cur
+
+
 @given(
     strata=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=40),
     w_a=st.floats(min_value=0.1, max_value=0.9),
