@@ -47,9 +47,11 @@ from ..operators.text import (
     PII_PATTERNS,
     chunk_documents,
     normalize_text,
+    quality_score,
     redact_pii,
     repetition_stats,
     text_stats,
+    token_count,
     top_ngrams,
 )
 from ..sources.catalog import load_table
@@ -1019,6 +1021,76 @@ FROM documents
 """
 
 
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): doc count, token
+    volume, mean quality, and share of the corpus — the dashboard every
+    mixture decision starts from (what the _MIX_WEIGHTS upsampling in
+    mixed_corpus_docs consumes). One map-side-combined groupBy over
+    scan-side features; the share ratio adds one single-partition window
+    over the handful of GROUP rows (never the corpus). Mean quality uses
+    the registry's decimal-sum rule: per-doc quality is already rounded
+    to 6, so the decimal sum is exact and order-independent, then one
+    double division."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        token_count("text").alias("_nt"),
+        quality_score("text").alias("_q"),
+    )
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("_q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    )
+
+
+_COMPOSITION_ORACLE = r"""
+WITH base AS (
+  SELECT source, lang, text,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+  FROM documents
+),
+q AS (
+  SELECT source, lang, len(toks) AS nt,
+         round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                            / length(text) END) * 5, 1.0))
+                + least((CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, t -> lower(t) IN
+                              ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+                            / len(toks) END) * 4, 1.0)) / 3.0, 6) AS quality
+  FROM base
+),
+g AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+  FROM q GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, mean_quality,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+FROM g
+"""
+
+
 def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document paragraph dedup over the corpus
     (operators/dedup.py:dedup_paragraphs): every repeated non-empty line
@@ -1364,6 +1436,7 @@ QUERIES = [
     QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE),
     QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE),
     QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE),
+    QuerySpec("corpus_composition", corpus_composition, _COMPOSITION_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(
