@@ -390,3 +390,35 @@ def test_transform_with_state_matches_exact(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
         == "unset"
     )
+
+
+def test_streaming_dedup_accepts_first_occurrence_only(spark, tmp_path):
+    """Continuous-ingestion exact dedup: duplicates within a wave, across
+    waves, and across checkpointed runs are all rejected; every distinct
+    text survives exactly once and the accepted set equals the batch
+    exact-dedup fingerprint set."""
+    from clickhouse_segments_tutorial_spark.streaming import StreamingDeduper
+
+    dd = StreamingDeduper(
+        spark, str(tmp_path / "dedup"), schema="doc_id long, text string"
+    )
+    wave1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]  # in-wave duplicate
+    spark.createDataFrame(wave1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(dd.docs_dir)
+    dd.run_available_now()
+    got1 = {r.text for r in dd.accepted().collect()}
+    assert got1 == {"alpha", "beta"}
+
+    # wave 2: re-delivers 'alpha' (cross-run duplicate), adds 'gamma'
+    wave2 = [(4, "alpha"), (5, "gamma"), (6, "beta")]
+    spark.createDataFrame(wave2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(dd.docs_dir)
+    dd.run_available_now()
+    rows = dd.accepted().collect()
+    assert {r.text for r in rows} == {"alpha", "beta", "gamma"}
+    assert len(rows) == 3  # one survivor per distinct text, ever
+    # the accepted ids are drawn from the first wave that carried the text
+    by_text = {r.text: r.doc_id for r in rows}
+    assert by_text["alpha"] in (1, 3) and by_text["gamma"] == 5
