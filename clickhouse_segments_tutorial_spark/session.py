@@ -11,6 +11,7 @@ the few Pandas-UDF code paths.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -62,6 +63,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # catalog-table data (bucketed tables, scratch databases) defaults
+        # under the process cwd ("spark-warehouse/") otherwise — a library
+        # must not write cwd-relative dirs; scratch is the correct default
+        # for this engine's per-run catalog use. Ignored if the caller's
+        # session already exists (static conf).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
