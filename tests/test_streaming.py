@@ -422,3 +422,38 @@ def test_streaming_dedup_accepts_first_occurrence_only(spark, tmp_path):
     # the accepted ids are drawn from the first wave that carried the text
     by_text = {r.text: r.doc_id for r in rows}
     assert by_text["alpha"] in (1, 3) and by_text["gamma"] == 5
+
+
+def test_streaming_dedup_watermark_bounded_variant(spark, tmp_path):
+    """The bounded-state mode (dropDuplicatesWithinWatermark on the
+    fingerprint): a re-delivery inside the watermark horizon is dropped;
+    state is keyed by fingerprint + event time, not unbounded history."""
+    import datetime as dt
+
+    from clickhouse_segments_tutorial_spark.streaming import StreamingDeduper
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    dd = StreamingDeduper(
+        spark,
+        str(tmp_path / "wm"),
+        schema=schema,
+        time_col="ts",
+        watermark="1 hour",
+    )
+    wave = [
+        (1, "alpha", t0),
+        (2, "alpha", t0 + dt.timedelta(minutes=5)),  # in-horizon re-delivery
+        (3, "beta", t0),
+    ]
+    spark.createDataFrame(wave, schema).write.mode("append").parquet(dd.docs_dir)
+    dd.run_available_now()
+    got = {r.text for r in dd.accepted().collect()}
+    assert got == {"alpha", "beta"}
+    assert dd.accepted().count() == 2
+
+    # constructor contract: watermark and time_col must travel together
+    import pytest
+
+    with pytest.raises(ValueError):
+        StreamingDeduper(spark, str(tmp_path / "bad"), schema=schema, watermark="1 hour")
