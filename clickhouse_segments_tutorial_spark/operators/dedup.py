@@ -611,14 +611,19 @@ def dedup_paragraphs(
     n_kept_paras); docs whose every paragraph was seen earlier come back
     with empty text, not dropped — the caller decides the length filter.
 
-    Scale shape: posexplode -> first-occurrence ranking windowed on the
-    paragraph's md5 (16-byte shuffle key instead of the paragraph string;
-    distinct-collision odds are the same 2^-128 argument as exact_dedup)
-    -> per-doc rebuild (sorted struct collect) -> doc-keyed zero-fill
-    join. Two content shuffles, both map-side thin. Deterministic: rank
-    ties cannot exist ((doc, pos) is unique per row)."""
-    from pyspark.sql import Window
-
+    Scale shape: posexplode -> first-occurrence selection via
+    groupBy(md5(paragraph)).agg(min(struct(id, pos, paragraph))) — a hash
+    aggregate with MAP-SIDE PARTIAL COMBINE, so a boilerplate paragraph
+    repeated millions of times (the operator's exact target) collapses to
+    one struct per map task before the shuffle instead of funnelling every
+    occurrence to a single reducer (a row_number window over the hash has
+    no partial step and skews on hot keys). The struct carries the
+    paragraph text, so no join-back is needed; (id, pos) is unique per
+    row, so the min is deterministic and text never participates in the
+    comparison. md5 keys the shuffle (distinct-collision odds are the same
+    2^-128 argument as exact_dedup). Then per-doc rebuild (sorted struct
+    collect) -> doc-keyed zero-fill join: two content shuffles, both
+    map-side thin — now including the hot-key one."""
     ws = "[ \\t\\x0B\\f\\r]+"
     col = F.col(text_col)
     paras = F.filter(
@@ -629,8 +634,11 @@ def dedup_paragraphs(
         lambda p: p != "",
     )
     exploded = df.select(F.col(id_col).alias("_id"), F.posexplode(paras).alias("_pos", "_p"))
-    w = Window.partitionBy(F.md5("_p")).orderBy("_id", "_pos")
-    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    kept = (
+        exploded.groupBy(F.md5("_p").alias("_h"))
+        .agg(F.min(F.struct("_id", "_pos", "_p")).alias("_f"))
+        .select(F.col("_f._id").alias("_id"), F.col("_f._pos").alias("_pos"), F.col("_f._p").alias("_p"))
+    )
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(

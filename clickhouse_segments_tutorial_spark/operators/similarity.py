@@ -631,12 +631,13 @@ def srp_banded_candidate_pairs(
     vec_col: str = "embedding",
     n_planes: int = 56,
     max_hamming: int = 7,
-) -> DataFrame | None:
+) -> DataFrame:
     """Candidate stage of :func:`cosine_pairs_srp`: distinct (id_a, id_b)
     pairs agreeing on >= one pigeonhole band of the SRP signature.
     Exposed so the candidate fraction — THE cost driver of the banded
     path — is directly measurable (tests/test_operators.py pins it).
-    Returns None on empty input."""
+    Empty input yields an empty (id_a, id_b) DataFrame, same contract as
+    every sibling operator."""
     chunks = max_hamming + 1
     if n_planes < chunks:
         # with fewer planes than chunks the high chunks all read past the
@@ -649,7 +650,10 @@ def srp_banded_candidate_pairs(
     width = n_planes // chunks
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
-        return None
+        idt = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}"
+        )
     dim = int(first.d)
     # Band THIN rows only — (id, chunk, key) is ~20 bytes; carrying the
     # embedding through the explode would shuffle O(n*chunks*dim) floats
@@ -738,11 +742,6 @@ def cosine_pairs_srp(
         n_planes=n_planes,
         max_hamming=max_hamming,
     )
-    if cand is None:
-        # empty input -> empty output, same contract as cosine_pairs
-        return embeddings.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos_sim double"
-        )
     vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     return (
         cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")

@@ -225,8 +225,12 @@ def redact_pii(
     counts and a has_pii flag. Crude by design (regex PII detection always
     is) but deterministic and engine-portable, so the whole output —
     redacted text included — is value-oracle-able. Map-only expressions,
-    no shuffle: runs at scan speed over 100 TB."""
-    col = F.col(text_col)
+    no shuffle: runs at scan speed over 100 TB.
+
+    NULL text is treated as '' (counts 0, redacted '', has_pii false) —
+    without the coalesce every regexp would propagate NULL and downstream
+    ``has_pii`` filters would silently drop the row."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
     out_cols = []
     red = col
     total = F.lit(0)

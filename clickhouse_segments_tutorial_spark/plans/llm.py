@@ -94,10 +94,10 @@ WITH docs AS (
          ) AS sh
   FROM (
     SELECT doc_id,
-           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+           CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
                 THEN []::VARCHAR[]
                 ELSE string_split_regex(
-                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
            END AS t
     FROM documents
   )
@@ -154,10 +154,10 @@ WITH docs AS (
          ) AS sh
   FROM (
     SELECT doc_id,
-           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+           CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
                 THEN []::VARCHAR[]
                 ELSE string_split_regex(
-                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
            END AS t
     FROM documents
   )
@@ -217,10 +217,10 @@ WITH RECURSIVE docs AS (
          ) AS sh
   FROM (
     SELECT doc_id,
-           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+           CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
                 THEN []::VARCHAR[]
                 ELSE string_split_regex(
-                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
            END AS t
     FROM documents
   )
@@ -297,10 +297,10 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_NGRAMS_ORACLE = """
 WITH base AS (
   SELECT lang,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -336,10 +336,10 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNKS_ORACLE = """
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -679,17 +679,17 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_STATS_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, text,
-         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END AS toks
   FROM documents
 ),
 feat AS (
   SELECT doc_id, text, toks,
          len(toks) AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
          length(text) AS n_chars,
          CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
                    / length(text) END AS punct_ratio_raw,
          CASE WHEN len(toks) = 0 THEN 0.0
               ELSE CAST(len(list_filter(toks, t -> lower(t) IN
@@ -854,10 +854,10 @@ def packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKED_ORACLE = """
 WITH RECURSIVE base AS (
   SELECT doc_id,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -1063,15 +1063,15 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPOSITION_ORACLE = r"""
 WITH base AS (
   SELECT source, lang, text,
-         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END AS toks
   FROM documents
 ),
 q AS (
   SELECT source, lang, len(toks) AS nt,
          round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
                 + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-                       ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                       ELSE CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
                             / length(text) END) * 5, 1.0))
                 + least((CASE WHEN len(toks) = 0 THEN 0.0
                        ELSE CAST(len(list_filter(toks, t -> lower(t) IN
@@ -1183,10 +1183,10 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_ORACLE = """
 WITH tok AS (
   SELECT doc_id, text,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -1276,10 +1276,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FINGERPRINTS_ORACLE = """
 WITH tok AS (
   SELECT doc_id, text,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -1373,10 +1373,10 @@ WITH tok AS (
   SELECT doc_id,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
               THEN 'test' ELSE 'train' END AS split,
-         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
               ELSE string_split_regex(
-                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),

@@ -10,10 +10,28 @@ the few Pandas-UDF code paths.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
+
+_warehouse_cleanup_registered = False
+
+
+def _default_warehouse_dir() -> str:
+    """Per-PID scratch warehouse, removed at interpreter exit.
+
+    Without the atexit hook every process run leaves an unbounded
+    ``spark-warehouse-<pid>`` dir in /tmp — exactly the leak shape
+    the scratch-dir cleanup policy exists to avoid."""
+    global _warehouse_cleanup_registered
+    path = os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}")
+    if not _warehouse_cleanup_registered:
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _warehouse_cleanup_registered = True
+    return path
 
 
 def default_parallelism() -> int:
@@ -68,10 +86,7 @@ def get_spark(
         # must not write cwd-relative dirs; scratch is the correct default
         # for this engine's per-run catalog use. Ignored if the caller's
         # session already exists (static conf).
-        .config(
-            "spark.sql.warehouse.dir",
-            os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
-        )
+        .config("spark.sql.warehouse.dir", _default_warehouse_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
