@@ -28,6 +28,28 @@ from clickhouse_segments_tutorial_spark.plans import all_queries
 from clickhouse_segments_tutorial_spark.session import get_spark
 from clickhouse_segments_tutorial_spark.sources.catalog import DEFAULT_SF_DIR
 
+# The twelve queries timed since round 1 — FROZEN so `r1_set_sec` stays
+# comparable to the 21.3s round-1 baseline across rounds. Queries promoted
+# to headline later (the round-7 LLM-operator additions) are timed and
+# regression-tracked identically but summed separately: adding a new 13s
+# pipeline query must not read as a 2x regression of the original set.
+R1_SET = frozenset(
+    {
+        "segment_naive_members",
+        "segment_idempotent_members",
+        "segment_microbatch_members",
+        "segment_eventtime_members",
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_nation_revenue",
+        "asof_latest_order_before_click",
+        "session_stats_per_user",
+        "jaccard_near_dup_pairs",
+        "minhash_near_dup_pairs",
+        "knn_cosine_bruteforce",
+    }
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -106,12 +128,15 @@ def main() -> None:
 
     timings = {name: round(v, 3) for name, v in raw.items()}
     total = round(sum(raw.values()), 3)
+    r1_total = round(sum(v for k, v in raw.items() if k in R1_SET), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                # like-for-like vs the round-1 21.3s baseline (see R1_SET)
+                "r1_set_sec": r1_total,
                 "queries": timings,
                 "sf": sf,
                 "n": n_runs,

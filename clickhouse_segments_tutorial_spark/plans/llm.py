@@ -1420,7 +1420,7 @@ QUERIES = [
     QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINTS_ORACLE),
     QuerySpec("cleaned_docs", cleaned_docs, _CLEANED_ORACLE),
     QuerySpec("embedding_quantized", embedding_quantized, _QUANTIZED_ORACLE),
-    QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE),
+    QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE, headline=True),
     QuerySpec("top_bigrams_per_lang", top_bigrams_per_lang, _TOP_NGRAMS_ORACLE),
     QuerySpec("doc_chunks", doc_chunks, _CHUNKS_ORACLE),
     QuerySpec("knn_cosine_bruteforce", knn_cosine_bruteforce, _KNN_ORACLE, headline=True),
@@ -1433,9 +1433,9 @@ QUERIES = [
     ),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
-    QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE),
-    QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE),
-    QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE),
+    QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE, headline=True),
+    QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE, headline=True),
+    QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE, headline=True),
     QuerySpec("corpus_composition", corpus_composition, _COMPOSITION_ORACLE),
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
