@@ -86,7 +86,17 @@ def main() -> None:
     # one straggler sample can move a median-of-3 by 20%+ (r5 verdict item
     # 7). Median-of-5 tightens their spread below the ±15% target without
     # inflating total bench time elsewhere.
-    extra_sample_queries = {"segment_microbatch_members", "segment_eventtime_members"}
+    # knn_cosine_bruteforce earns the same treatment for a different
+    # reason: its samples keep dropping deep into a session (0.65s ->
+    # 0.39s over 10 runs — JIT tier-up of the zip_with/aggregate codegen
+    # outlasts one warmup), so a median-of-3 lands wherever JIT happens
+    # to be. Same-session r5-vs-r6 A/B (BASELINE.md) showed the r6 "knn
+    # regression" was exactly this plus host variance, not a code change.
+    extra_sample_queries = {
+        "segment_microbatch_members",
+        "segment_eventtime_members",
+        "knn_cosine_bruteforce",
+    }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, spec in all_queries().items():
