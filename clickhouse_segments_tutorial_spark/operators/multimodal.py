@@ -61,27 +61,175 @@ def decode_stub(payload: bytes) -> list[float]:
     return [b / n for b in buckets]
 
 
+def _luma(r: int, g: int, b: int) -> int:
+    """ITU-R 601-2 luma, truncating integer math (PIL convert('L')'s
+    formula), so the pure decoder and the PIL path agree bit-for-bit."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """8-bit greyscale/RGB PNG via stdlib zlib; all five scanline filters.
+
+    Format per the public PNG spec (RFC 2083): IHDR dims/depth/color,
+    concatenated IDAT zlib stream, per-scanline filter byte then samples.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = 8, 0, 0, 0, b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color not in (0, 2):
+                raise ValueError(f"unsupported PNG depth/color {depth}/{color}")
+            channels = 3 if color == 2 else 1
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out: list[int] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0  # left
+            b_ = prev[x]  # up
+            c = prev[x - channels] if x >= channels else 0  # up-left
+            if filt == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif filt == 2:
+                line[x] = (line[x] + b_) & 0xFF
+            elif filt == 3:
+                line[x] = (line[x] + (a + b_) // 2) & 0xFF
+            elif filt == 4:  # Paeth
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        prev = line
+        if channels == 1:
+            out.extend(line)
+        else:
+            out.extend(
+                _luma(line[i], line[i + 1], line[i + 2])
+                for i in range(0, stride, 3)
+            )
+    return width, height, out
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, list[int]]:
+    """Binary PPM (P6, RGB) / PGM (P5, grey), maxval 255."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines starting '#' allowed), then a single whitespace byte
+    # before the raster
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if magic == b"P5":
+        return width, height, list(payload[pos : pos + width * height])
+    raster = payload[pos : pos + width * height * 3]
+    return width, height, [
+        _luma(raster[i], raster[i + 1], raster[i + 2])
+        for i in range(0, len(raster), 3)
+    ]
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
+    """Uncompressed 24-bit BI_RGB BMP (bottom-up or top-down rows,
+    4-byte-aligned row stride, BGR byte order)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp/compression {bpp}/{compression}")
+    height = abs(height_raw)
+    stride = (width * 3 + 3) & ~3
+    rows = range(height - 1, -1, -1) if height_raw > 0 else range(height)
+    out: list[int] = []
+    for y in rows:
+        base = data_off + y * stride
+        out.extend(
+            _luma(payload[base + 3 * x + 2], payload[base + 3 * x + 1], payload[base + 3 * x])
+            for x in range(width)
+        )
+    return width, height, out
+
+
+def decode_image_py(payload: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free image decode: (width, height, 8-bit luma pixels in
+    row-major order) for PNG (8-bit grey/RGB, stdlib zlib), binary
+    PPM/PGM, and uncompressed 24-bit BMP — public formats simple enough
+    to parse exactly without codec libraries, so the real-decode path is
+    exercised in CI rather than import-gated away. RGB converts with the
+    same truncating ITU-R 601-2 luma as PIL convert('L')."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image format (PNG/PPM/PGM/BMP decode without codec "
+        "libraries; JPEG and friends need PIL)"
+    )
+
+
 def real_decode(payload: bytes, kind: str) -> list[float]:
     """The genuine codec path: decode the image and pool PIXEL intensities
     into the same 8-bucket normalized histogram shape as ``decode_stub``
     pools raw bytes (bucket = value >> 5) — so swapping the stub for the
     real decoder changes feature VALUES, never schema or batch shape.
 
-    Guarded: raises NotImplementedError when PIL is absent (this
-    container); tests/test_operators.py carries a golden-PNG test that
-    skips cleanly in that case. Audio/video codecs (libav) stay stubbed.
-    """
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "media codecs (PIL/libav) are not installed in this environment; "
-            "use decode_stub for plumbing tests"
-        )
+    Decode order: the dependency-free parser (PNG/PPM/PGM/BMP —
+    deterministic everywhere, including this container), then PIL for any
+    other format when installed. NotImplementedError only for formats
+    neither path can read (e.g. JPEG without PIL). Audio/video codecs
+    (libav) stay stubbed."""
     if kind != "image":
         raise NotImplementedError(f"real decode implemented for images only, got {kind!r}")
-    import io
+    try:
+        _, _, pixels = decode_image_py(payload)
+    except NotImplementedError:
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                "format not supported by the built-in decoder and PIL is "
+                "not installed in this environment"
+            ) from None
+        import io
 
-    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
-    pixels = list(img.getdata())
+        img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+        pixels = list(img.getdata())
     if not pixels:
         return [0.0] * 8
     buckets = [0] * 8
@@ -91,45 +239,51 @@ def real_decode(payload: bytes, kind: str) -> list[float]:
     return [b / n for b in buckets]
 
 
+_by_value_registered = False
+
+
+def _ship_module_by_value() -> None:
+    """Register this module with pyspark's vendored cloudpickle so UDF
+    closures that call the module-level decoders (decode_image_py /
+    real_decode — too large to inline per closure) are pickled BY VALUE:
+    Spark Python workers must not need this package importable (the
+    driver harness may run from any cwd). The stub paths stay
+    self-contained closures and never need this."""
+    global _by_value_registered
+    if _by_value_registered:
+        return
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _by_value_registered = True
+
+
 def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Iterator-of-batches signature: a real decoder would hold codec state
     across batches. Arrow moves the binary column zero-copy.
 
-    The decode function is defined INSIDE this closure so cloudpickle ships
-    it by value — Spark Python workers must not need this package importable
-    (the driver harness may run from any cwd).
+    The stub decode is defined INSIDE the closure so cloudpickle ships it
+    by value; the real path calls the module-level ``real_decode`` (the
+    built-in PNG/PNM/BMP parser, PIL fallback) with the module registered
+    for by-value pickling — same worker-side independence either way.
     """
-    if not use_stub and not HAVE_PIL:
-        raise NotImplementedError(
-            "media codecs (PIL/libav) are not installed in this environment"
-        )
+    if not use_stub:
+        _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(payload) -> list[float]:
-            # by-value copies of decode_stub / real_decode (see module
-            # docstring: workers must not need this package importable)
             if payload is None or len(payload) == 0:
                 return [0.0] * 8
+            if not use_stub:
+                return real_decode(bytes(payload), "image")
             buckets = [0] * 8
-            if use_stub:
-                for byte in payload:
-                    buckets[byte >> 5] += 1
-                n = float(len(payload))
-            else:
-                import io
-
-                import PIL.Image as _img
-
-                values = list(
-                    _img.open(io.BytesIO(payload)).convert("L").getdata()
-                )
-                if not values:
-                    return [0.0] * 8
-                for v in values:
-                    buckets[v >> 5] += 1
-                n = float(len(values))
+            for byte in payload:
+                buckets[byte >> 5] += 1
+            n = float(len(payload))
             return [b / n for b in buckets]
 
         for pdf in batches:
@@ -206,6 +360,95 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthesize_ppm(doc_id: int) -> bytes:
+    """Deterministic binary P6 PPM for a doc id: dims 8..16 x 8..14, RGB
+    raster from a modular byte sequence. Every byte is a pure integer
+    function of (doc_id, position), so a SQL oracle can regenerate the
+    exact pixel stream the decoder must produce — making the REAL decode
+    path value-checkable end-to-end without binary fixtures."""
+    w = 8 + (doc_id % 9)
+    h = 8 + ((doc_id * 3) % 7)
+    raster = bytes(
+        (doc_id * 2654435761 + i * 40503) % 256 for i in range(w * h * 3)
+    )
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def synthetic_image_corpus(documents: DataFrame) -> DataFrame:
+    """One synthetic P6 PPM per document row, as a MEDIA_SCHEMA frame.
+
+    Payload synthesis runs worker-side in mapInPandas (binary columns
+    through Arrow — the write half of the plumbing the decode half reads
+    back); meta dims are left NULL so decode must recover them from the
+    codec header, not the metadata."""
+    _ship_module_by_value()
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": pdf["media_id"].map(lambda i: synthesize_ppm(int(i))),
+                    "meta_width": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_height": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_sample_rate": pd.Series([None] * len(pdf), dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int, sum_luma long, "
+    "n_dark int, n_bright int, mean_luma double"
+)
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode per payload: parse the codec (PNG/PPM/PGM/BMP via
+    the dependency-free decoder — deterministic in every environment,
+    deliberately NOT PIL even when present, so results never depend on
+    what is installed), recover dims from the header, and aggregate pixel
+    stats: integer-exact sum_luma / n_dark (luma < 64) / n_bright
+    (luma >= 192), plus mean_luma as the one double division — emitted
+    UNROUNDED: dividing two exact integers is one deterministic IEEE op
+    in every engine, whereas round-to-6 hits half-case divergence
+    (Python rounds half-even, DuckDB half-up; 16205/128 = ...5625 is a
+    real corpus case). mapInPandas per-partition iterator, no shuffle —
+    decode runs at scan speed."""
+    _ship_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pixels = decode_image_py(bytes(payload))
+                s = sum(pixels)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        len(pixels),
+                        s,
+                        sum(1 for v in pixels if v < 64),
+                        sum(1 for v in pixels if v >= 192),
+                        float(s) / len(pixels) if pixels else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "sum_luma",
+                    "n_dark", "n_bright", "mean_luma",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
