@@ -294,9 +294,10 @@ def ivf_assign(
     vec_col: str = "embedding",
     list_col: str = "ivf_list",
     portable: bool = False,
+    spill: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine) as an extra
-    column — the IVF index build.
+    """Assign every vector to its ``spill`` nearest centroids (max cosine)
+    — the IVF index build.
 
     This is the one genuinely numeric-dense step, so it is an Arrow-batched
     pandas UDF doing a single B x d @ d x C matmul per batch (~100x a
@@ -304,41 +305,58 @@ def ivf_assign(
     is written back partitioned by ``list_col`` so a query touches only the
     probed partitions.
 
+    ``spill > 1`` is multi-assignment (IVF spilling): each vector is
+    indexed under its top-``spill`` lists, returned as one row per
+    (vector, list) via an in-expression explode — still no shuffle.
+    Storage grows by the spill factor; recall at a fixed probe budget
+    grows much faster, because boundary vectors (the ones quantization
+    loses) sit in BOTH their nearby lists. Measured on the corpus:
+    portable top-10 recall 0.57 -> 0.755 for spill 1 -> 2 at ~30%
+    scanned (see ann_ivf_topk). Probe-side readers must dedup candidates
+    by id (a vector can reach the scan via two probed lists).
+
     ``portable=True`` switches to the engine-replayable assignment rule:
-    cosine = dot/(|v||c|) ROUNDED to 6 decimals, argmax with ties broken
-    by LOWEST centroid index — exactly `row_number() OVER (PARTITION BY id
-    ORDER BY round(cos, 6) DESC, centroid ASC) = 1` in SQL. Rounding makes
-    the rule robust to cross-engine float-summation-order noise (~1e-16
-    relative): a disagreement now needs the true cosine within float error
-    of a 5e-7 rounding boundary AND a competitor within 1e-6 — jointly
-    negligible — while exact ties (common after rounding) break
-    identically everywhere.
+    cosine = dot/(|v||c|) ROUNDED to 6 decimals, ranked descending with
+    ties broken by LOWEST centroid index — exactly `row_number() OVER
+    (PARTITION BY id ORDER BY round(cos, 6) DESC, centroid ASC) <= spill`
+    in SQL. Rounding makes the rule robust to cross-engine
+    float-summation-order noise (~1e-16 relative): a disagreement now
+    needs the true cosine within float error of a 5e-7 rounding boundary
+    AND a competitor within 1e-6 — jointly negligible — while exact ties
+    (common after rounding) break identically everywhere (numpy stable
+    argsort keeps the lowest index first, same as the SQL tie-break).
     """
     from pyspark.sql.functions import pandas_udf
 
+    if spill < 1:
+        raise ValueError("spill must be >= 1")
     c = np.asarray(centroids, dtype=np.float64)
     c_unit = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     c_norm = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
 
     if portable:
 
-        @pandas_udf("int")
-        def nearest_centroid(v: pd.Series) -> pd.Series:
+        @pandas_udf("array<int>")
+        def nearest_centroids(v: pd.Series) -> pd.Series:
             m = np.stack(v.to_numpy()).astype(np.float64)
             m_norm = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             cos = np.round((m @ c.T) / (m_norm * c_norm[None, :]), 6)
-            # np.argmax returns the FIRST max -> lowest centroid index
-            return pd.Series(np.argmax(cos, axis=1))
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :spill]
+            return pd.Series(list(top))
 
     else:
 
-        @pandas_udf("int")
-        def nearest_centroid(v: pd.Series) -> pd.Series:
+        @pandas_udf("array<int>")
+        def nearest_centroids(v: pd.Series) -> pd.Series:
             m = np.stack(v.to_numpy()).astype(np.float64)
             m_unit = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax(m_unit @ c_unit.T, axis=1))
+            top = np.argsort(-(m_unit @ c_unit.T), axis=1, kind="stable")[:, :spill]
+            return pd.Series(list(top))
 
-    return embeddings.withColumn(list_col, nearest_centroid(F.col(vec_col)))
+    assigned = nearest_centroids(F.col(vec_col))
+    if spill == 1:
+        return embeddings.withColumn(list_col, F.element_at(assigned, 1))
+    return embeddings.withColumn(list_col, F.explode(assigned))
 
 
 def ivf_probe_lists(
@@ -463,10 +481,14 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
+    spill: int = 1,
 ) -> list[list[float]]:
     """Build and PERSIST the IVF index: vectors written to ``path``
     partitioned by inverted-list id, centroids returned (store them beside
-    the index — they are a few KB).
+    the index — they are a few KB). ``spill > 1`` replicates each vector
+    into its top-``spill`` lists (see ivf_assign): storage x spill, much
+    higher recall at a fixed probe budget; probe with the same spill so
+    candidates dedup.
 
     This is the pay-once half of IVF at scale: train + assign runs one
     pass over the corpus; afterwards every probe reads ONLY the probed
@@ -477,9 +499,11 @@ def ivf_build_index(
     sampled centroids (no Lloyd refinement — float averages are not
     bit-portable across engines) and the round-6 assignment rule, so a
     SQL oracle derives the identical index contents. Sampled centroids
-    trade some recall for replayability (measured on the corpus: top-10
-    recall 0.57 at 32/8 vs 0.70 Lloyd-refined); the refined path stays
-    the recall-optimized default."""
+    alone trade recall for replayability (measured on the corpus: top-10
+    recall 0.57 at 32/8/spill=1 vs 0.70 Lloyd-refined), but portable +
+    spill=2 at 128/24 measures 0.755 at ~33% scanned — above the Lloyd
+    path, still bit-replayable. The refined path stays the
+    recall-per-byte default (no storage doubling)."""
     if portable:
         cents = ivf_centroids(
             embeddings, n_centroids=n_centroids, id_col=id_col,
@@ -493,7 +517,9 @@ def ivf_build_index(
             id_col=id_col,
             vec_col=vec_col,
         )
-    assigned = ivf_assign(embeddings, cents, vec_col=vec_col, portable=portable)
+    assigned = ivf_assign(
+        embeddings, cents, vec_col=vec_col, portable=portable, spill=spill
+    )
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
     return cents
 
@@ -510,13 +536,16 @@ def ivf_probe_index(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     portable: bool = False,
+    spill: int = 1,
 ) -> DataFrame:
     """Top-k over a persisted IVF index: pick the ``n_probe`` nearest
     centroids driver-side, scan only those list partitions (the filter on
     the partition column prunes directories — verify with
-    PartitionFilters in .explain), exact-cosine re-rank. ``portable``
-    must match the flag the index was built with (it selects the probe-
-    list rule — see ivf_probe_lists)."""
+    PartitionFilters in .explain), exact-cosine re-rank. ``portable`` and
+    ``spill`` must match the flags the index was built with (portable
+    selects the probe-list rule — see ivf_probe_lists; a spilled index
+    can surface the same vector via two probed lists, so candidates are
+    deduped by id before the re-rank)."""
     if centroids and len(probe) != len(centroids[0]):
         raise ValueError(
             f"probe dim {len(probe)} != index dim {len(centroids[0])}"
@@ -526,6 +555,8 @@ def ivf_probe_index(
     cand = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe_lists))
     if exclude_id is not None:
         cand = cand.filter(F.col(id_col) != exclude_id)
+    if spill > 1:
+        cand = cand.dropDuplicates([id_col])
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
     return (
         cand.select(

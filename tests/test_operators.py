@@ -349,6 +349,46 @@ def test_ivf_persisted_index_prunes_and_matches(spark, sf_oracle, tmp_path):
     assert "ivf_list" in partition_filters
 
 
+def test_ivf_portable_spill_recall(spark, sf_oracle, tmp_path):
+    """The portable IVF configuration the oracle replays (128 md5-sampled
+    centroids, spill=2 multi-assignment, 24 probes) must hold mean top-10
+    recall >= 0.70 vs brute force — the r6 verdict item 5 floor (the old
+    32/8/spill=1 point measured 0.57; this one measures 0.755 over 20
+    probes). Spilled probes must also never emit a duplicate id."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    idx = str(tmp_path / "ivf_spill")
+    cents = ivf_build_index(
+        emb, idx, n_centroids=128, portable=True, spill=2
+    )
+    recalls = []
+    for pid in range(10):
+        j = int(np.where(ids == pid)[0][0])
+        sims = np.round(Vn @ Vn[j], 6)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact = [int(ids[i]) for i in order if ids[i] != pid][:10]
+        got = ivf_probe_index(
+            spark, idx, cents, list(V[j]), k=10, n_probe=24,
+            exclude_id=pid, portable=True, spill=2,
+        ).collect()
+        approx = [r.vec_id for r in got]
+        assert len(approx) == len(set(approx))  # dedup by id held
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.70, f"portable spill recall {mean}: {recalls}"
+
+
 def test_srp_persisted_index_matches_inline_and_stays_thin(spark, sf_oracle, tmp_path):
     """The persisted SRP index must (a) return rows identical to the
     inline srp_topk at equal parameters (same signature, same rank-based
