@@ -14,7 +14,8 @@ Semantics and scale, honestly:
   accepted). Each state row is one 32-char md5 key; at 10B docs that is
   ~1 TB of state, which is RocksDB-state-store territory on a real
   cluster (``spark.sql.streaming.stateStore.providerClass``), not the
-  default in-memory HDFS store. If the feed carries an event-time column,
+  default in-memory HDFS store — exercised, restart included, in
+  tests/test_streaming.py::test_streaming_dedup_rocksdb_state_store. If the feed carries an event-time column,
   ``dropDuplicatesWithinWatermark`` bounds state by recency instead — the
   right tool when re-delivery (not re-occurrence) is the thing being
   suppressed. This class exposes both via ``watermark``.

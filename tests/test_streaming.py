@@ -457,3 +457,59 @@ def test_streaming_dedup_watermark_bounded_variant(spark, tmp_path):
 
     with pytest.raises(ValueError):
         StreamingDeduper(spark, str(tmp_path / "bad"), schema=schema, watermark="1 hour")
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, tmp_path):
+    """The 10B-doc state story must not be config fiction (r6 verdict
+    item 6): run the ingest gate with the RocksDB state-store provider —
+    the store the docstring names for ~1 TB fingerprint state — across a
+    RESTART (new StreamingDeduper instance over the same checkpoint), and
+    prove (a) cross-run dedup state survived in RocksDB and (b) RocksDB
+    was actually engaged (its checkpoint layout, not the HDFS store's
+    .delta files)."""
+    import glob
+
+    from clickhouse_segments_tutorial_spark.streaming import StreamingDeduper
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        workdir = str(tmp_path / "rocks")
+        schema = "doc_id long, text string"
+        dd = StreamingDeduper(spark, workdir, schema=schema)
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], schema
+        ).write.mode("append").parquet(dd.docs_dir)
+        dd.run_available_now()
+        assert {r.text for r in dd.accepted().collect()} == {"alpha", "beta"}
+
+        # 'restart': a fresh instance over the same workdir — state must
+        # come back from the RocksDB checkpoint, not driver memory
+        dd2 = StreamingDeduper(spark, workdir, schema=schema)
+        spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma")], schema  # cross-restart duplicate
+        ).write.mode("append").parquet(dd2.docs_dir)
+        dd2.run_available_now()
+        rows = dd2.accepted().collect()
+        assert {r.text for r in rows} == {"alpha", "beta", "gamma"}
+        assert len(rows) == 3  # the restarted run still dropped 'alpha'
+        assert {r.doc_id for r in rows} == {1, 2, 4}
+
+        # RocksDB's checkpoint layout: snapshot .zip / .changelog files
+        # under state/, and none of the HDFS-store .delta files
+        state_files = glob.glob(f"{dd.checkpoint}/state/**/*", recursive=True)
+        assert any(
+            f.endswith(".zip") or f.endswith(".changelog") for f in state_files
+        ), state_files
+        assert not any(f.endswith(".delta") for f in state_files), [
+            f for f in state_files if f.endswith(".delta")
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
