@@ -568,6 +568,80 @@ def ivf_probe_index(
     )
 
 
+def ivf_recall_curve(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    probes: list[list[float]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    exclude_ids: list | None = None,
+) -> dict[int, float]:
+    """Measured recall@k for EVERY n_probe in one pass per sample probe —
+    the n_probe/recall tradeoff surface, so operators pick the probe
+    budget from data instead of folklore (r6 verdict item 5's missing
+    auto-tune surface).
+
+    Method: for each probe, rank ALL lists by the probe rule, scan the
+    full index once computing each vector's exact cosine and its MINIMAL
+    probe-rank (min over the vector's spilled assignments — the smallest
+    n_probe at which this vector becomes a candidate), and collect only
+    the exact top-k rows (k rows to the driver per probe). A true top-k
+    member with min-rank r enters the candidate set exactly when
+    n_probe >= r, and once a candidate it always survives the re-rank
+    (its exact cosine beats every non-top-k candidate), so
+    recall@n = |{top-k : min_rank <= n}| / k — computed for all n from
+    one k-row sample. One full-index scan per probe is the tuning cost,
+    paid offline; the chosen n_probe then serves every query with the
+    usual pruned scan.
+
+    Returns {n_probe: mean recall over probes}, monotone nondecreasing,
+    with curve[len(centroids)] == 1.0 by construction."""
+    n_lists = len(centroids)
+    rank_counts = np.zeros(n_lists + 2)
+    for pi, probe in enumerate(probes):
+        plists = ivf_probe_lists(centroids, probe, n_lists, portable=portable)
+        rank_map = F.create_map(
+            *[x for i, l in enumerate(plists) for x in (F.lit(l), F.lit(i + 1))]
+        )
+        probe_col = F.array(*[F.lit(float(x)) for x in probe])
+        scan = spark.read.parquet(path)
+        if exclude_ids is not None and exclude_ids[pi] is not None:
+            # sample probes drawn from the corpus exclude themselves, like
+            # every *_topk operator's exclude_id
+            scan = scan.filter(F.col(id_col) != exclude_ids[pi])
+        rows = (
+            scan
+            .select(
+                F.col(id_col).alias("_id"),
+                F.element_at(rank_map, F.col("ivf_list").cast("int")).alias("_rk"),
+                F.round(cosine(F.col(vec_col), probe_col), 6).alias("_cos"),
+            )
+            .groupBy("_id")
+            .agg(F.min("_rk").alias("_minrk"), F.max("_cos").alias("_cos"))
+            .orderBy(F.desc("_cos"), F.asc("_id"))
+            .limit(k)
+            .collect()
+        )
+        for r in rows:
+            rank_counts[min(int(r._minrk), n_lists)] += 1
+    cum = np.cumsum(rank_counts)[1 : n_lists + 1]
+    denom = float(k * max(len(probes), 1))
+    return {n + 1: float(cum[n]) / denom for n in range(n_lists)}
+
+
+def choose_n_probe(curve: dict[int, float], target_recall: float) -> int:
+    """Smallest n_probe whose measured recall meets ``target_recall``
+    (the full list count if nothing smaller does)."""
+    for n in sorted(curve):
+        if curve[n] >= target_recall:
+            return n
+    return max(curve)
+
+
 def srp_build_index(
     embeddings: DataFrame,
     path: str,

@@ -389,6 +389,64 @@ def test_ivf_portable_spill_recall(spark, sf_oracle, tmp_path):
     assert mean >= 0.70, f"portable spill recall {mean}: {recalls}"
 
 
+def test_ivf_recall_curve_and_choose_n_probe(spark, sf_oracle, tmp_path):
+    """The measured n_probe/recall tradeoff surface: the curve must be
+    monotone nondecreasing, hit 1.0 at full probes, agree with
+    ivf_probe_index's actual recall at the operating point, and
+    choose_n_probe must return the cheapest budget meeting the target."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        choose_n_probe,
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_recall_curve,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    idx = str(tmp_path / "ivf_curve")
+    cents = ivf_build_index(emb, idx, n_centroids=128, portable=True, spill=2)
+    probe_ids = [0, 1, 2, 3, 4]
+    probes = [list(V[int(np.where(ids == p)[0][0])]) for p in probe_ids]
+    curve = ivf_recall_curve(
+        spark, idx, cents, probes, k=10, portable=True, exclude_ids=probe_ids
+    )
+    vals = [curve[n] for n in sorted(curve)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))  # monotone
+    assert curve[len(cents)] == 1.0  # all lists probed == brute force
+
+    # the curve's value at an operating point must equal the recall the
+    # real probe path measures there
+    n_op = 24
+    measured = []
+    for pid, probe in zip(probe_ids, probes):
+        j = int(np.where(ids == pid)[0][0])
+        sims = np.round(Vn @ Vn[j], 6)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact = [int(ids[i]) for i in order if ids[i] != pid][:10]
+        approx = [
+            r.vec_id
+            for r in ivf_probe_index(
+                spark, idx, cents, probe, k=10, n_probe=n_op,
+                exclude_id=pid, portable=True, spill=2,
+            ).collect()
+        ]
+        measured.append(len(set(exact) & set(approx)) / 10)
+    assert curve[n_op] == pytest.approx(sum(measured) / len(measured))
+
+    # choose_n_probe: cheapest budget meeting the target, full count when
+    # the target is unreachable below it
+    n70 = choose_n_probe(curve, 0.70)
+    assert curve[n70] >= 0.70
+    assert n70 == 1 or curve[n70 - 1] < 0.70
+    assert choose_n_probe(curve, 1.01) == len(cents)
+
+
 def test_srp_persisted_index_matches_inline_and_stays_thin(spark, sf_oracle, tmp_path):
     """The persisted SRP index must (a) return rows identical to the
     inline srp_topk at equal parameters (same signature, same rank-based
