@@ -79,7 +79,7 @@ from ..sources import load_table
 from .registry import QuerySpec
 
 
-def corpus_pipeline(
+def corpus_pipeline_stages(
     docs: DataFrame,
     *,
     mix_weights: dict[str, float],
@@ -94,10 +94,11 @@ def corpus_pipeline(
     stride: int = 64,
     capacity: int = 512,
     shards: int = 8,
-) -> DataFrame:
-    """Run the full corpus build (module docstring) and return the packed
-    training chunks: (doc_id, epoch, chunk_idx, n_chunk_tokens, shard,
-    seq_id)."""
+) -> dict[str, DataFrame]:
+    """Run the full corpus build (module docstring) and return every
+    stage's output DataFrame, in stage order — 'packed' is the final
+    product; the rest power per-stage reporting/debugging
+    (:func:`corpus_pipeline_report`)."""
     # 1. paragraph dedup needs the raw line structure (see module doc)
     para = dedup_paragraphs(docs, text_col=text_col, id_col=id_col)
     # 2-3. normalize, drop boilerplate-only (now empty) docs, re-attach
@@ -145,10 +146,28 @@ def corpus_pipeline(
         id_col, "epoch", "chunk_idx", "n_chunk_tokens"
     )
     # 10. greedy sequence packing, epoch-aware order within doc_id % shards
-    return pack_chunks(
+    packed = pack_chunks(
         echunks, capacity=capacity, key_col=id_col,
         order_cols=(id_col, "epoch", "chunk_idx"), shards=shards,
     ).select(id_col, "epoch", "chunk_idx", "n_chunk_tokens", "shard", "seq_id")
+    return {
+        "raw_docs": docs,
+        "exact_deduped": norm,  # the stages 1-4 persisted barrier
+        "neardup_survivors": survivors,
+        "train_split": train,
+        "decontaminated": clean,
+        "quality_filtered": filtered,
+        "mixture_rows": epochs,
+        "chunks": chunks,
+        "epoch_chunks": echunks,
+        "packed": packed,
+    }
+
+
+def corpus_pipeline(docs: DataFrame, **kwargs) -> DataFrame:
+    """The packed training chunks of the full corpus build — see
+    :func:`corpus_pipeline_stages` for the per-stage surface."""
+    return corpus_pipeline_stages(docs, **kwargs)["packed"]
 
 
 def corpus_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +177,40 @@ def corpus_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(
         load_table(spark, sf_dir, "documents"), mix_weights=_MIX_WEIGHTS
     )
+
+
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage row counts of the corpus build — the run report every
+    production pipeline logs (how many docs each gate dropped, how many
+    epoch copies the mixture added, how many training sequences came
+    out). One row per stage, stage-indexed for stable ordering; the
+    oracle re-counts the same stages from the shared CTE stack, so a
+    composition change anywhere in the chain breaks BOTH the packed
+    output query and this report. Cost: the stage counts reuse the two
+    persisted barriers, so the chain still executes once."""
+    from .llm import _MIX_WEIGHTS
+
+    stages = corpus_pipeline_stages(
+        load_table(spark, sf_dir, "documents"), mix_weights=_MIX_WEIGHTS
+    )
+    report_stages = [
+        ("raw_docs", stages["raw_docs"]),
+        ("neardup_survivors", stages["neardup_survivors"]),
+        ("decontaminated", stages["decontaminated"]),
+        ("quality_filtered", stages["quality_filtered"]),
+        ("mixture_rows", stages["mixture_rows"]),
+        ("epoch_chunks", stages["epoch_chunks"]),
+        ("packed_sequences", stages["packed"].select("shard", "seq_id").distinct()),
+    ]
+    out = None
+    for i, (name, df) in enumerate(report_stages):
+        row = df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # --- the full-chain DuckDB oracle ---------------------------------------------
@@ -194,7 +247,10 @@ def _normalize(col: str) -> str:
     )
 
 
-def _corpus_pipeline_oracle(mix_weights: dict[str, float]) -> str:
+def _corpus_pipeline_ctes(mix_weights: dict[str, float]) -> str:
+    """The shared WITH RECURSIVE stack (stages 1-10 as CTEs) — composed
+    with a final SELECT by the packed-output and report oracles, so both
+    replay the identical chain."""
     mix_values = ",\n".join(f"  ('{s}', {w!r})" for s, w in mix_weights.items())
     wsum = repr(sum(mix_weights.values()))
     return f"""
@@ -337,18 +393,37 @@ pack(shard, rn, doc_id, epoch, chunk_idx, n_chunk_tokens, seq_id, fill) AS (
               THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
   FROM pack p JOIN ordered c ON c.shard = p.shard AND c.rn = p.rn + 1
 )
-SELECT doc_id, epoch, chunk_idx, n_chunk_tokens, shard,
-       CAST(seq_id AS INTEGER) AS seq_id
-FROM pack
 """
 
 
 def _pipeline_oracle() -> str:
     from .llm import _MIX_WEIGHTS
 
-    return _corpus_pipeline_oracle(_MIX_WEIGHTS)
+    return _corpus_pipeline_ctes(_MIX_WEIGHTS) + """
+SELECT doc_id, epoch, chunk_idx, n_chunk_tokens, shard,
+       CAST(seq_id AS INTEGER) AS seq_id
+FROM pack
+"""
+
+
+def _report_oracle() -> str:
+    from .llm import _MIX_WEIGHTS
+
+    return _corpus_pipeline_ctes(_MIX_WEIGHTS) + """
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_rows FROM (
+            SELECT 0 AS stage_idx, 'raw_docs' AS stage, count(*) AS n_rows FROM documents
+  UNION ALL SELECT 1, 'neardup_survivors', count(*) FROM surv
+  UNION ALL SELECT 2, 'decontaminated', count(*) FROM clean
+  UNION ALL SELECT 3, 'quality_filtered', count(*) FROM filt
+  UNION ALL SELECT 4, 'mixture_rows', count(*) FROM epochs
+  UNION ALL SELECT 5, 'epoch_chunks', count(*) FROM echunks
+  UNION ALL SELECT 6, 'packed_sequences', count(*)
+            FROM (SELECT DISTINCT shard, seq_id FROM pack)
+)
+"""
 
 
 QUERIES = [
     QuerySpec("corpus_pipeline_docs", corpus_pipeline_docs, _pipeline_oracle(), headline=True),
+    QuerySpec("corpus_pipeline_report", corpus_pipeline_report, _report_oracle()),
 ]
