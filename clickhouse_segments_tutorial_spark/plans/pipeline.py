@@ -117,15 +117,20 @@ def corpus_pipeline_stages(
     )
     reps = dedup_groups(norm, pairs, id_col=id_col).filter("keep").select(id_col)
     survivors = norm.join(reps, id_col, "left_semi")
-    # 6. hold out eval split, decontaminate train against it (the hit set
-    # is bounded by the held-out 10% of a known corpus — the documented
-    # precondition for forcing the broadcast)
+    # 6. hold out eval split, decontaminate train against it. NOTE the
+    # scale caveat: this self-holdout eval is PROPORTIONAL to the corpus,
+    # while ngram_contamination's unconditional eval-gram broadcast
+    # assumes a fixed-size eval suite — at true 100 TB a deployment passes
+    # its real (fixed) benchmark set here instead of a fractional split.
+    # For the same reason the hit table (contaminated docs, also
+    # corpus-proportional under a fractional holdout) is NOT
+    # broadcast-hinted: AQE broadcasts it only when it is actually small.
     split = train_test_split(survivors, eval_fraction, key_col=id_col)
     train = split.filter(F.col("split") == "train").drop("split")
     evals = split.filter(F.col("split") == "test").drop("split")
     clean = decontaminate(
         train, evals, text_col=text_col, id_col=id_col, n=5, min_common=1,
-        broadcast_hits=True,
+        broadcast_hits=False,
     )
     # 7. quality gate (no language clause — mixture owns the balance)
     filtered = clean.filter(
