@@ -513,3 +513,43 @@ def test_streaming_dedup_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_streaming_ingest_feeds_corpus_pipeline(spark, tmp_path):
+    """The continuous-ingest -> corpus-build handoff: documents arrive
+    through the streaming dedup gate in two waves; the accepted table
+    (append-only parquet) then feeds the batch corpus pipeline directly.
+    This is the composition a production deployment actually runs — the
+    gate bounds what the expensive batch stages ever see, and the
+    pipeline must accept the gate's output schema as-is."""
+    from clickhouse_segments_tutorial_spark.plans.pipeline import corpus_pipeline
+    from clickhouse_segments_tutorial_spark.streaming import StreamingDeduper
+
+    schema = "doc_id long, text string, lang string"
+    dd = StreamingDeduper(spark, str(tmp_path / "gate"), schema=schema)
+    wave1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (3, "pack my box with five dozen liquor jugs for the annual party", "en"),
+    ]
+    spark.createDataFrame(wave1, schema).write.mode("append").parquet(dd.docs_dir)
+    dd.run_available_now()
+    wave2 = [
+        (4, "pack my box with five dozen liquor jugs for the annual party", "en"),
+        (5, "a completely different document about training data pipelines", "en"),
+    ]
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(dd.docs_dir)
+    dd.run_available_now()
+
+    accepted = dd.accepted()
+    assert accepted.count() == 3  # gate dropped 2 and 4 before batch work
+
+    packed = corpus_pipeline(accepted, mix_weights={"en": 1.0})
+    rows = packed.collect()
+    assert len(rows) > 0
+    assert set(packed.columns) == {
+        "doc_id", "epoch", "chunk_idx", "n_chunk_tokens", "shard", "seq_id"
+    }
+    # every surviving chunk traces back to a gate-accepted doc
+    accepted_ids = {r.doc_id for r in accepted.collect()}
+    assert {r.doc_id for r in rows} <= accepted_ids
