@@ -289,6 +289,54 @@ def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
     )
 
 
+def banded_minhash_keys(
+    shingled: DataFrame, *, k: int = 64, bands: int = 32
+) -> DataFrame:
+    """(_id, band, bucket) LSH keys from a shingled corpus (``_id``,
+    ``_sh`` — :func:`shingled_docs` output). This IS the persistable LSH
+    index: the incremental curator appends it per ingest wave and joins
+    new waves against it, so only new-vs-all candidates are ever
+    generated.
+
+    Signatures via explode + k codegen'd min-aggregates: identical values
+    to array_min(transform(...)) but whole-stage-codegen instead of
+    interpreted per-element folds (measured 2x; the same trade as
+    simhash_signatures). One extra shuffle of 8-byte (id, shingle) rows.
+    The signature frame is persisted — the banding self-join in
+    :func:`minhash_lsh_pairs` consumes it twice, and without a barrier
+    the whole explode+agg re-runs per side."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows = k // bands
+    sigs = (
+        shingled.select("_id", F.explode("_sh").alias("_g"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min(_minhash_perm(F.col("_g"), i)).alias(f"_h{i}")
+                for i in range(k)
+            ]
+        )
+        .persist()
+    )
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -314,44 +362,11 @@ def minhash_lsh_pairs(
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    rows = k // bands
     # Shingle once, persist: consumed by the signature build and both
     # verify join sides (at scale: write this to storage instead — it is
     # the reusable index).
     docs = shingled_docs(df, text_col=text_col, id_col=id_col, n=n).persist()
-    # Signatures via explode + k codegen'd min-aggregates: identical values
-    # to array_min(transform(...)) but whole-stage-codegen instead of
-    # interpreted per-element folds (measured 2x; the same trade as
-    # simhash_signatures). One extra shuffle of 8-byte (id, shingle) rows.
-    sigs = (
-        docs.select("_id", F.explode("_sh").alias("_g"))
-        .groupBy("_id")
-        .agg(
-            *[
-                F.min(_minhash_perm(F.col("_g"), i)).alias(f"_h{i}")
-                for i in range(k)
-            ]
-        )
-        # the banding self-join consumes sigs twice; without a barrier the
-        # whole explode+agg re-runs per side
-        .persist()
-    )
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = banded_minhash_keys(docs, k=k, bands=bands)
     cand = (
         banded.alias("a")
         .join(

@@ -79,11 +79,11 @@ def all_queries() -> dict[str, QuerySpec]:
     registered query receives a driver correctness row (the r5 verdict's
     60-into-50 window fix). Deterministic for a given set of recorded
     round files; falls back to plain registration order when none exist."""
-    from . import llm, pipeline, relational, scale, segmentation_queries
+    from . import incremental, llm, pipeline, relational, scale, segmentation_queries
 
     specs: list[QuerySpec] = []
     seen: set[str] = set()
-    for mod in (segmentation_queries, relational, llm, scale, pipeline):
+    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental):
         for spec in mod.QUERIES:
             if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name}")
