@@ -1,0 +1,174 @@
+"""Corpus-level statistical scoring for training-data curation: TF-IDF
+keyword extraction and a corpus-trained bigram language-model score.
+
+These are the "statistical quality signal" half of a CCNet-style pipeline
+(the rule-based half lives in :mod:`operators.text`): CCNet ranks
+documents by the perplexity of a language model trained on a trusted
+corpus; here the model is trained on the corpus itself (self-perplexity),
+which flags documents whose token transitions are atypical for the
+corpus — boilerplate, gibberish, wrong-language fragments.
+
+Reference parity: the reference engine (dittofeed/clickhouse-segments-
+tutorial) has no LLM-pipeline surface; these operators extend the engine
+per the driver's training-data-pipeline mandate.
+
+Scale design (100 TB):
+- Everything is expressed as explode -> hash-aggregate -> shuffle join;
+  no driver-side state, no O(n^2) step. Token explode multiplies rows by
+  ~doc length, but each row is a short string and the first groupBy
+  collapses it with map-side partial aggregation (Zipf head terms
+  partial-aggregate extremely well: "the" collapses to one row per task
+  before the shuffle).
+- The document-frequency / bigram-count tables are O(vocab), not
+  O(corpus); at web scale vocab is tens of millions of rows — a normal
+  shuffle join, and AQE's skew-join handles the Zipf-head keys (the
+  count row for "the" joins against millions of occurrence rows).
+- The corpus-size / vocab-size scalars are one-row aggregates joined via
+  broadcast crossJoin, never .collect() into the plan (partitioning- and
+  retry-safe).
+
+Cross-engine determinism (DuckDB oracles):
+- ASCII-only lowercasing via translate() — java String.toLowerCase and
+  DuckDB lower() disagree on locale-sensitive codepoints (Turkish I,
+  combining marks); translate is byte-exact in both engines.
+- Terms are restricted to ^[a-z0-9]+$ after stripping edge punctuation,
+  so the vocab is identical across engines regardless of how either
+  regex engine classifies non-ASCII word characters.
+- ln() is libm-dependent in the last ulp, so every emitted score is
+  rounded to 6 decimals; ranking ties are broken on exact integer /
+  string keys (term asc) so row ordering never depends on float ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _term(tok):
+    """ASCII-lowercase a token and strip leading/trailing punctuation."""
+    return F.regexp_replace(
+        F.translate(tok, _UPPER, _LOWER), r"^[^a-z0-9]+|[^a-z0-9]+$", ""
+    )
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per (doc, position): the normalized term stream.
+
+    Positions are 0-based over the kept terms (tokens that normalize to a
+    pure-alnum ASCII term); tokens that normalize to '' or contain
+    interior punctuation are dropped identically in Spark and DuckDB.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(tokens(F.col(text_col)), _term),
+            lambda t: t.rlike("^[a-z0-9]+$"),
+        ).alias("_terms"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode("_terms").alias("pos", "term")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1), the sklearn-style smoothed
+    idf (never negative, defined for df = N). Emitted rounded to 6
+    decimals; top-k selection uses the unrounded score with (term asc) as
+    the tiebreak.
+
+    Plan: explode -> two hash aggs (tf per (doc,term), df per term) ->
+    one shuffle join on term -> per-doc top-k window. The window
+    partitions by doc_id over at most |vocab∩doc| rows per doc — no
+    skewed single-reducer key (contrast: a global ORDER BY would be).
+    """
+    terms = doc_terms(docs, text_col, id_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", F.col("tf") * idf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round("_score", 6).alias("tfidf"),
+        )
+    )
+
+
+def bigram_nll(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed bigram LM trained on the corpus itself (CCNet-style
+    perplexity filtering, with the corpus as its own training set).
+
+    p(w2 | w1) = (C(w1 w2) + 1) / (C(w1 .) + V), V = |vocab|.
+    avg_nll = -mean(ln p) over the doc's bigrams; documents with fewer
+    than 2 kept terms are emitted with n_bigrams = 0 and NULL avg_nll
+    (they have no transitions to score — dropping them would silently
+    shrink the corpus).
+
+    Scale: bigram counts are a hash agg over the exploded stream (Zipf
+    partial-agg applies); scoring is two shuffle joins (bigram counts,
+    then unigram-context counts) and one per-doc agg. V is a one-row
+    broadcast. The decimal-exact sum of rounded per-bigram lns makes the
+    per-doc mean independent of partitioning.
+    """
+    terms = doc_terms(docs, text_col, id_col)
+    nxt = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        terms.withColumn("w2", F.lead("term").over(nxt))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("term").alias("w1"), "w2")
+    )
+    big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = terms.agg(F.count_distinct("term").alias("_v"))
+    # per-bigram ln rounded to 12 decimals BEFORE the sum: the summands are
+    # then identical doubles in both engines (libm ulp noise removed), and
+    # the decimal-exact accumulation makes the sum order-independent.
+    ln_p = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("_v"))), 12
+    )
+    scored = (
+        bigrams.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                -F.sum(ln_p.cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_nll"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.round("_nll", 6).alias("avg_nll"),
+        )
+    )

@@ -23,6 +23,7 @@ import os
 import tempfile
 
 from ..operators.components import dedup_groups
+from ..operators.corpus_stats import bigram_nll, tfidf_top_terms
 from ..operators.dedup import (
     dedup_paragraphs,
     exact_dedup,
@@ -1456,6 +1457,89 @@ WHERE s.split = 'train'
 """
 
 
+# --- corpus-level statistical scoring: TF-IDF keywords + bigram-LM nll ------
+
+
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def bigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_nll(_t(spark, sf_dir, "documents"))
+
+
+# Shared CTE text: whitespace-split with the explicit Java-\s class (VT
+# included — the r5/r6 oracle-divergence lesson), ASCII lowercasing via
+# translate (lower() is locale-sensitive and differs between engines on
+# e.g. Turkish I), edge-punctuation strip with the 'g' flag (DuckDB
+# regexp_replace is first-match-only by default; Spark replaces all).
+_TERMS_CTE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+                     '[ \t\n\x0B\f\r]+') END AS t
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, i, term FROM (
+    SELECT doc_id, generate_subscripts(t, 1) AS i,
+           regexp_replace(
+             translate(unnest(t), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+             '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS term
+    FROM tok
+  ) WHERE regexp_matches(term, '^[a-z0-9]+$')
+)
+"""
+
+_TFIDF_ORACLE = (
+    _TERMS_CTE
+    + r""",
+tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df,
+       round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 5
+"""
+)
+
+_BIGRAM_NLL_ORACLE = (
+    _TERMS_CTE
+    + r""",
+big AS (
+  SELECT doc_id, term AS w1, lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM kept
+),
+bigrams AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+v AS (SELECT count(DISTINCT term) AS vv FROM kept),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         - CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + vv)), 12) AS DECIMAL(28,14))) AS DOUBLE)
+           / count(*) AS nll
+  FROM bigrams JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       round(nll, 6) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+)
+
+
 QUERIES = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
     QuerySpec("contamination_check_docs", contamination_check_docs, _CONTAMINATION_ORACLE),
@@ -1494,4 +1578,6 @@ QUERIES = [
     ),
     QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
+    QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE),
+    QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE),
 ]

@@ -1308,3 +1308,40 @@ def test_quantized_cosine_recall(spark, sf_oracle):
     zq = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_embeddings(zdf).collect()}
     assert zq[1] == (0.0, [0, 0, 0, 0])
     assert zq[2][1][1] == -127  # max-magnitude component pins to -127
+
+
+def test_tfidf_top_terms_fixture(spark):
+    """Hand-computed smoothed TF-IDF: case-folding, edge-punct strip,
+    score = tf * (ln((N+1)/(df+1)) + 1), ties broken by term asc."""
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import tfidf_top_terms
+
+    rows = [(1, "Apple banana apple."), (2, "banana cherry"), (3, "cherry cherry!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.rank): r.asDict() for r in tfidf_top_terms(df, k=5).collect()}
+    assert got[(1, 1)] == {
+        "doc_id": 1, "rank": 1, "term": "apple", "tf": 2, "df": 1,
+        "tfidf": 3.386294,  # 2 * (ln(4/2) + 1)
+    }
+    assert got[(1, 2)]["term"] == "banana" and got[(1, 2)]["tfidf"] == 1.287682
+    # doc 2: banana and cherry tie on score -> term asc breaks it
+    assert (got[(2, 1)]["term"], got[(2, 2)]["term"]) == ("banana", "cherry")
+    assert got[(3, 1)] == {
+        "doc_id": 3, "rank": 1, "term": "cherry", "tf": 2, "df": 2,
+        "tfidf": 2.575364,  # 2 * (ln(4/3) + 1)
+    }
+    assert len(got) == 5
+
+
+def test_bigram_nll_fixture(spark):
+    """Add-one-smoothed bigram LM scored on its own training corpus:
+    p(b|a)=(C(ab)+1)/(C(a.)+V); docs with <2 terms -> 0 bigrams, NULL."""
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import bigram_nll
+
+    rows = [(1, "a b a"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in bigram_nll(df).collect()}
+    # V=3 ({a,b,x}); C(ab)=2, C(ba)=1, C(a.)=2, C(b.)=1
+    # p(b|a)=3/5, p(a|b)=2/4
+    assert got[1] == {"doc_id": 1, "n_bigrams": 2, "avg_nll": 0.601986}
+    assert got[2] == {"doc_id": 2, "n_bigrams": 1, "avg_nll": 0.510826}
+    assert got[3] == {"doc_id": 3, "n_bigrams": 0, "avg_nll": None}
