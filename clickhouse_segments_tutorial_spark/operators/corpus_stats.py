@@ -142,7 +142,9 @@ def bigram_nll(
         .select("doc_id", F.col("term").alias("w1"), "w2")
     )
     big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # C(w1,.) folds out of the bigram counts — a vocab-sized aggregation —
+    # instead of a second corpus-wide explode + shuffle over the raw stream.
+    uni_c = big_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = terms.agg(F.count_distinct("term").alias("_v"))
     # per-bigram ln rounded to 12 decimals BEFORE the sum: the summands are
     # then identical doubles in both engines (libm ulp noise removed), and

@@ -211,6 +211,8 @@ _NON_EQUI_OK = {
     "embedding_near_dup_pairs",  # exact O(n^2) oracle (twin: ..._lsh)
     "knn_cosine_bruteforce",     # one probe row x corpus, by design
     "rich_idle_customers",       # scalar-subquery: ONE-row broadcast x corpus
+    "tfidf_top_terms_docs",      # ONE-row corpus-count broadcast x tf table
+    "bigram_lm_nll_docs",        # ONE-row vocab-count broadcast x bigrams
 }
 
 
@@ -226,3 +228,26 @@ def test_no_cartesian_or_python_row_udfs_anywhere(spark, name):
     if name not in _NON_EQUI_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian join"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: non-equi join"
+
+
+def test_tfidf_partial_agg_no_row_udfs(spark):
+    """TF-IDF: tf/df are hash aggregates (map-side partial applies), the
+    only nested-loop is the one-row corpus-count broadcast, and the per-doc
+    top-k is a window over doc_id — never a global sort."""
+    plan = plan_of(spark, "tfidf_top_terms_docs")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 == 1  # the 1-row scalar only
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "GlobalLimit" not in plan.split("Window")[0]  # no pre-window sort-limit
+
+
+def test_bigram_nll_context_counts_fold_from_bigram_counts(spark):
+    """The C(w1,.) context table must aggregate the vocab-sized bigram-count
+    table, not re-explode the corpus: exactly two corpus-wide token explodes
+    appear in the plan (bigram stream + vocab count), not three."""
+    plan = plan_of(spark, "bigram_lm_nll_docs")
+    assert plan.count("Generate posexplode") <= 2 or plan.count("posexplode") <= 2
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 == 1  # the 1-row vocab scalar
