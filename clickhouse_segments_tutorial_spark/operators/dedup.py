@@ -34,7 +34,7 @@ string materialization per shingle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -700,3 +700,96 @@ def decontaminate(
     if broadcast_hits:
         flagged = F.broadcast(flagged)
     return train.join(flagged, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), on token k-grams: a gram
+    is *duplicated* if its exact token sequence occurs >= 2 times anywhere
+    in the corpus (same doc or another doc); overlapping duplicated grams
+    merge into maximal spans.
+
+    Per input doc (every doc emitted, zeros when clean):
+    (doc_id, n_tokens, n_grams, n_dup_grams, n_dup_spans, dup_tokens,
+    dup_frac) — dup_tokens is the count of token positions covered by at
+    least one duplicated gram, dup_frac = dup_tokens / n_tokens. All
+    integer arithmetic except the single final int/int double division, so
+    the DuckDB oracle replays bit-for-bit.
+
+    This is the third dedup granularity next to whole-doc (exact_dedup /
+    MinHash) and paragraph (dedup_paragraphs): it catches templated text
+    embedded mid-document that neither of those sees.
+
+    SCALE: the reference algorithm uses a corpus suffix array to avoid
+    materializing grams; here the explode is O(total_tokens) ROWS but each
+    row is only (doc_id, pos, 60-bit-hash) — the gram string is hashed
+    inside the projection and never shuffled. Duplicate detection is one
+    partial-aggregated count over the hash (Zipf-head grams collapse
+    map-side), the join back is hash-vs-positions with AQE skew handling,
+    and the island merge windows only over each doc's *duplicated*
+    positions — never a corpus-wide sort.
+    """
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: md5_hash60(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup_hashes = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= 2
+    )
+    dup = grams.join(dup_hashes.select("gh"), "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    ).withColumn("_island", F.sum("_new").over(w))
+    spans = flagged.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("_s"), F.max("pos").alias("_e"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("_e") + k - F.col("_s")).alias("dup_tokens"),
+        F.sum("_n").alias("n_dup_grams"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (k - 1), F.lit(0)).alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("int").alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens")
+            )
+            .alias("dup_frac"),
+        )
+    )

@@ -26,6 +26,7 @@ from ..operators.components import dedup_groups
 from ..operators.corpus_stats import bigram_nll, tfidf_top_terms
 from ..operators.dedup import (
     dedup_paragraphs,
+    duplicate_spans,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -1540,6 +1541,72 @@ FROM documents d LEFT JOIN per USING (doc_id)
 )
 
 
+# --- exact duplicated-substring spans (Lee et al. 2022 granularity) ---------
+
+
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+                     '[ \t\n\x0B\f\r]+') END AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens, t FROM tok),
+grams0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)] END AS gs
+  FROM base
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+         ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+  FROM grams0
+),
+duph AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (gh)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) AS e, count(*) AS c
+  FROM isl GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e + 8 - s) AS dup_tokens,
+         sum(c) AS n_dup_grams
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(greatest(b.n_tokens - 7, 0) AS INTEGER) AS n_grams,
+       CAST(coalesce(p.n_dup_grams, 0) AS INTEGER) AS n_dup_grams,
+       CAST(coalesce(p.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS INTEGER) AS dup_tokens,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens END AS dup_frac
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
     QuerySpec("contamination_check_docs", contamination_check_docs, _CONTAMINATION_ORACLE),
@@ -1579,5 +1646,6 @@ QUERIES = [
     QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
     QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE),
+    QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE),
     QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE),
 ]

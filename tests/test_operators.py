@@ -1345,3 +1345,31 @@ def test_bigram_nll_fixture(spark):
     assert got[1] == {"doc_id": 1, "n_bigrams": 2, "avg_nll": 0.601986}
     assert got[2] == {"doc_id": 2, "n_bigrams": 1, "avg_nll": 0.510826}
     assert got[3] == {"doc_id": 3, "n_bigrams": 0, "avg_nll": None}
+
+
+def test_duplicate_spans_fixture(spark):
+    """Exact substring-dedup spans: corpus-wide k-gram counts, overlapping
+    duplicated grams merge into maximal spans, coverage counts positions."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x x a b c d y"),   # shares "a b c" / "b c d" with doc 1
+        (3, "z z z"),           # its only gram is unique corpus-wide
+        (4, "q"),               # shorter than k: no grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in duplicate_spans(df, k=3).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 6, "n_grams": 4, "n_dup_grams": 2,
+        "n_dup_spans": 1, "dup_tokens": 4, "dup_frac": 4 / 6,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 7, "n_grams": 5, "n_dup_grams": 2,
+        "n_dup_spans": 1, "dup_tokens": 4, "dup_frac": 4 / 7,
+    }
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 3, "n_grams": 1, "n_dup_grams": 0,
+        "n_dup_spans": 0, "dup_tokens": 0, "dup_frac": 0.0,
+    }
+    assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] == 0.0
