@@ -472,3 +472,92 @@ def test_mix_corpus_copy_counts_match_python_model(spark, strata, w_a):
         if n >= 1:
             want[i] = n
     assert got == want
+
+
+def py_duplicate_spans(texts: list[str], k: int = 3) -> dict:
+    """Sequential-scan model of duplicate_spans: corpus k-gram counts,
+    per-doc duplicated positions, maximal-interval merge."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    counts = Counter()
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            counts[" ".join(t[p : p + k])] += 1
+    out = {}
+    for i, t in enumerate(toks.values()):
+        n = len(t)
+        dup_pos = [
+            p for p in range(n - k + 1) if counts[" ".join(t[p : p + k])] >= 2
+        ]
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        cov = sum(e - s + 1 for s, e in spans)
+        out[i] = {
+            "n_tokens": n,
+            "n_grams": max(n - k + 1, 0),
+            "n_dup_grams": len(dup_pos),
+            "n_dup_spans": len(spans),
+            "dup_tokens": cov,
+            "dup_frac": cov / n if n else 0.0,
+        }
+    return out
+
+
+@given(texts=doc_strategy)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_python_model(spark, texts):
+    """Integer-exact span semantics vs the sequential model on random tiny
+    corpora (overlapping islands, within-doc repeats, sub-k docs)."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: {c: v for c, v in r.asDict().items() if c != "doc_id"}
+           for r in duplicate_spans(df, k=3).collect()}
+    assert got == py_duplicate_spans(texts, k=3)
+
+
+def py_bigram_nll(texts: list[str]) -> dict:
+    import math
+    from collections import Counter
+
+    import re
+
+    def terms(t):
+        out = []
+        for tok in t.split():
+            w = re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", tok.lower())
+            if re.fullmatch(r"[a-z0-9]+", w):
+                out.append(w)
+        return out
+
+    streams = {i: terms(t) for i, t in enumerate(texts)}
+    vocab = {w for s in streams.values() for w in s}
+    bigrams = {i: list(zip(s, s[1:])) for i, s in streams.items()}
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    uc = Counter(b[0] for bs in bigrams.values() for b in bs)
+    out = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            out[i] = {"n_bigrams": 0, "avg_nll": None}
+            continue
+        lns = [round(math.log((bc[b] + 1.0) / (uc[b[0]] + len(vocab))), 12) for b in bs]
+        out[i] = {"n_bigrams": len(bs), "avg_nll": round(-sum(lns) / len(bs), 6)}
+    return out
+
+
+@given(texts=doc_strategy)
+@settings(**SETTINGS)
+def test_bigram_nll_matches_python_model(spark, texts):
+    """LM scoring vs the sequential model (smoothing denominator uses the
+    FULL kept-term vocab, including terms that never start a bigram)."""
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import bigram_nll
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: {c: v for c, v in r.asDict().items() if c != "doc_id"}
+           for r in bigram_nll(df).collect()}
+    assert got == py_bigram_nll(texts)
