@@ -1645,7 +1645,7 @@ QUERIES = [
     ),
     QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
-    QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE),
-    QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE),
-    QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE),
+    QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE, headline=True),
+    QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE, headline=True),
+    QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE, headline=True),
 ]
