@@ -63,10 +63,13 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pure-alnum ASCII term); tokens that normalize to '' or contain
     interior punctuation are dropped identically in Spark and DuckDB.
     """
+    # NULL text behaves as empty (coalesce) — without it size/split
+    # propagate NULL and the doc silently drops metrics downstream (the
+    # r6-review redact_pii lesson applied here from the start).
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
-            F.transform(tokens(F.col(text_col)), _term),
+            F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _term),
             lambda t: t.rlike("^[a-z0-9]+$"),
         ).alias("_terms"),
     )

@@ -737,7 +737,12 @@ def duplicate_spans(
     """
     base = (
         _spread(df)
-        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            # NULL text == empty doc (otherwise size() yields NULL and the
+            # doc's metrics all come back NULL instead of zeros)
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+        )
         .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
     )
     grams = (

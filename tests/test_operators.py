@@ -1373,3 +1373,23 @@ def test_duplicate_spans_fixture(spark):
         "n_dup_spans": 0, "dup_tokens": 0, "dup_frac": 0.0,
     }
     assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] == 0.0
+
+
+def test_corpus_ops_null_text_behaves_as_empty(spark):
+    """NULL text must degrade to the empty-doc contract (zeros / NULL nll /
+    absent from tfidf), never NULL-poisoned metric columns."""
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        bigram_nll,
+        tfidf_top_terms,
+    )
+    from clickhouse_segments_tutorial_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame([(1, None), (2, "a b c d")], "doc_id long, text string")
+    assert [r.doc_id for r in tfidf_top_terms(df, k=5).collect()] == [2] * 4
+    nll = {r.doc_id: r.asDict() for r in bigram_nll(df).collect()}
+    assert nll[1] == {"doc_id": 1, "n_bigrams": 0, "avg_nll": None}
+    spans = {r.doc_id: r.asDict() for r in duplicate_spans(df, k=3).collect()}
+    assert spans[1] == {
+        "doc_id": 1, "n_tokens": 0, "n_grams": 0, "n_dup_grams": 0,
+        "n_dup_spans": 0, "dup_tokens": 0, "dup_frac": 0.0,
+    }
