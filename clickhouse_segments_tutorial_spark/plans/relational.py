@@ -265,6 +265,39 @@ GROUP BY ROLLUP (n_name, o_year)
 """
 
 
+
+
+def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all four grouping sets — per pair,
+    per flag, per status, grand total — in ONE Expand + hash-agg pass
+    (same single-shuffle shape as the ROLLUP query; a 4-query UNION would
+    scan the fact table four times). grouping_id disambiguates subtotal
+    NULLs from (non-existent here) data NULLs, matching DuckDB's
+    GROUPING() semantics bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --- window frames: running revenue per nation ---------------------------------
 
 
@@ -831,6 +864,9 @@ QUERIES = [
     ),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE
+    ),
+    QuerySpec(
+        "revenue_cube_flag_status", revenue_cube_flag_status, _CUBE_ORACLE
     ),
     QuerySpec(
         "running_revenue_per_nation", running_revenue_per_nation, _RUNNING_ORACLE

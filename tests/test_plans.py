@@ -251,3 +251,9 @@ def test_bigram_nll_context_counts_fold_from_bigram_counts(spark):
     assert plan.count("Generate posexplode") <= 2 or plan.count("posexplode") <= 2
     assert "BatchEvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") // 2 == 1  # the 1-row vocab scalar
+
+
+def test_cube_is_single_pass_expand(spark):
+    plan = plan_of(spark, "revenue_cube_flag_status")
+    assert "Expand" in plan  # all 4 grouping sets in one shuffle
+    assert "Union" not in plan
