@@ -798,3 +798,89 @@ def duplicate_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The rewrite half of Lee et al. 2022 exact substring dedup: remove
+    every *non-first* occurrence of a duplicated token k-gram from the
+    corpus, keeping the globally-first copy (lexicographic (doc_id, pos)).
+
+    Per doc: (doc_id, clean_text, n_tokens, n_kept_tokens,
+    n_removed_tokens) — clean_text is the doc's token stream with all
+    positions covered by a redundant gram removed, space-joined (the
+    operator is whitespace-tokenizing, so original inter-token whitespace
+    is normalized; run before rather than after `normalize_text` if exact
+    byte preservation of the kept text matters). A doc that IS the first
+    occurrence keeps its copy even when later docs lose theirs.
+
+    SCALE: first-occurrence resolution is a groupBy(gh).agg(min(struct))
+    — partial aggregation collapses Zipf-head grams map-side, unlike a
+    row_number window over the gram hash (single-reducer per hot gram).
+    Coverage expansion is explode(sequence(pos, pos+k-1)) + distinct over
+    redundant grams only — O(removed tokens * k) intermediate rows, not
+    O(corpus). The per-doc rebuild sorts only each doc's own kept tokens
+    (bounded by doc length, the same per-doc-array assumption as
+    chunking/packing).
+    """
+    base = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+        )
+        .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: md5_hash60(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    firsts = grams.groupBy("gh").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("_first")
+    )
+    redundant = (
+        grams.join(firsts, "gh")
+        .filter(F.struct(F.col("doc_id"), F.col("pos")) != F.col("_first"))
+        .select("doc_id", "pos")
+    )
+    covered = redundant.select(
+        "doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos")
+    ).distinct()
+    toks = base.select("doc_id", F.posexplode("_t").alias("tpos", "tok"))
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x.tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("int").alias("n_kept_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept_tokens", F.lit(0)))
+            .cast("int")
+            .alias("n_removed_tokens"),
+        )
+    )

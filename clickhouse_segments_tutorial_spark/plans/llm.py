@@ -27,6 +27,7 @@ from ..operators.corpus_stats import bigram_nll, tfidf_top_terms
 from ..operators.dedup import (
     dedup_paragraphs,
     duplicate_spans,
+    strip_duplicate_spans,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -1607,6 +1608,61 @@ FROM base b LEFT JOIN per p USING (doc_id)
 """
 
 
+def stripped_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+_STRIP_SPANS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+                     '[ \t\n\x0B\f\r]+') END AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens, t FROM tok),
+grams0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)] END AS gs
+  FROM base
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+         ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+  FROM grams0
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+red AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+covered AS (SELECT DISTINCT doc_id, pos + i AS tpos FROM red, range(0, 8) r(i)),
+toksx AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS tpos, unnest(t) AS tok FROM base
+),
+kept AS (
+  SELECT x.doc_id, x.tpos, x.tok
+  FROM toksx x LEFT JOIN covered c ON x.doc_id = c.doc_id AND x.tpos = c.tpos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept_tokens,
+       CAST(b.n_tokens - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed_tokens
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, _DEDUP_EXACT_ORACLE),
     QuerySpec("contamination_check_docs", contamination_check_docs, _CONTAMINATION_ORACLE),
@@ -1647,5 +1703,6 @@ QUERIES = [
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
     QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE, headline=True),
     QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE, headline=True),
+    QuerySpec("stripped_spans_docs", stripped_spans_docs, _STRIP_SPANS_ORACLE),
     QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE, headline=True),
 ]

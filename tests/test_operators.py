@@ -1393,3 +1393,26 @@ def test_corpus_ops_null_text_behaves_as_empty(spark):
         "doc_id": 1, "n_tokens": 0, "n_grams": 0, "n_dup_grams": 0,
         "n_dup_spans": 0, "dup_tokens": 0, "dup_frac": 0.0,
     }
+
+
+def test_strip_duplicate_spans_fixture(spark):
+    """Non-first occurrences of duplicated k-grams are removed; the
+    globally-first (doc_id, pos) copy survives; fully-duplicated docs
+    come back empty."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import strip_duplicate_spans
+
+    rows = [(1, "a b c d e"), (2, "z a b c d w"), (3, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in strip_duplicate_spans(df, k=3).collect()}
+    assert got[1] == {
+        "doc_id": 1, "clean_text": "a b c d e", "n_tokens": 5,
+        "n_kept_tokens": 5, "n_removed_tokens": 0,
+    }
+    assert got[2] == {
+        "doc_id": 2, "clean_text": "z w", "n_tokens": 6,
+        "n_kept_tokens": 2, "n_removed_tokens": 4,
+    }
+    assert got[3] == {
+        "doc_id": 3, "clean_text": "", "n_tokens": 3,
+        "n_kept_tokens": 0, "n_removed_tokens": 3,
+    }
