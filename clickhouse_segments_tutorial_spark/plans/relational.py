@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.asof_join import asof_join
+from ..operators.funnel import funnel_levels
 from ..operators.sessionize import session_stats
 from ..sources.catalog import load_table
 from .registry import QuerySpec
@@ -480,6 +481,45 @@ GROUP BY c_mktsegment
 """
 
 
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy earliest-chain event funnel view -> click -> purchase within
+    7 days (see operators/funnel.py for the exact semantics contract and
+    the windowFunnel comparison)."""
+    return funnel_levels(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], window="7 days"
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+a AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN a ON e.user_id = a.user_id AND e.ts > a.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN b ON e.user_id = b.user_id AND e.ts > b.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM ev)
+SELECT u.user_id,
+       CAST(CASE
+         WHEN c.t3 IS NOT NULL AND c.t3 <= a.t1 + INTERVAL 7 DAY THEN 3
+         WHEN b.t2 IS NOT NULL AND b.t2 <= a.t1 + INTERVAL 7 DAY THEN 2
+         WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_level,
+       CAST(floor(epoch(a.t1)) AS BIGINT) AS first_step_ts
+FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+"""
+
+
 # --- JSON extraction over events.props ----------------------------------------
 
 
@@ -898,4 +938,5 @@ QUERIES = [
     QuerySpec("events_sliding_30m", events_sliding_30m, _SLIDING_ORACLE),
     QuerySpec("order_value_percentiles", order_value_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_ORACLE),
+    QuerySpec("funnel_view_click_purchase", funnel_view_click_purchase, _FUNNEL_ORACLE),
 ]

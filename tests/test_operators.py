@@ -1416,3 +1416,31 @@ def test_strip_duplicate_spans_fixture(spark):
         "doc_id": 3, "clean_text": "", "n_tokens": 3,
         "n_kept_tokens": 0, "n_removed_tokens": 3,
     }
+
+
+def test_funnel_levels_fixture(spark):
+    """Greedy earliest-chain funnel: strict ordering (a purchase BEFORE the
+    click chain doesn't count), the 7-day window measured from t1, level 1
+    users with no in-window continuation, level 0 users without step 1."""
+    import datetime as dt
+
+    from clickhouse_segments_tutorial_spark.operators.funnel import funnel_levels
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h, d = dt.timedelta(hours=1), dt.timedelta(days=1)
+    rows = [
+        ("u1", "view", t0), ("u1", "click", t0 + d), ("u1", "purchase", t0 + 2 * d),
+        ("u2", "view", t0), ("u2", "click", t0 + 8 * d),          # outside window
+        ("u3", "click", t0),                                       # never viewed
+        ("u4", "view", t0), ("u4", "purchase", t0 + h),            # skipped step
+        ("u5", "purchase", t0), ("u5", "view", t0 + h), ("u5", "click", t0 + 2 * h),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {r.user_id: (r.funnel_level, r.first_step_ts)
+           for r in funnel_levels(df, ["view", "click", "purchase"]).collect()}
+    epoch = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got["u1"] == (3, epoch)
+    assert got["u2"] == (1, epoch)          # click exists but beyond 7 days
+    assert got["u3"] == (0, None)
+    assert got["u4"] == (1, epoch)          # purchase without the click step
+    assert got["u5"] == (2, epoch + 3600)   # pre-chain purchase doesn't count
