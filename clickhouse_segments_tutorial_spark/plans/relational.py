@@ -520,6 +520,72 @@ FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id) LEFT JOIN c USING
 """
 
 
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the epoch-week of their
+    first `signup` event; for each (cohort, week-offset) the count of
+    cohort users active that week and the retention rate. Weeks are pure
+    epoch buckets (floor(unix_ts / 604800)) — no calendar/locale
+    semantics to diverge between engines.
+
+    Plan shape: one min-agg for cohorts, one user-keyed join back to the
+    event stream (AQE-sized), one (cohort, offset) hash agg with
+    count_distinct, one broadcast-joined cohort-size agg. All integers
+    plus a single int/int double division."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", (F.unix_timestamp("ts") / 604800).cast("bigint").alias("_wk")
+    )
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("_wk").alias("cohort_week"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("_wk") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("_wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("int").alias("n_active"),
+        F.col("cohort_size").cast("int").alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention_rate"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort_week FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+),
+active AS (
+  SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+         count(DISTINCT e.user_id) AS n_active
+  FROM ev e JOIN cohorts c ON e.user_id = c.user_id AND e.wk >= c.cohort_week
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(a.n_active AS INTEGER) AS n_active,
+       CAST(s.cohort_size AS INTEGER) AS cohort_size,
+       CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+FROM active a JOIN sizes s USING (cohort_week)
+"""
+
+
 # --- JSON extraction over events.props ----------------------------------------
 
 
@@ -939,4 +1005,5 @@ QUERIES = [
     QuerySpec("order_value_percentiles", order_value_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_ORACLE),
     QuerySpec("funnel_view_click_purchase", funnel_view_click_purchase, _FUNNEL_ORACLE),
+    QuerySpec("cohort_retention_weekly", cohort_retention_weekly, _COHORT_ORACLE),
 ]
