@@ -1444,3 +1444,36 @@ def test_funnel_levels_fixture(spark):
     assert got["u3"] == (0, None)
     assert got["u4"] == (1, epoch)          # purchase without the click step
     assert got["u5"] == (2, epoch + 3600)   # pre-chain purchase doesn't count
+
+
+def test_cohort_retention_fixture(spark):
+    """Epoch-week cohorts: week 0 always includes the signup itself;
+    activity before signup is excluded; users without signup drop."""
+    import datetime as dt
+
+    from clickhouse_segments_tutorial_spark.plans.relational import (
+        cohort_retention_weekly,
+    )
+
+    # build a miniature events table on disk so the query's loader runs
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)  # epoch-week boundary-agnostic
+    w = dt.timedelta(weeks=1)
+    rows = [
+        ("e1", t0, "a", "signup", 0.0, "{}"),
+        ("e2", t0 + w, "a", "click", 0.0, "{}"),
+        ("e3", t0, "b", "signup", 0.0, "{}"),
+        ("e4", t0 - w, "c", "click", 0.0, "{}"),   # active but never signed up
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id string, event_type string, "
+              "value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention_rate)
+           for r in cohort_retention_weekly(spark, d).collect()}
+    wk = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 604800
+    assert got[(wk, 0)] == (2, 2, 1.0)   # both signups active in week 0
+    assert got[(wk, 1)] == (1, 2, 0.5)   # only user a returns
+    assert len(got) == 2                  # user c (no signup) contributes nothing

@@ -561,3 +561,42 @@ def test_bigram_nll_matches_python_model(spark, texts):
     got = {r.doc_id: {c: v for c, v in r.asDict().items() if c != "doc_id"}
            for r in bigram_nll(df).collect()}
     assert got == py_bigram_nll(texts)
+
+
+def py_strip_spans(texts: list[str], k: int = 3) -> dict:
+    """Sequential model: first occurrence per gram by (doc, pos); every
+    later occurrence's k positions are removed from its doc."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    first: dict[str, tuple[int, int]] = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - k + 1):
+            first.setdefault(" ".join(t[p : p + k]), (i, p))
+    out = {}
+    for i, t in enumerate(toks.values()):
+        removed = set()
+        for p in range(len(t) - k + 1):
+            if first[" ".join(t[p : p + k])] != (i, p):
+                removed.update(range(p, p + k))
+        kept = [tok for j, tok in enumerate(t) if j not in removed]
+        out[i] = {
+            "clean_text": " ".join(kept),
+            "n_tokens": len(t),
+            "n_kept_tokens": len(kept),
+            "n_removed_tokens": len(t) - len(kept),
+        }
+    return out
+
+
+@given(texts=doc_strategy)
+@settings(**SETTINGS)
+def test_strip_duplicate_spans_matches_python_model(spark, texts):
+    """Rewrite semantics vs the sequential model: globally-first copy
+    survives, overlapping redundant grams union their coverage, the
+    rebuilt text preserves original token order."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: {c: v for c, v in r.asDict().items() if c != "doc_id"}
+           for r in strip_duplicate_spans(df, k=3).collect()}
+    assert got == py_strip_spans(texts, k=3)
