@@ -85,8 +85,10 @@ def tfidf_top_terms(
 
     score = tf * (ln((N + 1) / (df + 1)) + 1), the sklearn-style smoothed
     idf (never negative, defined for df = N). Emitted rounded to 6
-    decimals; top-k selection uses the unrounded score with (term asc) as
-    the tiebreak.
+    decimals; top-k selection ranks on the SAME rounded value (with term
+    asc as the tiebreak) — ranking on the raw float would let two terms
+    with near-equal scores flip order under Spark's vs the oracle's libm
+    ln() ulps even though the emitted score is ulp-stripped.
 
     Plan: explode -> two hash aggs (tf per (doc,term), df per term) ->
     one shuffle join on term -> per-doc top-k window. The window
@@ -101,7 +103,7 @@ def tfidf_top_terms(
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("_score", F.col("tf") * idf)
+        .withColumn("_score", F.round(F.col("tf") * idf, 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
     return (
@@ -113,7 +115,7 @@ def tfidf_top_terms(
             "term",
             F.col("tf").cast("int").alias("tf"),
             F.col("df").cast("int").alias("df"),
-            F.round("_score", 6).alias("tfidf"),
+            F.col("_score").alias("tfidf"),
         )
     )
 

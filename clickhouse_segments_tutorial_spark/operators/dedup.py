@@ -45,6 +45,25 @@ def md5_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def md5_hash120(s: Column) -> Column:
+    """120-bit md5 as a two-long struct (first/second 15 hex chars, each
+    base-16 parsed into a non-negative bigint).
+
+    Used where a hash key DELETES data on collision (the duplicate-span
+    rewrite path): at ~1e13 grams (100 TB of text) the 60-bit birthday
+    bound yields tens of thousands of collisions, each silently removing
+    non-duplicate text; at 120 bits the corpus-wide expectation is ~4e-11.
+    Shuffled as 16 bytes vs the 60-bit key's 8 — the rewrite path pays
+    2x key width for collision-free semantics; sketch paths (SimHash
+    bit-replay) keep the 60-bit key, where a collision only perturbs an
+    already-approximate signature."""
+    h = F.md5(s)
+    return F.struct(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("h2"),
+    )
+
+
 def word_shingles(text: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document, as strings.
 
@@ -728,8 +747,11 @@ def duplicate_spans(
 
     SCALE: the reference algorithm uses a corpus suffix array to avoid
     materializing grams; here the explode is O(total_tokens) ROWS but each
-    row is only (doc_id, pos, 60-bit-hash) — the gram string is hashed
-    inside the projection and never shuffled. Duplicate detection is one
+    row is only (doc_id, pos, 120-bit-hash) — the gram string is hashed
+    inside the projection and never shuffled, and 120 bits keeps the
+    corpus-wide collision expectation ~4e-11 even at 1e13 grams (a 60-bit
+    key would mislabel tens of thousands of clean grams as duplicated at
+    that scale). Duplicate detection is one
     partial-aggregated count over the hash (Zipf-head grams collapse
     map-side), the join back is hash-vs-positions with AQE skew handling,
     and the island merge windows only over each doc's *duplicated*
@@ -752,7 +774,7 @@ def duplicate_spans(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("n_tokens") - k),
-                    lambda i: md5_hash60(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+                    lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
                 )
             ).alias("pos", "gh"),
         )
@@ -819,6 +841,10 @@ def strip_duplicate_spans(
     byte preservation of the kept text matters). A doc that IS the first
     occurrence keeps its copy even when later docs lose theirs.
 
+    The gram key is the 120-bit :func:`md5_hash120` — this path DELETES
+    text on a key collision, so the 60-bit sketch key is not acceptable
+    at corpus scale (see md5_hash120's docstring for the birthday math).
+
     SCALE: first-occurrence resolution is a groupBy(gh).agg(min(struct))
     — partial aggregation collapses Zipf-head grams map-side, unlike a
     row_number window over the gram hash (single-reducer per hot gram).
@@ -843,7 +869,7 @@ def strip_duplicate_spans(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("n_tokens") - k),
-                    lambda i: md5_hash60(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+                    lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
                 )
             ).alias("pos", "gh"),
         )

@@ -70,7 +70,6 @@ def funnel_levels(
         users,
     )
     deadline = F.col("t1") + F.expr(f"INTERVAL {window}")
-    level = F.when(F.col("t1").isNull(), F.lit(0))
     # build the when-chain deepest-first so the first true branch wins
     expr = None
     for i in range(len(steps), 1, -1):

@@ -1504,7 +1504,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term, tf, df,
-         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
   FROM tf JOIN df USING (term) CROSS JOIN n
 ),
 ranked AS (
@@ -1512,7 +1512,7 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, rank, term, CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df,
-       round(score, 6) AS tfidf
+       score AS tfidf
 FROM ranked WHERE rank <= 5
 """
 )
@@ -1568,7 +1568,7 @@ grams0 AS (
 ),
 grams AS (
   SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
-         ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+         md5(unnest(gs)) AS gh  -- full 128-bit key: independent of the engine's 120-bit two-long key
   FROM grams0
 ),
 duph AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
@@ -1631,7 +1631,7 @@ grams0 AS (
 ),
 grams AS (
   SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
-         ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+         md5(unnest(gs)) AS gh  -- full 128-bit key: independent of the engine's 120-bit two-long key
   FROM grams0
 ),
 occ AS (

@@ -534,7 +534,12 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_distinct, one broadcast-joined cohort-size agg. All integers
     plus a single int/int double division."""
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", (F.unix_timestamp("ts") / 604800).cast("bigint").alias("_wk")
+        "user_id",
+        "event_type",
+        # floor, not cast: cast truncates toward zero, so a pre-1970
+        # timestamp would land one week later than the documented
+        # floor(unix_ts / 604800) bucket (and than the DuckDB oracle)
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("_wk"),
     )
     cohorts = (
         ev.filter(F.col("event_type") == "signup")

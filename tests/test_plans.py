@@ -238,7 +238,10 @@ def test_tfidf_partial_agg_no_row_udfs(spark):
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") // 2 == 1  # the 1-row scalar only
+    # exactly the 1-row scalar broadcast (formatted plans print each join
+    # node twice: tree + details) — == 2, not //2, so an accidental second
+    # nested-loop join (count 3-4) fails rather than rounding down to 1
+    assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "GlobalLimit" not in plan.split("Window")[0]  # no pre-window sort-limit
 
@@ -250,7 +253,7 @@ def test_bigram_nll_context_counts_fold_from_bigram_counts(spark):
     plan = plan_of(spark, "bigram_lm_nll_docs")
     assert plan.count("Generate posexplode") <= 2 or plan.count("posexplode") <= 2
     assert "BatchEvalPython" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") // 2 == 1  # the 1-row vocab scalar
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the 1-row vocab scalar only
 
 
 def test_cube_is_single_pass_expand(spark):
