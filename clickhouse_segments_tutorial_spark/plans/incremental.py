@@ -326,30 +326,35 @@ def corpus_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     as two waves (doc_id parity), each curated against all prior state.
     Returns the curated corpus as (doc_id, lang, text_fp, n_tokens) —
     the md5 keeps the compared surface byte-exact without hashing whole
-    documents through the driver."""
+    documents through the driver.
+
+    The result is a LAZY DataFrame over the ``curated/`` state table,
+    which lives in the session-scoped scratch warehouse (atexit-cleaned,
+    see :func:`session.scratch_dir`) — NEVER a ``.collect()`` of
+    corpus-proportional rows through the driver (at 1B docs even thin
+    (id, lang, md5, int) rows are tens of GB). Only the wave-state
+    tables (LSH index, fingerprint sets, per-wave pins) are dropped
+    eagerly once ingest completes."""
     import shutil
-    import tempfile
+
+    from ..session import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "19999999"
     evals = docs.filter(is_eval)
     feed = docs.filter(~is_eval).select("doc_id", "lang", "text")
-    workdir = tempfile.mkdtemp(prefix="inc-curator-")
-    try:
-        cur = IncrementalCorpusCurator(
-            spark, workdir, eval_grams_from_docs(evals)
-        )
-        cur.ingest(feed.filter(F.col("doc_id") % 2 == 0))
-        cur.ingest(feed.filter(F.col("doc_id") % 2 == 1))
-        out = cur.curated().select(
-            "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
-        )
-        # the state dir is scratch for this one-shot replay; pin the
-        # result rows before deleting it
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    workdir = scratch_dir("inc-curator")
+    cur = IncrementalCorpusCurator(spark, workdir, eval_grams_from_docs(evals))
+    cur.ingest(feed.filter(F.col("doc_id") % 2 == 0))
+    cur.ingest(feed.filter(F.col("doc_id") % 2 == 1))
+    # the replay is one-shot: free the (corpus-sized) dedup state now;
+    # curated/ stays on disk until the warehouse atexit cleanup so the
+    # returned plan stays valid for the caller's whole session
+    for name in ("tmp", "para_hashes", "text_fps", "exd_bands", "exd_shingles", "eval_grams"):
+        shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
+    return cur.curated().select(
+        "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
+    )
 
 
 def _wave_expr(w: int) -> str:

@@ -34,6 +34,21 @@ def _default_warehouse_dir() -> str:
     return path
 
 
+def scratch_dir(prefix: str = "scratch") -> str:
+    """A fresh subdirectory of the per-process scratch warehouse.
+
+    For operator results that must OUTLIVE the operator call but not the
+    process: a query wrapper can materialize here and return a lazy
+    DataFrame over the files instead of collecting rows through the
+    driver (corpus-proportional collects are the one scale anti-pattern
+    a wrapper could otherwise be forced into when its state dir is
+    torn down in a `finally`). Cleanup rides the warehouse atexit hook —
+    no per-call rmtree to race against lazy readers."""
+    base = _default_warehouse_dir()
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}-", dir=base)
+
+
 def default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:

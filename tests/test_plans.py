@@ -256,6 +256,39 @@ def test_bigram_nll_context_counts_fold_from_bigram_counts(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2  # the 1-row vocab scalar only
 
 
+def test_incremental_wrapper_never_collects_corpus():
+    """corpus_curated_incremental must return a LAZY plan over its scratch
+    state table: a .collect() of the curated corpus is corpus-proportional
+    driver traffic (tens of GB at 1B docs). AST-level guard over the
+    whole module — the curator's state tables are file-backed, so nothing
+    in it ever has a legitimate reason to collect (docstrings mentioning
+    the anti-pattern are fine; calls are not)."""
+    import ast
+    import inspect
+
+    import clickhouse_segments_tutorial_spark.plans.incremental as inc
+
+    calls = [
+        node.func.attr
+        for node in ast.walk(ast.parse(inspect.getsource(inc)))
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+    ]
+    assert "collect" not in calls and "toPandas" not in calls
+
+
+def test_incremental_result_outlives_wrapper(spark):
+    """The returned DataFrame must stay actionable after the wrapper has
+    dropped its wave-state dirs (the plan may only depend on curated/)."""
+    from clickhouse_segments_tutorial_spark.plans.incremental import (
+        corpus_curated_incremental,
+    )
+
+    df = corpus_curated_incremental(spark, SF_DIR)
+    n1 = df.count()
+    n2 = df.count()  # second action: files must still be there
+    assert n1 == n2 and n1 > 0
+
+
 def test_cube_is_single_pass_expand(spark):
     plan = plan_of(spark, "revenue_cube_flag_status")
     assert "Expand" in plan  # all 4 grouping sets in one shuffle
