@@ -72,6 +72,12 @@ _STATE_SCHEMAS = {
     "exd_bands": "_id long, band int, bucket long",
     "exd_shingles": "_id long, _sh array<bigint>",
     "curated": "doc_id long, lang string, text string, n_tokens int",
+    "mix_counts": "lang string, _n long",
+    "pack_seq": "shard int, _n long",
+    "packed": (
+        "doc_id long, wave int, epoch int, chunk_idx int, "
+        "n_chunk_tokens int, shard int, seq_id int"
+    ),
 }
 
 
@@ -304,6 +310,177 @@ class IncrementalCorpusCurator:
         return self._read("curated")
 
 
+class IncrementalCorpusBuilder(IncrementalCorpusCurator):
+    """Incremental curation extended through mixture -> chunk -> pack:
+    every ingested wave appends PACKED TRAINING SEQUENCES, with the
+    mixture and packing positions maintained as persisted
+    partial-aggregate state (the reference's AggregatingMergeTree design,
+    `3-microBatch.test.ts:23-29`, applied one stage deeper than
+    :class:`IncrementalCorpusCurator`).
+
+    Per-wave semantics, and the append-only contract they exist to keep:
+
+    - **mixture = rate-at-acceptance.** Per-language rates for wave w are
+      computed from the CUMULATIVE accepted counts through wave w
+      (persisted ``mix_counts/`` counters + the wave's own docs) — the
+      best estimate of corpus composition available at wave time. A doc's
+      epoch copies (0..n_copies-1, the same content-hash draw as
+      ``mix_corpus``) are emitted ONCE, in its acceptance wave, and never
+      retro-adjusted as later waves shift the composition. This is the
+      documented divergence from the batch pipeline (which mixes against
+      FINAL composition) — the packed analog of the curator's
+      bridge-doc divergence. (doc_id, epoch) stays unique corpus-wide
+      because acceptance is first-wins.
+    - **epoch renumbering: none, by construction.** Epochs are local to
+      the doc (0..n_copies-1) and a doc is packed exactly once, so no
+      cross-wave renumbering event exists to define.
+    - **seq_id = per-shard monotone across waves.** Packing within a wave
+      is the same greedy ``pack_chunks`` (capacity tokens, order
+      (doc_id, epoch, chunk_idx), doc_id % shards); the persisted
+      ``pack_seq/`` counters offset each wave's relative seq_ids so
+      (shard, seq_id) is unique over the whole ingest history. Every
+      wave CLOSES its final partial sequence — a sealed sequence is
+      never reopened by a later wave (reopening would retroactively
+      rewrite already-emitted training data). Cost: at most one
+      under-filled sequence per shard per wave, the price of the
+      append-only contract.
+
+    Scale: the mixture state is O(#languages), the packing state
+    O(#shards) — both broadcast-sized; per-wave work stays O(wave +
+    state lookups) like the curator's."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        eval_grams: DataFrame,
+        *,
+        mix_weights: dict[str, float],
+        chunk_tokens: int = 128,
+        stride: int = 64,
+        capacity: int = 512,
+        shards: int = 8,
+        **kwargs,
+    ):
+        super().__init__(spark, workdir, eval_grams, **kwargs)
+        if not mix_weights or sum(mix_weights.values()) <= 0:
+            raise ValueError("mix_weights must be non-empty with positive sum")
+        self.mix_weights = dict(mix_weights)
+        self.chunk_tokens, self.stride = chunk_tokens, stride
+        self.capacity, self.shards = capacity, shards
+
+    def ingest(self, wave: DataFrame) -> DataFrame:
+        accepted = super().ingest(wave)
+        self._pack_wave(accepted)
+        return accepted
+
+    def _pack_wave(self, accepted: DataFrame) -> None:
+        from ..operators.packing import pack_chunks
+        from ..operators.sampling import hash_draw
+        from ..operators.text import chunk_documents
+
+        F_ = F  # local alias keeps the expressions below compact
+        # 1. cumulative per-language counts (state + this wave) -> rates.
+        # Join-shaped, not collected: rates is O(#languages) rows and
+        # rides a broadcast — the curator module bans driver collects.
+        wave_counts = accepted.groupBy("lang").agg(F_.count(F_.lit(1)).alias("_n"))
+        cum = (
+            self._read("mix_counts")
+            .unionByName(wave_counts)
+            .groupBy("lang")
+            .agg(F_.sum("_n").alias("_n"))
+        )
+        wsum = float(sum(self.mix_weights.values()))
+        wdf = self.spark.createDataFrame(
+            [(s, float(w)) for s, w in self.mix_weights.items()],
+            "lang string, _wt double",
+        )
+        in_mix = cum.join(F_.broadcast(wdf), "lang")
+        total = in_mix.agg(F_.sum("_n").cast("double").alias("_t"))
+        rates = in_mix.crossJoin(F_.broadcast(total)).select(
+            "lang",
+            ((F_.col("_t") * F_.col("_wt") / F_.lit(wsum)) / F_.col("_n")).alias(
+                "_rate"
+            ),
+        )
+        # 2. epoch copies: floor(rate) full epochs + one more with
+        # probability frac(rate), drawn on (doc_id, lang) — mix_corpus's
+        # exact content-hash draw, with rate as a joined column
+        frac = F_.col("_rate") - F_.floor("_rate")
+        frac_hex = F_.lpad(
+            F_.lower(F_.hex(F_.floor(frac * F_.lit(float(1 << 32))).cast("long"))),
+            8,
+            "0",
+        )
+        extra = F_.when(
+            hash_draw(F_.concat_ws(":", F_.col("doc_id").cast("string"), F_.col("lang")))
+            < frac_hex,
+            1,
+        ).otherwise(0)
+        epochs = (
+            accepted.join(F_.broadcast(rates), "lang")
+            .withColumn("_nc", (F_.floor("_rate").cast("int") + extra))
+            .filter(F_.col("_nc") >= 1)
+            .select(
+                "doc_id",
+                # _nc is int, so the sequence elements (and the exploded
+                # epoch) are already int — a cast around explode() would
+                # wrap the generator and fail analysis
+                F_.explode(F_.sequence(F_.lit(0), F_.col("_nc") - 1)).alias("epoch"),
+            )
+        )
+        # 3. chunk once per doc, replicate per epoch with a thin join
+        chunks = chunk_documents(
+            accepted,
+            text_col="text",
+            id_col="doc_id",
+            chunk_tokens=self.chunk_tokens,
+            stride=self.stride,
+        )
+        echunks = chunks.join(epochs, "doc_id").select(
+            "doc_id", "epoch", "chunk_idx", "n_chunk_tokens"
+        )
+        # 4. greedy pack within the wave, then shift by the persisted
+        # per-shard sequence counters
+        packed_rel = pack_chunks(
+            echunks,
+            capacity=self.capacity,
+            key_col="doc_id",
+            order_cols=("doc_id", "epoch", "chunk_idx"),
+            shards=self.shards,
+        )
+        offs = self._read("pack_seq").groupBy("shard").agg(
+            F_.sum("_n").alias("_off")
+        )
+        packed_abs = packed_rel.join(F_.broadcast(offs), "shard", "left").select(
+            "doc_id",
+            F_.lit(int(self._wave)).cast("int").alias("wave"),
+            "epoch",
+            "chunk_idx",
+            "n_chunk_tokens",
+            F_.col("shard").cast("int").alias("shard"),
+            (F_.col("seq_id") + F_.coalesce("_off", F_.lit(0)))
+            .cast("int")
+            .alias("seq_id"),
+        )
+        # write-then-advance: pin everything that READ state before any
+        # state dir is appended (the curator's crash discipline)
+        packed_abs = self._materialize(packed_abs, "packed_abs")
+        new_seqs = self._materialize(
+            packed_rel.groupBy(F_.col("shard").cast("int").alias("shard")).agg(
+                (F_.max("seq_id") + 1).cast("long").alias("_n")
+            ),
+            "new_pack_seq",
+        )
+        mix_delta = self._materialize(wave_counts, "new_mix_counts")
+        self._append(packed_abs, "packed")
+        self._append(new_seqs, "pack_seq")
+        self._append(mix_delta, "mix_counts")
+
+    def packed(self) -> DataFrame:
+        return self._read("packed")
+
+
 def eval_grams_from_docs(
     eval_docs: DataFrame, *, n: int = 5, text_col: str = "text"
 ) -> DataFrame:
@@ -361,12 +538,14 @@ def _wave_expr(w: int) -> str:
     return f"doc_id % 2 = {0 if w == 1 else 1}"
 
 
-def _incremental_oracle() -> str:
+def _incremental_ctes() -> str:
     """DuckDB replay of the two-wave INCREMENTAL semantics (not the batch
     chain): min(wave) owns each paragraph hash and text fingerprint;
     near-dup components are per wave with cross-wave anchor-drop against
     every earlier exact-dedup survivor; eval grams are the fixed
-    benchmark set (normalized test-split texts)."""
+    benchmark set (normalized test-split texts). Ends with the ``acc``
+    CTE (wave-labelled accepted docs + token arrays) so the curated and
+    packed finals replay the identical chain."""
     q = r"""
 WITH RECURSIVE
 sp AS (
@@ -474,22 +653,23 @@ c_bad AS (
   JOIN ev_grams e ON p.g = e.g
 ),
 clean AS (
-  SELECT doc_id, lang, text FROM kept
+  SELECT doc_id, wave, lang, text FROM kept
   WHERE doc_id NOT IN (SELECT doc_id FROM c_bad)
 ),
-q AS (SELECT doc_id, lang, text, {TOKS_TEXT} AS t FROM clean)
-SELECT doc_id, lang, md5(text) AS text_fp, CAST(len(t) AS INT) AS n_tokens
-FROM q
-WHERE len(t) BETWEEN 10 AND 5000
-  AND round((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
-       + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(length(text) - length(regexp_replace(text, '{PUNCT}', '', 'g')) AS DOUBLE)
-                   / length(text) END) * 5, 1.0))
-       + least((CASE WHEN len(t) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(t, x -> lower(x) IN
-                     ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
-                   / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.5
-"""
+q AS (SELECT doc_id, wave, lang, text, {TOKS_TEXT} AS t FROM clean),
+acc AS MATERIALIZED (
+  SELECT doc_id, wave, lang, text, t, CAST(len(t) AS INT) AS n_tokens
+  FROM q
+  WHERE len(t) BETWEEN 10 AND 5000
+    AND round((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '{PUNCT}', '', 'g')) AS DOUBLE)
+                     / length(text) END) * 5, 1.0))
+         + least((CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                       ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+                     / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.5
+)"""
     ws = r"[ \t\n\x0B\f\r]"
     return (
         q.replace("{TOKS_NORM_TEXT}", _toks(_normalize("text")))
@@ -503,8 +683,130 @@ WHERE len(t) BETWEEN 10 AND 5000
     )
 
 
+def _incremental_oracle() -> str:
+    return _incremental_ctes() + """
+SELECT doc_id, lang, md5(text) AS text_fp, n_tokens FROM acc
+"""
+
+
+def corpus_packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-wave incremental corpus BUILD (curation + mixture + chunk +
+    pack, :class:`IncrementalCorpusBuilder`): same split/waves as
+    `corpus_curated_incremental`, returning the appended packed training
+    sequences (doc_id, wave, epoch, chunk_idx, n_chunk_tokens, shard,
+    seq_id). Lazy over the ``packed/`` state table in the session
+    scratch warehouse — same no-driver-collect contract as the curated
+    wrapper."""
+    import shutil
+
+    from ..session import scratch_dir
+    from .llm import _MIX_WEIGHTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "19999999"
+    evals = docs.filter(is_eval)
+    feed = docs.filter(~is_eval).select("doc_id", "lang", "text")
+    workdir = scratch_dir("inc-builder")
+    bld = IncrementalCorpusBuilder(
+        spark, workdir, eval_grams_from_docs(evals), mix_weights=_MIX_WEIGHTS
+    )
+    bld.ingest(feed.filter(F.col("doc_id") % 2 == 0))
+    bld.ingest(feed.filter(F.col("doc_id") % 2 == 1))
+    for name in (
+        "tmp", "para_hashes", "text_fps", "exd_bands", "exd_shingles",
+        "eval_grams", "curated", "mix_counts", "pack_seq",
+    ):
+        shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
+    return bld.packed()
+
+
+def _packed_incremental_oracle() -> str:
+    """The packed final: per-wave mixture at CUMULATIVE rates, chunking,
+    and per-(wave, shard) greedy packing with cross-wave seq offsets —
+    the DuckDB recurrence replaying IncrementalCorpusBuilder's
+    rate-at-acceptance + sealed-sequence contract."""
+    from .llm import _MIX_WEIGHTS
+
+    mix_values = ",\n".join(f"  ('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())
+    wsum = repr(sum(_MIX_WEIGHTS.values()))
+    return _incremental_ctes() + f""",
+mw(s, wt) AS (VALUES
+{mix_values}
+),
+-- cumulative per-language counts THROUGH each wave (the mix_counts state)
+cum AS (
+  SELECT w.wave, a.lang, count(*) AS n
+  FROM (SELECT DISTINCT wave FROM acc) w
+  JOIN acc a ON a.wave <= w.wave
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT c.wave, CAST(sum(c.n) AS DOUBLE) AS t
+  FROM cum c JOIN mw ON c.lang = mw.s GROUP BY 1
+),
+irates AS (
+  SELECT c.wave, c.lang, (tot.t * mw.wt / {wsum}) / c.n AS rate
+  FROM cum c JOIN mw ON c.lang = mw.s JOIN tot ON tot.wave = c.wave
+),
+m_exp AS (
+  SELECT a.doc_id, a.wave, a.t,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN substring(md5(CAST(a.doc_id AS VARCHAR) || ':' || a.lang), 1, 8)
+                     < lpad(lower(hex(CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM acc a JOIN irates r ON r.wave = a.wave AND r.lang = a.lang
+),
+iepochs AS MATERIALIZED (
+  SELECT doc_id, wave, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+  FROM m_exp WHERE n_copies >= 1
+),
+ichunks AS (
+  SELECT doc_id, wave, CAST(s // 64 AS INTEGER) AS chunk_idx,
+         CAST(len(t[s + 1 : s + 128]) AS INTEGER) AS n_chunk_tokens
+  FROM (SELECT doc_id, wave, t, unnest(range(0, len(t), 64)) AS s
+        FROM acc WHERE len(t) > 0)
+),
+iechunks AS (
+  SELECT c.doc_id, c.wave, e.epoch, c.chunk_idx, c.n_chunk_tokens,
+         CAST(c.doc_id % 8 AS INTEGER) AS shard
+  FROM ichunks c JOIN iepochs e ON c.doc_id = e.doc_id AND c.wave = e.wave
+),
+iord AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY wave, shard
+                               ORDER BY doc_id, epoch, chunk_idx) AS rn
+  FROM iechunks
+),
+ipack(wave, shard, rn, doc_id, epoch, chunk_idx, n_chunk_tokens, seq, fill) AS (
+  SELECT wave, shard, rn, doc_id, epoch, chunk_idx, n_chunk_tokens, 0, n_chunk_tokens
+  FROM iord WHERE rn = 1
+  UNION ALL
+  SELECT c.wave, c.shard, c.rn, c.doc_id, c.epoch, c.chunk_idx, c.n_chunk_tokens,
+         CASE WHEN p.fill + c.n_chunk_tokens > 512
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill + c.n_chunk_tokens > 512
+              THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
+  FROM ipack p JOIN iord c ON c.wave = p.wave AND c.shard = p.shard AND c.rn = p.rn + 1
+),
+wseq AS (SELECT wave, shard, max(seq) + 1 AS n_seqs FROM ipack GROUP BY 1, 2),
+ioffs AS (
+  SELECT d.wave, d.shard,
+         coalesce((SELECT sum(w2.n_seqs) FROM wseq w2
+                   WHERE w2.shard = d.shard AND w2.wave < d.wave), 0) AS off
+  FROM (SELECT DISTINCT wave, shard FROM ipack) d
+)
+SELECT p.doc_id, CAST(p.wave AS INT) AS wave, p.epoch, p.chunk_idx,
+       p.n_chunk_tokens, p.shard, CAST(p.seq + o.off AS INT) AS seq_id
+FROM ipack p JOIN ioffs o ON o.wave = p.wave AND o.shard = p.shard
+"""
+
+
 QUERIES = [
     QuerySpec(
         "corpus_curated_incremental", corpus_curated_incremental, _incremental_oracle()
+    ),
+    QuerySpec(
+        "corpus_packed_incremental",
+        corpus_packed_incremental,
+        _packed_incremental_oracle(),
     ),
 ]

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.asof_join import asof_join
-from ..operators.funnel import funnel_levels
+from ..operators.funnel import funnel_levels, funnel_levels_exact
 from ..operators.sessionize import session_stats
 from ..sources.catalog import load_table
 from .registry import QuerySpec
@@ -520,6 +520,46 @@ FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id) LEFT JOIN c USING
 """
 
 
+def funnel_exact_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal-chain funnel (windowFunnel 'strict_increase'
+    semantics) over the same steps/window as the greedy query — the pair
+    documents the greedy <= exact contract with live data. The oracle
+    enumerates chains directly with self-joins (EXISTS-style), a
+    genuinely different algorithm from the engine's dominant-start
+    pruning + per-start greedy extension."""
+    return funnel_levels_exact(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], window="7 days"
+    )
+
+
+_FUNNEL_EXACT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+u AS (SELECT DISTINCT user_id FROM ev),
+l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM ev a
+  JOIN ev b ON a.user_id = b.user_id AND b.event_type = 'click'
+           AND b.ts > a.ts
+  JOIN ev c ON a.user_id = c.user_id AND c.event_type = 'purchase'
+           AND c.ts > b.ts AND c.ts <= a.ts + INTERVAL 7 DAY
+  WHERE a.event_type = 'view'
+)
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                 WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_level
+FROM u
+"""
 
 
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1049,7 @@ QUERIES = [
     QuerySpec("events_sliding_30m", events_sliding_30m, _SLIDING_ORACLE),
     QuerySpec("order_value_percentiles", order_value_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_ORACLE),
-    QuerySpec("funnel_view_click_purchase", funnel_view_click_purchase, _FUNNEL_ORACLE),
-    QuerySpec("cohort_retention_weekly", cohort_retention_weekly, _COHORT_ORACLE),
+    QuerySpec("funnel_view_click_purchase", funnel_view_click_purchase, _FUNNEL_ORACLE, headline=True),
+    QuerySpec("funnel_exact_view_click_purchase", funnel_exact_view_click_purchase, _FUNNEL_EXACT_ORACLE),
+    QuerySpec("cohort_retention_weekly", cohort_retention_weekly, _COHORT_ORACLE, headline=True),
 ]

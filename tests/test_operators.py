@@ -1446,6 +1446,96 @@ def test_funnel_levels_fixture(spark):
     assert got["u5"] == (2, epoch + 3600)   # pre-chain purchase doesn't count
 
 
+def test_funnel_exact_diverges_from_greedy_and_dominates(spark):
+    """The canonical windowFunnel divergence: the earliest view's greedy
+    chain exits the 7-day window, but a later view completes — greedy says
+    level 1, exact says level 3. Plus: greedy <= exact on every user."""
+    import datetime as dt
+
+    from clickhouse_segments_tutorial_spark.operators.funnel import (
+        funnel_levels,
+        funnel_levels_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = dt.timedelta(days=1)
+    rows = [
+        # u1: greedy anchors at day 0 -> click day 10 misses the window;
+        # the day-9 view -> click day 10 -> purchase day 11 chain is valid
+        ("u1", "view", t0), ("u1", "view", t0 + 9 * d),
+        ("u1", "click", t0 + 10 * d), ("u1", "purchase", t0 + 11 * d),
+        # u2: greedy == exact == 3 (single clean chain)
+        ("u2", "view", t0), ("u2", "click", t0 + d), ("u2", "purchase", t0 + 2 * d),
+        # u3: no chain at all (click before any view)
+        ("u3", "click", t0), ("u3", "view", t0 + d),
+        # u4: two starts, only the later one reaches level 2 in-window
+        ("u4", "view", t0), ("u4", "view", t0 + 6 * d), ("u4", "click", t0 + 8 * d),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    steps = ["view", "click", "purchase"]
+    greedy = {r.user_id: r.funnel_level for r in funnel_levels(df, steps).collect()}
+    exact = {r.user_id: r.funnel_level
+             for r in funnel_levels_exact(df, steps).collect()}
+    assert exact == {"u1": 3, "u2": 3, "u3": 1, "u4": 2}
+    assert greedy["u1"] == 1  # the documented divergence
+    assert set(greedy) == set(exact)
+    assert all(greedy[u] <= exact[u] for u in greedy)
+
+
+def test_funnel_exact_matches_bruteforce_on_real_events(spark, sf_smoke):
+    """funnel_levels_exact vs a per-user brute-force chain search in plain
+    Python on the sf0.001 events table — an algorithm-independent check of
+    maximality (the dominant-start pruning must not lose any chain), plus
+    the greedy <= exact property corpus-wide."""
+    import itertools
+
+    from clickhouse_segments_tutorial_spark.operators.funnel import (
+        funnel_levels,
+        funnel_levels_exact,
+    )
+    from clickhouse_segments_tutorial_spark.sources import load_table
+
+    steps = ["view", "click", "purchase"]
+    window_us = 7 * 86400 * 1_000_000
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "event_type", "ts")
+    exact = {r.user_id: r.funnel_level
+             for r in funnel_levels_exact(ev, steps).collect()}
+    greedy = {r.user_id: r.funnel_level for r in funnel_levels(ev, steps).collect()}
+
+    by_user: dict = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_type)
+        )
+
+    def brute_level(events):
+        evs = sorted(events)
+        level = 1 if any(t == steps[0] for _, t in evs) else 0
+        # all chains: for each start, DFS earliest-next is optimal per
+        # start, but brute-force ALL next choices to stay algorithm-free
+        def extend(i, prev_us, t1_us):
+            if i == len(steps):
+                return i
+            best = i
+            for us, t in evs:
+                if t == steps[i] and us > prev_us and us <= t1_us + window_us:
+                    best = max(best, extend(i + 1, us, t1_us))
+                    if best == len(steps):
+                        break
+            return best
+        for us, t in evs:
+            if t == steps[0]:
+                level = max(level, extend(1, us, us))
+                if level == len(steps):
+                    break
+        return level
+
+    assert set(exact) == set(by_user)
+    for u, evts in by_user.items():
+        assert exact[u] == brute_level(evts), u
+        assert greedy[u] <= exact[u], u
+
+
 def test_cohort_retention_fixture(spark):
     """Epoch-week cohorts: week 0 always includes the signup itself;
     activity before signup is excluded; users without signup drop."""
