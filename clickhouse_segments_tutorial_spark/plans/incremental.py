@@ -55,14 +55,16 @@ correctness gate checks.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.components import connected_components
 from ..operators.dedup import banded_minhash_keys, shingled_docs
 from ..operators.text import normalize_text, quality_score, token_count
-from ..sources import load_table
+from ..sources import load_table, write_bucketed
 from .pipeline import _LINE_WS, _normalize, _shingles, _toks
 from .registry import QuerySpec
 
@@ -79,6 +81,34 @@ _STATE_SCHEMAS = {
         "n_chunk_tokens int, shard int, seq_id int"
     ),
 }
+
+# The join-consumed dedup state lives in BUCKETED catalog tables keyed on
+# exactly the column(s) each wave joins on: the per-wave anti-joins /
+# band-join then read the bucketing metadata and skip the Exchange on the
+# state side entirely — the wave shuffles (O(wave)), the history does NOT
+# (it is scanned co-located, never reshuffled). Plain parquet appends here
+# would reshuffle the FULL history every wave: O(corpus) shuffle bytes per
+# wave at 100 TB, defeating the module's O(wave + state lookups) contract.
+# This is the same pay-once physical design as the reference's
+# `ORDER BY (user_id, ...)` clustering (1-naive.test.ts:19) and the
+# engine's bucketed segmenter (sources/bucketed.py).
+#
+# Output tables (curated/, packed/) and the broadcast-sized counters
+# (mix_counts O(#langs), pack_seq O(#shards)) stay plain appends: nothing
+# ever joins large against them.
+_STATE_BUCKET_KEYS: dict[str, tuple[str, ...]] = {
+    "para_hashes": ("_h",),
+    "text_fps": ("_fp",),
+    "exd_bands": ("band", "bucket"),
+    "exd_shingles": ("_id",),
+}
+
+# Builder defaults, shared with the DuckDB oracle SQL so the two cannot
+# drift independently (round-8 ADVICE): the oracle formats these values in.
+CHUNK_TOKENS = 128
+STRIDE = 64
+CAPACITY = 512
+SHARDS = 8
 
 
 class IncrementalCorpusCurator:
@@ -102,6 +132,7 @@ class IncrementalCorpusCurator:
         quality_min: float = 0.5,
         min_tokens: int = 10,
         max_tokens: int = 5000,
+        state_buckets: int = 32,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -109,6 +140,19 @@ class IncrementalCorpusCurator:
         self.contamination_n = contamination_n
         self.quality_min = quality_min
         self.min_tokens, self.max_tokens = min_tokens, max_tokens
+        # bucket count must be sized so one bucket of the LARGEST state
+        # table (para_hashes at corpus scale) fits an executor comfortably:
+        # thousands at 100 TB. All waves of one curator must agree (the
+        # bucketing spec is fixed at table creation).
+        self.state_buckets = state_buckets
+        # catalog tables need a per-curator namespace. Derived from the
+        # FULL workdir path (hashed — basenames like "state" recur across
+        # callers), deterministically: a crashed ingest re-run on the same
+        # workdir must re-attach to its existing state tables, so the name
+        # cannot be random per instance.
+        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+        self._tbl_prefix = f"incstate_{base}_{digest}"
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
         eval_path = os.path.join(workdir, "eval_grams")
@@ -121,14 +165,72 @@ class IncrementalCorpusCurator:
     def _path(self, name: str) -> str:
         return os.path.join(self.workdir, name)
 
+    def _table(self, name: str) -> str:
+        return f"{self._tbl_prefix}_{name}"
+
     def _read(self, name: str) -> DataFrame:
+        keys = _STATE_BUCKET_KEYS.get(name)
+        if keys is not None:
+            if self.spark.catalog.tableExists(self._table(name)):
+                return self.spark.table(self._table(name))
+            return self.spark.createDataFrame([], _STATE_SCHEMAS[name])
         p = self._path(name)
         if os.path.exists(p):
             return self.spark.read.parquet(p)
         return self.spark.createDataFrame([], _STATE_SCHEMAS[name])
 
     def _append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self._path(name))
+        keys = _STATE_BUCKET_KEYS.get(name)
+        if keys is not None:
+            # align=True: one file per bucket per wave (not tasks×buckets);
+            # compact() folds the per-wave files back to one per bucket
+            write_bucketed(
+                df,
+                self._table(name),
+                key=keys,
+                buckets=self.state_buckets,
+                mode="append",
+                align=True,
+            )
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def compact(self) -> None:
+        """Rewrite each bucketed state table to ONE sorted file per bucket.
+
+        Appends accumulate one file per bucket per wave; over long ingest
+        histories that degrades the state scan (many small files, and
+        Spark only reports per-bucket sort order with a single file per
+        bucket, so the co-located joins re-sort). Run between waves —
+        after every N waves, or when per-bucket file counts hurt — ingest
+        results are identical before/after (tests/test_incremental.py
+        asserts this). Rewrites via a pinned copy in the workdir tmp dir:
+        an overwrite whose plan scans the target table would be a
+        read-your-writes hazard."""
+        for name, keys in _STATE_BUCKET_KEYS.items():
+            if not self.spark.catalog.tableExists(self._table(name)):
+                continue
+            pinned = self._materialize(self.spark.table(self._table(name)), f"compact_{name}")
+            write_bucketed(
+                pinned,
+                self._table(name),
+                key=keys,
+                buckets=self.state_buckets,
+                mode="overwrite",
+                align=True,
+            )
+
+    def drop_dedup_state(self) -> None:
+        """Free the (corpus-proportional) dedup state: the bucketed catalog
+        tables, the per-wave pins, and the eval-gram set. The output
+        tables (curated/, packed/) survive — callers hold lazy plans over
+        them."""
+        import shutil
+
+        for name in _STATE_BUCKET_KEYS:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name)}")
+        for name in ("tmp", "eval_grams"):
+            shutil.rmtree(os.path.join(self.workdir, name), ignore_errors=True)
 
     def _materialize(self, df: DataFrame, name: str) -> DataFrame:
         """Write a per-wave intermediate and read it back: stages that
@@ -356,10 +458,10 @@ class IncrementalCorpusBuilder(IncrementalCorpusCurator):
         eval_grams: DataFrame,
         *,
         mix_weights: dict[str, float],
-        chunk_tokens: int = 128,
-        stride: int = 64,
-        capacity: int = 512,
-        shards: int = 8,
+        chunk_tokens: int = CHUNK_TOKENS,
+        stride: int = STRIDE,
+        capacity: int = CAPACITY,
+        shards: int = SHARDS,
         **kwargs,
     ):
         super().__init__(spark, workdir, eval_grams, **kwargs)
@@ -473,9 +575,13 @@ class IncrementalCorpusBuilder(IncrementalCorpusCurator):
             "new_pack_seq",
         )
         mix_delta = self._materialize(wave_counts, "new_mix_counts")
-        self._append(packed_abs, "packed")
+        # counters advance BEFORE the packed rows land (round-8 ADVICE): a
+        # crash between the two then leaves a harmless seq-id gap / rate
+        # skew on re-run, never a (shard, seq_id) collision that silently
+        # aliases already-emitted training sequences
         self._append(new_seqs, "pack_seq")
         self._append(mix_delta, "mix_counts")
+        self._append(packed_abs, "packed")
 
     def packed(self) -> DataFrame:
         return self._read("packed")
@@ -512,8 +618,6 @@ def corpus_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, lang, md5, int) rows are tens of GB). Only the wave-state
     tables (LSH index, fingerprint sets, per-wave pins) are dropped
     eagerly once ingest completes."""
-    import shutil
-
     from ..session import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
@@ -527,8 +631,7 @@ def corpus_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the replay is one-shot: free the (corpus-sized) dedup state now;
     # curated/ stays on disk until the warehouse atexit cleanup so the
     # returned plan stays valid for the caller's whole session
-    for name in ("tmp", "para_hashes", "text_fps", "exd_bands", "exd_shingles", "eval_grams"):
-        shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
+    cur.drop_dedup_state()
     return cur.curated().select(
         "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
     )
@@ -712,10 +815,8 @@ def corpus_packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bld.ingest(feed.filter(F.col("doc_id") % 2 == 0))
     bld.ingest(feed.filter(F.col("doc_id") % 2 == 1))
-    for name in (
-        "tmp", "para_hashes", "text_fps", "exd_bands", "exd_shingles",
-        "eval_grams", "curated", "mix_counts", "pack_seq",
-    ):
+    bld.drop_dedup_state()
+    for name in ("curated", "mix_counts", "pack_seq"):
         shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
     return bld.packed()
 
@@ -761,14 +862,14 @@ iepochs AS MATERIALIZED (
   FROM m_exp WHERE n_copies >= 1
 ),
 ichunks AS (
-  SELECT doc_id, wave, CAST(s // 64 AS INTEGER) AS chunk_idx,
-         CAST(len(t[s + 1 : s + 128]) AS INTEGER) AS n_chunk_tokens
-  FROM (SELECT doc_id, wave, t, unnest(range(0, len(t), 64)) AS s
+  SELECT doc_id, wave, CAST(s // {STRIDE} AS INTEGER) AS chunk_idx,
+         CAST(len(t[s + 1 : s + {CHUNK_TOKENS}]) AS INTEGER) AS n_chunk_tokens
+  FROM (SELECT doc_id, wave, t, unnest(range(0, len(t), {STRIDE})) AS s
         FROM acc WHERE len(t) > 0)
 ),
 iechunks AS (
   SELECT c.doc_id, c.wave, e.epoch, c.chunk_idx, c.n_chunk_tokens,
-         CAST(c.doc_id % 8 AS INTEGER) AS shard
+         CAST(c.doc_id % {SHARDS} AS INTEGER) AS shard
   FROM ichunks c JOIN iepochs e ON c.doc_id = e.doc_id AND c.wave = e.wave
 ),
 iord AS MATERIALIZED (
@@ -781,9 +882,9 @@ ipack(wave, shard, rn, doc_id, epoch, chunk_idx, n_chunk_tokens, seq, fill) AS (
   FROM iord WHERE rn = 1
   UNION ALL
   SELECT c.wave, c.shard, c.rn, c.doc_id, c.epoch, c.chunk_idx, c.n_chunk_tokens,
-         CASE WHEN p.fill + c.n_chunk_tokens > 512
+         CASE WHEN p.fill + c.n_chunk_tokens > {CAPACITY}
               THEN p.seq + 1 ELSE p.seq END,
-         CASE WHEN p.fill + c.n_chunk_tokens > 512
+         CASE WHEN p.fill + c.n_chunk_tokens > {CAPACITY}
               THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
   FROM ipack p JOIN iord c ON c.wave = p.wave AND c.shard = p.shard AND c.rn = p.rn + 1
 ),

@@ -27,21 +27,33 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     *,
-    key: str,
+    key: str | tuple[str, ...],
     buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    align: bool = False,
 ) -> None:
-    """Write ``df`` as a parquet table bucketed (and sorted) on ``key``.
+    """Write ``df`` as a parquet table bucketed (and sorted) on ``key``
+    (a column name or tuple of names for composite keys).
 
     ``buckets`` should be sized so one bucket of the largest table fits an
     executor's memory comfortably (at 100 TB: thousands of buckets); all
     tables that join on ``key`` must use the SAME bucket count for the
     co-located join to kick in.
+
+    ``align=True`` pre-shuffles rows so each task holds exactly one
+    bucket's rows (``repartition(buckets, *key)`` uses the same
+    pmod(murmur3) expression as the bucket-id assignment), so every write
+    emits at most ONE file per bucket instead of up-to tasks×buckets —
+    essential for tables that receive many small appends (micro-batch
+    state), irrelevant for one-shot writes.
     """
-    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    if align:
+        df = df.repartition(buckets, *keys)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
 
 

@@ -225,3 +225,43 @@ def test_builder_mixture_rates_use_cumulative_counts(spark, tmp_path):
     # 8 docs total, de share 1/8 > target 0.1 -> de rate < 1, en rate ~1
     assert n_en > 0
     assert n_de <= n_en  # de must not be upsampled above the en mass
+
+
+def test_compaction_preserves_ingest_results(spark, tmp_path):
+    """compact() rewrites each bucketed state table to one sorted file per
+    bucket; it must be a pure physical reorganization — a run that
+    compacts between (and after) waves curates the exact same corpus as
+    one that never compacts."""
+    plain = _curator(spark, tmp_path / "plain")
+    comp = _curator(spark, tmp_path / "comp")
+    w1 = [(1, "en", BASE), (2, "en", f"cookie banner accept all\n{OTHER}")]
+    w2 = [
+        (10, "en", BASE),  # exact dup across waves
+        (11, "en", f"cookie banner accept all\n{THIRD}"),  # state-seen para
+        (12, "en", BASE.replace("today", "tonight")),  # near-dup anchor
+    ]
+    for cur, do_compact in ((plain, False), (comp, True)):
+        cur.ingest(spark.createDataFrame(w1, SCHEMA))
+        if do_compact:
+            cur.compact()
+        cur.ingest(spark.createDataFrame(w2, SCHEMA))
+        if do_compact:
+            cur.compact()
+    a = sorted(tuple(r) for r in plain.curated().collect())
+    b = sorted(tuple(r) for r in comp.curated().collect())
+    assert a == b and a  # identical, non-empty
+
+    # post-compaction: at most ONE file per bucket per state table (the
+    # many small per-wave appends are folded away)
+    from clickhouse_segments_tutorial_spark.plans.incremental import (
+        _STATE_BUCKET_KEYS,
+    )
+
+    for name in _STATE_BUCKET_KEYS:
+        tbl = comp._table(name)
+        if not spark.catalog.tableExists(tbl):
+            continue
+        files = spark.table(tbl).inputFiles()
+        assert len(files) <= comp.state_buckets, (name, files)
+    plain.drop_dedup_state()
+    comp.drop_dedup_state()

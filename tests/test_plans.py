@@ -15,9 +15,23 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def plan_of(spark, name: str) -> str:
     df = all_queries()[name].spark(spark, SF_DIR)
+    return formatted_plan(df)
+
+
+def formatted_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical nodes by their detail-section headers ``(id) Node`` —
+    one per node regardless of how the tree rendering prints them (raw
+    substring counts double-count tree + details and would break on a
+    plan-formatting change)."""
+    import re as _re
+
+    return len(_re.findall(rf"^\(\d+\) {node}\b", plan, _re.M))
 
 
 def test_q1_filter_pushed_and_columns_pruned(spark):
@@ -238,10 +252,10 @@ def test_tfidf_partial_agg_no_row_udfs(spark):
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # exactly the 1-row scalar broadcast (formatted plans print each join
-    # node twice: tree + details) — == 2, not //2, so an accidental second
-    # nested-loop join (count 3-4) fails rather than rounding down to 1
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # exactly the 1-row scalar broadcast: counted from the parsed node
+    # list, so an accidental second nested-loop join fails and a Spark
+    # plan-formatting change cannot fail it spuriously
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "GlobalLimit" not in plan.split("Window")[0]  # no pre-window sort-limit
 
@@ -253,7 +267,7 @@ def test_bigram_nll_context_counts_fold_from_bigram_counts(spark):
     plan = plan_of(spark, "bigram_lm_nll_docs")
     assert plan.count("Generate posexplode") <= 2 or plan.count("posexplode") <= 2
     assert "BatchEvalPython" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2  # the 1-row vocab scalar only
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 1  # the 1-row vocab scalar only
 
 
 def test_incremental_wrapper_never_collects_corpus():
@@ -287,6 +301,56 @@ def test_incremental_result_outlives_wrapper(spark):
     n1 = df.count()
     n2 = df.count()  # second action: files must still be there
     assert n1 == n2 and n1 > 0
+
+
+def test_incremental_state_joins_colocate_on_bucketed_state(spark, tmp_path):
+    """Round-9 scale fix: a wave's anti-joins / band-join against the
+    persisted dedup state must shuffle ONLY the wave. The state lives in
+    bucketed catalog tables keyed on the join key (sources/bucketed.py),
+    so the state side of each join reads co-located with zero Exchange —
+    plain parquet state would reshuffle the FULL history every wave
+    (O(corpus) shuffle bytes per wave at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.plans.incremental import (
+        IncrementalCorpusCurator,
+        eval_grams_from_docs,
+    )
+
+    eval_df = spark.createDataFrame([(900, "en", "benchmark only text")],
+                                    "doc_id long, lang string, text string")
+    cur = IncrementalCorpusCurator(
+        spark, str(tmp_path / "state"), eval_grams_from_docs(eval_df)
+    )
+    cur.ingest(
+        spark.createDataFrame(
+            [(1, "en", "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, lang string, text string",
+        )
+    )
+
+    wave_h = spark.range(100).select(F.md5(F.col("id").cast("string")).alias("_h"))
+    wave_bands = spark.range(100).select(
+        F.col("id").alias("_id"),
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.xxhash64("id").alias("bucket"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = wave_h.join(cur._read("para_hashes"), "_h", "left_anti")
+        plan = formatted_plan(anti)
+        assert "Bucketed: true" in plan  # state scan uses the bucketing
+        # exactly ONE Exchange: the wave side; none above the state scan
+        assert node_count(plan, "Exchange") == 1
+
+        band = wave_bands.join(cur._read("exd_bands"), ["band", "bucket"])
+        plan2 = formatted_plan(band)
+        assert "Bucketed: true" in plan2
+        assert node_count(plan2, "Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    cur.drop_dedup_state()
 
 
 def test_cube_is_single_pass_expand(spark):
