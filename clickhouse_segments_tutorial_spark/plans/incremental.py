@@ -637,18 +637,59 @@ def corpus_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wave_expr(w: int) -> str:
-    return f"doc_id % 2 = {0 if w == 1 else 1}"
+_DEFAULT_WAVES: tuple[str, ...] = ("doc_id % 2 = 0", "doc_id % 2 = 1")
 
 
-def _incremental_ctes() -> str:
-    """DuckDB replay of the two-wave INCREMENTAL semantics (not the batch
+def _incremental_ctes(waves: tuple[str, ...] = _DEFAULT_WAVES) -> str:
+    """DuckDB replay of the N-wave INCREMENTAL semantics (not the batch
     chain): min(wave) owns each paragraph hash and text fingerprint;
     near-dup components are per wave with cross-wave anchor-drop against
     every earlier exact-dedup survivor; eval grams are the fixed
     benchmark set (normalized test-split texts). Ends with the ``acc``
     CTE (wave-labelled accepted docs + token arrays) so the curated and
-    packed finals replay the identical chain."""
+    packed finals replay the identical chain.
+
+    ``waves`` is an ordered tuple of SQL predicates over the documents
+    table; wave i+1 = the docs matching predicate i. The per-wave
+    component/anchor CTEs are GENERATED over the predicate list, so one
+    recurrence oracles any ingest schedule — the registered query is the
+    two-wave default instance; tests replay >=4 uneven waves including an
+    empty one against the same generator (cross-wave drift in pack_seq
+    offsets or mix_counts cumulative rates cannot hide behind a
+    wave-count-2 special case)."""
+    wave_case = " ".join(f"WHEN {p} THEN {i + 1}" for i, p in enumerate(waves))
+    any_wave = " OR ".join(f"({p})" for p in waves)
+    per_wave = "".join(
+        f"""-- wave {w}: components among wave-{w} exd docs; anchor-drop any
+-- component with a verified pair into an EARLIER wave's exd survivor
+anchors{w} AS (
+  SELECT DISTINCT CASE WHEN wave_a = {w} THEN id_a ELSE id_b END AS doc_id
+  FROM g_pairs
+  WHERE (wave_a = {w} AND wave_b < {w}) OR (wave_b = {w} AND wave_a < {w})
+),
+e{w} AS (
+  SELECT id_a AS u, id_b AS v FROM g_pairs WHERE wave_a = {w} AND wave_b = {w}
+  UNION SELECT id_b, id_a FROM g_pairs WHERE wave_a = {w} AND wave_b = {w}
+),
+reach{w}(node, r) AS (
+  SELECT doc_id, doc_id FROM exd WHERE wave = {w}
+  UNION
+  SELECT reach{w}.node, e.v FROM reach{w} JOIN e{w} e ON reach{w}.r = e.u
+),
+comp{w} AS MATERIALIZED (SELECT node, min(r) AS component FROM reach{w} GROUP BY node),
+bad{w} AS (
+  SELECT DISTINCT c.component FROM comp{w} c JOIN anchors{w} a ON c.node = a.doc_id
+),
+keep{w} AS (
+  SELECT node AS doc_id FROM comp{w}
+  WHERE node = component AND component NOT IN (SELECT component FROM bad{w})
+),
+"""
+        for w in range(1, len(waves) + 1)
+    )
+    keep_union = " UNION ALL ".join(
+        f"SELECT * FROM keep{w}" for w in range(1, len(waves) + 1)
+    )
     q = r"""
 WITH RECURSIVE
 sp AS (
@@ -656,8 +697,8 @@ sp AS (
   FROM documents
 ),
 feed AS (
-  SELECT doc_id, lang, text, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS wave
-  FROM sp WHERE NOT is_eval
+  SELECT doc_id, lang, text, CASE {WAVE_CASE} END AS wave
+  FROM sp WHERE NOT is_eval AND ({ANY_WAVE})
 ),
 ev_tok AS (
   SELECT {TOKS_NORM_TEXT} AS t FROM sp WHERE is_eval
@@ -711,41 +752,8 @@ g_pairs AS MATERIALIZED (
   GROUP BY 1, 2, 3, 4, a.n, b.n
   HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8
 ),
--- wave-1 components (no anchors: no earlier state)
-e1 AS (
-  SELECT id_a AS u, id_b AS v FROM g_pairs WHERE wave_a = 1 AND wave_b = 1
-  UNION SELECT id_b, id_a FROM g_pairs WHERE wave_a = 1 AND wave_b = 1
-),
-reach1(node, r) AS (
-  SELECT doc_id, doc_id FROM exd WHERE wave = 1
-  UNION
-  SELECT reach1.node, e.v FROM reach1 JOIN e1 e ON reach1.r = e.u
-),
-keep1 AS (SELECT node AS doc_id FROM reach1 GROUP BY node HAVING min(r) = node),
--- wave-2: anchors = verified pair to ANY wave-1 exd survivor
-anchors2 AS (
-  SELECT DISTINCT CASE WHEN wave_a = 2 THEN id_a ELSE id_b END AS doc_id
-  FROM g_pairs WHERE wave_a <> wave_b
-),
-e2 AS (
-  SELECT id_a AS u, id_b AS v FROM g_pairs WHERE wave_a = 2 AND wave_b = 2
-  UNION SELECT id_b, id_a FROM g_pairs WHERE wave_a = 2 AND wave_b = 2
-),
-reach2(node, r) AS (
-  SELECT doc_id, doc_id FROM exd WHERE wave = 2
-  UNION
-  SELECT reach2.node, e.v FROM reach2 JOIN e2 e ON reach2.r = e.u
-),
-comp2 AS MATERIALIZED (SELECT node, min(r) AS component FROM reach2 GROUP BY node),
-bad_comps AS (
-  SELECT DISTINCT c.component FROM comp2 c JOIN anchors2 a ON c.node = a.doc_id
-),
-keep2 AS (
-  SELECT node AS doc_id FROM comp2
-  WHERE node = component AND component NOT IN (SELECT component FROM bad_comps)
-),
-kept AS MATERIALIZED (
-  SELECT e.* FROM exd e JOIN (SELECT * FROM keep1 UNION ALL SELECT * FROM keep2) k
+{PER_WAVE}kept AS MATERIALIZED (
+  SELECT e.* FROM exd e JOIN ({KEEP_UNION}) k
   USING (doc_id)
 ),
 -- decontamination vs the FIXED benchmark grams
@@ -775,7 +783,11 @@ acc AS MATERIALIZED (
 )"""
     ws = r"[ \t\n\x0B\f\r]"
     return (
-        q.replace("{TOKS_NORM_TEXT}", _toks(_normalize("text")))
+        q.replace("{WAVE_CASE}", wave_case)
+        .replace("{ANY_WAVE}", any_wave)
+        .replace("{PER_WAVE}", per_wave)
+        .replace("{KEEP_UNION}", keep_union)
+        .replace("{TOKS_NORM_TEXT}", _toks(_normalize("text")))
         .replace("{NORM_CLEAN}", _normalize("r.clean_text"))
         .replace("{SH5_T}", _shingles("t", 5))
         .replace("{SH3_TOKS}", _shingles(_toks("text"), 3))
@@ -786,8 +798,8 @@ acc AS MATERIALIZED (
     )
 
 
-def _incremental_oracle() -> str:
-    return _incremental_ctes() + """
+def _incremental_oracle(waves: tuple[str, ...] = _DEFAULT_WAVES) -> str:
+    return _incremental_ctes(waves) + """
 SELECT doc_id, lang, md5(text) AS text_fp, n_tokens FROM acc
 """
 
@@ -821,16 +833,19 @@ def corpus_packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bld.packed()
 
 
-def _packed_incremental_oracle() -> str:
+def _packed_incremental_oracle(waves: tuple[str, ...] = _DEFAULT_WAVES) -> str:
     """The packed final: per-wave mixture at CUMULATIVE rates, chunking,
     and per-(wave, shard) greedy packing with cross-wave seq offsets —
     the DuckDB recurrence replaying IncrementalCorpusBuilder's
-    rate-at-acceptance + sealed-sequence contract."""
+    rate-at-acceptance + sealed-sequence contract. The post-``acc`` CTEs
+    are wave-generic (cum/tot/irates aggregate ``a.wave <= w.wave``;
+    ioffs sums earlier waves' seq counts), so the N-wave generalization
+    rides ``_incremental_ctes(waves)`` unchanged."""
     from .llm import _MIX_WEIGHTS
 
     mix_values = ",\n".join(f"  ('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())
     wsum = repr(sum(_MIX_WEIGHTS.values()))
-    return _incremental_ctes() + f""",
+    return _incremental_ctes(waves) + f""",
 mw(s, wt) AS (VALUES
 {mix_values}
 ),

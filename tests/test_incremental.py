@@ -265,3 +265,51 @@ def test_compaction_preserves_ingest_results(spark, tmp_path):
         assert len(files) <= comp.state_buckets, (name, files)
     plain.drop_dedup_state()
     comp.drop_dedup_state()
+
+
+def test_multiwave_replay_matches_generalized_oracle(spark):
+    """N-wave drift check (round-9): four UNEVEN waves — one of them
+    EMPTY — replayed over the real sf0.001 documents table, compared to
+    the wave-count-generalized DuckDB recurrence. A two-wave replay
+    cannot catch cross-wave drift in the persisted pack_seq offsets or
+    the mix_counts cumulative rates; four waves with an empty no-op wave
+    exercises both counters three advance steps deep."""
+    from clickhouse_segments_tutorial_spark.plans.incremental import (
+        IncrementalCorpusBuilder,
+        _incremental_oracle,
+        _packed_incremental_oracle,
+        eval_grams_from_docs,
+    )
+    from clickhouse_segments_tutorial_spark.plans.llm import _MIX_WEIGHTS
+    from clickhouse_segments_tutorial_spark.session import scratch_dir
+    from clickhouse_segments_tutorial_spark.sources import load_table
+    from oracle_check import compare
+
+    waves = (
+        "doc_id % 7 IN (0, 1, 2, 3)",  # big wave
+        "doc_id % 7 = 4",              # small wave
+        "doc_id < 0",                  # EMPTY wave: must be a no-op
+        "doc_id % 7 IN (5, 6)",        # remainder
+    )
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "19999999"
+    feed = docs.filter(~is_eval).select("doc_id", "lang", "text")
+    bld = IncrementalCorpusBuilder(
+        spark,
+        scratch_dir("multiwave"),
+        eval_grams_from_docs(docs.filter(is_eval)),
+        mix_weights=_MIX_WEIGHTS,
+    )
+    accepted = [bld.ingest(feed.filter(F.expr(p))).count() for p in waves]
+    assert accepted[2] == 0          # empty wave accepted nothing
+    assert accepted[0] > accepted[1]  # genuinely uneven
+
+    curated = bld.curated().select(
+        "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
+    )
+    ok, msg = compare(curated, _incremental_oracle(waves), sf)
+    assert ok, f"curated: {msg}"
+    ok, msg = compare(bld.packed(), _packed_incremental_oracle(waves), sf)
+    assert ok, f"packed: {msg}"
+    bld.drop_dedup_state()
