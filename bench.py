@@ -92,10 +92,14 @@ def main() -> None:
     # outlasts one warmup), so a median-of-3 lands wherever JIT happens
     # to be. Same-session r5-vs-r6 A/B (BASELINE.md) showed the r6 "knn
     # regression" was exactly this plus host variance, not a code change.
+    # corpus_pipeline_docs joined in r9: its r8 median-of-3 printed ±54.7%
+    # spread (the longest multi-job pipeline in the set — straggler samples
+    # land anywhere), making round-over-round deltas meaningless.
     extra_sample_queries = {
         "segment_microbatch_members",
         "segment_eventtime_members",
         "knn_cosine_bruteforce",
+        "corpus_pipeline_docs",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}

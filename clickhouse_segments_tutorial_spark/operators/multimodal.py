@@ -95,36 +95,75 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             break
     raw = zlib.decompress(idat)
     stride = width * channels
-    out: list[int] = []
-    prev = bytearray(stride)
+    # Scanline unfiltering, vectorized per row with numpy (round-9: the
+    # old per-byte Python loop — branch per byte, bytearray indexing — was
+    # the decode throughput ceiling at media scale; see BASELINE.md
+    # micro-bench). Filters none/sub/up are whole-row vector ops (sub is
+    # a per-channel prefix sum: mod-256 distributes over addition, so one
+    # int64 cumsum then %256 reconstructs the recurrence). Average and
+    # Paeth depend on the just-reconstructed LEFT neighbor, an inherently
+    # sequential recurrence — those rows run a tightened Python loop over
+    # plain ints (specialized per filter, branch hoisted out; numpy
+    # element ops would be slower at this granularity). The RGB->luma
+    # fold is one whole-image vector op at the end.
+    import numpy as np
+
+    rowlen = stride + 1
+    rows = np.frombuffer(raw, dtype=np.uint8, count=height * rowlen).reshape(
+        height, rowlen
+    )
+    filts = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.empty((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        row_start = y * (stride + 1)
-        filt = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        for x in range(stride):
-            a = line[x - channels] if x >= channels else 0  # left
-            b_ = prev[x]  # up
-            c = prev[x - channels] if x >= channels else 0  # up-left
-            if filt == 1:
-                line[x] = (line[x] + a) & 0xFF
-            elif filt == 2:
-                line[x] = (line[x] + b_) & 0xFF
-            elif filt == 3:
-                line[x] = (line[x] + (a + b_) // 2) & 0xFF
-            elif filt == 4:  # Paeth
+        filt = int(filts[y])
+        line = data[y]
+        if filt == 0:
+            cur = line
+        elif filt == 1:  # sub
+            cur = (
+                line.reshape(-1, channels).cumsum(axis=0, dtype=np.int64) % 256
+            ).reshape(-1).astype(np.int32)
+        elif filt == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif filt == 3:  # average: left-neighbor recurrence
+            # the left neighbor is the just-computed output `channels`
+            # back — inherently sequential, so this (and Paeth) stays a
+            # tight Python list loop, specialized per filter with the
+            # branch hoisted out of the byte loop (measured fastest of
+            # the indexed/zip/strided formulations)
+            ln, pv = line.tolist(), prev.tolist()
+            cur_l = [0] * stride
+            for x in range(channels):
+                cur_l[x] = (ln[x] + (pv[x] >> 1)) & 0xFF
+            for x in range(channels, stride):
+                cur_l[x] = (ln[x] + ((cur_l[x - channels] + pv[x]) >> 1)) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int32)
+        elif filt == 4:  # Paeth: left-neighbor recurrence
+            ln, pv = line.tolist(), prev.tolist()
+            cur_l = [0] * stride
+            for x in range(channels):
+                # a = c = 0 -> the Paeth predictor reduces to up
+                cur_l[x] = (ln[x] + pv[x]) & 0xFF
+            for x in range(channels, stride):
+                a = cur_l[x - channels]
+                b_ = pv[x]
+                c = pv[x - channels]
                 p = a + b_ - c
                 pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        prev = line
-        if channels == 1:
-            out.extend(line)
+                cur_l[x] = (ln[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int32)
         else:
-            out.extend(
-                _luma(line[i], line[i + 1], line[i + 2])
-                for i in range(0, stride, 3)
-            )
-    return width, height, out
+            raise ValueError(f"bad PNG filter {filt}")
+        out[y] = cur
+        prev = cur
+    if channels == 1:
+        return width, height, out.reshape(-1).tolist()
+    px = out.reshape(-1, 3)
+    luma = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    return width, height, luma.tolist()
 
 
 def _decode_pnm(payload: bytes) -> tuple[int, int, list[int]]:
@@ -154,11 +193,13 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"unsupported PNM maxval {maxval}")
     if magic == b"P5":
         return width, height, list(payload[pos : pos + width * height])
-    raster = payload[pos : pos + width * height * 3]
-    return width, height, [
-        _luma(raster[i], raster[i + 1], raster[i + 2])
-        for i in range(0, len(raster), 3)
-    ]
+    import numpy as np
+
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=pos
+    ).astype(np.int32).reshape(-1, 3)
+    luma = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    return width, height, luma.tolist()
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
@@ -175,15 +216,17 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"unsupported BMP bpp/compression {bpp}/{compression}")
     height = abs(height_raw)
     stride = (width * 3 + 3) & ~3
-    rows = range(height - 1, -1, -1) if height_raw > 0 else range(height)
-    out: list[int] = []
-    for y in rows:
-        base = data_off + y * stride
-        out.extend(
-            _luma(payload[base + 3 * x + 2], payload[base + 3 * x + 1], payload[base + 3 * x])
-            for x in range(width)
-        )
-    return width, height, out
+    import numpy as np
+
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=data_off
+    ).reshape(height, stride)
+    if height_raw > 0:  # bottom-up storage
+        rows = rows[::-1]
+    px = rows[:, : width * 3].astype(np.int32).reshape(-1, 3)
+    # BGR byte order
+    luma = (299 * px[:, 2] + 587 * px[:, 1] + 114 * px[:, 0]) // 1000
+    return width, height, luma.tolist()
 
 
 def decode_image_py(payload: bytes) -> tuple[int, int, list[int]]:
@@ -423,11 +466,14 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
     _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, pixels = decode_image_py(bytes(payload))
-                s = sum(pixels)
+                px = np.asarray(pixels, dtype=np.int64)
+                s = int(px.sum())
                 rows.append(
                     (
                         mid,
@@ -435,8 +481,8 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
                         h,
                         len(pixels),
                         s,
-                        sum(1 for v in pixels if v < 64),
-                        sum(1 for v in pixels if v >= 192),
+                        int((px < 64).sum()),
+                        int((px >= 192).sum()),
                         float(s) / len(pixels) if pixels else 0.0,
                     )
                 )

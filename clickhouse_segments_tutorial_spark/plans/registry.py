@@ -37,6 +37,26 @@ class QuerySpec:
     headline: bool = False  # included in bench.py's timed set
 
 
+# Queries whose implementing code changed in the CURRENT round. They pin
+# to the FRONT of the rotation (ahead of even never-checked queries'
+# peers) so the driver re-confirms them with a fresh hash row this round
+# even if they were green in the immediately preceding round — otherwise
+# an edit landing right after a query's driver check would ship with only
+# the local pytest oracle until the rotation swings back (r8 VERDICT
+# item 4). Update this set each round alongside the code edits; stale
+# entries are harmless (a pinned-but-untouched query just gets re-checked
+# early).
+ROUND_TOUCHED: frozenset[str] = frozenset(
+    {
+        # r9: bucketed incremental state (plans/incremental.py)
+        "corpus_curated_incremental",
+        "corpus_packed_incremental",
+        # r9: vectorized image decode (operators/multimodal.py)
+        "multimodal_image_decode",
+    }
+)
+
+
 def _last_green_round() -> dict[str, int]:
     """name -> latest round whose CORRECTNESS_r{N}.json has a green row
     (hash_match, or rows_match for the weaker rows-only checks).
@@ -69,16 +89,20 @@ def _last_green_round() -> dict[str, int]:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """All registered queries, least-recently-verified first.
+    """All registered queries: round-touched first, then
+    least-recently-verified.
 
-    Order = ascending (last green-checked round, registration index):
-    queries with no green CORRECTNESS row ever come first, then the ones
+    Order = ascending (NOT round-touched, last green-checked round,
+    registration index): queries edited this round (``ROUND_TOUCHED``)
+    lead, then queries with no green CORRECTNESS row ever, then the ones
     whose last green row is oldest. The harness checks a prefix of this
     dict, so any query it skips this round was green last round and gets
     priority next round — over any two consecutive rounds every
     registered query receives a driver correctness row (the r5 verdict's
-    60-into-50 window fix). Deterministic for a given set of recorded
-    round files; falls back to plain registration order when none exist."""
+    60-into-50 window fix), and every query whose code changed gets a
+    fresh row in the round of the change (the r8 verdict's pinning fix).
+    Deterministic for a given set of recorded round files; falls back to
+    (touched, registration order) when none exist."""
     from . import incremental, llm, pipeline, relational, scale, segmentation_queries
 
     specs: list[QuerySpec] = []
@@ -91,6 +115,11 @@ def all_queries() -> dict[str, QuerySpec]:
             specs.append(spec)
     last_green = _last_green_round()
     order = sorted(
-        range(len(specs)), key=lambda i: (last_green.get(specs[i].name, -1), i)
+        range(len(specs)),
+        key=lambda i: (
+            specs[i].name not in ROUND_TOUCHED,
+            last_green.get(specs[i].name, -1),
+            i,
+        ),
     )
     return {specs[i].name: specs[i] for i in order}
