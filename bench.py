@@ -95,11 +95,17 @@ def main() -> None:
     # corpus_pipeline_docs joined in r9: its r8 median-of-3 printed ±54.7%
     # spread (the longest multi-job pipeline in the set — straggler samples
     # land anywhere), making round-over-round deltas meaningless.
+    # session_stats_per_user joined in r9 for the knn reason: 16
+    # back-to-back sf0.1 samples fall monotonically 0.71 -> 0.43 s (JIT
+    # tier-up of the window/sort codegen outlasts one warmup), so a
+    # median-of-3 lands wherever the drift happens to be (BASELINE.md r9
+    # attribution; code byte-identical since r6).
     extra_sample_queries = {
         "segment_microbatch_members",
         "segment_eventtime_members",
         "knn_cosine_bruteforce",
         "corpus_pipeline_docs",
+        "session_stats_per_user",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}
