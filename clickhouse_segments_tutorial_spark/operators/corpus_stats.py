@@ -179,3 +179,68 @@ def bigram_nll(
             F.round("_nll", 6).alias("avg_nll"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    n-gram shingles that first appear in that document, attributing every
+    distinct corpus gram to the lowest doc_id containing it.
+
+    The "have we seen this content before" curation signal: near-1.0 docs
+    contribute new text; near-0.0 docs are recombinations of earlier
+    grams (templates, boilerplate, shuffled dups) even when no pairwise
+    near-dup fires. Complements dedup (which needs a similar PAIR) — a
+    doc assembled from a thousand earlier docs has no near-dup partner
+    but novelty ~0.
+
+    Shingling follows the dedup convention (dedup.shingle_hashes_from_tokens):
+    empty doc -> no grams (absent from the output), 0 < len < n -> one
+    whole-doc gram, else sliding n-grams, deduplicated per doc. Gram keys
+    are full-width md5 of the space-joined gram — engine-portable (DuckDB
+    md5) with identical collision behavior across engines.
+
+    Scale (100 TB): explode distinct grams per doc (array_distinct before
+    the explode keeps repeated boilerplate from multiplying rows), one
+    hash-agg on the gram key for min-doc attribution (partial map-side),
+    then a gram-keyed join back — Catalyst co-partitions the join with
+    the agg on the same key, so the history is shuffled once. No windows
+    over the corpus, no driver state. Output is one row per non-empty
+    doc: (doc_id, n_grams, n_novel, novelty)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    cnt = F.size("_t")
+    whole = F.array(F.concat_ws(" ", F.col("_t")))
+    many = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
+    )
+    grams = (
+        F.when(cnt == 0, F.array().cast("array<string>"))
+        .when(cnt < n, whole)
+        .otherwise(many)
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("_g")
+    ).select("doc_id", F.md5("_g").alias("_g"))
+    first_seen = sh.groupBy("_g").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first_seen, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("int").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

@@ -174,3 +174,80 @@ def mix_corpus(
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
         .drop("_nc")
     )
+
+
+def quota_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    weight_col: str | Column,
+    budget: float,
+) -> DataFrame:
+    """Per-group weighted quota cap: keep each group's prefix (in
+    ``order_col`` order) while the running total of ``weight_col`` stays
+    within ``budget`` (inclusive — the row that lands exactly on the
+    budget is kept; the first row that would exceed it, and everything
+    after, is dropped).
+
+    The per-domain token-budget sampler of a web-corpus mixture (cap any
+    one domain's contribution so head domains can't dominate the mix) —
+    the quota analog of rate-based mix_corpus.
+
+    Scale (100 TB): one running-sum window PARTITIONED BY the group — no
+    global window, so parallelism is #groups and per-task state is one
+    accumulator. Domains are numerous and individually small relative to
+    the corpus; a pathological mega-group serializes only its own
+    partition (same caveat as any per-entity ordered scan), which is
+    exactly the skew AQE's post-shuffle coalescing leaves alone — cap
+    upstream with a coarse filter if one group is a large fraction of
+    the input. Appends ``cum_weight`` (the inclusive running total) for
+    downstream audit."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    cum = F.sum(wcol).over(w)
+    return df.withColumn("cum_weight", cum).filter(F.col("cum_weight") <= budget)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    every row draws a pseudo-random md5 key from (salt, key_cols), lands
+    in ``bucket`` = first-32-hash-bits mod n_buckets, and gets a dense
+    ``pos`` (1-based) within its bucket ordered by (draw, key_cols).
+    Reading buckets 0..n-1, each in pos order, visits the corpus in a
+    reproducible pseudo-random permutation — the standard sharded-shuffle
+    a training dataloader wants (shard = bucket file, shuffled within).
+
+    Scale (100 TB): the only shuffle is the hash repartition implied by
+    the per-bucket window — parallelism n_buckets, each task sorting
+    corpus/n_buckets rows locally (size n_buckets so a bucket fits an
+    executor; the draw is uniform so buckets balance). A global
+    row_number would instead serialize the corpus through one partition.
+    Partitioning-invariant and engine-portable: md5 draw, no rand().
+    """
+    draw = F.md5(
+        F.concat_ws(":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(draw, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("draw", *key_cols)
+    return (
+        df.withColumn("draw", draw)
+        .withColumn("bucket", bucket)
+        .withColumn("pos", F.row_number().over(w))
+    )

@@ -990,3 +990,42 @@ def _round_half_away(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 56,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: drop every vector that is the HIGHER
+    id of any near-dup pair (cosine >= threshold), keep the rest.
+
+    The keep rule is the greedy keep-first used by large-corpus semantic
+    dedup (scan in id order; a doc survives iff no EARLIER survivor-or-
+    dropped doc is a near-dup of it — pairwise form: drop iff it appears
+    as id_b). Deterministic, order-free, and one anti-join over the pairs
+    — no connected components needed (components merge chains A~B~C into
+    one group; the pairwise rule keeps C when only B matched it, which is
+    the published SemDeDup behavior of thresholding against cluster
+    NEIGHBORS, not closures).
+
+    Pairs come from the banded SRP path (:func:`cosine_pairs_srp`), so
+    the whole operator is shuffle-thin at 100 TB: O(n*chunks) banded
+    keys -> verified candidate pairs -> one broadcast-or-shuffle
+    anti-join of the (much smaller) loser-id set against the corpus.
+    Emits the full input row minus the vector column for the survivors.
+    """
+    pairs = cosine_pairs_srp(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        max_hamming=max_hamming,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(losers, id_col, "left_anti").drop(vec_col)

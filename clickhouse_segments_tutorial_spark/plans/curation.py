@@ -1,0 +1,172 @@
+"""Corpus-curation queries beyond pairwise dedup: novelty scoring,
+per-source token quotas, deterministic training-order shuffle, and
+semantic (embedding-space) dedup.
+
+These four are the "assemble the training mix" stage of an LLM data
+pipeline — after cleaning/dedup (operators.dedup / operators.text) and
+before chunk/pack (operators.packing): score what's genuinely new
+(ngram_novelty), cap any one source's contribution (quota_by_group),
+drop semantic near-dups that lexical dedup can't see (semantic_dedup),
+and emit a reproducible shuffled read order for the dataloader
+(deterministic_shuffle).
+
+Reference parity: the reference engine (dittofeed/clickhouse-segments-
+tutorial) has no LLM-pipeline surface; this module extends the engine
+per the driver's training-data-pipeline mandate. Oracle conventions
+follow plans/registry.py's module docstring (md5 keys, round-6 floats,
+integer-exact windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.corpus_stats import ngram_novelty
+from ..operators.sampling import deterministic_shuffle, quota_by_group
+from ..operators.similarity import semantic_dedup
+from ..operators.text import chunk_documents, token_count
+from ..sources.catalog import load_table
+from .llm import _COS_PAIRS_LSH_ORACLE
+from .registry import QuerySpec
+
+# Shared tokenizer CTE — identical to plans/llm.py's convention (explicit
+# whitespace class; see operators.text.normalize_text for why not \\s).
+_TOKENS_CTE = """
+base AS (
+  SELECT doc_id, source,
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
+         END AS t
+  FROM documents
+)
+"""
+
+
+def novelty_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct 3-gram shingles first seen in that doc
+    (first-seen attributed to the lowest doc_id). The 'is this content
+    new' curation signal — catches recombined boilerplate that pairwise
+    near-dup misses."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+_NOVELTY_ORACLE = f"""
+WITH {_TOKENS_CTE},
+sh AS (
+  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+    SELECT doc_id,
+           unnest(
+             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+             END
+           ) AS g
+    FROM base)
+),
+first_seen AS (SELECT g, min(doc_id) AS first FROM sh GROUP BY g)
+SELECT s.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS INTEGER) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh s JOIN first_seen f USING (g)
+GROUP BY s.doc_id
+"""
+
+
+# 800 tokens keeps roughly the first half of every source at any SF (the
+# generator emits ~1.4k tokens per source at every scale) — a real cut,
+# not a no-op, in both the sf0.001 pytest oracle and the sf0.01 driver run.
+_QUOTA_TOKENS = 800
+
+
+def source_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: each source keeps its doc_id-ordered prefix
+    up to 800 tokens (inclusive boundary) — the per-domain contribution
+    cap of a web-corpus mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_by_group(
+        docs.select("source", "doc_id", token_count("text").alias("n_tokens")),
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_tokens",
+        budget=_QUOTA_TOKENS,
+    ).select(
+        "source", "doc_id", "n_tokens", F.col("cum_weight").cast("long").alias("cum_tokens")
+    )
+
+
+_QUOTA_ORACLE = f"""
+WITH {_TOKENS_CTE},
+cum AS (
+  SELECT source, doc_id, len(t) AS n_tokens,
+         sum(len(t)) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM base
+)
+SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_QUOTA_TOKENS}
+"""
+
+
+def shuffled_chunk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle of the 128-token chunk stream:
+    md5 draw -> 64 buckets -> per-bucket rank. Reading (bucket, pos)
+    ascending is the reproducible pseudo-random epoch order — no global
+    sort, no rand()."""
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=128, stride=64
+    ).select("doc_id", "chunk_idx")
+    return deterministic_shuffle(
+        chunks, key_cols=["doc_id", "chunk_idx"], n_buckets=64
+    ).select("doc_id", "chunk_idx", "bucket", "pos")
+
+
+_SHUFFLE_ORACLE = f"""
+WITH {_TOKENS_CTE},
+chunks AS (
+  SELECT doc_id, CAST(s // 64 AS INTEGER) AS chunk_idx
+  FROM (SELECT doc_id, unnest(range(0, len(t), 64)) AS s
+        FROM base WHERE len(t) > 0)
+),
+drawn AS (
+  SELECT doc_id, chunk_idx,
+         md5('shuffle:' || doc_id || ':' || chunk_idx) AS draw
+  FROM chunks
+)
+SELECT doc_id, chunk_idx,
+       CAST(('0x' || substr(draw, 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+       CAST(row_number() OVER (
+              PARTITION BY ('0x' || substr(draw, 1, 8))::BIGINT % 64
+              ORDER BY draw, doc_id, chunk_idx) AS INTEGER) AS pos
+FROM drawn
+"""
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup survivors at cosine >= 0.4 over the SRP-banded
+    pair path (greedy keep-lowest-id; pairwise rule, not closures — see
+    operators.similarity.semantic_dedup). The oracle replays the full SRP
+    banding + verification bit-for-bit, then the same anti-join."""
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+_SEMANTIC_KEEP_ORACLE = f"""
+WITH pairs AS ({_COS_PAIRS_LSH_ORACLE})
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
+QUERIES = [
+    QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE),
+    QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
+    QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),
+    QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
+]

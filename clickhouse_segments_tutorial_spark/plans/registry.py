@@ -53,6 +53,11 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "corpus_packed_incremental",
         # r9: vectorized image decode (operators/multimodal.py)
         "multimodal_image_decode",
+        # r9: new curation queries (plans/curation.py)
+        "novelty_ngram_docs",
+        "source_quota_docs",
+        "shuffled_chunk_order",
+        "semantic_dedup_keep",
     }
 )
 
@@ -103,11 +108,11 @@ def all_queries() -> dict[str, QuerySpec]:
     fresh row in the round of the change (the r8 verdict's pinning fix).
     Deterministic for a given set of recorded round files; falls back to
     (touched, registration order) when none exist."""
-    from . import incremental, llm, pipeline, relational, scale, segmentation_queries
+    from . import curation, incremental, llm, pipeline, relational, scale, segmentation_queries
 
     specs: list[QuerySpec] = []
     seen: set[str] = set()
-    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental):
+    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental, curation):
         for spec in mod.QUERIES:
             if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name}")
