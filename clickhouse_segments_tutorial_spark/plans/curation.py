@@ -112,6 +112,63 @@ FROM cum WHERE cum_tokens <= {_QUOTA_TOKENS}
 """
 
 
+def source_quota_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quota cap run as an ACTUAL Structured Streaming ingest gate
+    (streaming/stream_quota.py): two checkpointed availableNow runs over
+    a file source split at the median doc_id; per-source cumulative token
+    state carries across runs. Admission follows the batch window
+    semantics exactly (the running total includes rejected docs), so this
+    SHARES source_quota_docs' oracle — the driver value-checks the
+    streaming path too (the segment_eventtime_members_streaming
+    pattern)."""
+    from ..streaming.stream_quota import StreamingQuotaGate
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("source_quota_streaming")
+    gate = StreamingQuotaGate(
+        spark,
+        workdir,
+        schema=docs.select("source", "doc_id", "text").schema,
+        budget=_QUOTA_TOKENS,
+    )
+    waves = docs.select("source", "doc_id", "text")
+    # one file per wave: files within a single availableNow run may split
+    # across micro-batches in file order, and the cross-batch contract
+    # requires doc_id order per source (module docstring)
+    waves.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.docs_dir
+    )
+    gate.run_available_now()
+    waves.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.docs_dir
+    )
+    gate.run_available_now()
+    return gate.accepted().select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
+_STREAM_SCRATCH: dict[str, str] = {}
+
+
+def _stream_scratch(name: str) -> str:
+    """Per-process reusable scratch dir, wiped per invocation (the
+    segmentation_queries._scratch_dir contract — bench/oracle reruns must
+    not accumulate checkpoints, and a stale checkpoint would make the
+    second invocation a no-op)."""
+    import os
+    import shutil
+    import tempfile
+
+    path = _STREAM_SCRATCH.get(name)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"q_{name}_")
+        _STREAM_SCRATCH[name] = path
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
 def shuffled_chunk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle of the 128-token chunk stream:
     md5 draw -> 64 buckets -> per-bucket rank. Reading (bucket, pos)
@@ -167,6 +224,7 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
 QUERIES = [
     QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE),
     QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
+    QuerySpec("source_quota_streaming", source_quota_streaming, _QUOTA_ORACLE),
     QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
 ]

@@ -56,8 +56,11 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         # r9: new curation queries (plans/curation.py)
         "novelty_ngram_docs",
         "source_quota_docs",
+        "source_quota_streaming",
         "shuffled_chunk_order",
         "semantic_dedup_keep",
+        # r9: new ingest-format twin (sources/csv_ingest.py)
+        "csv_roundtrip",
     }
 )
 

@@ -287,6 +287,30 @@ FROM events
 """
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9's CSV-format sibling (the reference's INSERT path is
+    format-pluggable; sources/csv_ingest.py): serialize every event row
+    to one CSV line and parse it back through the DECLARED schema
+    (FAILFAST). The quoted-field path is load-bearing — events.props is a
+    JSON string with commas/quotes, so a green row proves RFC-4180
+    quoting survives the round-trip byte-for-byte. Doubles re-parse
+    exactly (shortest-round-trip formatting); timestamps compare at
+    second precision per the registry rule. Shares the JSONEachRow
+    oracle (both read back the original table)."""
+    from ..sources.csv_ingest import csv_line, parse_csv_lines
+
+    events = _events(spark, sf_dir)
+    parsed = parse_csv_lines(csv_line(events), EVENTS)
+    return parsed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+        "props",
+    )
+
+
 _MEMBER_ORACLE = """
 SELECT user_id
 FROM events
@@ -358,6 +382,7 @@ QUERIES = [
     QuerySpec("segment_members_sql", segment_members_sql, _MEMBER_ORACLE),
     QuerySpec("retention_event_counts", retention_event_counts, _RETENTION_ORACLE),
     QuerySpec("jsoneachrow_roundtrip", jsoneachrow_roundtrip, _JSONEACHROW_ORACLE),
+    QuerySpec("csv_roundtrip", csv_roundtrip, _JSONEACHROW_ORACLE),
     QuerySpec(
         "latest_event_per_user",
         latest_event_per_user,

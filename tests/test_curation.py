@@ -170,3 +170,109 @@ def test_semantic_dedup_pairwise_rule_not_closure(spark):
     # surface at threshold 0.0 with the fixed md5 planes).
     out = sorted(r["vec_id"] for r in semantic_dedup(df, threshold=0.9).collect())
     assert out == [1]
+
+
+# --- StreamingQuotaGate -------------------------------------------------------
+
+
+def test_streaming_quota_carries_state_across_runs(spark, tmp_path):
+    from clickhouse_segments_tutorial_spark.streaming.stream_quota import (
+        StreamingQuotaGate,
+    )
+
+    schema = "source string, doc_id long, text string"
+    gate = StreamingQuotaGate(
+        spark, str(tmp_path), schema=spark.createDataFrame([], schema).schema,
+        budget=5,
+    )
+    # wave 1: s1 admits docs 1 (2 tokens) and 2 (cum 4); s2 admits doc 3
+    w1 = spark.createDataFrame(
+        [("s1", 1, "a b"), ("s1", 2, "c d"), ("s2", 3, "e f g")], schema
+    )
+    w1.coalesce(1).write.mode("append").parquet(gate.docs_dir)
+    gate.run_available_now()
+    # wave 2: s1 doc 4 (2 tokens -> cum 6 > 5, rejected; its weight still
+    # counts) then doc 5 (1 token -> cum 7, rejected — the prefix rule);
+    # s2 doc 6 (2 tokens -> cum 5 == budget, admitted inclusive)
+    w2 = spark.createDataFrame(
+        [("s1", 4, "x y"), ("s1", 5, "z"), ("s2", 6, "h i")], schema
+    )
+    w2.coalesce(1).write.mode("append").parquet(gate.docs_dir)
+    gate.run_available_now()
+    got = {
+        (r["source"], r["doc_id"]): r["cum_tokens"]
+        for r in gate.accepted().collect()
+    }
+    assert got == {("s1", 1): 2, ("s1", 2): 4, ("s2", 3): 3, ("s2", 6): 5}
+
+
+def test_streaming_quota_matches_batch_operator(spark, tmp_path):
+    """Cross-batch streaming admission == the batch window operator when
+    waves are split on the order column (the documented contract)."""
+    from clickhouse_segments_tutorial_spark.operators.text import token_count
+    from clickhouse_segments_tutorial_spark.streaming.stream_quota import (
+        StreamingQuotaGate,
+    )
+
+    schema = "source string, doc_id long, text string"
+    rows = [
+        (f"s{i % 3}", i, " ".join(f"w{j}" for j in range(1 + i % 4)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    batch = quota_by_group(
+        docs.select("source", "doc_id", token_count("text").alias("n_tokens")),
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_tokens",
+        budget=20,
+    ).select("source", "doc_id", "n_tokens", F.col("cum_weight").alias("cum_tokens"))
+
+    gate = StreamingQuotaGate(
+        spark, str(tmp_path), schema=docs.schema, budget=20
+    )
+    for lo, hi in ((0, 20), (20, 45), (45, 60)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(gate.docs_dir)
+        gate.run_available_now()
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, gate.accepted().collect()))
+    assert a == b
+
+
+# --- CSV ingest ---------------------------------------------------------------
+
+
+def test_csv_roundtrip_quoted_fields(spark):
+    from clickhouse_segments_tutorial_spark.sources.csv_ingest import (
+        csv_line,
+        parse_csv_lines,
+        read_csv_rows,
+    )
+
+    schema = 'id bigint, payload string, v double'
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1, "s": "a,b"}', 1.5),
+            (2, 'plain', 0.25),
+            (3, 'quote " inside, and, commas', -3.75),
+        ],
+        schema,
+    )
+    back = parse_csv_lines(csv_line(df), schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # driver-side convenience path
+    lines = [r["csv"] for r in csv_line(df).collect()]
+    back2 = read_csv_rows(spark, lines, schema)
+    assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_ingest_failfast_on_malformed(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from clickhouse_segments_tutorial_spark.sources.csv_ingest import read_csv_rows
+
+    bad = read_csv_rows(spark, ["1,ok", "not_a_number,boom"], "id bigint, s string")
+    with _pytest.raises(Exception):
+        bad.collect()
