@@ -251,3 +251,46 @@ def deterministic_shuffle(
         .withColumn("bucket", bucket)
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    alpha: float = 0.5,
+    quantum: int = 10**9,
+) -> dict[str, int]:
+    """Temperature-based mixture weights: target share of stratum l
+    proportional to (natural share)^alpha — the multilingual rebalancing
+    rule of XLM-R / mT5 (alpha < 1 flattens the distribution, upsampling
+    low-resource languages without letting them dominate). Feed the
+    result straight to :func:`mix_corpus`.
+
+    Weights are INTEGER-quantized (floor(share^alpha * quantum + 0.5)) so
+    the weight sum — and therefore every derived rate — is exact integer
+    math with one final correctly-rounded division, identical in any
+    engine: a float wsum would depend on summation order and an ulp
+    difference flips hash-draw boundaries. At alpha=0.5 the power is
+    computed with sqrt (IEEE-exact in every libm, hence oracle-portable);
+    other alphas go through pow, whose last-ulp behavior is
+    libm-specific — fine for production, but a SQL value-oracle should
+    pin alpha=0.5. One bounded collect (#strata rows), same as
+    mix_corpus's count collection."""
+    import math
+
+    counts = {
+        r["_s"]: r["_n"]
+        for r in df.groupBy(F.col(strata_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty input")
+
+    def q(n: int) -> int:
+        share = n / total
+        val = math.sqrt(share) if alpha == 0.5 else share**alpha
+        return int(math.floor(val * quantum + 0.5))
+
+    return {s: q(n) for s, n in counts.items()}

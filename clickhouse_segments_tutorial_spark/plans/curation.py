@@ -203,6 +203,50 @@ FROM drawn
 """
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R/mT5-style temperature rebalancing of the language mix at
+    alpha=0.5: weights = integer-quantized sqrt(natural share) feeding
+    the standard deterministic mixture (operators.sampling.mix_corpus) —
+    the head language (en, ~44% of the corpus) is downsampled while
+    low-resource languages draw fractional upsampling epochs. All rate
+    math is exact-integer + one correctly-rounded division, so the
+    oracle recomputes the weights from scratch and replays every
+    hash-draw boundary bit-for-bit."""
+    from ..operators.sampling import mix_corpus, temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = temperature_weights(docs, strata_col="lang", alpha=0.5)
+    return mix_corpus(docs, w, strata_col="lang", key_col="doc_id").select(
+        "doc_id", "lang", "epoch"
+    )
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS t FROM counts),
+w AS (
+  SELECT s, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE) / t) * 1000000000.0 + 0.5) AS BIGINT) AS wt
+  FROM counts, tot
+),
+wsum AS (SELECT CAST(sum(wt) AS BIGINT) AS ws FROM w),
+rates AS (
+  SELECT s, (CAST(t AS DOUBLE) * wt / ws) / n_s AS rate
+  FROM w, tot, wsum
+),
+expanded AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), 1, 8)
+                     < lpad(lower(hex(CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r ON d.lang = r.s
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+FROM expanded WHERE n_copies >= 1
+"""
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup survivors at cosine >= 0.4 over the SRP-banded
     pair path (greedy keep-lowest-id; pairwise rule, not closures — see
@@ -222,9 +266,14 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
 
 
 QUERIES = [
-    QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE),
+    # novelty is the round-9 headline addition (BASELINE.md widening note):
+    # it representatively prices the new curation family's corpus-wide
+    # gram agg + join-back shape; the other four either share already-
+    # tracked physical shapes (SRP banding, windows) or are streaming.
+    QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE, headline=True),
     QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
     QuerySpec("source_quota_streaming", source_quota_streaming, _QUOTA_ORACLE),
     QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),
+    QuerySpec("temperature_mix_docs", temperature_mix_docs, _TEMPERATURE_MIX_ORACLE),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
 ]

@@ -59,6 +59,7 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "source_quota_streaming",
         "shuffled_chunk_order",
         "semantic_dedup_keep",
+        "temperature_mix_docs",
         # r9: new ingest-format twin (sources/csv_ingest.py)
         "csv_roundtrip",
     }

@@ -11,6 +11,7 @@ from clickhouse_segments_tutorial_spark.operators.corpus_stats import ngram_nove
 from clickhouse_segments_tutorial_spark.operators.sampling import (
     deterministic_shuffle,
     quota_by_group,
+    temperature_weights,
 )
 from clickhouse_segments_tutorial_spark.operators.similarity import semantic_dedup
 
@@ -276,3 +277,39 @@ def test_csv_ingest_failfast_on_malformed(spark):
     bad = read_csv_rows(spark, ["1,ok", "not_a_number,boom"], "id bigint, s string")
     with _pytest.raises(Exception):
         bad.collect()
+
+
+# --- temperature_weights ------------------------------------------------------
+
+
+def test_temperature_weights_flatten_distribution(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    w = temperature_weights(df, strata_col="lang", alpha=0.5)
+    # sqrt flattening: en's weight share (~0.67) sits between its natural
+    # share (0.8) and uniform (0.5)
+    share_en = w["en"] / (w["en"] + w["fr"])
+    assert 0.5 < share_en < 0.8
+    # integer-quantized, exact: sqrt(0.8)*1e9 and sqrt(0.2)*1e9 rounded
+    import math
+
+    assert w["en"] == int(math.floor(math.sqrt(0.8) * 1e9 + 0.5))
+    assert w["fr"] == int(math.floor(math.sqrt(0.2) * 1e9 + 0.5))
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    from clickhouse_segments_tutorial_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    w = temperature_weights(df, strata_col="lang", alpha=0.5)
+    out = mix_corpus(df, w, strata_col="lang", key_col="doc_id")
+    n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # fr (10% natural) must be upsampled above its 10 rows, en below 90
+    assert n["fr"] > 10 and n["en"] < 90
+    # total stays ~100 (the mixture preserves corpus size in expectation)
+    assert 80 <= n["fr"] + n["en"] <= 120
