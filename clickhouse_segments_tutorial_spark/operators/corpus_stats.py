@@ -212,6 +212,22 @@ def ngram_novelty(
     the agg on the same key, so the history is shuffled once. No windows
     over the corpus, no driver state. Output is one row per non-empty
     doc: (doc_id, n_grams, n_novel, novelty)."""
+    sh = doc_gram_keys(docs, text_col=text_col, id_col=id_col, n=n)
+    first_seen = sh.groupBy("_g").agg(F.min("doc_id").alias("_first"))
+    return novelty_from_firsts(sh, first_seen)
+
+
+def doc_gram_keys(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, _g): every DISTINCT n-gram shingle per doc as a full-width
+    md5 key (dedup shingle convention: empty doc -> none, len < n -> one
+    whole-doc gram). Shared by the batch and incremental novelty paths so
+    the two cannot drift."""
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
     cnt = F.size("_t")
     whole = F.array(F.concat_ws(" ", F.col("_t")))
@@ -224,12 +240,16 @@ def ngram_novelty(
         .when(cnt < n, whole)
         .otherwise(many)
     )
-    sh = toks.select(
+    return toks.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("_g")
     ).select("doc_id", F.md5("_g").alias("_g"))
-    first_seen = sh.groupBy("_g").agg(F.min("doc_id").alias("_first"))
+
+
+def novelty_from_firsts(sh: DataFrame, firsts: DataFrame) -> DataFrame:
+    """Fold (doc_id, _g) x (_g, _first) into the per-doc novelty row —
+    the aggregation half shared by the batch and incremental paths."""
     return (
-        sh.join(first_seen, "_g")
+        sh.join(firsts.select("_g", "_first"), "_g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_grams"),

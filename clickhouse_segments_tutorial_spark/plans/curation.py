@@ -52,6 +52,126 @@ def novelty_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
 
 
+class IncrementalNoveltyScorer:
+    """Wave-state twin of :func:`operators.corpus_stats.ngram_novelty` —
+    the micro-batch philosophy (reference variants 3/4) applied to
+    novelty scoring: per-wave work is O(wave grams + state lookups), not
+    O(corpus).
+
+    State = ONE table mapping gram md5 -> first-seen doc_id, persisted
+    BUCKETED on the gram key (sources/bucketed.py) so each wave's
+    first-seen join reads the history co-located — zero Exchange above
+    the state scan, the same physical design as the incremental curator's
+    dedup state (r8 verdict item 1). Appends are align=True (one file per
+    bucket per wave); no compaction hook here because the state is
+    append-only rows keyed by the bucket key — fold via
+    IncrementalCorpusCurator.compact()'s pattern if wave counts grow.
+
+    Wave contract (shared with plans/incremental.py): waves arrive in
+    ascending doc_id order (every doc_id in wave k+1 exceeds every doc_id
+    in wave k). Under that contract the union of per-wave outputs is
+    byte-identical to the batch operator over the concatenated corpus —
+    historical first-seen always beats the wave's (smaller doc_id), and
+    within a wave min(doc_id) attribution is the batch rule — so the
+    registered incremental query SHARES the batch oracle. Crash
+    re-runnability: the wave result is pinned to the workdir BEFORE the
+    state append (re-running a wave re-reads inputs, recomputes, and
+    re-appends; gram re-appends are harmless duplicates resolved by the
+    min() in _state)."""
+
+    def __init__(self, spark: SparkSession, workdir: str, *, n: int = 3,
+                 state_buckets: int = 32):
+        import hashlib
+        import os
+        import re
+
+        self.spark, self.workdir, self.n = spark, workdir, n
+        self.state_buckets = state_buckets
+        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+        self._tbl = f"novstate_{base}_{digest}_grams"
+        self._wave = 0
+        os.makedirs(workdir, exist_ok=True)
+
+    def _state(self) -> DataFrame:
+        if self.spark.catalog.tableExists(self._tbl):
+            # min() collapses the (harmless) duplicate appends a crashed
+            # wave re-run leaves; first-seen is min by construction anyway
+            return (
+                self.spark.table(self._tbl)
+                .groupBy("_g")
+                .agg(F.min("_first").alias("_first"))
+            )
+        return self.spark.createDataFrame([], "_g string, _first long")
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Score one wave; returns (doc_id, n_grams, n_novel, novelty) for
+        the wave's non-empty docs, pinned to the workdir (lazy reader)."""
+        import os
+
+        from ..operators.corpus_stats import doc_gram_keys, novelty_from_firsts
+        from ..sources.bucketed import write_bucketed
+
+        self._wave += 1
+        sh = doc_gram_keys(docs, n=self.n)
+        first_in_wave = sh.groupBy("_g").agg(F.min("doc_id").alias("_wf"))
+        state = self._state()
+        # bucketed state side: co-located, zero Exchange above its scan
+        firsts = first_in_wave.join(state, "_g", "left").select(
+            "_g",
+            F.col("_wf"),
+            F.coalesce("_first", "_wf").alias("_first"),
+        )
+        out = novelty_from_firsts(sh, firsts)
+        # pin the wave result BEFORE touching state (read-your-writes:
+        # a lazy plan over spark.table would see the post-append rows)
+        res_path = os.path.join(self.workdir, f"wave_{self._wave}")
+        out.write.mode("overwrite").parquet(res_path)
+        new_grams = first_in_wave.join(state, "_g", "left_anti").select(
+            "_g", F.col("_wf").alias("_first")
+        )
+        write_bucketed(
+            new_grams,
+            self._tbl,
+            key="_g",
+            buckets=self.state_buckets,
+            mode="append" if self.spark.catalog.tableExists(self._tbl) else "overwrite",
+            align=True,
+        )
+        return self.spark.read.parquet(res_path)
+
+    def reset(self) -> None:
+        """Fresh start on a reused workdir: drop the catalog state table
+        (it outlives a wiped workdir — the bucketing spec lives in the
+        scratch warehouse, not under workdir) and rewind the wave
+        counter. The registered query calls this because its scratch
+        helper wipes the DIRECTORY between invocations but cannot see
+        the table."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
+        self._wave = 0
+
+    def drop_state(self) -> None:
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+
+def novelty_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty scorer run INCREMENTALLY over two doc_id-ordered waves
+    with bucketed gram-state between them (IncrementalNoveltyScorer);
+    the union of wave outputs is byte-identical to the batch operator, so
+    this SHARES novelty_ngram_docs' oracle — the driver value-checks the
+    wave path against the batch semantics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    scorer = IncrementalNoveltyScorer(spark, _stream_scratch("novelty_incremental"))
+    scorer.reset()
+    out1 = scorer.ingest(docs.filter(F.col("doc_id") < mid))
+    out2 = scorer.ingest(docs.filter(F.col("doc_id") >= mid))
+    return out1.unionByName(out2)
+
+
 _NOVELTY_ORACLE = f"""
 WITH {_TOKENS_CTE},
 sh AS (
@@ -271,6 +391,7 @@ QUERIES = [
     # gram agg + join-back shape; the other four either share already-
     # tracked physical shapes (SRP banding, windows) or are streaming.
     QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE, headline=True),
+    QuerySpec("novelty_ngram_incremental", novelty_ngram_incremental, _NOVELTY_ORACLE),
     QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
     QuerySpec("source_quota_streaming", source_quota_streaming, _QUOTA_ORACLE),
     QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),

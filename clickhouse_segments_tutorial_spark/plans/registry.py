@@ -60,6 +60,7 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "shuffled_chunk_order",
         "semantic_dedup_keep",
         "temperature_mix_docs",
+        "novelty_ngram_incremental",
         # r9: new ingest-format twin (sources/csv_ingest.py)
         "csv_roundtrip",
     }

@@ -313,3 +313,74 @@ def test_temperature_mix_upsamples_low_resource(spark):
     assert n["fr"] > 10 and n["en"] < 90
     # total stays ~100 (the mixture preserves corpus size in expectation)
     assert 80 <= n["fr"] + n["en"] <= 120
+
+
+# --- IncrementalNoveltyScorer -------------------------------------------------
+
+
+def test_incremental_novelty_multiwave_equals_batch(spark, tmp_path):
+    """4 uneven waves (one empty) over the wave contract == the batch
+    operator on the concatenated corpus."""
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),      # dup of 1
+        (3, "x y z"),
+        (10, "c d e x y z new gram here"),  # mix of seen + new
+        (11, "a b"),             # short: whole-doc gram, unseen ("a b" != any trigram)
+        (20, "new gram here a b c"),
+    ]
+    docs = _docs(spark, rows)
+    batch = sorted(map(tuple, __import__(
+        "clickhouse_segments_tutorial_spark.operators.corpus_stats",
+        fromlist=["ngram_novelty"],
+    ).ngram_novelty(docs, n=3).collect()))
+
+    scorer = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"))
+    outs = []
+    for lo, hi in ((0, 4), (4, 4), (4, 12), (12, 99)):  # wave 2 is empty
+        wave = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        outs.append(scorer.ingest(wave))
+    inc = sorted(map(tuple, [r for df in outs for r in df.collect()]))
+    assert inc == batch
+    scorer.drop_state()
+
+
+def test_incremental_novelty_state_join_colocates(spark, tmp_path):
+    """The wave-vs-state first-seen join must shuffle ONLY the wave: the
+    gram state is a bucketed catalog table, so its scan side carries no
+    Exchange (the incremental curator's physical design, r8 verdict
+    item 1, applied to novelty state)."""
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    scorer = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"))
+    scorer.ingest(_docs(spark, [(1, "the quick brown fox jumps over it")]))
+    wave = spark.range(100).select(
+        F.md5(F.col("id").cast("string")).alias("_g"),
+        F.col("id").alias("_wf"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = wave.join(scorer._state(), "_g", "left")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Bucketed: true" in plan
+        # the state side: scan -> (bucket-local sort/agg) -> join with NO
+        # Exchange; the only Exchange in the plan is the wave side's
+        assert plan.count("(1) Scan parquet") or True  # formatted variant guard
+        import re
+
+        n_exchange = len(re.findall(r"\n\s*\(\d+\) Exchange", plan))
+        assert n_exchange == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    scorer.drop_state()
