@@ -264,3 +264,47 @@ def novelty_from_firsts(sh: DataFrame, firsts: DataFrame) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing: score every doc with
+    the corpus-trained bigram-LM NLL (:func:`bigram_nll`), then split the
+    scored corpus at the exact interpolated tercile cuts — 'head' is the
+    most-fluent third (lowest NLL), the slice CCNet keeps preferentially
+    for LM training; 'tail' the least. Docs with no bigrams (under two
+    kept terms) have no defined perplexity and are excluded, as in CCNet.
+
+    Scale: the cuts are ONE exact-percentile aggregation over the
+    (doc-count-sized, not token-sized) score table, broadcast back as a
+    1-row scalar — same pattern as the vocab-count scalar inside
+    bigram_nll. Exact percentile sorts the per-partition score sets;
+    switch to approx_percentile at extreme doc counts, at the cost of the
+    value oracle. F.percentile's linear interpolation matches DuckDB
+    quantile_cont (proven by the order_value_percentiles oracle), and a
+    doc score can only equal a cut when the cut IS an order statistic, so
+    an ulp of interpolation noise cannot flip a bucket."""
+    scored = bigram_nll(docs, text_col=text_col, id_col=id_col)
+    valid = scored.filter(F.col("avg_nll").isNotNull())
+    lo, hi = cuts
+    cut_row = valid.agg(
+        F.percentile(F.col("avg_nll"), F.lit(float(lo))).alias("_c1"),
+        F.percentile(F.col("avg_nll"), F.lit(float(hi))).alias("_c2"),
+    )
+    return (
+        valid.crossJoin(F.broadcast(cut_row))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("_c1"), "head")
+            .when(F.col("avg_nll") <= F.col("_c2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

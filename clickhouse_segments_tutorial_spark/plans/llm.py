@@ -1542,6 +1542,34 @@ FROM documents d LEFT JOIN per USING (doc_id)
 )
 
 
+def ccnet_ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing of the corpus by bigram-LM NLL
+    terciles (operators.corpus_stats.perplexity_buckets) — the quality
+    slicing CCNet applies before choosing what to keep. Shares the
+    bigram-NLL scoring path; the oracle wraps the NLL oracle and replays
+    the interpolated tercile cuts with quantile_cont (the percentile
+    interpolation equivalence order_value_percentiles already pins)."""
+    from ..operators.corpus_stats import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+_CCNET_BUCKETS_ORACLE = f"""
+WITH scored AS ({_BIGRAM_NLL_ORACLE}),
+valid AS (SELECT * FROM scored WHERE avg_nll IS NOT NULL),
+cuts AS (
+  SELECT quantile_cont(avg_nll, {1 / 3!r}) AS c1,
+         quantile_cont(avg_nll, {2 / 3!r}) AS c2
+  FROM valid
+)
+SELECT doc_id, n_bigrams, avg_nll,
+       CASE WHEN avg_nll <= c1 THEN 'head'
+            WHEN avg_nll <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM valid, cuts
+"""
+
+
 # --- exact duplicated-substring spans (Lee et al. 2022 granularity) ---------
 
 
@@ -1705,4 +1733,5 @@ QUERIES = [
     QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE, headline=True),
     QuerySpec("stripped_spans_docs", stripped_spans_docs, _STRIP_SPANS_ORACLE),
     QuerySpec("bigram_lm_nll_docs", bigram_lm_nll_docs, _BIGRAM_NLL_ORACLE, headline=True),
+    QuerySpec("ccnet_ppl_buckets_docs", ccnet_ppl_buckets_docs, _CCNET_BUCKETS_ORACLE),
 ]

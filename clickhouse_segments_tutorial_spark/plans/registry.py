@@ -61,6 +61,8 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "semantic_dedup_keep",
         "temperature_mix_docs",
         "novelty_ngram_incremental",
+        # r9: CCNet perplexity buckets (operators/corpus_stats.py)
+        "ccnet_ppl_buckets_docs",
         # r9: new ingest-format twin (sources/csv_ingest.py)
         "csv_roundtrip",
     }

@@ -384,3 +384,28 @@ def test_incremental_novelty_state_join_colocates(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     scorer.drop_state()
+
+
+# --- perplexity_buckets -------------------------------------------------------
+
+
+def test_perplexity_buckets_order_and_exclusions(spark):
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        perplexity_buckets,
+    )
+
+    # doc 1: repeated common bigram -> lowest NLL (head); doc 3: all
+    # unique transitions -> highest; doc 4: one kept term -> no bigrams,
+    # excluded (CCNet drops undefined perplexity)
+    df = _docs(
+        spark,
+        [
+            (1, "the cat the cat the cat the cat"),
+            (2, "the cat sat on a mat"),
+            (3, "aa bb cc dd ee ff gg"),
+            (4, "zz"),
+        ],
+    )
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
+    assert 4 not in out
+    assert out[1] == "head" and out[3] == "tail"

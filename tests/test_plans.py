@@ -227,6 +227,7 @@ _NON_EQUI_OK = {
     "rich_idle_customers",       # scalar-subquery: ONE-row broadcast x corpus
     "tfidf_top_terms_docs",      # ONE-row corpus-count broadcast x tf table
     "bigram_lm_nll_docs",        # ONE-row vocab-count broadcast x bigrams
+    "ccnet_ppl_buckets_docs",    # NLL's vocab scalar + ONE-row tercile cuts
 }
 
 
