@@ -63,8 +63,9 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "novelty_ngram_incremental",
         # r9: CCNet perplexity buckets (operators/corpus_stats.py)
         "ccnet_ppl_buckets_docs",
-        # r9: new ingest-format twin (sources/csv_ingest.py)
+        # r9: new ingest-format twins (sources/csv_ingest.py, ORC)
         "csv_roundtrip",
+        "orc_roundtrip",
     }
 )
 

@@ -287,6 +287,30 @@ FROM events
 """
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: write the events table to ORC (Spark's
+    built-in second columnar format; ClickHouse ingests/emits ORC through
+    the same format-pluggable INSERT surface as S9) and read it back with
+    the declared schema. ORC stores timestamps at nanosecond precision,
+    so unlike the parquet source path no nanos workaround is needed; the
+    round-trip is lossless and compares at second precision per the
+    registry rule. A real write+read through the format, not a parser
+    identity — stripe statistics ride along for predicate pushdown the
+    same way parquet row-group stats back the minmax skip index (S7)."""
+    events = _events(spark, sf_dir)
+    path = os.path.join(_scratch_dir("orc_roundtrip"), "events_orc")
+    events.write.mode("overwrite").orc(path)
+    back = spark.read.schema(EVENTS).orc(path)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+        "props",
+    )
+
+
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9's CSV-format sibling (the reference's INSERT path is
     format-pluggable; sources/csv_ingest.py): serialize every event row
@@ -383,6 +407,7 @@ QUERIES = [
     QuerySpec("retention_event_counts", retention_event_counts, _RETENTION_ORACLE),
     QuerySpec("jsoneachrow_roundtrip", jsoneachrow_roundtrip, _JSONEACHROW_ORACLE),
     QuerySpec("csv_roundtrip", csv_roundtrip, _JSONEACHROW_ORACLE),
+    QuerySpec("orc_roundtrip", orc_roundtrip, _JSONEACHROW_ORACLE),
     QuerySpec(
         "latest_event_per_user",
         latest_event_per_user,
