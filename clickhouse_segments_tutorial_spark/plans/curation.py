@@ -267,26 +267,14 @@ def source_quota_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate.accepted().select("source", "doc_id", "n_tokens", "cum_tokens")
 
 
-_STREAM_SCRATCH: dict[str, str] = {}
-
-
 def _stream_scratch(name: str) -> str:
-    """Per-process reusable scratch dir, wiped per invocation (the
-    segmentation_queries._scratch_dir contract — bench/oracle reruns must
-    not accumulate checkpoints, and a stale checkpoint would make the
-    second invocation a no-op)."""
-    import os
-    import shutil
-    import tempfile
+    """Per-process reusable scratch dir, wiped per invocation — the shared
+    registry in segmentation_queries (bench/oracle reruns must not
+    accumulate checkpoints, and a stale checkpoint would make the second
+    invocation a no-op)."""
+    from .segmentation_queries import _scratch_dir
 
-    path = _STREAM_SCRATCH.get(name)
-    if path is None:
-        path = tempfile.mkdtemp(prefix=f"q_{name}_")
-        _STREAM_SCRATCH[name] = path
-    else:
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
-    return path
+    return _scratch_dir(name)
 
 
 def shuffled_chunk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
