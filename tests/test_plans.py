@@ -358,3 +358,26 @@ def test_cube_is_single_pass_expand(spark):
     plan = plan_of(spark, "revenue_cube_flag_status")
     assert "Expand" in plan  # all 4 grouping sets in one shuffle
     assert "Union" not in plan
+
+
+def test_quota_and_shuffle_are_single_exchange_windows(spark):
+    """The round-9 window operators must cost exactly ONE shuffle each:
+    quota = running-sum window partitioned by source, shuffle = rank
+    window partitioned by bucket. A second Exchange would mean the
+    partitioning key leaked (e.g. a repartition before the window)."""
+    for name in ("source_quota_docs", "shuffled_chunk_order"):
+        plan = plan_of(spark, name)
+        assert node_count(plan, "Exchange") == 1, f"{name}: extra shuffle"
+        assert "Window" in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_novelty_is_two_hash_agg_shuffles(spark):
+    """Novelty = distinct-gram explode -> min-doc hash agg -> join back ->
+    per-doc agg: two shuffle keys (gram, doc_id). At sf the join side
+    broadcasts; the assert bounds TOTAL exchanges so a corpus re-explode
+    or an extra repartition fails the test."""
+    plan = plan_of(spark, "novelty_ngram_docs")
+    assert "HashAggregate" in plan
+    assert node_count(plan, "Exchange") <= 3
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
