@@ -729,6 +729,48 @@ def srp_probe_index(
     )
 
 
+def srp_banded_keys(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 56,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """(_id, chunk, key): the pigeonhole band keys of each vector's SRP
+    signature — the THIN rows the banded joins run on ((id, chunk, key)
+    is ~20 bytes; carrying the embedding through the explode would
+    shuffle O(n*chunks*dim) floats on both join sides; vectors are
+    joined back once per side for the verify, keyed by id). Shared by
+    the pairwise candidate join and the incremental dedup's persisted
+    band state so batch and wave paths band identically."""
+    chunks = max_hamming + 1
+    width = n_planes // chunks
+    sigs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.element_at(
+            srp_signature_words(F.col(vec_col), dim, n_planes), 1
+        ).alias("_sig"),
+    )
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("_sig", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "cc.chunk", "cc.key")
+
+
 def srp_banded_candidate_pairs(
     embeddings: DataFrame,
     *,
@@ -760,32 +802,14 @@ def srp_banded_candidate_pairs(
             [], f"id_a {idt}, id_b {idt}"
         )
     dim = int(first.d)
-    # Band THIN rows only — (id, chunk, key) is ~20 bytes; carrying the
-    # embedding through the explode would shuffle O(n*chunks*dim) floats
-    # on both join sides. Vectors are joined back once per side for the
-    # verify, keyed by id.
-    sigs = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.element_at(
-            srp_signature_words(F.col(vec_col), dim, n_planes), 1
-        ).alias("_sig"),
+    banded = srp_banded_keys(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        max_hamming=max_hamming,
     )
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("_sig", c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select("_id", "cc.chunk", "cc.key")
     return (
         banded.alias("a")
         .join(

@@ -373,6 +373,175 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
+class IncrementalSemanticDeduper:
+    """Wave-state twin of :func:`operators.similarity.semantic_dedup`:
+    admit each wave's vectors unless a near-dup (cosine >= threshold)
+    exists among ALL previously seen vectors or earlier ids in the wave.
+
+    State, mirroring the incremental curator's LSH layout
+    (plans/incremental.py exd_bands/exd_shingles):
+    - ``sem_bands`` (chunk, key, _id): every seen vector's SRP pigeonhole
+      band keys, bucketed on (chunk, key) — the wave's band join reads
+      history co-located, zero Exchange above the state scan.
+    - ``sem_vecs`` (_id, embedding): every seen vector, bucketed on _id —
+      the verify stage's history-side embedding lookup joins co-located.
+
+    ALL seen vectors enter state, not just survivors: the batch keep
+    rule drops x when ANY earlier vector pairs with it, including earlier
+    vectors that were themselves dropped (the greedy pairwise rule, not
+    closures) — pruning state to survivors would admit chains the batch
+    operator rejects. Under the ascending-id wave contract the union of
+    per-wave survivor sets is byte-identical to the batch operator, so
+    the registered query SHARES semantic_dedup_keep's oracle (which
+    replays the banding bit-for-bit in SQL). Wave results pin to the
+    workdir before the state appends (crash re-runnable: re-appended
+    band/vector rows are exact duplicates and candidate pairs are
+    distinct-deduped, so they cannot change any verdict)."""
+
+    def __init__(self, spark: SparkSession, workdir: str, *, threshold: float,
+                 n_planes: int = 56, max_hamming: int = 7,
+                 state_buckets: int = 32):
+        import hashlib
+        import os
+        import re
+
+        self.spark, self.workdir = spark, workdir
+        self.threshold = threshold
+        self.n_planes, self.max_hamming = n_planes, max_hamming
+        self.state_buckets = state_buckets
+        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+        self._prefix = f"semstate_{base}_{digest}"
+        self._wave = 0
+        os.makedirs(workdir, exist_ok=True)
+
+    def _tbl(self, name: str) -> str:
+        return f"{self._prefix}_{name}"
+
+    def _state(self, name: str, schema: str) -> DataFrame:
+        if self.spark.catalog.tableExists(self._tbl(name)):
+            return self.spark.table(self._tbl(name))
+        return self.spark.createDataFrame([], schema)
+
+    def ingest(self, embeddings: DataFrame) -> DataFrame:
+        """Dedup one wave; returns the wave's survivors (vec_id, label),
+        pinned to the workdir (lazy reader)."""
+        import os
+
+        from ..operators.similarity import (
+            cosine,
+            srp_banded_candidate_pairs,
+            srp_banded_keys,
+        )
+        from ..sources.bucketed import write_bucketed
+
+        self._wave += 1
+        first = embeddings.select(F.size("embedding").alias("d")).first()
+        res_path = os.path.join(self.workdir, f"wave_{self._wave}")
+        if first is None:  # empty wave: no-op
+            embeddings.select("vec_id", "label").write.mode("overwrite").parquet(res_path)
+            return self.spark.read.parquet(res_path)
+        dim = int(first.d)
+        wave_keys = srp_banded_keys(
+            embeddings, dim=dim, n_planes=self.n_planes, max_hamming=self.max_hamming
+        )
+        state_bands = self._state("sem_bands", "chunk int, key bigint, _id bigint")
+        state_vecs = self._state("sem_vecs", "_id bigint, embedding array<float>")
+        wave_vecs = embeddings.select(
+            F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+        )
+        # cross candidates: history id is always the smaller (wave contract)
+        cross = (
+            wave_keys.join(state_bands, ["chunk", "key"])
+            .select(
+                state_bands["_id"].alias("id_a"), wave_keys["_id"].alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cross_dropped = (
+            cross.join(
+                state_vecs.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                    "embedding", "_va"
+                ),
+                "id_a",
+            )
+            .join(
+                wave_vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed(
+                    "_v", "_vb"
+                ),
+                "id_b",
+            )
+            .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= self.threshold)
+            .select(F.col("id_b").alias("vec_id"))
+        )
+        intra = srp_banded_candidate_pairs(
+            embeddings, n_planes=self.n_planes, max_hamming=self.max_hamming
+        )
+        intra_dropped = (
+            intra.join(
+                wave_vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"),
+                "id_a",
+            )
+            .join(
+                wave_vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"),
+                "id_b",
+            )
+            .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= self.threshold)
+            .select(F.col("id_b").alias("vec_id"))
+        )
+        dropped = cross_dropped.unionByName(intra_dropped).distinct()
+        survivors = embeddings.join(dropped, "vec_id", "left_anti").select(
+            "vec_id", "label"
+        )
+        survivors.write.mode("overwrite").parquet(res_path)
+        mode = "append" if self.spark.catalog.tableExists(self._tbl("sem_bands")) else "overwrite"
+        write_bucketed(
+            wave_keys.select("chunk", "key", "_id"),
+            self._tbl("sem_bands"),
+            key=("chunk", "key"),
+            buckets=self.state_buckets,
+            mode=mode,
+            align=True,
+        )
+        write_bucketed(
+            embeddings.select(F.col("vec_id").alias("_id"), "embedding"),
+            self._tbl("sem_vecs"),
+            key="_id",
+            buckets=self.state_buckets,
+            mode=mode,
+            align=True,
+        )
+        return self.spark.read.parquet(res_path)
+
+    def reset(self) -> None:
+        for name in ("sem_bands", "sem_vecs"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+        self._wave = 0
+
+    def drop_state(self) -> None:
+        import shutil
+
+        self.reset()
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup run INCREMENTALLY over two vec_id-ordered waves with
+    persisted SRP band + vector state between them
+    (IncrementalSemanticDeduper); the union of wave survivor sets is
+    byte-identical to the batch keep rule, so this SHARES
+    semantic_dedup_keep's oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    deduper = IncrementalSemanticDeduper(
+        spark, _stream_scratch("semantic_dedup_incremental"), threshold=0.4
+    )
+    deduper.reset()
+    out1 = deduper.ingest(emb.filter(F.col("vec_id") < mid))
+    out2 = deduper.ingest(emb.filter(F.col("vec_id") >= mid))
+    return out1.unionByName(out2)
+
+
 QUERIES = [
     # novelty is the round-9 headline addition (BASELINE.md widening note):
     # it representatively prices the new curation family's corpus-wide
@@ -385,4 +554,5 @@ QUERIES = [
     QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),
     QuerySpec("temperature_mix_docs", temperature_mix_docs, _TEMPERATURE_MIX_ORACLE),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
+    QuerySpec("semantic_dedup_incremental", semantic_dedup_incremental, _SEMANTIC_KEEP_ORACLE),
 ]

@@ -63,6 +63,8 @@ ROUND_TOUCHED: frozenset[str] = frozenset(
         "novelty_ngram_incremental",
         # r9: CCNet perplexity buckets (operators/corpus_stats.py)
         "ccnet_ppl_buckets_docs",
+        # r9: incremental semantic dedup (plans/curation.py)
+        "semantic_dedup_incremental",
         # r9: new ingest-format twins (sources/csv_ingest.py, ORC)
         "csv_roundtrip",
         "orc_roundtrip",

@@ -409,3 +409,78 @@ def test_perplexity_buckets_order_and_exclusions(spark):
     out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
     assert 4 not in out
     assert out[1] == "head" and out[3] == "tail"
+
+
+# --- IncrementalSemanticDeduper -----------------------------------------------
+
+
+def test_incremental_semantic_dedup_multiwave_equals_batch(spark, tmp_path):
+    """3 waves; the A~B (cross-wave), B~C (cross-wave), A!~C chain pins
+    the all-seen-enter-state rule: C is dropped by the already-dropped B,
+    which survivor-only state would miss."""
+    import math
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalSemanticDeduper,
+    )
+
+    def vec(deg):
+        v = [0.0] * 8
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        return v
+
+    rows = [
+        (1, vec(0), 0),
+        (2, vec(15), 0),    # ~1 (cos .966) -> dropped
+        (3, vec(30), 0),    # ~2 (cos .966), !~1 (cos .866) -> dropped via dropped 2
+        (4, vec(90), 0),    # orthogonal -> survives
+        (5, vec(90), 1),    # identical dir to 4 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    batch = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.9).collect())
+    )
+    ded = IncrementalSemanticDeduper(spark, str(tmp_path / "sem"), threshold=0.9)
+    outs = []
+    for lo, hi in ((1, 2), (2, 4), (4, 99)):
+        outs.append(
+            ded.ingest(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)))
+        )
+    inc = sorted(map(tuple, [r for df in outs for r in df.collect()]))
+    assert inc == batch == [(1, 0), (4, 0)]
+    ded.drop_state()
+
+
+def test_incremental_semantic_state_join_colocates(spark, tmp_path):
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalSemanticDeduper,
+    )
+
+    ded = IncrementalSemanticDeduper(spark, str(tmp_path / "sem"), threshold=0.9)
+    ded.ingest(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    wave = spark.range(100).select(
+        (F.col("id") % 8).cast("int").alias("chunk"),
+        (F.col("id") % 64).alias("key"),
+        F.col("id").alias("_id"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = wave.join(ded._state("sem_bands", "chunk int, key bigint, _id bigint"),
+                           ["chunk", "key"])
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Bucketed: true" in plan
+        import re
+
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ded.drop_state()
