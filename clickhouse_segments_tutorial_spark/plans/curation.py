@@ -1,14 +1,20 @@
 """Corpus-curation queries beyond pairwise dedup: novelty scoring,
-per-source token quotas, deterministic training-order shuffle, and
-semantic (embedding-space) dedup.
+per-source token quotas, deterministic training-order shuffle, semantic
+(embedding-space) dedup, and temperature-based language rebalancing.
 
-These four are the "assemble the training mix" stage of an LLM data
-pipeline — after cleaning/dedup (operators.dedup / operators.text) and
-before chunk/pack (operators.packing): score what's genuinely new
+This is the "assemble the training mix" stage of an LLM data pipeline —
+after cleaning/dedup (operators.dedup / operators.text) and before
+chunk/pack (operators.packing): score what's genuinely new
 (ngram_novelty), cap any one source's contribution (quota_by_group),
 drop semantic near-dups that lexical dedup can't see (semantic_dedup),
-and emit a reproducible shuffled read order for the dataloader
-(deterministic_shuffle).
+rebalance the language mix (temperature_weights -> mix_corpus), and emit
+a reproducible shuffled read order for the dataloader
+(deterministic_shuffle). Novelty, quota, and semantic dedup each also
+run incrementally/streaming: bucketed wave-state twins
+(IncrementalNoveltyScorer, IncrementalSemanticDeduper — the
+plans/incremental.py physical design) and a stateful streaming ingest
+gate (streaming/stream_quota.py), every one sharing its batch query's
+oracle.
 
 Reference parity: the reference engine (dittofeed/clickhouse-segments-
 tutorial) has no LLM-pipeline surface; this module extends the engine
