@@ -484,3 +484,27 @@ def test_incremental_semantic_state_join_colocates(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     ded.drop_state()
+
+
+def test_streaming_quota_survives_restart(spark, tmp_path):
+    """A NEW gate object over the same workdir resumes from the
+    checkpointed per-source state (the stream_dedup restart contract)."""
+    from clickhouse_segments_tutorial_spark.streaming.stream_quota import (
+        StreamingQuotaGate,
+    )
+
+    schema = "source string, doc_id long, text string"
+    st = spark.createDataFrame([], schema).schema
+    g1 = StreamingQuotaGate(spark, str(tmp_path), schema=st, budget=4)
+    spark.createDataFrame([("s", 1, "a b c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(g1.docs_dir)
+    g1.run_available_now()
+    # "restart": fresh object, same dirs
+    g2 = StreamingQuotaGate(spark, str(tmp_path), schema=st, budget=4)
+    spark.createDataFrame(
+        [("s", 2, "d"), ("s", 3, "e f")], schema  # cum 4 kept, cum 6 dropped
+    ).coalesce(1).write.mode("append").parquet(g2.docs_dir)
+    g2.run_available_now()
+    got = sorted(r["doc_id"] for r in g2.accepted().collect())
+    assert got == [1, 2]
