@@ -69,9 +69,8 @@ class IncrementalNoveltyScorer:
     first-seen join reads the history co-located — zero Exchange above
     the state scan, the same physical design as the incremental curator's
     dedup state (r8 verdict item 1). Appends are align=True (one file per
-    bucket per wave); no compaction hook here because the state is
-    append-only rows keyed by the bucket key — fold via
-    IncrementalCorpusCurator.compact()'s pattern if wave counts grow.
+    bucket per wave); run :meth:`compact` between waves when per-bucket
+    file counts grow.
 
     Wave contract (shared with plans/incremental.py): waves arrive in
     ascending doc_id order (every doc_id in wave k+1 exceeds every doc_id
@@ -145,6 +144,31 @@ class IncrementalNoveltyScorer:
             align=True,
         )
         return self.spark.read.parquet(res_path)
+
+    def compact(self) -> None:
+        """Fold the per-wave appended files back to ONE sorted file per
+        bucket (the IncrementalCorpusCurator.compact contract): long
+        ingest histories otherwise degrade the state scan, and Spark
+        only reports per-bucket sort order with a single file per
+        bucket. Run between waves; ingest results are identical
+        before/after (tested). Also collapses any duplicate gram rows a
+        crashed re-run appended (the min() _state reads through)."""
+        import os
+
+        from ..sources.bucketed import write_bucketed
+
+        if not self.spark.catalog.tableExists(self._tbl):
+            return
+        pinned_path = os.path.join(self.workdir, "tmp", f"compact_w{self._wave}")
+        self._state().write.mode("overwrite").parquet(pinned_path)
+        write_bucketed(
+            self.spark.read.parquet(pinned_path),
+            self._tbl,
+            key="_g",
+            buckets=self.state_buckets,
+            mode="overwrite",
+            align=True,
+        )
 
     def reset(self) -> None:
         """Fresh start on a reused workdir: drop the catalog state table
@@ -518,6 +542,28 @@ class IncrementalSemanticDeduper:
             align=True,
         )
         return self.spark.read.parquet(res_path)
+
+    def compact(self) -> None:
+        """Fold each state table to one sorted file per bucket (the
+        IncrementalCorpusCurator.compact contract); ingest results are
+        identical before/after (tested)."""
+        import os
+
+        from ..sources.bucketed import write_bucketed
+
+        for name, keys in (("sem_bands", ("chunk", "key")), ("sem_vecs", ("_id",))):
+            if not self.spark.catalog.tableExists(self._tbl(name)):
+                continue
+            pinned_path = os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}")
+            self.spark.table(self._tbl(name)).write.mode("overwrite").parquet(pinned_path)
+            write_bucketed(
+                self.spark.read.parquet(pinned_path),
+                self._tbl(name),
+                key=keys,
+                buckets=self.state_buckets,
+                mode="overwrite",
+                align=True,
+            )
 
     def reset(self) -> None:
         for name in ("sem_bands", "sem_vecs"):

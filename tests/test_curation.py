@@ -508,3 +508,53 @@ def test_streaming_quota_survives_restart(spark, tmp_path):
     g2.run_available_now()
     got = sorted(r["doc_id"] for r in g2.accepted().collect())
     assert got == [1, 2]
+
+
+def test_incremental_state_compaction_preserves_results(spark, tmp_path):
+    """compact() between waves must not change any score/verdict, for
+    both bucketed-state incremental operators."""
+    import math
+
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        ngram_novelty,
+    )
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+        IncrementalSemanticDeduper,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d e"), (5, "c d e f g"), (9, "x y z w v")],
+    )
+    batch = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+    nov = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"))
+    o1 = nov.ingest(docs.filter(F.col("doc_id") < 4))
+    nov.compact()
+    o2 = nov.ingest(docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 8)))
+    nov.compact()
+    o3 = nov.ingest(docs.filter(F.col("doc_id") >= 8))
+    inc = sorted(map(tuple, [r for df in (o1, o2, o3) for r in df.collect()]))
+    assert inc == batch
+    nov.drop_state()
+
+    def vec(deg):
+        v = [0.0] * 8
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        return v
+
+    emb = spark.createDataFrame(
+        [(1, vec(0), 0), (2, vec(15), 0), (3, vec(30), 0), (4, vec(90), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    batch_sem = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.9).collect())
+    )
+    ded = IncrementalSemanticDeduper(spark, str(tmp_path / "sem"), threshold=0.9)
+    s1 = ded.ingest(emb.filter(F.col("vec_id") <= 2))
+    ded.compact()
+    s2 = ded.ingest(emb.filter(F.col("vec_id") > 2))
+    inc_sem = sorted(map(tuple, [r for df in (s1, s2) for r in df.collect()]))
+    assert inc_sem == batch_sem
+    ded.drop_state()
