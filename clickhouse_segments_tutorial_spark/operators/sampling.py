@@ -190,6 +190,12 @@ def quota_by_group(
     budget is kept; the first row that would exceed it, and everything
     after, is dropped).
 
+    ``weight_col`` MUST be non-negative: the cum_weight <= budget filter
+    implements the prefix semantics only for monotone running totals — a
+    negative weight would re-admit rows after a violation (r9 ADVICE).
+    The streaming twin (streaming/stream_quota.py) shares this contract;
+    token/byte counts, the intended weights, satisfy it by construction.
+
     The per-domain token-budget sampler of a web-corpus mixture (cap any
     one domain's contribution so head domains can't dominate the mix) —
     the quota analog of rate-based mix_corpus.
@@ -275,7 +281,16 @@ def temperature_weights(
     other alphas go through pow, whose last-ulp behavior is
     libm-specific — fine for production, but a SQL value-oracle should
     pin alpha=0.5. One bounded collect (#strata rows), same as
-    mix_corpus's count collection."""
+    mix_corpus's count collection.
+
+    Oracle-portability bound on ``quantum``: downstream rate math forms
+    the exact integer product total*weight before its one rounded
+    division (mix_corpus), but a SQL oracle computing the same product
+    in DOUBLE rounds it once it exceeds 2^53 — with quantum=1e9 that is
+    ~9e6 rows (r9 ADVICE). Value-oracle comparisons beyond that corpus
+    size need either a smaller quantum or an exact wide-integer product
+    on the oracle side; production runs are unaffected (a 1-ulp rate
+    difference moves at most one hash-draw boundary)."""
     import math
 
     counts = {

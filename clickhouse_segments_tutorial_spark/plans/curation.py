@@ -32,7 +32,12 @@ from ..operators.sampling import deterministic_shuffle, quota_by_group
 from ..operators.similarity import semantic_dedup
 from ..operators.text import chunk_documents, token_count
 from ..sources.catalog import load_table
-from .llm import _COS_PAIRS_LSH_ORACLE
+from .llm import (
+    _COS_PAIRS_LSH_ORACLE,
+    SEM_NEAR_DUP_THRESHOLD,
+    SEM_SRP_MAX_HAMMING,
+    SEM_SRP_PLANES,
+)
 from .registry import QuerySpec
 
 # Shared tokenizer CTE — identical to plans/llm.py's convention (explicit
@@ -368,6 +373,11 @@ w AS (
   FROM counts, tot
 ),
 wsum AS (SELECT CAST(sum(wt) AS BIGINT) AS ws FROM w),
+-- t*wt here rounds in DOUBLE while mix_corpus forms the exact Python-int
+-- product before ONE division; identical only while t*wt < 2^53, i.e.
+-- corpora under ~9e6 docs at quantum=1e9 — documented at
+-- operators.sampling.temperature_weights (r9 ADVICE), far above any
+-- oracle-compared SF.
 rates AS (
   SELECT s, (CAST(t AS DOUBLE) * wt / ws) / n_s AS rate
   FROM w, tot, wsum
@@ -386,12 +396,14 @@ FROM expanded WHERE n_copies >= 1
 
 
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space dedup survivors at cosine >= 0.4 over the SRP-banded
-    pair path (greedy keep-lowest-id; pairwise rule, not closures — see
-    operators.similarity.semantic_dedup). The oracle replays the full SRP
-    banding + verification bit-for-bit, then the same anti-join."""
+    """Embedding-space dedup survivors at cosine >= SEM_NEAR_DUP_THRESHOLD
+    over the SRP-banded pair path (greedy keep-lowest-id; pairwise rule,
+    not closures — see operators.similarity.semantic_dedup). The oracle
+    replays the full SRP banding + verification bit-for-bit, then the same
+    anti-join; threshold and banding come from plans/llm.py's shared
+    constants so query and oracle cannot desync (r9 ADVICE)."""
     return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=SEM_NEAR_DUP_THRESHOLD
     )
 
 
@@ -429,7 +441,8 @@ class IncrementalSemanticDeduper:
     distinct-deduped, so they cannot change any verdict)."""
 
     def __init__(self, spark: SparkSession, workdir: str, *, threshold: float,
-                 n_planes: int = 56, max_hamming: int = 7,
+                 n_planes: int = SEM_SRP_PLANES,
+                 max_hamming: int = SEM_SRP_MAX_HAMMING,
                  state_buckets: int = 32):
         import hashlib
         import os
@@ -524,23 +537,27 @@ class IncrementalSemanticDeduper:
             "vec_id", "label"
         )
         survivors.write.mode("overwrite").parquet(res_path)
-        mode = "append" if self.spark.catalog.tableExists(self._tbl("sem_bands")) else "overwrite"
-        write_bucketed(
-            wave_keys.select("chunk", "key", "_id"),
-            self._tbl("sem_bands"),
-            key=("chunk", "key"),
-            buckets=self.state_buckets,
-            mode=mode,
-            align=True,
-        )
-        write_bucketed(
-            embeddings.select(F.col("vec_id").alias("_id"), "embedding"),
-            self._tbl("sem_vecs"),
-            key="_id",
-            buckets=self.state_buckets,
-            mode=mode,
-            align=True,
-        )
+        # write mode decided PER TABLE (r9 ADVICE): a crash between the two
+        # appends leaves sem_bands ahead of sem_vecs, and the re-run must
+        # append to the existing table while creating the missing one
+        # explicitly rather than relying on saveAsTable(append)'s implicit
+        # create-if-missing.
+        for frame, name, keys in (
+            (wave_keys.select("chunk", "key", "_id"), "sem_bands", ("chunk", "key")),
+            (
+                embeddings.select(F.col("vec_id").alias("_id"), "embedding"),
+                "sem_vecs",
+                ("_id",),
+            ),
+        ):
+            write_bucketed(
+                frame,
+                self._tbl(name),
+                key=keys,
+                buckets=self.state_buckets,
+                mode="append" if self.spark.catalog.tableExists(self._tbl(name)) else "overwrite",
+                align=True,
+            )
         return self.spark.read.parquet(res_path)
 
     def compact(self) -> None:

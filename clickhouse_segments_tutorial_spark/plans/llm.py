@@ -511,7 +511,9 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_near_dup_pairs."""
     from ..operators.similarity import cosine_pairs_srp
 
-    return cosine_pairs_srp(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_pairs_srp(
+        _t(spark, sf_dir, "embeddings"), threshold=SEM_NEAR_DUP_THRESHOLD
+    )
 
 
 def _srp_sig_ctes(n_planes: int) -> str:
@@ -584,14 +586,26 @@ LIMIT 10
 """
 
 
+# Semantic near-dup tuning shared by the LSH pair query, semantic dedup
+# (plans/curation.py semantic_dedup_keep + IncrementalSemanticDeduper),
+# and their one shared oracle below. ONE definition site: the r9 ADVICE
+# flagged that the query passed threshold=0.4 while the oracle hardcoded
+# '>= 0.4' (and the 56-plane / 8x7-bit banding) — editing either side
+# would silently desync query from oracle (the _QUOTA_TOKENS pattern).
+SEM_NEAR_DUP_THRESHOLD = 0.4
+SEM_SRP_PLANES = 56
+SEM_SRP_MAX_HAMMING = 7  # pigeonhole banding: max_hamming+1 chunks
+_SEM_SRP_CHUNKS = SEM_SRP_MAX_HAMMING + 1
+_SEM_SRP_BITS = SEM_SRP_PLANES // _SEM_SRP_CHUNKS
+
 # embedding_near_dup_pairs_lsh replay: single-word 56-plane signatures,
 # 8x7-bit pigeonhole bands, candidate pairs sharing >= 1 band key, exact
 # rounded-cosine verification at the threshold.
 _COS_PAIRS_LSH_ORACLE = f"""
-WITH {_srp_sig_ctes(56)},
+WITH {_srp_sig_ctes(SEM_SRP_PLANES)},
 banded AS (
-  SELECT vec_id, c, (w0 >> CAST(c * 7 AS INTEGER)) & 127 AS key
-  FROM sigs CROSS JOIN range(8) chunks(c)
+  SELECT vec_id, c, (w0 >> CAST(c * {_SEM_SRP_BITS} AS INTEGER)) & {(1 << _SEM_SRP_BITS) - 1} AS key
+  FROM sigs CROSS JOIN range({_SEM_SRP_CHUNKS}) chunks(c)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -605,7 +619,7 @@ FROM cand
 JOIN embeddings ea ON ea.vec_id = cand.id_a
 JOIN embeddings eb ON eb.vec_id = cand.id_b
 WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                   CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4
+                                   CAST(eb.embedding AS DOUBLE[])), 6) >= {SEM_NEAR_DUP_THRESHOLD}
 """
 
 

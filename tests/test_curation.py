@@ -275,7 +275,10 @@ def test_csv_ingest_failfast_on_malformed(spark):
     from clickhouse_segments_tutorial_spark.sources.csv_ingest import read_csv_rows
 
     bad = read_csv_rows(spark, ["1,ok", "not_a_number,boom"], "id bigint, s string")
-    with _pytest.raises(Exception):
+    # FAILFAST surfaces as a JVM-side SparkException through py4j — pin the
+    # exception type so an unrelated Python failure can't green this test
+    # (r9 ADVICE).
+    with _pytest.raises(Py4JJavaError):
         bad.collect()
 
 
