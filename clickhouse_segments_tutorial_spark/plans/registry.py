@@ -37,39 +37,33 @@ class QuerySpec:
     headline: bool = False  # included in bench.py's timed set
 
 
-# Queries whose implementing code changed in the CURRENT round. They pin
-# to the FRONT of the rotation (ahead of even never-checked queries'
-# peers) so the driver re-confirms them with a fresh hash row this round
-# even if they were green in the immediately preceding round — otherwise
-# an edit landing right after a query's driver check would ship with only
-# the local pytest oracle until the rotation swings back (r8 VERDICT
-# item 4). Update this set each round alongside the code edits; stale
-# entries are harmless (a pinned-but-untouched query just gets re-checked
-# early).
-ROUND_TOUCHED: frozenset[str] = frozenset(
-    {
-        # r9: bucketed incremental state (plans/incremental.py)
-        "corpus_curated_incremental",
-        "corpus_packed_incremental",
-        # r9: vectorized image decode (operators/multimodal.py)
-        "multimodal_image_decode",
-        # r9: new curation queries (plans/curation.py)
-        "novelty_ngram_docs",
-        "source_quota_docs",
-        "source_quota_streaming",
-        "shuffled_chunk_order",
-        "semantic_dedup_keep",
-        "temperature_mix_docs",
-        "novelty_ngram_incremental",
-        # r9: CCNet perplexity buckets (operators/corpus_stats.py)
-        "ccnet_ppl_buckets_docs",
-        # r9: incremental semantic dedup (plans/curation.py)
-        "semantic_dedup_incremental",
-        # r9: new ingest-format twins (sources/csv_ingest.py, ORC)
-        "csv_roundtrip",
-        "orc_roundtrip",
-    }
-)
+# Queries whose implementing code changed in the CURRENT round pin to the
+# FRONT of the rotation (ahead of even never-checked queries' peers) so
+# the driver re-confirms them with a fresh hash row this round even if
+# they were green in the immediately preceding round — otherwise an edit
+# landing right after a query's driver check would ship with only the
+# local pytest oracle until the rotation swings back (r8 VERDICT item 4).
+#
+# The set is DERIVED, not hand-maintained (r9 VERDICT item 4: a forgotten
+# hand entry silently ships an edited query unchecked): plans/touched.py
+# git-diffs the working tree against the commit of the newest
+# CORRECTNESS_r*.json (= this round's base) and maps changed package
+# files to the query modules whose transitive import closure contains
+# them. This override exists only for queries whose semantics changed
+# with NO package-file edit (e.g. a testdata contract change); it should
+# normally stay empty.
+ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset()
+
+
+def _touched_module_paths() -> set[str]:
+    """Repo-relative paths of package modules edited this round (plus
+    everything that transitively imports them); empty on degradation."""
+    from . import touched as _touched
+
+    try:
+        return _touched.touched_modules()
+    except Exception:
+        return set()
 
 
 def _last_green_round() -> dict[str, int]:
@@ -103,38 +97,62 @@ def _last_green_round() -> dict[str, int]:
     return out
 
 
+def round_touched_names() -> frozenset[str]:
+    """Names of queries pinned to the front of this round's rotation:
+    every query registered by a module whose transitive import closure
+    changed this round (plans/touched.py), plus the manual override.
+    Degrades to just the override when git/round artifacts are missing."""
+    return frozenset(
+        name for name, (spec, is_touched) in _specs_with_touched().items() if is_touched
+    )
+
+
+def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
+    from pathlib import Path
+
+    from . import curation, incremental, llm, pipeline, relational, scale, segmentation_queries
+
+    root = Path(__file__).resolve().parents[2]
+    touched_mods = _touched_module_paths()
+    out: dict[str, tuple[QuerySpec, bool]] = {}
+    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental, curation):
+        try:
+            rel = str(Path(mod.__file__).resolve().relative_to(root))
+        except ValueError:
+            rel = ""
+        mod_touched = rel in touched_mods
+        for spec in mod.QUERIES:
+            if spec.name in out:
+                raise ValueError(f"duplicate query name {spec.name}")
+            out[spec.name] = (spec, mod_touched or spec.name in ROUND_TOUCHED_OVERRIDE)
+    return out
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """All registered queries: round-touched first, then
     least-recently-verified.
 
     Order = ascending (NOT round-touched, last green-checked round,
-    registration index): queries edited this round (``ROUND_TOUCHED``)
-    lead, then queries with no green CORRECTNESS row ever, then the ones
-    whose last green row is oldest. The harness checks a prefix of this
-    dict, so any query it skips this round was green last round and gets
-    priority next round — over any two consecutive rounds every
-    registered query receives a driver correctness row (the r5 verdict's
-    60-into-50 window fix), and every query whose code changed gets a
-    fresh row in the round of the change (the r8 verdict's pinning fix).
+    registration index): queries whose implementing code changed this
+    round (derived — see round_touched_names) lead, then queries with no
+    green CORRECTNESS row ever, then the ones whose last green row is
+    oldest. The harness checks a prefix of this dict, so any query it
+    skips this round was green last round and gets priority next round —
+    over any two consecutive rounds every registered query receives a
+    driver correctness row (the r5 verdict's 60-into-50 window fix), and
+    every query whose code changed gets a fresh row in the round of the
+    change (the r8 verdict's pinning fix, r9's derivation fix).
     Deterministic for a given set of recorded round files; falls back to
     (touched, registration order) when none exist."""
-    from . import curation, incremental, llm, pipeline, relational, scale, segmentation_queries
-
-    specs: list[QuerySpec] = []
-    seen: set[str] = set()
-    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental, curation):
-        for spec in mod.QUERIES:
-            if spec.name in seen:
-                raise ValueError(f"duplicate query name {spec.name}")
-            seen.add(spec.name)
-            specs.append(spec)
+    specs = _specs_with_touched()
     last_green = _last_green_round()
+    names = list(specs)
     order = sorted(
-        range(len(specs)),
+        range(len(names)),
         key=lambda i: (
-            specs[i].name not in ROUND_TOUCHED,
-            last_green.get(specs[i].name, -1),
+            not specs[names[i]][1],
+            last_green.get(names[i], -1),
             i,
         ),
     )
-    return {specs[i].name: specs[i] for i in order}
+    return {names[i]: specs[names[i]][0] for i in order}

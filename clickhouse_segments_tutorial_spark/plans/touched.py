@@ -1,0 +1,198 @@
+"""Derive this round's edited query modules from git, replacing the
+hand-maintained ROUND_TOUCHED set (r9 verdict item 4: a forgotten hand
+entry silently ships an edited query without a driver re-check — the
+exact failure the pinning mechanism exists to prevent).
+
+Mechanism:
+
+1. **Base commit** = the commit that last touched the newest
+   ``CORRECTNESS_r{N}.json``. The driver commits each round's artifacts
+   in one "round N: verdict/advice/correctness/bench" commit at round
+   start, so diffing the working tree against that commit yields exactly
+   the CURRENT round's edits — self-maintaining, no snapshot file to
+   refresh.
+2. **Changed files** = ``git diff --name-only <base>`` (committed and
+   uncommitted edits) plus untracked files, filtered to the package.
+3. **Import closure**: an AST walk over every package module collects its
+   imports (top-level AND function-local — the plans modules import
+   operators lazily inside query functions), building a module
+   dependency graph. A query module is *touched* when any file in its
+   transitive import closure changed — so editing
+   ``operators/sampling.py`` pins every query whose plans module
+   (transitively) uses it, matching what the r9 hand list encoded
+   manually.
+
+Degradation: no git, no CORRECTNESS files, or any subprocess/parse error
+-> empty derived set. The rotation in registry.all_queries() still
+guarantees every query a driver row over two consecutive rounds; pinning
+is an optimization on top, never a correctness dependency. A manual
+``ROUND_TOUCHED_OVERRIDE`` remains in registry.py for queries whose
+behavior changed without a package-file edit (e.g. testdata contract
+changes).
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import re
+import subprocess
+from pathlib import Path
+
+PKG = "clickhouse_segments_tutorial_spark"
+
+
+def _repo_root() -> Path:
+    return Path(__file__).resolve().parents[2]
+
+
+def _base_commit(repo_root: Path) -> str | None:
+    """Commit that last modified the newest CORRECTNESS_r*.json."""
+    newest: tuple[int, Path] | None = None
+    for p in repo_root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            rnd = int(m.group(1))
+            if newest is None or rnd > newest[0]:
+                newest = (rnd, p)
+    if newest is None:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", newest[1].name],
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return out or None
+
+
+def changed_package_files(repo_root: Path) -> set[str] | None:
+    """Repo-relative paths of package .py files edited since the base
+    commit (committed, staged, unstaged, or untracked). None when the
+    base is undeterminable (no git / no round artifacts)."""
+    base = _base_commit(repo_root)
+    if base is None:
+        return None
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", base, "--", PKG],
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+        untracked = subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard", PKG],
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return {
+        line.strip()
+        for line in (diff + untracked).splitlines()
+        if line.strip().endswith(".py")
+    }
+
+
+def _resolve_import(module_parts: list[str], node: ast.ImportFrom | ast.Import,
+                    existing: set[str]) -> set[str]:
+    """Map one import statement in module ``module_parts`` (package-
+    relative, e.g. ['plans', 'curation']) to the package-relative module
+    paths it references, keeping only paths in ``existing``."""
+    out: set[str] = set()
+
+    def add(parts: list[str]) -> None:
+        rel = "/".join(parts) + ".py"
+        if rel in existing:
+            out.add(rel)
+        init = "/".join(parts + ["__init__"]) + ".py"
+        if init in existing:
+            out.add(init)
+
+    if isinstance(node, ast.Import):
+        for alias in node.names:
+            parts = alias.name.split(".")
+            if parts[0] == PKG:
+                add(parts[1:])
+        return out
+    # ImportFrom: resolve the (possibly relative) base module
+    if node.level > 0:
+        # level=1: sibling of this module's package; level=2: one up...
+        base = module_parts[: len(module_parts) - node.level]
+        if node.module:
+            base = base + node.module.split(".")
+    else:
+        parts = (node.module or "").split(".")
+        if parts[:1] != [PKG]:
+            return out
+        base = parts[1:]
+    add(base)
+    # names may be submodules of a package base (from ..operators import dedup)
+    for alias in node.names:
+        add(base + [alias.name])
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _import_graph(pkg_dir: str) -> dict[str, set[str]]:
+    """rel_path -> set of rel_paths it imports (direct edges only).
+    Paths are relative to the repo root (``{PKG}/...``)."""
+    root = Path(pkg_dir)
+    files = {str(p.relative_to(root.parent)) for p in root.rglob("*.py")}
+    pkg_rel = {f[len(PKG) + 1:] for f in files}  # without the pkg prefix
+    graph: dict[str, set[str]] = {}
+    for f in sorted(files):
+        rel = f[len(PKG) + 1:]
+        # Keep '__init__' as the last component: stripping `level` parts
+        # then lands on the package itself, making relative-import
+        # arithmetic uniform for modules and __init__ files alike.
+        module_parts = rel[:-3].split("/")  # drop .py
+        try:
+            tree = ast.parse((root.parent / f).read_text())
+        except (OSError, SyntaxError):
+            graph[f] = set()
+            continue
+        deps: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                deps |= {
+                    f"{PKG}/{d}"
+                    for d in _resolve_import(module_parts, node, pkg_rel)
+                }
+        deps.discard(f)
+        graph[f] = deps
+    return graph
+
+
+def touched_modules(repo_root: Path | str | None = None) -> set[str]:
+    """Package modules (repo-relative paths) whose transitive import
+    closure contains a file changed this round. Empty set on any
+    degradation (see module docstring)."""
+    root = Path(repo_root) if repo_root is not None else _repo_root()
+    changed = changed_package_files(root)
+    if not changed:
+        return set()
+    graph = _import_graph(str(root / PKG))
+    changed &= set(graph)  # only package .py files matter
+    if not changed:
+        return set()
+    # reverse-reachability: which modules (transitively) import a changed file
+    touched = set(changed)
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in graph.items():
+            if mod not in touched and deps & touched:
+                touched.add(mod)
+                grew = True
+    return touched

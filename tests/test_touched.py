@@ -1,0 +1,113 @@
+"""Derived round-touched pinning (plans/touched.py, r9 verdict item 4):
+the set of queries pinned to the front of the driver rotation is computed
+from git + the package's AST import graph, not hand-maintained."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+from clickhouse_segments_tutorial_spark.plans import registry, touched
+
+REPO = Path(__file__).resolve().parents[1]
+PKG = touched.PKG
+
+
+def test_import_graph_edges_exist():
+    graph = touched._import_graph(str(REPO / PKG))
+    cur = f"{PKG}/plans/curation.py"
+    assert cur in graph
+    # curation imports sampling (top-level) and stream_quota (function-local)
+    assert f"{PKG}/operators/sampling.py" in graph[cur]
+    assert f"{PKG}/streaming/stream_quota.py" in graph[cur]
+    # relative single-dot import resolves too
+    assert f"{PKG}/plans/registry.py" in graph[cur]
+
+
+def test_operator_edit_reaches_its_query_modules():
+    """Editing an operator must pin the plans modules that use it — the
+    reverse-reachability the r9 hand list encoded manually."""
+    graph = touched._import_graph(str(REPO / PKG))
+    changed = {f"{PKG}/operators/sampling.py"}
+    closure = set(changed)
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in graph.items():
+            if mod not in closure and deps & closure:
+                closure.add(mod)
+                grew = True
+    assert f"{PKG}/plans/curation.py" in closure
+    assert f"{PKG}/plans/llm.py" in closure
+
+
+def _git(cwd: Path, *args: str) -> None:
+    subprocess.run(
+        ["git", *args],
+        cwd=cwd,
+        check=True,
+        capture_output=True,
+        env={
+            "GIT_AUTHOR_NAME": "t",
+            "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t",
+            "GIT_COMMITTER_EMAIL": "t@t",
+            "HOME": str(cwd),
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+        },
+    )
+
+
+def test_tmp_checkout_edit_pins_module(tmp_path):
+    """End-to-end over a real git checkout: copy the package, commit it
+    with a CORRECTNESS artifact (the round base), edit one plans module,
+    and see exactly its import-closure consumers derived as touched."""
+    shutil.copytree(REPO / PKG, tmp_path / PKG)
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    _git(tmp_path, "init", "-q")
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "round base")
+
+    touched._import_graph.cache_clear()
+    try:
+        assert touched.touched_modules(tmp_path) == set()
+
+        target = tmp_path / PKG / "plans" / "curation.py"
+        target.write_text(target.read_text() + "\n# edited this round\n")
+        mods = touched.touched_modules(tmp_path)
+        assert f"{PKG}/plans/curation.py" in mods
+        # registry.py is imported BY curation, not the reverse: it must not
+        # be dragged in by a leaf edit
+        assert f"{PKG}/operators/sampling.py" not in mods
+
+        # a NEW untracked module with consumers-to-be counts as touched too
+        # (graph is lru-cached per process — a file created after the first
+        # build needs a cache clear, which only matters inside tests)
+        (tmp_path / PKG / "plans" / "brand_new.py").write_text("x = 1\n")
+        touched._import_graph.cache_clear()
+        assert f"{PKG}/plans/brand_new.py" in touched.touched_modules(tmp_path)
+    finally:
+        touched._import_graph.cache_clear()
+
+
+def test_registry_round_touched_matches_module_mapping(monkeypatch):
+    """Registry pins exactly the queries of derived-touched modules plus
+    the manual override."""
+    monkeypatch.setattr(
+        registry, "_touched_module_paths", lambda: {f"{PKG}/plans/curation.py"}
+    )
+    names = registry.round_touched_names()
+    assert "semantic_dedup_keep" in names
+    assert "novelty_ngram_docs" in names
+    assert "q1_pricing_summary" not in names
+    # pinned queries lead the rotation
+    ordered = list(registry.all_queries())
+    n = len(names)
+    assert set(ordered[:n]) == set(names)
+
+    monkeypatch.setattr(registry, "_touched_module_paths", lambda: set())
+    monkeypatch.setattr(
+        registry, "ROUND_TOUCHED_OVERRIDE", frozenset({"q1_pricing_summary"})
+    )
+    assert registry.round_touched_names() == {"q1_pricing_summary"}
