@@ -1,0 +1,243 @@
+"""Corpus-trained BPE subword tokenizer as a distributed operator.
+
+Every token-budget consumer in this engine (quota weights, chunk sizes,
+packing capacities) can run on whitespace-proxy counts; real training
+pipelines budget in LEARNED subword tokens. This module trains a
+byte-pair-encoding merge table ON the corpus and applies it — the one
+LLM-pipeline operator class that is itself an iterative distributed
+aggregation (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"; the distributed formulation is the classic
+pair-count hash-agg loop).
+
+Scale design (100 TB corpus):
+
+- **Corpus -> word-frequency dictionary** (one explode + hash-agg
+  shuffle): by Heaps' law the distinct-word table is orders of magnitude
+  smaller than the corpus (~1e8 rows for a web-scale corpus vs ~1e11
+  documents) — the ONLY corpus-sized pass in training. Everything after
+  runs on the dictionary.
+- **Per merge round**: adjacent symbol pairs exploded from the
+  dictionary's symbol arrays, weighted by word frequency, hash-agg'd
+  (map-side partial, shuffle carries one row per distinct pair per map
+  task), then a deterministic argmax — `orderBy(cnt desc, lhs, rhs)
+  .limit(1)` compiles to TakeOrderedAndProject (per-partition top-1 +
+  driver merge, no global sort). The driver holds only the O(n_merges)
+  merge table.
+- **Applying the chosen merge** is a map-only fold over each word's
+  symbol array (pure Catalyst `aggregate` expression, no Python) —
+  exactly the greedy left-to-right single-pair pass of the reference BPE
+  implementations. Each round ends in `localCheckpoint` so round k+1's
+  plan starts from materialized symbols instead of re-folding k rounds
+  of lineage; a production run at dictionary scale would checkpoint to
+  reliable storage every ~32 rounds instead (lineage truncation without
+  single-node locality), and may prune the dictionary tail (min_freq)
+  as the published implementations do.
+- **Tokenizing the corpus** with the learned table never re-runs BPE per
+  occurrence: the trained dictionary's final symbol arrays ARE the
+  segmentation of every corpus word (applying merges in learned order
+  reproduces training's end state), so application is a join from
+  exploded corpus tokens to the dictionary — broadcastable when the
+  vocabulary fits (AQE decides), shuffle-on-word otherwise, never
+  per-row Python.
+
+Determinism: pair counts are exact integer aggregates and the argmax
+tie-breaks on (count desc, lhs asc, rhs asc) in binary string order, so
+the learned merge list is partitioning-invariant and engine-portable —
+a DuckDB oracle replays the whole training loop bit-for-bit
+(plans/bpe_queries.py unrolls the rounds as chained CTEs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+
+@dataclass(frozen=True)
+class Merge:
+    """One learned merge rule: (lhs, rhs) -> lhs+rhs, with the weighted
+    pair count at the round it was learned (for vocabulary inspection)."""
+
+    rank: int  # 1-based learning order
+    lhs: str
+    rhs: str
+    n_occurrences: int
+
+    @property
+    def merged(self) -> str:
+        return self.lhs + self.rhs
+
+
+def word_frequencies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, freq) dictionary of the corpus — the one corpus-sized pass
+    of BPE training (see module docstring). Whitespace tokenization
+    matches operators.text.tokens, so counts line up with every other
+    token consumer in the engine."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _init_symbols(words: DataFrame) -> DataFrame:
+    """Character-level starting symbols. `split(word, '')` keeps a
+    trailing '' under Java's limit=-1 semantics — filter it."""
+    return words.withColumn(
+        "syms", F.filter(F.split("word", ""), lambda c: c != F.lit(""))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent symbol pairs weighted by word frequency.
+    Guarded sequence: Spark's sequence(0, -1) would count DOWN, so
+    single-symbol words take the empty-array branch explicitly."""
+    idx = F.when(
+        F.size("syms") > 1, F.sequence(F.lit(0), F.size("syms") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.get("syms", i).alias("lhs"), F.get("syms", i + 1).alias("rhs")
+        ),
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def apply_merge(syms: Column | str, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right application of ONE merge rule to a symbol
+    array, as a pure fold expression (no Python per row).
+
+    Equivalence to the reference scan-and-skip loop: the fold merges the
+    incoming element with the accumulator's last element exactly when
+    (last, current) == (lhs, rhs); a just-merged element can never match
+    again as `lhs` because its value is lhs+rhs (non-empty rhs), which
+    reproduces the "skip past a merge" rule — including the aaa -> (aa)a
+    odd-run case. `F.get` returns NULL on the empty accumulator (even
+    under ANSI), so the first element always takes the append branch."""
+    col = F.col(syms) if isinstance(syms, str) else syms
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lhs + rhs))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    words: DataFrame, *, n_merges: int, min_freq: int = 1
+) -> tuple[list[Merge], DataFrame]:
+    """Learn up to ``n_merges`` merge rules from a (word, freq)
+    dictionary. Returns (merge table, trained dictionary) where the
+    dictionary's ``syms`` column holds each word's final segmentation —
+    the lookup table for corpus-wide tokenization (module docstring).
+
+    Stops early when no pair reaches ``min_freq`` (with the default 1,
+    only when every word is a single symbol). One Spark job per round:
+    pair-count + TakeOrderedAndProject argmax; the merge application is
+    folded into the next round's scan via localCheckpoint.
+
+    Dictionary-proportional parallelism: after the one corpus-sized
+    aggregation, the dictionary is repartitioned to
+    ceil(n_words / 65536) partitions (clamped to the cluster's default
+    parallelism) — a 1e8-word web-scale dictionary gets ~1.5k
+    partitions while this corpus's 31-word dictionary collapses to 1.
+    At test scale the wall is the local-mode JOB floor, not tasks:
+    measured ~0.17s/round (pair-argmax collect) + ~0.06s/round of
+    Catalyst analysis for the fold, ~8s for 32 rounds at sf0.1
+    regardless of partitioning (BASELINE.md r10) — amortized on a real
+    cluster where each round does dictionary-sized work."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    state = _init_symbols(words).select("word", "freq", "syms").localCheckpoint(eager=True)
+    n_words = state.count()  # cheap: counts the materialized checkpoint
+    spark = words.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism, -(-n_words // 65536)))
+    if target != state.rdd.getNumPartitions():
+        state = state.repartition(target).localCheckpoint(eager=True)
+    merges: list[Merge] = []
+    # AQE off for the round loop only: each round is a micro-query over
+    # the already-dictionary-partitioned checkpoint, where AQE's stage
+    # materialization barriers are pure orchestration overhead (measured
+    # 0.33s -> 0.22s per round at sf0.1 with nothing to re-plan — the
+    # shuffle is dictionary-sized by construction). Restored in finally;
+    # a real-cluster training run over a 1e8-word dictionary would leave
+    # it on and amortize rounds differently.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(state)
+                .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_freq:
+                break
+            lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+            merges.append(Merge(rank=rank, lhs=lhs, rhs=rhs, n_occurrences=cnt))
+            state = state.withColumn(
+                "syms", apply_merge("syms", lhs, rhs)
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return merges, state
+
+
+def segment_word(syms: Column | str, merges: list[Merge]) -> Column:
+    """Apply a learned merge table to an arbitrary symbol array, in
+    learned order — the out-of-dictionary path (words unseen at training
+    time, e.g. tokenizing a NEW corpus with a frozen tokenizer). For the
+    training corpus itself, prefer the dictionary join (bpe_token_counts):
+    this expression chains one fold per merge rule."""
+    col = F.col(syms) if isinstance(syms, str) else syms
+    for m in merges:
+        col = apply_merge(col, m.lhs, m.rhs)
+    return col
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document (n_ws_tokens, n_bpe_tokens) using a trained
+    dictionary: explode corpus tokens, join the dictionary's final
+    segment count per word, sum per doc. Docs with no tokens keep a row
+    with zeros (left join back to the doc spine). The dictionary covers
+    every corpus word by construction when trained on the same corpus;
+    the join strategy is left to AQE (broadcast when the vocabulary
+    fits, shuffle-on-word otherwise — module docstring)."""
+    dict_df = trained_words.select("word", F.size("syms").alias("_n_sub"))
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .join(dict_df, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_n_ws"),
+            F.sum("_n_sub").cast("int").alias("_n_bpe"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_ws", F.lit(0)).alias("n_ws_tokens"),
+            F.coalesce("_n_bpe", F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )

@@ -1,0 +1,227 @@
+"""Registered queries for the corpus-trained BPE tokenizer
+(operators/bpe.py) — train on `documents`, emit the learned merge table,
+per-doc subword counts, and a BPE-budgeted source quota (the
+"token-budget consumers upgrade from whitespace proxies" the r9 verdict
+asked for).
+
+Oracle strategy: BPE training is deterministic (exact integer pair
+counts, binary-string argmax tie-break), so the DuckDB oracle RETRAINS
+from scratch by unrolling the ``N_MERGES`` rounds as chained CTEs — each
+round recomputes weighted adjacent-pair counts over the word
+dictionary's symbol rows, picks the same argmax, and applies the greedy
+left-to-right merge with window functions:
+
+- ``occ``:   (sym, next) equals the round's winning pair;
+- ``ms``:    merge STARTS — an occurrence whose run of immediately
+             preceding consecutive occurrences has even length (the
+             closed form of "greedy scan skips past a merge": for
+             lhs != rhs runs are length 1 so every occurrence merges;
+             for lhs == rhs a k-run merges at positions 1,3,5,...);
+- ``consumed``: the element after a merge start disappears;
+- reassemble with list(... ORDER BY i).
+
+This replays the Spark fold (operators.bpe.apply_merge) bit-for-bit, so
+the SAME oracle text validates training AND application at every SF —
+no pinned merge list that would desync across corpora (the
+_packed_incremental_oracle shared-constants pattern, taken further).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.bpe import bpe_token_counts, bpe_train, word_frequencies
+from ..operators.sampling import quota_by_group
+from ..sources.catalog import load_table
+from .curation import _TOKENS_CTE
+from .registry import QuerySpec
+
+# Rounds to train in the registered queries. 32 learns every high-value
+# subword of this corpus (saturation — all words single-symbol — is ~108
+# rounds at its 31-word vocabulary) while keeping the unrolled oracle
+# chain and the per-round Spark jobs bounded. ONE definition site shared
+# by the Spark queries and the oracle f-strings below (the _QUOTA_TOKENS
+# rule).
+N_MERGES = 32
+
+# Per-source budget for the BPE-weighted quota twin, in learned-subword
+# units. Subword counts run ~1.3-1.6x whitespace counts on this corpus,
+# so 1200 cuts each source mid-stream at every SF (a real cut, like
+# curation._QUOTA_TOKENS' 800).
+BPE_QUOTA_UNITS = 1200
+
+
+# One training per (Spark app, corpus): the three registered queries and
+# any repeated harness invocation reuse the same localCheckpoint-backed
+# dictionary. Keyed by applicationId so a restarted session retrains
+# instead of touching checkpoints of a stopped context; stale entries
+# are dead plan handles, never reused.
+_TRAIN_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _trained(spark: SparkSession, sf_dir: str, *, refresh: bool = False):
+    """``refresh=True`` (the trainer query) always retrains and updates
+    the cache — so bench samples of bpe_merges_docs time REAL training
+    runs, never a memo hit; the consumer queries reuse the artifact, as
+    a pipeline would."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if refresh or key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = bpe_train(word_frequencies(docs), n_merges=N_MERGES)
+    merges, trained = _TRAIN_CACHE[key]
+    return docs, merges, trained
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, in learning order: (rank, lhs, rhs,
+    merged, n_occurrences). O(N_MERGES) rows — driver-held by design
+    (this IS the broadcastable tokenizer artifact)."""
+    _, merges, _ = _trained(spark, sf_dir, refresh=True)
+    return spark.createDataFrame(
+        [(m.rank, m.lhs, m.rhs, m.merged, m.n_occurrences) for m in merges],
+        "rank int, lhs string, rhs string, merged string, n_occurrences bigint",
+    )
+
+
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc whitespace vs learned-subword token counts via the trained
+    dictionary join (operators.bpe.bpe_token_counts)."""
+    docs, _, trained = _trained(spark, sf_dir)
+    return bpe_token_counts(docs, trained)
+
+
+def source_quota_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.source_quota_docs upgraded to LEARNED subword budgets:
+    each source keeps its doc_id-ordered prefix within BPE_QUOTA_UNITS
+    trained-BPE tokens — the whitespace-proxy-to-real-tokenizer upgrade
+    path for every budget consumer (weight_col is pluggable)."""
+    docs, _, trained = _trained(spark, sf_dir)
+    weighted = bpe_token_counts(docs, trained).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return quota_by_group(
+        weighted.select("source", "doc_id", "n_bpe_tokens"),
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_bpe_tokens",
+        budget=BPE_QUOTA_UNITS,
+    ).select(
+        "source", "doc_id", "n_bpe_tokens",
+        F.col("cum_weight").cast("long").alias("cum_bpe"),
+    )
+
+
+def _stage(k: int) -> str:
+    """One unrolled training round: w{k} -> b{k} (the round's argmax
+    pair) and w{k+1} (dictionary after applying it)."""
+    a, b = f"(SELECT lhs FROM b{k})", f"(SELECT rhs FROM b{k})"
+    return f"""
+s{k} AS MATERIALIZED (
+  SELECT word, freq, CAST(unnest(range(1, len(syms) + 1)) AS INT) AS i, syms
+  FROM w{k}
+),
+t{k} AS MATERIALIZED (
+  SELECT word, freq, i, syms[i] AS sym,
+         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM s{k}
+),
+p{k} AS MATERIALIZED (
+  SELECT sym AS lhs, nxt AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM t{k} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{k} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+o{k} AS MATERIALIZED (
+  SELECT word, freq, i, sym,
+         coalesce(sym = {a} AND nxt = {b}, false) AS occ
+  FROM t{k}
+),
+m{k} AS MATERIALIZED (
+  SELECT word, freq, i, sym, occ,
+         occ AND ((i - 1 - coalesce(max(CASE WHEN NOT occ THEN i END)
+                    OVER (PARTITION BY word ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)) % 2 = 0) AS ms
+  FROM o{k}
+),
+c{k} AS MATERIALIZED (
+  SELECT word, freq, i, sym, ms,
+         coalesce(lag(ms) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+  FROM m{k}
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN ms THEN {a} || {b} ELSE sym END ORDER BY i) AS syms
+  FROM c{k} WHERE NOT consumed GROUP BY word, freq
+)"""
+
+
+def _train_ctes(n_merges: int) -> str:
+    """The full retraining chain: corpus tokens -> word dictionary ->
+    n_merges unrolled rounds. Ends with w{n_merges+1} (trained
+    dictionary) and b1..b{n_merges} (the merge table)."""
+    head = f"""{_TOKENS_CTE},
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS word FROM base) GROUP BY word
+),
+w1 AS MATERIALIZED (
+  SELECT word, freq,
+         [substring(word, CAST(i AS INT), 1) FOR i IN range(1, length(word) + 1)] AS syms
+  FROM wf
+)"""
+    return head + "," + ",".join(_stage(k) for k in range(1, n_merges + 1))
+
+
+_MERGES_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS rank, lhs, rhs, lhs || rhs AS merged, cnt AS n_occurrences FROM b{k}"
+      for k in range(1, N_MERGES + 1)
+  )}
+)
+"""
+
+_TOKEN_COUNTS_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+tok AS (SELECT doc_id, unnest(t) AS word FROM base),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_ws, CAST(sum(n_sub) AS INT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(a.n_ws, 0) AS INT) AS n_ws_tokens,
+       CAST(coalesce(a.n_bpe, 0) AS INT) AS n_bpe_tokens
+FROM (SELECT DISTINCT doc_id FROM base) b LEFT JOIN agg a USING (doc_id)
+"""
+
+_QUOTA_BPE_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+tok AS (SELECT doc_id, unnest(t) AS word FROM base),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+agg AS (
+  SELECT doc_id, CAST(sum(n_sub) AS INT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+),
+cum AS (
+  SELECT b.source, b.doc_id,
+         CAST(coalesce(a.n_bpe, 0) AS INT) AS n_bpe_tokens,
+         sum(coalesce(a.n_bpe, 0)) OVER (
+           PARTITION BY b.source ORDER BY b.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bpe
+  FROM (SELECT DISTINCT doc_id, source FROM base) b LEFT JOIN agg a USING (doc_id)
+)
+SELECT source, doc_id, n_bpe_tokens, CAST(cum_bpe AS BIGINT) AS cum_bpe
+FROM cum WHERE cum_bpe <= {BPE_QUOTA_UNITS}
+"""
+
+QUERIES = [
+    # headline: representatively prices the new iterative train loop
+    # (N_MERGES rounds of dictionary-sized pair-count hash-aggs) plus the
+    # corpus-token dictionary join — a physical shape nothing else in the
+    # timed set exercises (BASELINE.md widening note, r10).
+    QuerySpec("bpe_merges_docs", bpe_merges_docs, _MERGES_ORACLE, headline=True),
+    QuerySpec("bpe_token_counts_docs", bpe_token_counts_docs, _TOKEN_COUNTS_ORACLE),
+    QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
+]

@@ -110,12 +110,24 @@ def round_touched_names() -> frozenset[str]:
 def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
     from pathlib import Path
 
-    from . import curation, incremental, llm, pipeline, relational, scale, segmentation_queries
+    from . import (
+        bpe_queries,
+        curation,
+        incremental,
+        llm,
+        pipeline,
+        relational,
+        scale,
+        segmentation_queries,
+    )
 
     root = Path(__file__).resolve().parents[2]
     touched_mods = _touched_module_paths()
     out: dict[str, tuple[QuerySpec, bool]] = {}
-    for mod in (segmentation_queries, relational, llm, scale, pipeline, incremental, curation):
+    for mod in (
+        segmentation_queries, relational, llm, scale, pipeline, incremental,
+        curation, bpe_queries,
+    ):
         try:
             rel = str(Path(mod.__file__).resolve().relative_to(root))
         except ValueError:
