@@ -238,9 +238,20 @@ def deterministic_shuffle(
 
     Scale (100 TB): the only shuffle is the hash repartition implied by
     the per-bucket window — parallelism n_buckets, each task sorting
-    corpus/n_buckets rows locally (size n_buckets so a bucket fits an
-    executor; the draw is uniform so buckets balance). A global
-    row_number would instead serialize the corpus through one partition.
+    corpus/n_buckets rows locally (the draw is uniform so buckets
+    balance). A global row_number would instead serialize the corpus
+    through one partition.
+
+    ``n_buckets`` IS the parallelism contract (r9 verdict): it caps
+    concurrent tasks AND sets the per-task sort to corpus/n_buckets
+    rows, so it must GROW with the corpus — size it with
+    :func:`shuffle_buckets_for` (rows/target_rows_per_bucket) rather
+    than pinning a constant. NOTE the output coupling: ``pos`` is a
+    rank WITHIN its bucket, so changing n_buckets changes (bucket, pos)
+    for every row — a downstream consumer (or value oracle) is bound to
+    one bucket count per corpus snapshot. Measured at sf0.1: 64 vs 1024
+    buckets within noise on wall (BASELINE.md r10 row), confirming the
+    flat scaling exponent holds as buckets scale with data.
     Partitioning-invariant and engine-portable: md5 draw, no rand().
     """
     draw = F.md5(
@@ -257,6 +268,23 @@ def deterministic_shuffle(
         .withColumn("bucket", bucket)
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def shuffle_buckets_for(
+    n_rows: int, *, target_rows_per_bucket: int = 4_000_000, minimum: int = 64
+) -> int:
+    """Bucket count for :func:`deterministic_shuffle`, scaled with the
+    corpus: ceil(n_rows / target_rows_per_bucket) rounded up to a power
+    of two (stable bucket boundaries under doubling), floored at
+    ``minimum``. The default target keeps a bucket's (draw, keys) sort
+    comfortably in one executor's memory at ~100-byte rows (~400 MB);
+    a 1e11-chunk corpus gets 32768 buckets. Remember pos is per-bucket:
+    re-deriving with a grown corpus yields a NEW permutation keyspace
+    (see deterministic_shuffle's coupling note)."""
+    if n_rows < 0:
+        raise ValueError("n_rows must be >= 0")
+    need = max(minimum, -(-n_rows // target_rows_per_bucket))
+    return 1 << (need - 1).bit_length()
 
 
 def temperature_weights(

@@ -9,12 +9,13 @@ chunk/pack (operators.packing): score what's genuinely new
 drop semantic near-dups that lexical dedup can't see (semantic_dedup),
 rebalance the language mix (temperature_weights -> mix_corpus), and emit
 a reproducible shuffled read order for the dataloader
-(deterministic_shuffle). Novelty, quota, and semantic dedup each also
-run incrementally/streaming: bucketed wave-state twins
-(IncrementalNoveltyScorer, IncrementalSemanticDeduper — the
-plans/incremental.py physical design) and a stateful streaming ingest
-gate (streaming/stream_quota.py), every one sharing its batch query's
-oracle.
+(deterministic_shuffle). Novelty, quota, and semantic dedup each run in
+ALL THREE modes — batch, incremental (bucketed wave-state twins
+IncrementalNoveltyScorer / IncrementalSemanticDeduper, the
+plans/incremental.py physical design), and Structured Streaming ingest
+gate (streaming/stream_quota.py for quota's O(#sources) stateful gate;
+streaming/stream_curation.py's foreachBatch wave gate for novelty and
+semantic dedup) — every mode sharing its batch query's oracle.
 
 Reference parity: the reference engine (dittofeed/clickhouse-segments-
 tutorial) has no LLM-pipeline surface; this module extends the engine
@@ -148,6 +149,13 @@ class IncrementalNoveltyScorer:
             mode="append" if self.spark.catalog.tableExists(self._tbl) else "overwrite",
             align=True,
         )
+        # invalidate THIS session's cached file listing for the state
+        # table: under foreachBatch the append executes through the
+        # micro-batch's cloned session, which does not invalidate the
+        # outer session's table-relation cache — without the refresh,
+        # wave k+2 reads wave k's file list and misses wave k+1's grams
+        # (caught by the 3-wave streaming gate test).
+        self.spark.catalog.refreshTable(self._tbl)
         return self.spark.read.parquet(res_path)
 
     def compact(self) -> None:
@@ -205,6 +213,41 @@ def novelty_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = scorer.ingest(docs.filter(F.col("doc_id") < mid))
     out2 = scorer.ingest(docs.filter(F.col("doc_id") >= mid))
     return out1.unionByName(out2)
+
+
+def novelty_ngram_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty scorer run as an ACTUAL Structured Streaming ingest
+    gate (streaming/stream_curation.py): a file stream drained by
+    foreachBatch into IncrementalNoveltyScorer, one wave file per
+    micro-batch, bucketed gram-state carrying across checkpointed runs.
+    Batch boundaries follow the ascending-doc_id wave contract, so the
+    union of per-batch outputs is byte-identical to the batch operator
+    — this SHARES novelty_ngram_docs' oracle (the
+    source_quota_streaming pattern)."""
+    from ..streaming.stream_curation import StreamingWaveGate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("novelty_streaming")
+    gate = StreamingWaveGate(
+        spark,
+        workdir,
+        schema=docs.schema,
+        ingestor=IncrementalNoveltyScorer(spark, f"{workdir}/state"),
+    )
+    gate.reset_state()
+    # one file per wave (cross-batch contract), one run per wave — the
+    # quota-gate harness shape; a single run over both files with
+    # maxFilesPerTrigger=1 is equivalent and restart-tested in pytest
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return gate.results()
 
 
 _NOVELTY_ORACLE = f"""
@@ -316,7 +359,15 @@ def shuffled_chunk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle of the 128-token chunk stream:
     md5 draw -> 64 buckets -> per-bucket rank. Reading (bucket, pos)
     ascending is the reproducible pseudo-random epoch order — no global
-    sort, no rand()."""
+    sort, no rand().
+
+    n_buckets is PINNED to 64 here because the oracle replays (bucket,
+    pos) and pos is a per-bucket rank — bucket count and oracle are one
+    contract (deterministic_shuffle's coupling note). Production sizes
+    it with operators.sampling.shuffle_buckets_for (rows / 4e6, power
+    of two), regenerating the read-order manifest — and its oracle —
+    per bucket count; the sf0.1 64-vs-1024 BASELINE.md row shows wall
+    is flat in the choice."""
     chunks = chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=128, stride=64
     ).select("doc_id", "chunk_idx")
@@ -558,6 +609,9 @@ class IncrementalSemanticDeduper:
                 mode="append" if self.spark.catalog.tableExists(self._tbl(name)) else "overwrite",
                 align=True,
             )
+            # cross-session write visibility under foreachBatch — see
+            # IncrementalNoveltyScorer.ingest's refresh comment
+            self.spark.catalog.refreshTable(self._tbl(name))
         return self.spark.read.parquet(res_path)
 
     def compact(self) -> None:
@@ -611,6 +665,37 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2)
 
 
+def semantic_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup as a Structured Streaming ingest gate: foreachBatch
+    drives IncrementalSemanticDeduper (bucketed SRP band + vector state)
+    over a checkpointed file stream, one vec_id-ordered wave per
+    micro-batch. SHARES semantic_dedup_keep's oracle — the full
+    banding-replay value check runs against the streaming path too."""
+    from ..streaming.stream_curation import StreamingWaveGate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("semantic_dedup_streaming")
+    gate = StreamingWaveGate(
+        spark,
+        workdir,
+        schema=emb.schema,
+        ingestor=IncrementalSemanticDeduper(
+            spark, f"{workdir}/state", threshold=SEM_NEAR_DUP_THRESHOLD
+        ),
+    )
+    gate.reset_state()
+    emb.filter(F.col("vec_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    emb.filter(F.col("vec_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return gate.results()
+
+
 QUERIES = [
     # novelty is the round-9 headline addition (BASELINE.md widening note):
     # it representatively prices the new curation family's corpus-wide
@@ -618,10 +703,12 @@ QUERIES = [
     # tracked physical shapes (SRP banding, windows) or are streaming.
     QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE, headline=True),
     QuerySpec("novelty_ngram_incremental", novelty_ngram_incremental, _NOVELTY_ORACLE),
+    QuerySpec("novelty_ngram_streaming", novelty_ngram_streaming, _NOVELTY_ORACLE),
     QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
     QuerySpec("source_quota_streaming", source_quota_streaming, _QUOTA_ORACLE),
     QuerySpec("shuffled_chunk_order", shuffled_chunk_order, _SHUFFLE_ORACLE),
     QuerySpec("temperature_mix_docs", temperature_mix_docs, _TEMPERATURE_MIX_ORACLE),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
     QuerySpec("semantic_dedup_incremental", semantic_dedup_incremental, _SEMANTIC_KEEP_ORACLE),
+    QuerySpec("semantic_dedup_streaming", semantic_dedup_streaming, _SEMANTIC_KEEP_ORACLE),
 ]

@@ -192,6 +192,13 @@ class IncrementalCorpusCurator:
                 mode="append",
                 align=True,
             )
+            # cross-session write visibility: when ingest runs inside a
+            # foreachBatch sink (streaming/stream_curation.py), the append
+            # executes through the micro-batch's cloned session and does
+            # NOT invalidate THIS session's cached file listing for the
+            # table — a later wave would read a stale state snapshot
+            # (the 3-wave bug caught in the novelty gate tests).
+            self.spark.catalog.refreshTable(self._table(name))
         else:
             df.write.mode("append").parquet(self._path(name))
 

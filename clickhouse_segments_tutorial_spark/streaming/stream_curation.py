@@ -1,0 +1,110 @@
+"""Streaming ingest-gate twins for the wave-state curation operators —
+the third leg of the batch / incremental / streaming triangle that the
+per-source quota already has (plans/curation.py module docstring).
+
+One generic gate: a Structured Streaming file source drained by
+``foreachBatch``, each micro-batch handed to a wave-state incremental
+operator (``IncrementalNoveltyScorer`` / ``IncrementalSemanticDeduper``)
+— the hll_cascade.py pattern, where the stream is just the ingest head
+(checkpointed offsets = the processed-wave cursor) and ALL state lives
+in the operator's bucketed catalog tables. Nothing is recomputed across
+batches: per batch the operator does O(wave + co-located state lookups)
+work, exactly its incremental contract.
+
+Wave contract (inherited from the incremental operators): batches must
+arrive in ascending id order across batches. A file source provides
+this with ordered wave files + ``maxFilesPerTrigger=1`` (each file
+becomes its own micro-batch, processed in discovery order) — the same
+production note as the quota gate's ordering contract (README).
+
+Crash/restart story:
+- stream offsets: checkpointed — a restarted gate (same workdir) skips
+  already-processed files;
+- operator state: the bucketed catalog tables persist across gate
+  objects; a batch replayed after a crash re-appends rows the
+  operators' min()/distinct reads collapse (their documented
+  re-runnability);
+- batch RESULTS are written to ``results/batch_<id>`` with overwrite —
+  batch ids are stable across restarts, so a replayed batch overwrites
+  its own output instead of duplicating rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StreamingWaveGate:
+    """File-source ingest gate driving a wave-state incremental operator.
+
+    ``ingestor`` must expose ``ingest(df) -> DataFrame`` (one wave in,
+    that wave's output rows back) and ``reset()`` (drop persisted state)
+    — the IncrementalNoveltyScorer / IncrementalSemanticDeduper
+    protocol. Its state workdir should live UNDER ``workdir`` so the
+    registered queries' scratch wipe clears stream and state together.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        schema,
+        ingestor,
+        select_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.schema = schema
+        self.ingestor = ingestor
+        self.select_cols = select_cols
+        self.in_dir = os.path.join(workdir, "stream_in")
+        self.checkpoint = os.path.join(workdir, "checkpoint")
+        self.results_dir = os.path.join(workdir, "results")
+        os.makedirs(self.in_dir, exist_ok=True)
+
+    def reset_state(self) -> None:
+        """Drop the operator's persisted catalog state. The registered
+        queries call this once up front: their scratch helper wipes the
+        DIRECTORY (stream files + checkpoint) but cannot see the
+        warehouse tables (the IncrementalNoveltyScorer.reset story)."""
+        self.ingestor.reset()
+
+    def run_available_now(self) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if self.select_cols:
+                batch_df = batch_df.select(*self.select_cols)
+            out = self.ingestor.ingest(batch_df)
+            # overwrite keyed by the (restart-stable) batch id: replays
+            # rewrite their own output, never duplicate it
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.results_dir, f"batch_{batch_id}")
+            )
+
+        q = (
+            self.spark.readStream.schema(self.schema)
+            # one file per micro-batch: the wave contract requires batch
+            # boundaries to respect ascending-id file boundaries
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.in_dir)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def results(self) -> DataFrame:
+        """Union of all processed batches' outputs (lazy readers)."""
+        if not os.path.isdir(self.results_dir):
+            raise RuntimeError("no batches processed yet")
+        parts = sorted(
+            os.path.join(self.results_dir, d)
+            for d in os.listdir(self.results_dir)
+            if d.startswith("batch_")
+        )
+        if not parts:
+            raise RuntimeError("no batches processed yet")
+        return self.spark.read.parquet(*parts)

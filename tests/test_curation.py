@@ -414,6 +414,44 @@ def test_perplexity_buckets_order_and_exclusions(spark):
     assert out[1] == "head" and out[3] == "tail"
 
 
+def test_perplexity_buckets_approx_mode_flip_tolerance(spark):
+    """The r9-requested approx mode: at GSQuantile accuracy a, the rank
+    error per cut is <= n/a, so at most 2n/a docs may flip bucket vs the
+    exact cuts. Pin that bound on a corpus with many distinct scores —
+    and at the default accuracy (1e4 >> n) pin ZERO flips, including the
+    doc sitting exactly ON a cut order statistic."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        perplexity_buckets,
+    )
+
+    # 90 docs with graded repetition -> a spread of distinct NLL scores
+    rows = [
+        (i, " ".join(["rep rep"] * (1 + i % 9) + [f"u{i}a u{i}b u{i}c"]))
+        for i in range(90)
+    ]
+    df = _docs(spark, rows)
+    exact = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
+    approx = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, mode="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    flips = sum(1 for d in exact if exact[d] != approx[d])
+    assert flips == 0  # accuracy 1e4 on 90 docs: rank error < 1
+    # a deliberately coarse sketch stays within the documented bound
+    coarse = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, mode="approx", approx_accuracy=10).collect()
+    }
+    coarse_flips = sum(1 for d in exact if exact[d] != coarse[d])
+    assert coarse_flips <= 2 * len(exact) // 10
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, mode="bogus")
+
+
 # --- IncrementalSemanticDeduper -----------------------------------------------
 
 
@@ -561,3 +599,162 @@ def test_incremental_state_compaction_preserves_results(spark, tmp_path):
     inc_sem = sorted(map(tuple, [r for df in (s1, s2) for r in df.collect()]))
     assert inc_sem == batch_sem
     ded.drop_state()
+
+
+# --- StreamingWaveGate (novelty / semantic dedup ingest gates) -----------------
+
+
+def _novelty_gate(spark, workdir):
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+    from clickhouse_segments_tutorial_spark.streaming.stream_curation import (
+        StreamingWaveGate,
+    )
+
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    return StreamingWaveGate(
+        spark,
+        workdir,
+        schema=schema,
+        ingestor=IncrementalNoveltyScorer(spark, f"{workdir}/state"),
+    )
+
+
+def test_streaming_novelty_matches_batch_operator(spark, tmp_path):
+    """Union of per-batch gate outputs == the batch novelty operator when
+    wave files respect ascending doc_id (the documented contract)."""
+    rows = [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} common common") for i in range(30)]
+    docs = _docs(spark, rows)
+    gate = _novelty_gate(spark, str(tmp_path))
+    gate.reset_state()
+    try:
+        for lo, hi in ((0, 12), (12, 22), (22, 30)):
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+                1
+            ).write.mode("append").parquet(gate.in_dir)
+            gate.run_available_now()
+        a = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        b = sorted(map(tuple, gate.results().collect()))
+        assert a == b
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_streaming_novelty_single_run_splits_files_into_batches(spark, tmp_path):
+    """ONE availableNow run over two pre-written wave files: with
+    maxFilesPerTrigger=1 each file becomes its own micro-batch, in
+    order, so the result still equals the batch operator."""
+    docs = _docs(spark, [(i, f"a{i % 4} b{i % 3} c common") for i in range(20)])
+    gate = _novelty_gate(spark, str(tmp_path))
+    gate.reset_state()
+    try:
+        docs.filter(F.col("doc_id") < 10).coalesce(1).write.mode("append").parquet(
+            gate.in_dir
+        )
+        docs.filter(F.col("doc_id") >= 10).coalesce(1).write.mode("append").parquet(
+            gate.in_dir
+        )
+        gate.run_available_now()
+        import os
+
+        n_batches = len(
+            [d for d in os.listdir(gate.results_dir) if d.startswith("batch_")]
+        )
+        assert n_batches == 2  # one micro-batch per file
+        a = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        assert sorted(map(tuple, gate.results().collect())) == a
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_streaming_novelty_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A FRESH gate over the same workdir (the restart) must skip the
+    already-processed wave via checkpointed offsets, reuse the persisted
+    gram state, and still reproduce the batch semantics."""
+    docs = _docs(spark, [(i, f"x{i % 5} y{i % 2} z shared") for i in range(24)])
+    g1 = _novelty_gate(spark, str(tmp_path))
+    g1.reset_state()
+    try:
+        docs.filter(F.col("doc_id") < 12).coalesce(1).write.mode("append").parquet(
+            g1.in_dir
+        )
+        g1.run_available_now()
+
+        g2 = _novelty_gate(spark, str(tmp_path))  # restart: NO reset_state
+        docs.filter(F.col("doc_id") >= 12).coalesce(1).write.mode("append").parquet(
+            g2.in_dir
+        )
+        g2.run_available_now()
+        # wave 1 was not reprocessed: its batch output is intact and the
+        # restarted run produced exactly one new batch dir
+        import os
+
+        dirs = sorted(
+            d for d in os.listdir(g2.results_dir) if d.startswith("batch_")
+        )
+        assert len(dirs) == 2
+        a = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        assert sorted(map(tuple, g2.results().collect())) == a
+    finally:
+        g1.ingestor.drop_state()
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Gate-admitted survivors across two vec_id-ordered waves == the
+    batch semantic_dedup keep set."""
+    import math
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalSemanticDeduper,
+    )
+    from clickhouse_segments_tutorial_spark.streaming.stream_curation import (
+        StreamingWaveGate,
+    )
+
+    def vec(deg):
+        v = [0.0] * 16
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, vec(12 * i), i % 2) for i in range(1, 13)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    batch = sorted(map(tuple, semantic_dedup(emb, threshold=0.9).collect()))
+
+    gate = StreamingWaveGate(
+        spark,
+        str(tmp_path),
+        schema=emb.schema,
+        ingestor=IncrementalSemanticDeduper(
+            spark, f"{tmp_path}/state", threshold=0.9
+        ),
+    )
+    gate.reset_state()
+    try:
+        # THREE waves: the stale-relation-cache regression (a clone-session
+        # state append invisible to the outer session) only bites when a
+        # wave reads state written two waves earlier
+        for lo, hi in ((1, 4), (5, 8), (9, 12)):
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)
+            ).coalesce(1).write.mode("append").parquet(gate.in_dir)
+            gate.run_available_now()
+        assert sorted(map(tuple, gate.results().collect())) == batch
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_shuffle_buckets_for_scaling():
+    from clickhouse_segments_tutorial_spark.operators.sampling import (
+        shuffle_buckets_for,
+    )
+
+    assert shuffle_buckets_for(0) == 64
+    assert shuffle_buckets_for(1_000_000) == 64  # floor
+    assert shuffle_buckets_for(4_000_000 * 100) == 128
+    assert shuffle_buckets_for(100_000_000_000) == 32768  # 1e11 chunks
+    # power-of-two rounding
+    assert shuffle_buckets_for(4_000_000 * 300) == 512
