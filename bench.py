@@ -100,12 +100,19 @@ def main() -> None:
     # tier-up of the window/sort codegen outlasts one warmup), so a
     # median-of-3 lands wherever the drift happens to be (BASELINE.md r9
     # attribution; code byte-identical since r6).
+    # q3_top_revenue_orders joined in r10 (r9 verdict item 3): +72% r8->r9
+    # on byte-identical code with ±18.7% spread — the same
+    # host-session-swing signature as knn/session_stats (sub-second
+    # broadcast-join query whose samples ride JIT tier-up and host
+    # scheduling). Median-of-5 + double warmup pins it to steady state
+    # instead of wherever a 3-sample window lands.
     extra_sample_queries = {
         "segment_microbatch_members",
         "segment_eventtime_members",
         "knn_cosine_bruteforce",
         "corpus_pipeline_docs",
         "session_stats_per_user",
+        "q3_top_revenue_orders",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -1567,3 +1567,46 @@ def test_cohort_retention_fixture(spark):
     assert got[(wk, 0)] == (2, 2, 1.0)   # both signups active in week 0
     assert got[(wk, 1)] == (1, 2, 0.5)   # only user a returns
     assert len(got) == 2                  # user c (no signup) contributes nothing
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "clickhouse_segments_tutorial_spark.operators.multimodal",
+        fromlist=["HAVE_PIL"],
+    ).HAVE_PIL,
+    reason="Pillow not installed (run scripts/test_with_pillow.sh)",
+)
+def test_real_decode_jpeg_with_pil(spark):
+    """JPEG end-to-end through the PIL fallback path (r9 verdict item 7:
+    the branch must be exercised green somewhere, not stay dead code).
+    Runs whenever Pillow is present — the opt-in lane installs it; the
+    base container skips with a pointer to the lane script.
+
+    A single-color image survives JPEG's lossy DCT almost exactly (every
+    8x8 block is DC-only), so the decoded luma stays within one bucket
+    of the encoded gray and the histogram has all its mass there."""
+    import io
+
+    import PIL.Image
+
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    buf = io.BytesIO()
+    PIL.Image.new("L", (16, 16), color=200).save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    assert jpeg[:3] == b"\xff\xd8\xff"  # actually a JPEG payload
+
+    hist = real_decode(jpeg, "image")
+    assert sum(hist) == pytest.approx(1.0)
+    assert hist[6] == pytest.approx(1.0)  # 200 // 32 == bucket 6
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), None, None, None)],
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_sample_rate int",
+    )
+    row = extract_features(media, use_stub=False).collect()[0]
+    assert row.n_bytes == len(jpeg)
+    assert list(row.feature) == pytest.approx(hist)
