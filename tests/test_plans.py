@@ -381,3 +381,48 @@ def test_novelty_is_two_hash_agg_shuffles(spark):
     assert "HashAggregate" in plan
     assert node_count(plan, "Exchange") <= 3
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_is_partial_agg_no_python(spark):
+    """One BPE train round's pair-count: explode over the dictionary ->
+    hash-agg with MAP-SIDE PARTIAL counts (shuffle carries one row per
+    distinct pair per task, not per occurrence), argmax as
+    TakeOrderedAndProject (per-partition top-1 + driver merge — no
+    global sort), and zero Python in the plan. This IS the per-round
+    scale story of distributed BPE training."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newest")], "doc_id long, text string"
+    )
+    words = bpe._init_symbols(bpe.word_frequencies(docs))
+    top1 = (
+        bpe._pair_counts(words)
+        .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+    )
+    plan = formatted_plan(top1)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_counts_dictionary_join_no_python(spark):
+    """Corpus tokenization with a trained dictionary is a join from
+    exploded tokens to the dictionary (broadcast at this scale — AQE's
+    choice) plus hash-aggs; the 32-merge application never appears in
+    the scoring plan (it was paid once at train time) and no Python
+    runs per row."""
+    from clickhouse_segments_tutorial_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newest"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    _, trained = bpe.bpe_train(bpe.word_frequencies(docs), n_merges=4)
+    plan = formatted_plan(bpe.bpe_token_counts(docs, trained))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the fold expression (aggregate(...)) belongs to training only
+    assert "aggregate(" not in plan.lower() or "partial" in plan
