@@ -208,6 +208,57 @@ def segment_word(syms: Column | str, merges: list[Merge]) -> Column:
     return col
 
 
+def budget_chunks(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    *,
+    budget: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk boundaries budgeted in LEARNED subwords — the
+    context-window chunker upgraded from whitespace proxies
+    (operators.text.chunk_documents) to the trained tokenizer's units.
+
+    Start-boundary rule: word i belongs to chunk
+    floor(subwords_before_i / budget) — a word whose subwords straddle a
+    budget multiple stays in the chunk where it STARTS, so a chunk can
+    exceed the budget by at most one word's subwords. This is the
+    deterministic, window-expressible form: per doc, one ordered prefix
+    sum over word subword counts (word-atomic greedy with reset would
+    need a per-doc recurrence — a Python-side scan — for a boundary
+    difference of at most one word per chunk). Same engine-portability
+    as the rest of the module: the oracle replays training AND the
+    window math.
+
+    Scale: exploded tokens join the dictionary (AQE broadcast/shuffle),
+    then ONE window partitioned by doc — parallelism is #docs, per-task
+    state one running sum; no corpus-wide shuffle beyond the per-doc
+    grouping. Output: (doc_id, chunk_idx, n_words, n_subwords)."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    from pyspark.sql import Window
+
+    dict_df = trained_words.select("word", F.size("syms").alias("_n_sub"))
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "word")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(dict_df, "word")
+        .withColumn("_before", F.coalesce(F.sum("_n_sub").over(w), F.lit(0)))
+        .withColumn("chunk_idx", F.floor(F.col("_before") / budget).cast("int"))
+    )
+    return placed.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("_n_sub").cast("int").alias("n_subwords"),
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     trained_words: DataFrame,

@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.bpe import bpe_token_counts, bpe_train, word_frequencies
+from ..operators.bpe import (
+    bpe_token_counts,
+    bpe_train,
+    budget_chunks,
+    word_frequencies,
+)
 from ..operators.sampling import quota_by_group
 from ..sources.catalog import load_table
 from .curation import _TOKENS_CTE
@@ -49,6 +54,11 @@ N_MERGES = 32
 # so 1200 cuts each source mid-stream at every SF (a real cut, like
 # curation._QUOTA_TOKENS' 800).
 BPE_QUOTA_UNITS = 1200
+
+# Context-window budget for the subword chunker, in learned subwords.
+# Docs here average ~55 whitespace tokens -> ~70-90 subwords, so 64
+# yields mostly 2-chunk docs — boundaries are real at every SF.
+BPE_CHUNK_BUDGET = 64
 
 
 # One training per (Spark app, corpus): the three registered queries and
@@ -109,6 +119,15 @@ def source_quota_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_bpe_tokens",
         F.col("cum_weight").cast("long").alias("cum_bpe"),
     )
+
+
+def bpe_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.text.chunk_documents' budget upgraded to LEARNED
+    subwords: chunk boundaries from a per-doc prefix sum of trained
+    dictionary subword counts (operators.bpe.budget_chunks,
+    start-boundary rule)."""
+    docs, _, trained = _trained(spark, sf_dir)
+    return budget_chunks(docs, trained, budget=BPE_CHUNK_BUDGET)
 
 
 def _stage(k: int) -> str:
@@ -216,6 +235,25 @@ SELECT source, doc_id, n_bpe_tokens, CAST(cum_bpe AS BIGINT) AS cum_bpe
 FROM cum WHERE cum_bpe <= {BPE_QUOTA_UNITS}
 """
 
+_BUDGET_CHUNKS_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos
+  FROM base
+),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+placed AS (
+  SELECT doc_id, pos, n_sub,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dict USING (word)
+)
+SELECT doc_id, CAST(floor(bef / {BPE_CHUNK_BUDGET}) AS INT) AS chunk_idx,
+       CAST(count(*) AS INT) AS n_words, CAST(sum(n_sub) AS INT) AS n_subwords
+FROM placed GROUP BY doc_id, chunk_idx
+"""
+
 QUERIES = [
     # headline: representatively prices the new iterative train loop
     # (N_MERGES rounds of dictionary-sized pair-count hash-aggs) plus the
@@ -224,4 +262,5 @@ QUERIES = [
     QuerySpec("bpe_merges_docs", bpe_merges_docs, _MERGES_ORACLE, headline=True),
     QuerySpec("bpe_token_counts_docs", bpe_token_counts_docs, _TOKEN_COUNTS_ORACLE),
     QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
+    QuerySpec("bpe_budget_chunks", bpe_budget_chunks, _BUDGET_CHUNKS_ORACLE),
 ]

@@ -128,3 +128,49 @@ def test_no_python_udf_in_train_plan(spark):
     applied = bpe._init_symbols(w).select(apply_merge("syms", "a", "b").alias("s"))
     plan = applied._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_budget_chunks_start_boundary_rule(spark):
+    """Word i belongs to chunk floor(subwords_before/budget): a word
+    straddling a budget multiple stays where it STARTS (chunk may exceed
+    the budget by that word), and whitespace-only docs emit nothing."""
+    from clickhouse_segments_tutorial_spark.operators.bpe import budget_chunks
+
+    trained = spark.createDataFrame(
+        [("a", ["a"]), ("bb", ["b", "b"]), ("ccc", ["c", "c", "c"])],
+        "word string, syms array<string>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a bb ccc bb a"), (2, "   ")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["n_subwords"])
+        for r in budget_chunks(docs, trained, budget=4).collect()
+    }
+    # before-sums: a=0, bb=1, ccc=3 (straddles into chunk 0), bb=6, a=8
+    assert rows == {(1, 0): (3, 6), (1, 1): (1, 2), (1, 2): (1, 1)}
+
+
+def test_budget_chunks_covers_all_words_once(spark):
+    """Partition property: every word lands in exactly one chunk and the
+    subword totals reconcile with bpe_token_counts."""
+    from clickhouse_segments_tutorial_spark.operators.bpe import budget_chunks
+
+    docs = _docs(spark)
+    _, trained = bpe_train(word_frequencies(docs), n_merges=6)
+    chunks = budget_chunks(docs, trained, budget=3)
+    per_doc = {
+        r["doc_id"]: (r["w"], r["s"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_words").cast("int").alias("w"),
+            F.sum("n_subwords").cast("int").alias("s"),
+        )
+        .collect()
+    }
+    counts = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, trained).collect()
+        if r["n_ws_tokens"] > 0
+    }
+    assert per_doc == counts
