@@ -923,6 +923,45 @@ FROM ipack p JOIN ioffs o ON o.wave = p.wave AND o.shard = p.shard
 """
 
 
+def corpus_curated_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE incremental curation pipeline (paragraph dedup ->
+    normalize -> exact dedup -> LSH near-dup vs persisted index ->
+    decontaminate -> quality gate) run as a Structured Streaming ingest
+    gate: foreachBatch drives IncrementalCorpusCurator over a
+    checkpointed file stream (streaming/stream_curation.py), one
+    parity-wave file per micro-batch — the SAME wave schedule as
+    corpus_curated_incremental, whose oracle this SHARES (the oracle
+    replays the incremental semantics over the ordered wave predicates,
+    and micro-batch order preserves file order under
+    maxFilesPerTrigger=1). Completes the batch/incremental/streaming
+    triangle for the flagship pipeline itself. Per-batch results are
+    pinned by the gate (restart-stable batch ids), so the corpus-sized
+    dedup state can be dropped before returning."""
+    from ..session import scratch_dir
+    from ..streaming.stream_curation import StreamingWaveGate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "19999999"
+    evals = docs.filter(is_eval)
+    feed = docs.filter(~is_eval).select("doc_id", "lang", "text")
+    workdir = scratch_dir("stream-curator")
+    cur = IncrementalCorpusCurator(
+        spark, os.path.join(workdir, "state"), eval_grams_from_docs(evals)
+    )
+    gate = StreamingWaveGate(spark, workdir, schema=feed.schema, ingestor=cur)
+    for pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        feed.filter(pred).coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+    out = gate.results()
+    # results/batch_* are materialized independently of the state dirs,
+    # so the corpus-sized dedup state frees eagerly (the
+    # corpus_curated_incremental pattern)
+    cur.drop_dedup_state()
+    return out.select(
+        "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
+    )
+
+
 QUERIES = [
     QuerySpec(
         "corpus_curated_incremental", corpus_curated_incremental, _incremental_oracle()
@@ -931,5 +970,8 @@ QUERIES = [
         "corpus_packed_incremental",
         corpus_packed_incremental,
         _packed_incremental_oracle(),
+    ),
+    QuerySpec(
+        "corpus_curated_streaming", corpus_curated_streaming, _incremental_oracle()
     ),
 ]

@@ -66,10 +66,16 @@ class StreamingWaveGate:
 
     def reset_state(self) -> None:
         """Drop the operator's persisted catalog state. The registered
-        queries call this once up front: their scratch helper wipes the
-        DIRECTORY (stream files + checkpoint) but cannot see the
-        warehouse tables (the IncrementalNoveltyScorer.reset story)."""
-        self.ingestor.reset()
+        queries call this once up front when their scratch helper REUSES
+        a workdir across invocations: the wipe clears the directory
+        (stream files + checkpoint) but cannot see the warehouse tables
+        (the IncrementalNoveltyScorer.reset story). Ingestors built on a
+        fresh unique workdir per call (IncrementalCorpusCurator via
+        session.scratch_dir) have nothing to reset and may omit the
+        method."""
+        reset = getattr(self.ingestor, "reset", None)
+        if reset is not None:
+            reset()
 
     def run_available_now(self) -> None:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
