@@ -237,6 +237,27 @@ def budget_chunks(
     grouping. Output: (doc_id, chunk_idx, n_words, n_subwords)."""
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    placed = _placed_tokens(docs, trained_words, text_col=text_col, id_col=id_col)
+    placed = placed.withColumn(
+        "chunk_idx", F.floor(F.col("_before") / budget).cast("int")
+    )
+    return placed.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("_n_sub").cast("int").alias("n_subwords"),
+    )
+
+
+def _placed_tokens(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Each corpus token with its doc position, dictionary subword count,
+    and the per-doc prefix sum of subwords BEFORE it — the shared
+    placement frame of budget_chunks and encode_docs (one dictionary
+    join + one per-doc window)."""
     from pyspark.sql import Window
 
     dict_df = trained_words.select("word", F.size("syms").alias("_n_sub"))
@@ -248,15 +269,60 @@ def budget_chunks(
         .orderBy("_pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = (
-        toks.join(dict_df, "word")
-        .withColumn("_before", F.coalesce(F.sum("_n_sub").over(w), F.lit(0)))
-        .withColumn("chunk_idx", F.floor(F.col("_before") / budget).cast("int"))
+    return toks.join(dict_df, "word").withColumn(
+        "_before", F.coalesce(F.sum("_n_sub").over(w), F.lit(0))
     )
-    return placed.groupBy(id_col, "chunk_idx").agg(
-        F.count(F.lit(1)).cast("int").alias("n_words"),
-        F.sum("_n_sub").cast("int").alias("n_subwords"),
+
+
+def symbol_vocab(trained_words: DataFrame) -> DataFrame:
+    """(sym, token_id): dense 1-based ids over the trained dictionary's
+    DISTINCT symbols in binary sort order — deterministic and
+    engine-replayable (row_number over a sorted vocab), so encoded
+    corpora compare bit-for-bit across engines. The global window is
+    vocab-sized (chars + learned merges, O(n_merges + alphabet)), the
+    same bounded-scalar class as the merge table itself."""
+    from pyspark.sql import Window
+
+    syms = trained_words.select(F.explode("syms").alias("sym")).distinct()
+    return syms.withColumn(
+        "token_id", F.row_number().over(Window.orderBy("sym")).cast("int")
     )
+
+
+def encode_docs(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The tokenizer's end artifact: every document as its learned
+    subword token-id sequence — one row per (doc, subword position):
+    (doc_id, pos, token_id), pos 1-based over the doc's flattened
+    subword stream.
+
+    Position is ARITHMETIC, not a second window: pos = (prefix subwords
+    before the word) + (index within the word's symbols) + 1, so after
+    the shared placement frame this is explode + joins only. Scale: the
+    dictionary join and the vocab-id join (both AQE broadcast/shuffle)
+    plus the one per-doc placement window — no corpus-wide shuffle; the
+    output is subword-count-sized, the size a dataloader manifest IS."""
+    placed = _placed_tokens(docs, trained_words, text_col=text_col, id_col=id_col)
+    vocab = symbol_vocab(trained_words)
+    exploded = (
+        placed.join(trained_words.select("word", "syms"), "word")
+        .select(
+            id_col,
+            "_before",
+            F.posexplode("syms").alias("_spos", "sym"),
+        )
+        .select(
+            id_col,
+            (F.col("_before") + F.col("_spos") + 1).cast("int").alias("pos"),
+            "sym",
+        )
+    )
+    return exploded.join(vocab, "sym").select(id_col, "pos", "token_id")
 
 
 def bpe_token_counts(

@@ -34,6 +34,7 @@ from ..operators.bpe import (
     bpe_token_counts,
     bpe_train,
     budget_chunks,
+    encode_docs,
     word_frequencies,
 )
 from ..operators.sampling import quota_by_group
@@ -128,6 +129,15 @@ def bpe_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     start-boundary rule)."""
     docs, _, trained = _trained(spark, sf_dir)
     return budget_chunks(docs, trained, budget=BPE_CHUNK_BUDGET)
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document encoded as its learned subword token-id sequence
+    (operators.bpe.encode_docs) — the tokenizer's end artifact, one row
+    per (doc_id, pos, token_id) with deterministic sorted-symbol vocab
+    ids, value-checked bit-for-bit against the retraining oracle."""
+    docs, _, trained = _trained(spark, sf_dir)
+    return encode_docs(docs, trained)
 
 
 def _stage(k: int) -> str:
@@ -254,6 +264,34 @@ SELECT doc_id, CAST(floor(bef / {BPE_CHUNK_BUDGET}) AS INT) AS chunk_idx,
 FROM placed GROUP BY doc_id, chunk_idx
 """
 
+_ENCODE_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+vocab AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS token_id
+  FROM (SELECT DISTINCT unnest(syms) AS sym FROM w{N_MERGES + 1})
+),
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS wpos
+  FROM base
+),
+dictn AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+placed AS (
+  SELECT doc_id, word, wpos,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY wpos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dictn USING (word)
+),
+enc AS (
+  SELECT doc_id, CAST(bef + i AS INT) AS pos, sym FROM (
+    SELECT p.doc_id, p.bef, unnest(w.syms) AS sym,
+           unnest(range(1, len(w.syms) + 1)) AS i
+    FROM placed p JOIN w{N_MERGES + 1} w USING (word)
+  )
+)
+SELECT doc_id, pos, token_id FROM enc JOIN vocab USING (sym)
+"""
+
 QUERIES = [
     # headline: representatively prices the new iterative train loop
     # (N_MERGES rounds of dictionary-sized pair-count hash-aggs) plus the
@@ -263,4 +301,5 @@ QUERIES = [
     QuerySpec("bpe_token_counts_docs", bpe_token_counts_docs, _TOKEN_COUNTS_ORACLE),
     QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
     QuerySpec("bpe_budget_chunks", bpe_budget_chunks, _BUDGET_CHUNKS_ORACLE),
+    QuerySpec("bpe_encode_docs", bpe_encode_docs, _ENCODE_ORACLE),
 ]

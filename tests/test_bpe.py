@@ -174,3 +174,30 @@ def test_budget_chunks_covers_all_words_once(spark):
         if r["n_ws_tokens"] > 0
     }
     assert per_doc == counts
+
+
+def test_encode_docs_roundtrip_and_positions(spark):
+    """Encoding invariants: positions are a dense 1..n_bpe sequence per
+    doc, ids decode back to the exact subword stream, and the stream
+    reconciles with the trained dictionary's segmentation."""
+    from clickhouse_segments_tutorial_spark.operators.bpe import (
+        encode_docs,
+        symbol_vocab,
+    )
+
+    docs = _docs(spark)
+    _, trained = bpe_train(word_frequencies(docs), n_merges=8)
+    enc = encode_docs(docs, trained)
+    vocab = {r["token_id"]: r["sym"] for r in symbol_vocab(trained).collect()}
+    seqs: dict[int, dict[int, str]] = {}
+    for r in enc.collect():
+        seqs.setdefault(r["doc_id"], {})[r["pos"]] = vocab[r["token_id"]]
+    dict_syms = {r["word"]: r["syms"] for r in trained.collect()}
+    import re
+
+    for r in docs.collect():
+        words = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        expect = [s for w in words for s in dict_syms[w]]
+        got = seqs.get(r["doc_id"], {})
+        assert sorted(got) == list(range(1, len(expect) + 1)), r["doc_id"]
+        assert [got[i] for i in sorted(got)] == expect, r["doc_id"]
