@@ -47,28 +47,33 @@ def _repo_root() -> Path:
 
 
 def _base_commit(repo_root: Path) -> str | None:
-    """Commit that last modified the newest CORRECTNESS_r*.json."""
-    newest: tuple[int, Path] | None = None
+    """Commit that last modified the newest COMMITTED CORRECTNESS_r*.json.
+
+    Newest-round-first with a fallback to earlier rounds: the driver may
+    write the current round's file mid-round before committing it, and
+    `git log` on an uncommitted file returns nothing — without the
+    fallback that would silently disable pinning exactly when the
+    current round's edits need re-checking."""
+    rounds: list[tuple[int, Path]] = []
     for p in repo_root.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if m:
-            rnd = int(m.group(1))
-            if newest is None or rnd > newest[0]:
-                newest = (rnd, p)
-    if newest is None:
-        return None
-    try:
-        out = subprocess.run(
-            ["git", "log", "-n1", "--format=%H", "--", newest[1].name],
-            cwd=repo_root,
-            capture_output=True,
-            text=True,
-            timeout=30,
-            check=True,
-        ).stdout.strip()
-    except (OSError, subprocess.SubprocessError):
-        return None
-    return out or None
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            out = subprocess.run(
+                ["git", "log", "-n1", "--format=%H", "--", path.name],
+                cwd=repo_root,
+                capture_output=True,
+                text=True,
+                timeout=30,
+                check=True,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            return None
+        if out:
+            return out
+    return None
 
 
 def changed_package_files(repo_root: Path) -> set[str] | None:

@@ -81,6 +81,13 @@ def test_tmp_checkout_edit_pins_module(tmp_path):
         # be dragged in by a leaf edit
         assert f"{PKG}/operators/sampling.py" not in mods
 
+        # an UNCOMMITTED newer correctness file (the driver writes it
+        # mid-round before committing) must not disable pinning: the base
+        # falls back to the newest COMMITTED artifact
+        (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+        assert f"{PKG}/plans/curation.py" in touched.touched_modules(tmp_path)
+        (tmp_path / "CORRECTNESS_r02.json").unlink()
+
         # a NEW untracked module with consumers-to-be counts as touched too
         # (graph is lru-cached per process — a file created after the first
         # build needs a cache clear, which only matters inside tests)
