@@ -54,11 +54,23 @@ class StreamingWaveGate:
         schema,
         ingestor,
         select_cols: list[str] | None = None,
+        compact_every: int | None = None,
     ):
+        """``compact_every``: run the ingestor's ``compact()`` after every
+        N batches (when it has one) — the measured cadence from
+        BASELINE.md r10: bucketed state accumulates one file per bucket
+        per wave, and at 16 waves uncompacted state scans ran ~+39% on
+        the late waves; folding every ~4 waves kept per-wave wall flat.
+        Compaction is result-identical (tested on every stateful class),
+        so the cadence is purely an IO/latency knob. A batch REPLAYED
+        after a crash can skip its compaction (batch ids replay but the
+        modulo re-fires — harmless: compact is idempotent on compacted
+        state)."""
         self.spark = spark
         self.schema = schema
         self.ingestor = ingestor
         self.select_cols = select_cols
+        self.compact_every = compact_every
         self.in_dir = os.path.join(workdir, "stream_in")
         self.checkpoint = os.path.join(workdir, "checkpoint")
         self.results_dir = os.path.join(workdir, "results")
@@ -87,6 +99,13 @@ class StreamingWaveGate:
             out.write.mode("overwrite").parquet(
                 os.path.join(self.results_dir, f"batch_{batch_id}")
             )
+            compact = getattr(self.ingestor, "compact", None)
+            if (
+                self.compact_every
+                and compact is not None
+                and (batch_id + 1) % self.compact_every == 0
+            ):
+                compact()
 
         q = (
             self.spark.readStream.schema(self.schema)

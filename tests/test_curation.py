@@ -758,3 +758,51 @@ def test_shuffle_buckets_for_scaling():
     assert shuffle_buckets_for(100_000_000_000) == 32768  # 1e11 chunks
     # power-of-two rounding
     assert shuffle_buckets_for(4_000_000 * 300) == 512
+
+
+def test_streaming_gate_auto_compaction(spark, tmp_path):
+    """compact_every folds the bucketed gram state back to one file per
+    bucket mid-stream without changing any result (the BASELINE r10
+    cadence, wired into the gate)."""
+    import glob
+    import os
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+    from clickhouse_segments_tutorial_spark.streaming.stream_curation import (
+        StreamingWaveGate,
+    )
+
+    docs = _docs(spark, [(i, f"t{i % 6} u{i % 4} v shared") for i in range(32)])
+    scorer = IncrementalNoveltyScorer(spark, f"{tmp_path}/state", state_buckets=8)
+    gate = StreamingWaveGate(
+        spark,
+        str(tmp_path),
+        schema=docs.schema,
+        ingestor=scorer,
+        compact_every=2,
+    )
+    gate.reset_state()
+    try:
+        # four wave files, ONE availableNow run -> four micro-batches;
+        # compaction fires after batches 2 and 4
+        for lo, hi in ((0, 8), (8, 16), (16, 24), (24, 32)):
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+                1
+            ).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+        a = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        assert sorted(map(tuple, gate.results().collect())) == a
+        loc = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {scorer._tbl}").collect()
+            if r["col_name"].strip() == "Location"
+        ).removeprefix("file:")
+        n_files = len(glob.glob(os.path.join(loc, "*.parquet")))
+        # 4 waves x 8 buckets can reach 32 files uncompacted; the
+        # final-batch compaction folds to AT MOST one file per bucket
+        # (a bucket no gram hashes into stays file-less under align)
+        assert n_files <= 8, n_files
+    finally:
+        scorer.drop_state()
