@@ -215,6 +215,7 @@ def budget_chunks(
     budget: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    on_missing: str = "error",
 ) -> DataFrame:
     """Chunk boundaries budgeted in LEARNED subwords — the
     context-window chunker upgraded from whitespace proxies
@@ -237,7 +238,10 @@ def budget_chunks(
     grouping. Output: (doc_id, chunk_idx, n_words, n_subwords)."""
     if budget < 1:
         raise ValueError("budget must be >= 1")
-    placed = _placed_tokens(docs, trained_words, text_col=text_col, id_col=id_col)
+    placed = _placed_tokens(
+        docs, trained_words, text_col=text_col, id_col=id_col,
+        on_missing=on_missing,
+    )
     placed = placed.withColumn(
         "chunk_idx", F.floor(F.col("_before") / budget).cast("int")
     )
@@ -247,12 +251,47 @@ def budget_chunks(
     )
 
 
+def _join_dictionary(
+    toks: DataFrame, dict_df: DataFrame, on_missing: str
+) -> DataFrame:
+    """Left-join corpus tokens to the dictionary with an EXPLICIT
+    out-of-dictionary policy (r10 self-review finding 4: an inner join
+    silently dropped unseen words from counts, budgets, and encodings —
+    positions stayed dense, so nothing downstream could notice):
+
+    - ``'error'`` (default): any word absent from the dictionary raises
+      at execution with the offending word in the message. Free when
+      coverage is total (the same-corpus registered queries): the
+      raise_error branch is a never-taken CASE arm.
+    - ``'drop'``: explicitly opt in to skipping unseen words (a frozen
+      tokenizer over a new corpus where loss is acceptable — prefer
+      segmenting unseen words with segment_word instead)."""
+    if on_missing not in ("error", "drop"):
+        raise ValueError(f"on_missing must be 'error' or 'drop', got {on_missing!r}")
+    joined = toks.join(dict_df, "word", "left")
+    if on_missing == "drop":
+        return joined.filter(F.col("_n_sub").isNotNull())
+    return joined.withColumn(
+        "_n_sub",
+        F.when(F.col("_n_sub").isNotNull(), F.col("_n_sub")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("word not in BPE dictionary (train on this corpus, "
+                          "or pass on_missing='drop'): "),
+                    F.col("word"),
+                )
+            )
+        ),
+    )
+
+
 def _placed_tokens(
     docs: DataFrame,
     trained_words: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    on_missing: str = "error",
 ) -> DataFrame:
     """Each corpus token with its doc position, dictionary subword count,
     and the per-doc prefix sum of subwords BEFORE it — the shared
@@ -269,7 +308,7 @@ def _placed_tokens(
         .orderBy("_pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return toks.join(dict_df, "word").withColumn(
+    return _join_dictionary(toks, dict_df, on_missing).withColumn(
         "_before", F.coalesce(F.sum("_n_sub").over(w), F.lit(0))
     )
 
@@ -295,6 +334,7 @@ def encode_docs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    on_missing: str = "error",
 ) -> DataFrame:
     """The tokenizer's end artifact: every document as its learned
     subword token-id sequence — one row per (doc, subword position):
@@ -307,7 +347,10 @@ def encode_docs(
     dictionary join and the vocab-id join (both AQE broadcast/shuffle)
     plus the one per-doc placement window — no corpus-wide shuffle; the
     output is subword-count-sized, the size a dataloader manifest IS."""
-    placed = _placed_tokens(docs, trained_words, text_col=text_col, id_col=id_col)
+    placed = _placed_tokens(
+        docs, trained_words, text_col=text_col, id_col=id_col,
+        on_missing=on_missing,
+    )
     vocab = symbol_vocab(trained_words)
     exploded = (
         placed.join(trained_words.select("word", "syms"), "word")
@@ -331,18 +374,21 @@ def bpe_token_counts(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    on_missing: str = "error",
 ) -> DataFrame:
     """Per-document (n_ws_tokens, n_bpe_tokens) using a trained
     dictionary: explode corpus tokens, join the dictionary's final
     segment count per word, sum per doc. Docs with no tokens keep a row
     with zeros (left join back to the doc spine). The dictionary covers
     every corpus word by construction when trained on the same corpus;
-    the join strategy is left to AQE (broadcast when the vocabulary
-    fits, shuffle-on-word otherwise — module docstring)."""
+    unseen words follow ``on_missing`` ('error' default — see
+    _join_dictionary; under 'drop' both counts exclude them). The join
+    strategy is left to AQE (broadcast when the vocabulary fits,
+    shuffle-on-word otherwise — module docstring)."""
     dict_df = trained_words.select("word", F.size("syms").alias("_n_sub"))
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
     per_doc = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
-        .join(dict_df, "word")
+        _join_dictionary(toks, dict_df, on_missing)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("_n_ws"),

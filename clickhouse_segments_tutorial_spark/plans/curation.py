@@ -657,7 +657,9 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
     deduper = IncrementalSemanticDeduper(
-        spark, _stream_scratch("semantic_dedup_incremental"), threshold=0.4
+        spark,
+        _stream_scratch("semantic_dedup_incremental"),
+        threshold=SEM_NEAR_DUP_THRESHOLD,
     )
     deduper.reset()
     out1 = deduper.ingest(emb.filter(F.col("vec_id") < mid))

@@ -936,7 +936,14 @@ def corpus_curated_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger=1). Completes the batch/incremental/streaming
     triangle for the flagship pipeline itself. Per-batch results are
     pinned by the gate (restart-stable batch ids), so the corpus-sized
-    dedup state can be dropped before returning."""
+    dedup state can be dropped before returning.
+
+    Delivery caveat (unlike the novelty/semantic gates): the curator's
+    left_anti dedup state makes a crash-REPLAYED batch drop its own
+    wave's documents (at-most-once in the crash window) — see
+    streaming/stream_curation.py's replay-idempotence note. Exactly-once
+    would need wave-tagged state rows excluded from the current wave's
+    anti-joins."""
     from ..session import scratch_dir
     from ..streaming.stream_curation import StreamingWaveGate
 

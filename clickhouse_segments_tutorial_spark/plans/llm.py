@@ -674,21 +674,25 @@ LIMIT 10
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= 0.4 (exact O(n^2) — the oracle baseline for
-    the bucketed path; allow_quadratic acknowledged, scale twin =
-    embedding_near_dup_pairs_lsh)."""
+    """All pairs with cosine >= SEM_NEAR_DUP_THRESHOLD (exact O(n^2) —
+    the oracle baseline for the bucketed path; allow_quadratic
+    acknowledged, scale twin = embedding_near_dup_pairs_lsh). Threshold
+    from the shared constant so the exact baseline, the LSH path, and
+    both oracles move together."""
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, allow_quadratic=True
+        _t(spark, sf_dir, "embeddings"),
+        threshold=SEM_NEAR_DUP_THRESHOLD,
+        allow_quadratic=True,
     )
 
 
-_COS_PAIRS_ORACLE = """
+_COS_PAIRS_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+                             CAST(b.embedding AS DOUBLE[])) >= {SEM_NEAR_DUP_THRESHOLD}
 """
 
 

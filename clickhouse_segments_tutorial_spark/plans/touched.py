@@ -41,6 +41,18 @@ from pathlib import Path
 
 PKG = "clickhouse_segments_tutorial_spark"
 
+# Modules whose imports ENUMERATE rather than USE: registry.py imports
+# every QUERIES module solely to list their specs, which would otherwise
+# close the cycle (plans -> registry for QuerySpec, registry -> plans for
+# enumeration) and make every plans module reverse-reachable from every
+# other — one curation edit would pin all 98 queries (r10 self-review
+# finding 1: the degenerate all-pinned order sorts genuinely edited
+# queries BEHIND less-recently-verified peers). Their OUTGOING edges are
+# dropped from the graph; their own reverse closure (everything imports
+# registry for QuerySpec) still exists and is handled by the registry's
+# breadth filter.
+ENUMERATOR_FILES = frozenset({f"{PKG}/plans/registry.py"})
+
 
 def _repo_root() -> Path:
     return Path(__file__).resolve().parents[2]
@@ -175,29 +187,49 @@ def _import_graph(pkg_dir: str) -> dict[str, set[str]]:
                     for d in _resolve_import(module_parts, node, pkg_rel)
                 }
         deps.discard(f)
-        graph[f] = deps
+        graph[f] = set() if f in ENUMERATOR_FILES else deps
     return graph
 
 
-def touched_modules(repo_root: Path | str | None = None) -> set[str]:
-    """Package modules (repo-relative paths) whose transitive import
-    closure contains a file changed this round. Empty set on any
-    degradation (see module docstring)."""
-    root = Path(repo_root) if repo_root is not None else _repo_root()
-    changed = changed_package_files(root)
-    if not changed:
-        return set()
-    graph = _import_graph(str(root / PKG))
-    changed &= set(graph)  # only package .py files matter
-    if not changed:
-        return set()
-    # reverse-reachability: which modules (transitively) import a changed file
-    touched = set(changed)
+def _reverse_closure(graph: dict[str, set[str]], seed: set[str]) -> set[str]:
+    """seed plus every module that (transitively) imports a seed module."""
+    out = set(seed)
     grew = True
     while grew:
         grew = False
         for mod, deps in graph.items():
-            if mod not in touched and deps & touched:
-                touched.add(mod)
+            if mod not in out and deps & out:
+                out.add(mod)
                 grew = True
-    return touched
+    return out
+
+
+def touched_modules_by_change(
+    repo_root: Path | str | None = None,
+) -> dict[str, set[str]]:
+    """Per changed file: its reverse import closure (the file itself plus
+    every module that transitively imports it). Lets the caller weigh
+    each change's BREADTH — registry drops global-infrastructure changes
+    whose closure spans (nearly) every query module, which would
+    otherwise pin everything and destroy the pinning signal (r10
+    self-review finding: a registry.py edit derived all 98 queries as
+    touched, sorting the genuinely edited ones BEHIND their
+    less-recently-verified peers). Empty dict on degradation."""
+    root = Path(repo_root) if repo_root is not None else _repo_root()
+    changed = changed_package_files(root)
+    if not changed:
+        return {}
+    graph = _import_graph(str(root / PKG))
+    changed &= set(graph)  # only package .py files matter
+    return {f: _reverse_closure(graph, {f}) for f in changed}
+
+
+def touched_modules(repo_root: Path | str | None = None) -> set[str]:
+    """Package modules (repo-relative paths) whose transitive import
+    closure contains a file changed this round — ALL changes, breadth
+    unweighted. Empty set on any degradation (see module docstring)."""
+    by_change = touched_modules_by_change(repo_root)
+    out: set[str] = set()
+    for closure in by_change.values():
+        out |= closure
+    return out

@@ -21,12 +21,24 @@ Crash/restart story:
 - stream offsets: checkpointed — a restarted gate (same workdir) skips
   already-processed files;
 - operator state: the bucketed catalog tables persist across gate
-  objects; a batch replayed after a crash re-appends rows the
-  operators' min()/distinct reads collapse (their documented
-  re-runnability);
+  objects;
 - batch RESULTS are written to ``results/batch_<id>`` with overwrite —
   batch ids are stable across restarts, so a replayed batch overwrites
   its own output instead of duplicating rows.
+
+Replay idempotence is the INGESTOR's property, not the gate's — a batch
+can replay after a crash between the sink and the checkpoint commit:
+- IncrementalNoveltyScorer / IncrementalSemanticDeduper: replay-safe —
+  re-appended state rows are exact duplicates their min()/distinct
+  reads collapse, so the re-run reproduces the same output.
+- IncrementalCorpusCurator: NOT replay-safe — its dedup state is
+  consumed via left_anti, so a replayed wave finds its OWN paragraph
+  hashes / fingerprints already in state and drops its documents; the
+  crash window is at-most-once (r10 self-review finding 2). Its batch
+  crash contract is deterministic re-run from fresh state instead; a
+  replay-safe streaming form needs wave-tagged state rows (excluded
+  from the current wave's anti-joins) — future work, documented on
+  corpus_curated_streaming.
 """
 
 from __future__ import annotations

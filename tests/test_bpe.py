@@ -201,3 +201,35 @@ def test_encode_docs_roundtrip_and_positions(spark):
         got = seqs.get(r["doc_id"], {})
         assert sorted(got) == list(range(1, len(expect) + 1)), r["doc_id"]
         assert [got[i] for i in sorted(got)] == expect, r["doc_id"]
+
+
+def test_out_of_dictionary_words_fail_loudly_or_drop(spark):
+    """r10 self-review finding 4: applying a frozen dictionary to a
+    corpus with unseen words must not silently undercount — default mode
+    raises naming the word; on_missing='drop' is the explicit opt-out."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.bpe import (
+        budget_chunks,
+        encode_docs,
+    )
+
+    trained = spark.createDataFrame(
+        [("seen", ["se", "en"])], "word string, syms array<string>"
+    )
+    docs = spark.createDataFrame(
+        [(1, "seen unseen seen")], "doc_id long, text string"
+    )
+    for op in (
+        lambda m: bpe_token_counts(docs, trained, on_missing=m),
+        lambda m: budget_chunks(docs, trained, budget=4, on_missing=m),
+        lambda m: encode_docs(docs, trained, on_missing=m),
+    ):
+        with _pytest.raises(Exception, match="unseen"):
+            op("error").collect()
+        op("drop").collect()  # opt-out runs
+        with _pytest.raises(ValueError):
+            op("bogus")
+    # drop semantics: both counts exclude the unseen word
+    row = bpe_token_counts(docs, trained, on_missing="drop").collect()[0]
+    assert (row["n_ws_tokens"], row["n_bpe_tokens"]) == (2, 4)

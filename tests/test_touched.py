@@ -118,3 +118,29 @@ def test_registry_round_touched_matches_module_mapping(monkeypatch):
         registry, "ROUND_TOUCHED_OVERRIDE", frozenset({"q1_pricing_summary"})
     )
     assert registry.round_touched_names() == {"q1_pricing_summary"}
+
+
+def test_global_infrastructure_change_is_not_pinned(monkeypatch):
+    """A changed file whose closure spans more than half the query
+    modules (registry.py, session.py, ...) must NOT pin everything — the
+    all-pinned order degenerates to plain last-green and sorts genuinely
+    edited queries behind their peers. Selective changes still pin."""
+    from clickhouse_segments_tutorial_spark.plans import touched as tmod
+
+    qmods = registry._query_module_paths()
+    monkeypatch.setattr(
+        tmod,
+        "touched_modules_by_change",
+        lambda repo_root=None: {
+            f"{PKG}/plans/registry.py": set(qmods) | {f"{PKG}/plans/registry.py"},
+            f"{PKG}/plans/curation.py": {
+                f"{PKG}/plans/curation.py",
+                f"{PKG}/plans/bpe_queries.py",
+            },
+        },
+    )
+    monkeypatch.setattr(registry, "_TOUCHED_CACHE", None)
+    names = registry.round_touched_names()
+    assert "semantic_dedup_keep" in names  # selective closure pinned
+    assert "bpe_merges_docs" in names
+    assert "q1_pricing_summary" not in names  # global change dropped
