@@ -115,15 +115,19 @@ class IncrementalNoveltyScorer:
             )
         return self.spark.createDataFrame([], "_g string, _first long")
 
-    def ingest(self, docs: DataFrame) -> DataFrame:
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Score one wave; returns (doc_id, n_grams, n_novel, novelty) for
-        the wave's non-empty docs, pinned to the workdir (lazy reader)."""
+        the wave's non-empty docs, pinned to the workdir (lazy reader).
+        ``wave_id`` (default previous+1): a restart-stable id makes the
+        wave-result path stable across gate replays; the gram state
+        itself is replay-safe regardless (duplicate appends collapse
+        under the min() read)."""
         import os
 
         from ..operators.corpus_stats import doc_gram_keys, novelty_from_firsts
         from ..sources.bucketed import write_bucketed
 
-        self._wave += 1
+        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
         sh = doc_gram_keys(docs, n=self.n)
         first_in_wave = sh.groupBy("_g").agg(F.min("doc_id").alias("_wf"))
         state = self._state()
@@ -517,9 +521,12 @@ class IncrementalSemanticDeduper:
             return self.spark.table(self._tbl(name))
         return self.spark.createDataFrame([], schema)
 
-    def ingest(self, embeddings: DataFrame) -> DataFrame:
+    def ingest(self, embeddings: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Dedup one wave; returns the wave's survivors (vec_id, label),
-        pinned to the workdir (lazy reader)."""
+        pinned to the workdir (lazy reader). ``wave_id`` as on
+        IncrementalNoveltyScorer.ingest (band/vector state is replay-safe
+        by construction — exact-duplicate re-appends cannot change any
+        verdict)."""
         import os
 
         from ..operators.similarity import (
@@ -529,7 +536,7 @@ class IncrementalSemanticDeduper:
         )
         from ..sources.bucketed import write_bucketed
 
-        self._wave += 1
+        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
         first = embeddings.select(F.size("embedding").alias("d")).first()
         res_path = os.path.join(self.workdir, f"wave_{self._wave}")
         if first is None:  # empty wave: no-op

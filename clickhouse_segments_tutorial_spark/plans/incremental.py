@@ -69,10 +69,17 @@ from .pipeline import _LINE_WS, _normalize, _shingles, _toks
 from .registry import QuerySpec
 
 _STATE_SCHEMAS = {
-    "para_hashes": "_h string",
-    "text_fps": "_fp string",
-    "exd_bands": "_id long, band int, bucket long",
-    "exd_shingles": "_id long, _sh array<bigint>",
+    # dedup state rows carry the wave id (_w) that appended them: every
+    # lookup filters `_w < current wave`, so a crash-REPLAYED wave never
+    # sees its own prior (partial) appends — the left_anti consumers
+    # would otherwise drop the replayed wave's documents (r10 self-review
+    # finding 2). Re-appended duplicate rows from a replay share the
+    # same _w and are harmless to later waves (left_anti / distinct
+    # consumers).
+    "para_hashes": "_h string, _w int",
+    "text_fps": "_fp string, _w int",
+    "exd_bands": "_id long, band int, bucket long, _w int",
+    "exd_shingles": "_id long, _sh array<bigint>, _w int",
     "curated": "doc_id long, lang string, text string, n_tokens int",
     "mix_counts": "lang string, _n long",
     "pack_seq": "shard int, _n long",
@@ -168,20 +175,33 @@ class IncrementalCorpusCurator:
     def _table(self, name: str) -> str:
         return f"{self._tbl_prefix}_{name}"
 
-    def _read(self, name: str) -> DataFrame:
+    def _read(self, name: str, *, before_wave: int | None = None) -> DataFrame:
         keys = _STATE_BUCKET_KEYS.get(name)
         if keys is not None:
             if self.spark.catalog.tableExists(self._table(name)):
-                return self.spark.table(self._table(name))
-            return self.spark.createDataFrame([], _STATE_SCHEMAS[name])
+                df = self.spark.table(self._table(name))
+            else:
+                df = self.spark.createDataFrame([], _STATE_SCHEMAS[name])
+            if before_wave is not None:
+                # replay isolation: exclude rows the CURRENT wave may have
+                # appended in a crashed earlier attempt (schema comment on
+                # _STATE_SCHEMAS). A plain scan predicate — bucketing
+                # co-location of the join is untouched.
+                df = df.filter(F.col("_w") < before_wave)
+            return df
+        if before_wave is not None:
+            raise ValueError(f"{name} is not wave-tagged state")
         p = self._path(name)
         if os.path.exists(p):
             return self.spark.read.parquet(p)
         return self.spark.createDataFrame([], _STATE_SCHEMAS[name])
 
-    def _append(self, df: DataFrame, name: str) -> None:
+    def _append(self, df: DataFrame, name: str, *, wave: int | None = None) -> None:
         keys = _STATE_BUCKET_KEYS.get(name)
         if keys is not None:
+            if wave is None:
+                raise ValueError(f"{name} appends must carry their wave id")
+            df = df.withColumn("_w", F.lit(int(wave)))
             # align=True: one file per bucket per wave (not tasks×buckets);
             # compact() folds the per-wave files back to one per bucket
             write_bucketed(
@@ -249,11 +269,20 @@ class IncrementalCorpusCurator:
 
     # -- ingest ----------------------------------------------------------
 
-    def ingest(self, wave: DataFrame) -> DataFrame:
+    def ingest(self, wave: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Curate one wave of raw docs (doc_id, lang, text) against all
-        prior state; returns the accepted rows (also appended to
-        ``curated/``)."""
-        self._wave += 1
+        prior state; returns the accepted rows (also written under
+        ``curated/w<wave_id>``).
+
+        ``wave_id`` (default: previous + 1) must be strictly increasing
+        across waves; pass a restart-stable id (the streaming gate passes
+        its batch id) to make a crash-REPLAYED wave idempotent — state
+        lookups exclude rows tagged with the current wave id, and the
+        wave's curated output overwrites its own subdirectory, so the
+        replay reproduces the original result instead of dropping its
+        documents against its own partial appends."""
+        wid = int(wave_id) if wave_id is not None else self._wave + 1
+        self._wave = wid
         ws = "[ \\t\\x0B\\f\\r]+"
         paras = F.filter(
             F.transform(
@@ -268,7 +297,7 @@ class IncrementalCorpusCurator:
 
         # 1. paragraph dedup: drop history-seen hashes, then within-wave
         # first occurrence (same partial-agg shape as dedup_paragraphs)
-        fresh = exploded.join(self._read("para_hashes"), "_h", "left_anti")
+        fresh = exploded.join(self._read("para_hashes", before_wave=wid), "_h", "left_anti")
         kept_paras = (
             fresh.groupBy("_h")
             .agg(F.min(F.struct("_id", "_pos", "_p")).alias("_f"))
@@ -301,15 +330,15 @@ class IncrementalCorpusCurator:
         # writes hazard.
         new_h = self._materialize(
             exploded.select("_h").distinct().join(
-                self._read("para_hashes"), "_h", "left_anti"
+                self._read("para_hashes", before_wave=wid), "_h", "left_anti"
             ),
             "new_para_hashes",
         )
-        self._append(new_h, "para_hashes")
+        self._append(new_h, "para_hashes", wave=wid)
 
         # 4. exact dedup: history fps, then within-wave min id
         fp = norm.withColumn("_fp", F.md5("text"))
-        fp_new = fp.join(self._read("text_fps"), "_fp", "left_anti")
+        fp_new = fp.join(self._read("text_fps", before_wave=wid), "_fp", "left_anti")
         exd_new = (
             fp_new.groupBy("_fp")
             .agg(F.min(F.struct("doc_id", "lang", "text")).alias("_f"))
@@ -318,18 +347,18 @@ class IncrementalCorpusCurator:
         exd_new = self._materialize(exd_new, "exd")
         new_fp = self._materialize(
             fp.select("_fp").distinct().join(
-                self._read("text_fps"), "_fp", "left_anti"
+                self._read("text_fps", before_wave=wid), "_fp", "left_anti"
             ),
             "new_text_fps",
         )
-        self._append(new_fp, "text_fps")
+        self._append(new_fp, "text_fps", wave=wid)
 
         # 5. near-dup: band-join the wave against the persisted LSH index
         # (new-vs-all candidates only), CC within the wave, anchor-drop
         sh_new = shingled_docs(exd_new, n=self.n).persist()
         bands_new = banded_minhash_keys(sh_new, k=self.k, bands=self.bands).persist()
-        old_bands = self._read("exd_bands")
-        old_sh = self._read("exd_shingles")
+        old_bands = self._read("exd_bands", before_wave=wid)
+        old_sh = self._read("exd_shingles", before_wave=wid)
         cand_old = (
             bands_new.alias("a")
             .join(
@@ -390,8 +419,8 @@ class IncrementalCorpusCurator:
         )
         kept = exd_new.join(drops, "doc_id", "left_anti")
         kept = self._materialize(kept, "kept")
-        self._append(bands_new, "exd_bands")
-        self._append(sh_new.select("_id", "_sh"), "exd_shingles")
+        self._append(bands_new, "exd_bands", wave=wid)
+        self._append(sh_new.select("_id", "_sh"), "exd_shingles", wave=wid)
         sh_new.unpersist()
         bands_new.unpersist()
 
@@ -411,12 +440,20 @@ class IncrementalCorpusCurator:
         ).select(
             "doc_id", "lang", "text", token_count("text").cast("int").alias("n_tokens")
         )
-        accepted = self._materialize(accepted, "accepted")
-        self._append(accepted, "curated")
-        return accepted
+        # the wave's curated output lives in its OWN subdirectory with
+        # overwrite (replay-idempotent, unlike an append) and doubles as
+        # the pinned materialization the old tmp copy provided; the
+        # returned reader survives drop_dedup_state (curated/ is kept)
+        out_path = os.path.join(self._path("curated"), f"w{wid}")
+        accepted.write.mode("overwrite").parquet(out_path)
+        return self.spark.read.parquet(out_path)
 
     def curated(self) -> DataFrame:
-        return self._read("curated")
+        base = self._path("curated")
+        if not os.path.exists(base):
+            return self.spark.createDataFrame([], _STATE_SCHEMAS["curated"])
+        # per-wave subdirectories (see ingest's replay note)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(base)
 
 
 class IncrementalCorpusBuilder(IncrementalCorpusCurator):
@@ -478,8 +515,13 @@ class IncrementalCorpusBuilder(IncrementalCorpusCurator):
         self.chunk_tokens, self.stride = chunk_tokens, stride
         self.capacity, self.shards = capacity, shards
 
-    def ingest(self, wave: DataFrame) -> DataFrame:
-        accepted = super().ingest(wave)
+    def ingest(self, wave: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """NOTE: unlike the curator's dedup state, the builder's OWN
+        counters (mix_counts, pack_seq) and packed output are plain
+        appends — a crash-replayed wave would double-count them, so the
+        builder keeps the batch crash contract (deterministic re-run
+        from fresh state), not the gate's replay idempotence."""
+        accepted = super().ingest(wave, wave_id=wave_id)
         self._pack_wave(accepted)
         return accepted
 
@@ -938,12 +980,12 @@ def corpus_curated_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the gate (restart-stable batch ids), so the corpus-sized
     dedup state can be dropped before returning.
 
-    Delivery caveat (unlike the novelty/semantic gates): the curator's
-    left_anti dedup state makes a crash-REPLAYED batch drop its own
-    wave's documents (at-most-once in the crash window) — see
-    streaming/stream_curation.py's replay-idempotence note. Exactly-once
-    would need wave-tagged state rows excluded from the current wave's
-    anti-joins."""
+    Replay: the gate passes its restart-stable batch id as the curator's
+    wave id, and the curator's state rows are wave-tagged with lookups
+    excluding the current wave — a crash-replayed batch reproduces its
+    original output instead of dropping its documents against its own
+    partial appends (see streaming/stream_curation.py's
+    replay-idempotence note; tested via a direct double-ingest)."""
     from ..session import scratch_dir
     from ..streaming.stream_curation import StreamingWaveGate
 

@@ -27,18 +27,22 @@ Crash/restart story:
   its own output instead of duplicating rows.
 
 Replay idempotence is the INGESTOR's property, not the gate's — a batch
-can replay after a crash between the sink and the checkpoint commit:
-- IncrementalNoveltyScorer / IncrementalSemanticDeduper: replay-safe —
-  re-appended state rows are exact duplicates their min()/distinct
-  reads collapse, so the re-run reproduces the same output.
-- IncrementalCorpusCurator: NOT replay-safe — its dedup state is
-  consumed via left_anti, so a replayed wave finds its OWN paragraph
-  hashes / fingerprints already in state and drops its documents; the
-  crash window is at-most-once (r10 self-review finding 2). Its batch
-  crash contract is deterministic re-run from fresh state instead; a
-  replay-safe streaming form needs wave-tagged state rows (excluded
-  from the current wave's anti-joins) — future work, documented on
-  corpus_curated_streaming.
+can replay after a crash between the sink and the checkpoint commit.
+The gate hands ingestors that accept it the restart-stable ``wave_id``
+(its batch id), which is what each one keys its replay story on:
+- IncrementalNoveltyScorer / IncrementalSemanticDeduper: replay-safe by
+  construction — re-appended state rows are exact duplicates their
+  min()/distinct reads collapse; wave_id only stabilizes the
+  wave-result path.
+- IncrementalCorpusCurator: replay-safe via WAVE-TAGGED state (the r10
+  self-review finding 2 fix): its left_anti-consumed dedup state would
+  otherwise drop a replayed wave's documents against its own partial
+  appends, so state rows carry the appending wave id and every lookup
+  excludes the current wave's rows; the wave's curated output
+  overwrites its own subdirectory.
+- IncrementalCorpusBuilder: NOT replay-safe (its mixture/packing
+  counters are plain appends a replay would double-count) — batch and
+  incremental use only; documented on its ingest.
 """
 
 from __future__ import annotations
@@ -86,6 +90,11 @@ class StreamingWaveGate:
         self.in_dir = os.path.join(workdir, "stream_in")
         self.checkpoint = os.path.join(workdir, "checkpoint")
         self.results_dir = os.path.join(workdir, "results")
+        import inspect
+
+        self._pass_wave_id = "wave_id" in inspect.signature(
+            ingestor.ingest
+        ).parameters
         os.makedirs(self.in_dir, exist_ok=True)
 
     def reset_state(self) -> None:
@@ -105,7 +114,13 @@ class StreamingWaveGate:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             if self.select_cols:
                 batch_df = batch_df.select(*self.select_cols)
-            out = self.ingestor.ingest(batch_df)
+            # hand the restart-stable batch id to ingestors that key their
+            # state/replay isolation on it (the curator's wave tags; the
+            # scorers use it for stable wave-result paths)
+            if self._pass_wave_id:
+                out = self.ingestor.ingest(batch_df, wave_id=batch_id)
+            else:
+                out = self.ingestor.ingest(batch_df)
             # overwrite keyed by the (restart-stable) batch id: replays
             # rewrite their own output, never duplicate it
             out.write.mode("overwrite").parquet(
