@@ -104,7 +104,38 @@ class IncrementalNoveltyScorer:
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
 
+    def _heal_from_compact_pin(self) -> None:
+        """compact()'s table overwrite is not atomic: a crash mid-rewrite
+        can leave the catalog table missing while the pinned pre-compact
+        copy survives under workdir tmp (r10 second-review finding 3).
+        Restore from the NEWEST pin before any read that would otherwise
+        silently see empty state. reset()/drop_state clear the pins, so
+        a healed table can never resurrect deliberately dropped state."""
+        if self.spark.catalog.tableExists(self._tbl):
+            return
+        import glob
+        import os
+        import re
+
+        from ..sources.bucketed import write_bucketed
+
+        pins = glob.glob(os.path.join(self.workdir, "tmp", "compact_w*"))
+        if not pins:
+            return
+        latest = max(
+            pins, key=lambda p: int(re.search(r"compact_w(\d+)$", p).group(1))
+        )
+        write_bucketed(
+            self.spark.read.parquet(latest),
+            self._tbl,
+            key="_g",
+            buckets=self.state_buckets,
+            mode="overwrite",
+            align=True,
+        )
+
     def _state(self) -> DataFrame:
+        self._heal_from_compact_pin()
         if self.spark.catalog.tableExists(self._tbl):
             # min() collapses the (harmless) duplicate appends a crashed
             # wave re-run leaves; first-seen is min by construction anyway
@@ -174,6 +205,7 @@ class IncrementalNoveltyScorer:
 
         from ..sources.bucketed import write_bucketed
 
+        self._heal_from_compact_pin()
         if not self.spark.catalog.tableExists(self._tbl):
             return
         pinned_path = os.path.join(self.workdir, "tmp", f"compact_w{self._wave}")
@@ -190,11 +222,16 @@ class IncrementalNoveltyScorer:
     def reset(self) -> None:
         """Fresh start on a reused workdir: drop the catalog state table
         (it outlives a wiped workdir — the bucketing spec lives in the
-        scratch warehouse, not under workdir) and rewind the wave
-        counter. The registered query calls this because its scratch
-        helper wipes the DIRECTORY between invocations but cannot see
-        the table."""
+        scratch warehouse, not under workdir), remove compact pins (a
+        surviving pin would let _heal_from_compact_pin resurrect the
+        dropped state), and rewind the wave counter. The registered
+        query calls this because its scratch helper wipes the DIRECTORY
+        between invocations but cannot see the table."""
+        import os
+        import shutil
+
         self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
+        shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
         self._wave = 0
 
     def drop_state(self) -> None:
@@ -490,10 +527,13 @@ class IncrementalSemanticDeduper:
     operator rejects. Under the ascending-id wave contract the union of
     per-wave survivor sets is byte-identical to the batch operator, so
     the registered query SHARES semantic_dedup_keep's oracle (which
-    replays the banding bit-for-bit in SQL). Wave results pin to the
-    workdir before the state appends (crash re-runnable: re-appended
-    band/vector rows are exact duplicates and candidate pairs are
-    distinct-deduped, so they cannot change any verdict)."""
+    replays the banding bit-for-bit in SQL). Crash re-runnable: a
+    replayed wave finds its OWN rows in state, which the cross-join's
+    id_a < id_b filter reduces to pairs the intra-wave banding computes
+    anyway (without it every vector would self-match at cosine 1.0 and
+    the replay would drop the whole wave — r10 second-review finding 1);
+    re-appended band/vector rows are exact duplicates collapsed by the
+    distinct-deduped candidate pairs."""
 
     def __init__(self, spark: SparkSession, workdir: str, *, threshold: float,
                  n_planes: int = SEM_SRP_PLANES,
@@ -516,7 +556,35 @@ class IncrementalSemanticDeduper:
     def _tbl(self, name: str) -> str:
         return f"{self._prefix}_{name}"
 
+    def _heal_from_compact_pin(self, name: str, keys: tuple[str, ...]) -> None:
+        """Crash-mid-compact recovery from the pinned copy — the
+        IncrementalNoveltyScorer._heal_from_compact_pin contract, per
+        state table."""
+        if self.spark.catalog.tableExists(self._tbl(name)):
+            return
+        import glob
+        import os
+        import re
+
+        from ..sources.bucketed import write_bucketed
+
+        pins = glob.glob(os.path.join(self.workdir, "tmp", f"compact_{name}_w*"))
+        if not pins:
+            return
+        latest = max(pins, key=lambda p: int(re.search(r"_w(\d+)$", p).group(1)))
+        write_bucketed(
+            self.spark.read.parquet(latest),
+            self._tbl(name),
+            key=keys,
+            buckets=self.state_buckets,
+            mode="overwrite",
+            align=True,
+        )
+
+    _STATE_KEYS = {"sem_bands": ("chunk", "key"), "sem_vecs": ("_id",)}
+
     def _state(self, name: str, schema: str) -> DataFrame:
+        self._heal_from_compact_pin(name, self._STATE_KEYS[name])
         if self.spark.catalog.tableExists(self._tbl(name)):
             return self.spark.table(self._tbl(name))
         return self.spark.createDataFrame([], schema)
@@ -551,12 +619,21 @@ class IncrementalSemanticDeduper:
         wave_vecs = embeddings.select(
             F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
         )
-        # cross candidates: history id is always the smaller (wave contract)
+        # cross candidates. The id_a < id_b filter matters for REPLAYS,
+        # not normal operation (where the wave contract already makes
+        # every history id smaller): a crash-replayed wave finds its OWN
+        # band keys in state, and without the filter each vector would
+        # self-match (cosine 1.0) and the replay would emit an empty
+        # survivor set (r10 second-review finding 1). With it, replayed
+        # own-wave rows yield only pairs the intra-wave banding computes
+        # anyway — identical verdicts, so replay reproduces the original
+        # output.
         cross = (
             wave_keys.join(state_bands, ["chunk", "key"])
             .select(
                 state_bands["_id"].alias("id_a"), wave_keys["_id"].alias("id_b")
             )
+            .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
         cross_dropped = (
@@ -630,6 +707,7 @@ class IncrementalSemanticDeduper:
         from ..sources.bucketed import write_bucketed
 
         for name, keys in (("sem_bands", ("chunk", "key")), ("sem_vecs", ("_id",))):
+            self._heal_from_compact_pin(name, keys)
             if not self.spark.catalog.tableExists(self._tbl(name)):
                 continue
             pinned_path = os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}")
@@ -644,8 +722,13 @@ class IncrementalSemanticDeduper:
             )
 
     def reset(self) -> None:
+        import os
+        import shutil
+
         for name in ("sem_bands", "sem_vecs"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+        # pins would resurrect dropped state via _heal_from_compact_pin
+        shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
         self._wave = 0
 
     def drop_state(self) -> None:

@@ -175,9 +175,37 @@ class IncrementalCorpusCurator:
     def _table(self, name: str) -> str:
         return f"{self._tbl_prefix}_{name}"
 
+    def _heal_from_compact_pin(self, name: str, keys: tuple[str, ...]) -> None:
+        """Crash-mid-compact recovery: compact()'s overwrite is not
+        atomic, and a read that finds the table missing would silently
+        see EMPTY dedup state (re-admitting the whole history's
+        duplicates). Restore from the newest pinned pre-compact copy in
+        the workdir tmp dir; drop_dedup_state removes pins together with
+        the tables, so deliberate drops cannot resurrect."""
+        if self.spark.catalog.tableExists(self._table(name)):
+            return
+        import glob
+
+        pins = glob.glob(os.path.join(self.workdir, "tmp", f"w*_compact_{name}"))
+        if not pins:
+            return
+        latest = max(
+            pins,
+            key=lambda p: int(re.search(r"w(\d+)_compact_", os.path.basename(p)).group(1)),
+        )
+        write_bucketed(
+            self.spark.read.parquet(latest),
+            self._table(name),
+            key=keys,
+            buckets=self.state_buckets,
+            mode="overwrite",
+            align=True,
+        )
+
     def _read(self, name: str, *, before_wave: int | None = None) -> DataFrame:
         keys = _STATE_BUCKET_KEYS.get(name)
         if keys is not None:
+            self._heal_from_compact_pin(name, keys)
             if self.spark.catalog.tableExists(self._table(name)):
                 df = self.spark.table(self._table(name))
             else:
@@ -235,6 +263,7 @@ class IncrementalCorpusCurator:
         an overwrite whose plan scans the target table would be a
         read-your-writes hazard."""
         for name, keys in _STATE_BUCKET_KEYS.items():
+            self._heal_from_compact_pin(name, keys)
             if not self.spark.catalog.tableExists(self._table(name)):
                 continue
             pinned = self._materialize(self.spark.table(self._table(name)), f"compact_{name}")
@@ -259,6 +288,29 @@ class IncrementalCorpusCurator:
         for name in ("tmp", "eval_grams"):
             shutil.rmtree(os.path.join(self.workdir, name), ignore_errors=True)
 
+    def _max_persisted_wave(self) -> int:
+        """Highest wave id recorded anywhere in this workdir's state —
+        the resume point for default numbering on re-attach (ingest's
+        docstring). Sources: max(_w) over each wave-tagged table, plus
+        curated/w<k> subdirectory names (a wave can accept documents yet
+        append zero new dedup rows... and vice versa). 0 when fresh."""
+        best = 0
+        for name, keys in _STATE_BUCKET_KEYS.items():
+            self._heal_from_compact_pin(name, keys)
+            if self.spark.catalog.tableExists(self._table(name)):
+                row = self.spark.table(self._table(name)).agg(
+                    F.max("_w").alias("m")
+                ).first()
+                if row is not None and row["m"] is not None:
+                    best = max(best, int(row["m"]))
+        curated_base = self._path("curated")
+        if os.path.isdir(curated_base):
+            for d in os.listdir(curated_base):
+                m = re.fullmatch(r"w(\d+)", d)
+                if m:
+                    best = max(best, int(m.group(1)))
+        return best
+
     def _materialize(self, df: DataFrame, name: str) -> DataFrame:
         """Write a per-wave intermediate and read it back: stages that
         consume state MUST be pinned to files before that state is
@@ -280,7 +332,16 @@ class IncrementalCorpusCurator:
         lookups exclude rows tagged with the current wave id, and the
         wave's curated output overwrites its own subdirectory, so the
         replay reproduces the original result instead of dropping its
-        documents against its own partial appends."""
+        documents against its own partial appends.
+
+        Default numbering RESUMES from persisted state on re-attach: the
+        in-memory counter restarts at 0 per process, and without the
+        max(_w) probe a new process continuing an existing workdir would
+        number its first wave 1 — excluding the ENTIRE history from
+        every `_w < wid` lookup and overwriting curated/w1 (r10
+        second-review finding 2)."""
+        if wave_id is None and self._wave == 0:
+            self._wave = self._max_persisted_wave()
         wid = int(wave_id) if wave_id is not None else self._wave + 1
         self._wave = wid
         ws = "[ \\t\\x0B\\f\\r]+"

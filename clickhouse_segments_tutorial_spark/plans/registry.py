@@ -55,10 +55,12 @@ class QuerySpec:
 ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset()
 
 
-def _query_module_paths() -> set[str]:
-    """Repo-relative paths of the modules that register QUERIES."""
-    from pathlib import Path
-
+def _query_modules() -> tuple:
+    """The modules that register QUERIES, in registration order — ONE
+    definition site shared by the spec enumeration and the breadth
+    filter (two hand-maintained lists would drift: a module added to
+    only one silently re-enables the all-pinned degeneration the filter
+    exists to prevent)."""
     from . import (
         bpe_queries,
         curation,
@@ -70,12 +72,19 @@ def _query_module_paths() -> set[str]:
         segmentation_queries,
     )
 
-    root = Path(__file__).resolve().parents[2]
-    out: set[str] = set()
-    for mod in (
+    return (
         segmentation_queries, relational, llm, scale, pipeline, incremental,
         curation, bpe_queries,
-    ):
+    )
+
+
+def _query_module_paths() -> set[str]:
+    """Repo-relative paths of the modules that register QUERIES."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    out: set[str] = set()
+    for mod in _query_modules():
         try:
             out.add(str(Path(mod.__file__).resolve().relative_to(root)))
         except ValueError:
@@ -86,9 +95,9 @@ def _query_module_paths() -> set[str]:
 def _touched_module_paths() -> set[str]:
     """Repo-relative paths of package modules edited this round (plus
     everything that transitively imports them), EXCLUDING changes whose
-    closure spans more than half the query modules: a
-    global-infrastructure edit (registry.py, session.py, the ordering
-    code itself) reaches every query module, and pinning all of them is
+    closure spans EVERY query module: a global-infrastructure edit
+    (registry.py, session.py, the ordering code itself) reaches every
+    query module, and pinning all of them is
     worse than pinning none — the all-pinned order degenerates to plain
     last-green, which sorts the genuinely edited queries BEHIND their
     less-recently-verified peers (r10 self-review finding 1). "Global"
@@ -117,7 +126,10 @@ def _touched_module_paths() -> set[str]:
                     out |= closure
             _TOUCHED_CACHE = out
         except Exception:
-            _TOUCHED_CACHE = set()
+            # degrade for THIS call only — caching a transient failure
+            # (e.g. a concurrent git op holding index.lock) would
+            # silently disable pinning for the whole process
+            return set()
     return _TOUCHED_CACHE
 
 
@@ -168,24 +180,10 @@ def round_touched_names() -> frozenset[str]:
 def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
     from pathlib import Path
 
-    from . import (
-        bpe_queries,
-        curation,
-        incremental,
-        llm,
-        pipeline,
-        relational,
-        scale,
-        segmentation_queries,
-    )
-
     root = Path(__file__).resolve().parents[2]
     touched_mods = _touched_module_paths()
     out: dict[str, tuple[QuerySpec, bool]] = {}
-    for mod in (
-        segmentation_queries, relational, llm, scale, pipeline, incremental,
-        curation, bpe_queries,
-    ):
+    for mod in _query_modules():
         try:
             rel = str(Path(mod.__file__).resolve().relative_to(root))
         except ValueError:

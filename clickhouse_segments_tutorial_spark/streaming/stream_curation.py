@@ -81,7 +81,10 @@ class StreamingWaveGate:
         so the cadence is purely an IO/latency knob. A batch REPLAYED
         after a crash can skip its compaction (batch ids replay but the
         modulo re-fires — harmless: compact is idempotent on compacted
-        state)."""
+        state). A crash DURING compact's non-atomic table overwrite is
+        healed on the next state read: every stateful class restores the
+        missing table from its pinned pre-compact copy
+        (_heal_from_compact_pin; r10 second-review finding 3)."""
         self.spark = spark
         self.schema = schema
         self.ingestor = ingestor

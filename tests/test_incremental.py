@@ -353,3 +353,28 @@ def test_crash_replayed_wave_is_idempotent(spark, tmp_path):
     assert sorted(r.doc_id for r in cur.curated().collect()) == sorted(
         r.doc_id for r in ref.curated().collect()
     )
+
+
+def test_reattach_resumes_default_wave_numbering(spark, tmp_path):
+    """r10 second-review finding 2: a NEW curator object on an existing
+    workdir (cross-process re-attach, default numbering) must resume
+    from the persisted max wave — not restart at 1, which would exclude
+    the whole history from every lookup and overwrite curated/w1."""
+    w1 = spark.createDataFrame(
+        [(1, "en", BASE), (2, "en", OTHER)],
+        SCHEMA,
+    )
+    w2 = spark.createDataFrame(
+        [(10, "en", BASE), (11, "en", THIRD)],  # 10 = exact dup of doc 1
+        SCHEMA,
+    )
+    curA = _curator(spark, tmp_path)
+    a1 = {r.doc_id for r in curA.ingest(w1).collect()}
+    assert a1 == {1, 2}
+
+    # re-attach: fresh object, same workdir, default numbering
+    curB = _curator(spark, tmp_path)
+    a2 = {r.doc_id for r in curB.ingest(w2).collect()}
+    assert a2 == {11}  # doc 10 deduped against wave-1 HISTORY
+    # wave 1's curated output intact alongside wave 2's
+    assert sorted(r.doc_id for r in curB.curated().collect()) == [1, 2, 11]

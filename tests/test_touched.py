@@ -121,10 +121,11 @@ def test_registry_round_touched_matches_module_mapping(monkeypatch):
 
 
 def test_global_infrastructure_change_is_not_pinned(monkeypatch):
-    """A changed file whose closure spans more than half the query
-    modules (registry.py, session.py, ...) must NOT pin everything — the
+    """A changed file whose closure spans EVERY query module
+    (registry.py, session.py, ...) must NOT pin everything — the
     all-pinned order degenerates to plain last-green and sorts genuinely
-    edited queries behind their peers. Selective changes still pin."""
+    edited queries behind their peers. Selective changes (even broad
+    ones reaching most-but-not-all modules) still pin."""
     from clickhouse_segments_tutorial_spark.plans import touched as tmod
 
     qmods = registry._query_module_paths()
