@@ -64,6 +64,24 @@ def novelty_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
 
 
+def _max_completed_wave_dir(workdir: str) -> int:
+    """Highest wave number among this workdir's COMPLETED wave_<k>
+    result directories (completed = carries Spark's _SUCCESS job-commit
+    marker; a crash mid-result-write leaves the dir without one and the
+    wave must be re-fed, not skipped past). Shared resume probe for the
+    wave-state classes' default numbering on re-attach."""
+    import glob
+    import os
+    import re
+
+    best = 0
+    for p in glob.glob(os.path.join(workdir, "wave_*")):
+        m = re.fullmatch(r"wave_(\d+)", os.path.basename(p))
+        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+            best = max(best, int(m.group(1)))
+    return best
+
+
 class IncrementalNoveltyScorer:
     """Wave-state twin of :func:`operators.corpus_stats.ngram_novelty` —
     the micro-batch philosophy (reference variants 3/4) applied to
@@ -108,30 +126,20 @@ class IncrementalNoveltyScorer:
         """compact()'s table overwrite is not atomic: a crash mid-rewrite
         can leave the catalog table missing while the pinned pre-compact
         copy survives under workdir tmp (r10 second-review finding 3).
-        Restore from the NEWEST pin before any read that would otherwise
+        Restore from the newest VALID pin (shared recency/validity rule —
+        sources/bucketed.py) before any read that would otherwise
         silently see empty state. reset()/drop_state clear the pins, so
         a healed table can never resurrect deliberately dropped state."""
-        if self.spark.catalog.tableExists(self._tbl):
-            return
-        import glob
         import os
-        import re
 
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import heal_bucketed_from_pins
 
-        pins = glob.glob(os.path.join(self.workdir, "tmp", "compact_w*"))
-        if not pins:
-            return
-        latest = max(
-            pins, key=lambda p: int(re.search(r"compact_w(\d+)$", p).group(1))
-        )
-        write_bucketed(
-            self.spark.read.parquet(latest),
+        heal_bucketed_from_pins(
+            self.spark,
             self._tbl,
+            os.path.join(self.workdir, "tmp", "compact_w*"),
             key="_g",
             buckets=self.state_buckets,
-            mode="overwrite",
-            align=True,
         )
 
     def _state(self) -> DataFrame:
@@ -146,18 +154,33 @@ class IncrementalNoveltyScorer:
             )
         return self.spark.createDataFrame([], "_g string, _first long")
 
+    def _max_persisted_wave(self) -> int:
+        """Highest COMPLETED wave recorded in this workdir (wave_<k>
+        result dirs carrying a _SUCCESS commit marker) — the resume point
+        for default numbering on re-attach. The in-memory counter
+        restarts at 0 per process; without the probe a new process
+        continuing an existing workdir would number its first wave 1,
+        overwriting wave_1's historical result (r10 third-review
+        finding 1). Gram STATE is order-safe either way (duplicate
+        appends collapse under the min() read); re-feed a crashed wave
+        with its explicit wave_id, as the streaming gate does."""
+        return _max_completed_wave_dir(self.workdir)
+
     def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Score one wave; returns (doc_id, n_grams, n_novel, novelty) for
         the wave's non-empty docs, pinned to the workdir (lazy reader).
-        ``wave_id`` (default previous+1): a restart-stable id makes the
-        wave-result path stable across gate replays; the gram state
-        itself is replay-safe regardless (duplicate appends collapse
-        under the min() read)."""
+        ``wave_id`` (default previous+1, resuming from persisted wave
+        results on re-attach — see _max_persisted_wave): a restart-stable
+        id makes the wave-result path stable across gate replays; the
+        gram state itself is replay-safe regardless (duplicate appends
+        collapse under the min() read)."""
         import os
 
         from ..operators.corpus_stats import doc_gram_keys, novelty_from_firsts
         from ..sources.bucketed import write_bucketed
 
+        if wave_id is None and self._wave == 0:
+            self._wave = self._max_persisted_wave()
         self._wave = int(wave_id) if wave_id is not None else self._wave + 1
         sh = doc_gram_keys(docs, n=self.n)
         first_in_wave = sh.groupBy("_g").agg(F.min("doc_id").alias("_wf"))
@@ -200,23 +223,23 @@ class IncrementalNoveltyScorer:
         only reports per-bucket sort order with a single file per
         bucket. Run between waves; ingest results are identical
         before/after (tested). Also collapses any duplicate gram rows a
-        crashed re-run appended (the min() _state reads through)."""
+        crashed re-run appended (the min() _state reads through).
+        Successful compaction prunes ALL pins (compact_bucketed)."""
         import os
 
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import compact_bucketed
 
         self._heal_from_compact_pin()
         if not self.spark.catalog.tableExists(self._tbl):
             return
-        pinned_path = os.path.join(self.workdir, "tmp", f"compact_w{self._wave}")
-        self._state().write.mode("overwrite").parquet(pinned_path)
-        write_bucketed(
-            self.spark.read.parquet(pinned_path),
+        compact_bucketed(
+            self.spark,
+            self._state(),
             self._tbl,
+            os.path.join(self.workdir, "tmp", f"compact_w{self._wave}"),
+            os.path.join(self.workdir, "tmp", "compact_w*"),
             key="_g",
             buckets=self.state_buckets,
-            mode="overwrite",
-            align=True,
         )
 
     def reset(self) -> None:
@@ -559,26 +582,17 @@ class IncrementalSemanticDeduper:
     def _heal_from_compact_pin(self, name: str, keys: tuple[str, ...]) -> None:
         """Crash-mid-compact recovery from the pinned copy — the
         IncrementalNoveltyScorer._heal_from_compact_pin contract, per
-        state table."""
-        if self.spark.catalog.tableExists(self._tbl(name)):
-            return
-        import glob
+        state table (shared validity/recency rule in sources/bucketed.py)."""
         import os
-        import re
 
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import heal_bucketed_from_pins
 
-        pins = glob.glob(os.path.join(self.workdir, "tmp", f"compact_{name}_w*"))
-        if not pins:
-            return
-        latest = max(pins, key=lambda p: int(re.search(r"_w(\d+)$", p).group(1)))
-        write_bucketed(
-            self.spark.read.parquet(latest),
+        heal_bucketed_from_pins(
+            self.spark,
             self._tbl(name),
+            os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
             key=keys,
             buckets=self.state_buckets,
-            mode="overwrite",
-            align=True,
         )
 
     _STATE_KEYS = {"sem_bands": ("chunk", "key"), "sem_vecs": ("_id",)}
@@ -592,9 +606,10 @@ class IncrementalSemanticDeduper:
     def ingest(self, embeddings: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Dedup one wave; returns the wave's survivors (vec_id, label),
         pinned to the workdir (lazy reader). ``wave_id`` as on
-        IncrementalNoveltyScorer.ingest (band/vector state is replay-safe
-        by construction — exact-duplicate re-appends cannot change any
-        verdict)."""
+        IncrementalNoveltyScorer.ingest — default numbering resumes from
+        the workdir's completed wave results on re-attach (band/vector
+        state is replay-safe by construction — exact-duplicate re-appends
+        cannot change any verdict)."""
         import os
 
         from ..operators.similarity import (
@@ -604,6 +619,8 @@ class IncrementalSemanticDeduper:
         )
         from ..sources.bucketed import write_bucketed
 
+        if wave_id is None and self._wave == 0:
+            self._wave = _max_completed_wave_dir(self.workdir)
         self._wave = int(wave_id) if wave_id is not None else self._wave + 1
         first = embeddings.select(F.size("embedding").alias("d")).first()
         res_path = os.path.join(self.workdir, f"wave_{self._wave}")
@@ -701,24 +718,24 @@ class IncrementalSemanticDeduper:
     def compact(self) -> None:
         """Fold each state table to one sorted file per bucket (the
         IncrementalCorpusCurator.compact contract); ingest results are
-        identical before/after (tested)."""
+        identical before/after (tested). Successful compaction prunes
+        that table's pins (compact_bucketed)."""
         import os
 
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import compact_bucketed
 
         for name, keys in (("sem_bands", ("chunk", "key")), ("sem_vecs", ("_id",))):
             self._heal_from_compact_pin(name, keys)
             if not self.spark.catalog.tableExists(self._tbl(name)):
                 continue
-            pinned_path = os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}")
-            self.spark.table(self._tbl(name)).write.mode("overwrite").parquet(pinned_path)
-            write_bucketed(
-                self.spark.read.parquet(pinned_path),
+            compact_bucketed(
+                self.spark,
+                self.spark.table(self._tbl(name)),
                 self._tbl(name),
+                os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}"),
+                os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
                 key=keys,
                 buckets=self.state_buckets,
-                mode="overwrite",
-                align=True,
             )
 
     def reset(self) -> None:

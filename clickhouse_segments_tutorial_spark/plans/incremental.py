@@ -64,7 +64,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.components import connected_components
 from ..operators.dedup import banded_minhash_keys, shingled_docs
 from ..operators.text import normalize_text, quality_score, token_count
-from ..sources import load_table, write_bucketed
+from ..sources import (
+    compact_bucketed,
+    heal_bucketed_from_pins,
+    load_table,
+    write_bucketed,
+)
 from .pipeline import _LINE_WS, _normalize, _shingles, _toks
 from .registry import QuerySpec
 
@@ -179,27 +184,16 @@ class IncrementalCorpusCurator:
         """Crash-mid-compact recovery: compact()'s overwrite is not
         atomic, and a read that finds the table missing would silently
         see EMPTY dedup state (re-admitting the whole history's
-        duplicates). Restore from the newest pinned pre-compact copy in
-        the workdir tmp dir; drop_dedup_state removes pins together with
+        duplicates). Restore from the newest VALID pinned pre-compact
+        copy in the workdir tmp dir (shared validity/recency rule —
+        sources/bucketed.py); drop_dedup_state removes pins together with
         the tables, so deliberate drops cannot resurrect."""
-        if self.spark.catalog.tableExists(self._table(name)):
-            return
-        import glob
-
-        pins = glob.glob(os.path.join(self.workdir, "tmp", f"w*_compact_{name}"))
-        if not pins:
-            return
-        latest = max(
-            pins,
-            key=lambda p: int(re.search(r"w(\d+)_compact_", os.path.basename(p)).group(1)),
-        )
-        write_bucketed(
-            self.spark.read.parquet(latest),
+        heal_bucketed_from_pins(
+            self.spark,
             self._table(name),
+            os.path.join(self.workdir, "tmp", f"w*_compact_{name}"),
             key=keys,
             buckets=self.state_buckets,
-            mode="overwrite",
-            align=True,
         )
 
     def _read(self, name: str, *, before_wave: int | None = None) -> DataFrame:
@@ -261,19 +255,20 @@ class IncrementalCorpusCurator:
         results are identical before/after (tests/test_incremental.py
         asserts this). Rewrites via a pinned copy in the workdir tmp dir:
         an overwrite whose plan scans the target table would be a
-        read-your-writes hazard."""
+        read-your-writes hazard. Successful compaction prunes that
+        table's pins (compact_bucketed)."""
         for name, keys in _STATE_BUCKET_KEYS.items():
             self._heal_from_compact_pin(name, keys)
             if not self.spark.catalog.tableExists(self._table(name)):
                 continue
-            pinned = self._materialize(self.spark.table(self._table(name)), f"compact_{name}")
-            write_bucketed(
-                pinned,
+            compact_bucketed(
+                self.spark,
+                self.spark.table(self._table(name)),
                 self._table(name),
+                os.path.join(self.workdir, "tmp", f"w{self._wave}_compact_{name}"),
+                os.path.join(self.workdir, "tmp", f"w*_compact_{name}"),
                 key=keys,
                 buckets=self.state_buckets,
-                mode="overwrite",
-                align=True,
             )
 
     def drop_dedup_state(self) -> None:
@@ -289,26 +284,48 @@ class IncrementalCorpusCurator:
             shutil.rmtree(os.path.join(self.workdir, name), ignore_errors=True)
 
     def _max_persisted_wave(self) -> int:
-        """Highest wave id recorded anywhere in this workdir's state —
-        the resume point for default numbering on re-attach (ingest's
-        docstring). Sources: max(_w) over each wave-tagged table, plus
-        curated/w<k> subdirectory names (a wave can accept documents yet
-        append zero new dedup rows... and vice versa). 0 when fresh."""
+        """Highest COMPLETED wave in this workdir — the resume point for
+        default numbering on re-attach (ingest's docstring). Completed =
+        a curated/w<k> subdirectory with Spark's _SUCCESS commit marker:
+        ingest writes curated/w<k> unconditionally at the END of the wave
+        (even when zero docs are accepted), so its presence is the
+        completion record. State-table max(_w) must NOT count (r10
+        third-review finding 2): a wave that crashed after its state
+        appends but before its curated write would resume PAST itself,
+        and the re-fed batch would anti-join against its own partial
+        appends — every document silently dropped. Resuming to the last
+        curated wave instead makes the re-feed the crashed wave's number,
+        which the `_w < wid` replay isolation handles.
+
+        Guard: a curated-empty workdir whose state tables already hold
+        rows means the workdir was wiped (or never written) while the
+        catalog tables — keyed on the workdir PATH — survived. Default
+        numbering would restart at 1 and wave 2+ lookups (`_w < 2`)
+        would dedup against the orphaned history. That is never safe to
+        guess through: raise, directing the caller to explicit wave_ids
+        or drop_dedup_state()."""
         best = 0
-        for name, keys in _STATE_BUCKET_KEYS.items():
-            self._heal_from_compact_pin(name, keys)
-            if self.spark.catalog.tableExists(self._table(name)):
-                row = self.spark.table(self._table(name)).agg(
-                    F.max("_w").alias("m")
-                ).first()
-                if row is not None and row["m"] is not None:
-                    best = max(best, int(row["m"]))
         curated_base = self._path("curated")
         if os.path.isdir(curated_base):
             for d in os.listdir(curated_base):
                 m = re.fullmatch(r"w(\d+)", d)
-                if m:
+                if m and os.path.exists(os.path.join(curated_base, d, "_SUCCESS")):
                     best = max(best, int(m.group(1)))
+        if best == 0:
+            for name, keys in _STATE_BUCKET_KEYS.items():
+                self._heal_from_compact_pin(name, keys)
+                if (
+                    self.spark.catalog.tableExists(self._table(name))
+                    and self.spark.table(self._table(name)).first() is not None
+                ):
+                    raise RuntimeError(
+                        f"workdir {self.workdir!r} has no completed curated "
+                        f"wave but state table {self._table(name)!r} is "
+                        "non-empty — a wiped workdir re-attached to orphaned "
+                        "state, or a first wave that crashed mid-ingest. "
+                        "Re-feed the crashed wave with an explicit wave_id, "
+                        "or call drop_dedup_state() for a fresh start."
+                    )
         return best
 
     def _materialize(self, df: DataFrame, name: str) -> DataFrame:
@@ -334,12 +351,16 @@ class IncrementalCorpusCurator:
         replay reproduces the original result instead of dropping its
         documents against its own partial appends.
 
-        Default numbering RESUMES from persisted state on re-attach: the
-        in-memory counter restarts at 0 per process, and without the
-        max(_w) probe a new process continuing an existing workdir would
-        number its first wave 1 — excluding the ENTIRE history from
-        every `_w < wid` lookup and overwriting curated/w1 (r10
-        second-review finding 2)."""
+        Default numbering RESUMES from the last COMPLETED wave on
+        re-attach (curated/w<k> completion markers — see
+        _max_persisted_wave): the in-memory counter restarts at 0 per
+        process, and without the probe a new process continuing an
+        existing workdir would number its first wave 1 — excluding the
+        ENTIRE history from every `_w < wid` lookup and overwriting
+        curated/w1 (r10 second-review finding 2). A wave that crashed
+        mid-ingest resumes AS ITSELF (its curated marker never landed),
+        so the re-feed is replay-isolated rather than dropped against
+        its own partial state appends (r10 third-review finding 2)."""
         if wave_id is None and self._wave == 0:
             self._wave = self._max_persisted_wave()
         wid = int(wave_id) if wave_id is not None else self._wave + 1

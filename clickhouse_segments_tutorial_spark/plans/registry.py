@@ -128,7 +128,10 @@ def _touched_module_paths() -> set[str]:
         except Exception:
             # degrade for THIS call only — caching a transient failure
             # (e.g. a concurrent git op holding index.lock) would
-            # silently disable pinning for the whole process
+            # silently disable pinning for the whole process. Reachable
+            # because touched.py RAISES TransientGitError for retryable
+            # git failures instead of folding them into the permanent
+            # None/{} degradation path (r10 third-review finding 4).
             return set()
     return _TOUCHED_CACHE
 

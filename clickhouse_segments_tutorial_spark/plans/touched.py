@@ -22,10 +22,14 @@ Mechanism:
    (transitively) uses it, matching what the r9 hand list encoded
    manually.
 
-Degradation: no git, no CORRECTNESS files, or any subprocess/parse error
--> empty derived set. The rotation in registry.all_queries() still
-guarantees every query a driver row over two consecutive rounds; pinning
-is an optimization on top, never a correctness dependency. A manual
+Degradation: PERMANENT causes (no git binary, not a repository, no
+committed CORRECTNESS files, parse errors) -> empty derived set, safe to
+memoize; RETRYABLE git failures (index.lock contention, timeouts) raise
+TransientGitError so the registry degrades for that call only instead of
+caching pinning-off for the whole process. The rotation in
+registry.all_queries() still guarantees every query a driver row over two
+consecutive rounds; pinning is an optimization on top, never a
+correctness dependency. A manual
 ``ROUND_TOUCHED_OVERRIDE`` remains in registry.py for queries whose
 behavior changed without a package-file edit (e.g. testdata contract
 changes).
@@ -40,6 +44,43 @@ import subprocess
 from pathlib import Path
 
 PKG = "clickhouse_segments_tutorial_spark"
+
+
+class TransientGitError(RuntimeError):
+    """A git invocation failed in a way that may succeed on retry (a
+    concurrent operation holding index.lock, a timeout) — as opposed to
+    PERMANENT degradation (no git binary, not a repository, no committed
+    round artifacts), which returns None/{}. The registry's memoization
+    caches permanent degradation but must NOT cache a transient failure:
+    doing so silently disables pinning for the whole process, shipping
+    this round's edited queries without a driver re-check (r10
+    third-review finding 4 — the previous code folded both cases into
+    None, making the registry's degrade-for-this-call-only branch
+    unreachable)."""
+
+
+def _run_git(args: list[str], cwd: Path) -> str:
+    """Run one git command, separating permanent from transient failure:
+    a missing git binary or a non-repository raises RuntimeError (the
+    caller degrades permanently); anything else — timeout, index.lock
+    contention, other nonzero exits — raises TransientGitError."""
+    try:
+        return subprocess.run(
+            ["git", *args],
+            cwd=cwd,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+    except FileNotFoundError:
+        raise RuntimeError("git binary not found")
+    except subprocess.CalledProcessError as e:
+        if "not a git repository" in (e.stderr or "").lower():
+            raise RuntimeError("not a git repository")
+        raise TransientGitError(f"git {args[0]} failed: {e.stderr!r}")
+    except (OSError, subprocess.SubprocessError) as e:
+        raise TransientGitError(f"git {args[0]} failed: {e!r}")
 
 # Modules whose imports ENUMERATE rather than USE: registry.py imports
 # every QUERIES module solely to list their specs, which would otherwise
@@ -73,15 +114,12 @@ def _base_commit(repo_root: Path) -> str | None:
             rounds.append((int(m.group(1)), p))
     for _, path in sorted(rounds, reverse=True):
         try:
-            out = subprocess.run(
-                ["git", "log", "-n1", "--format=%H", "--", path.name],
-                cwd=repo_root,
-                capture_output=True,
-                text=True,
-                timeout=30,
-                check=True,
-            ).stdout.strip()
-        except (OSError, subprocess.SubprocessError):
+            out = _run_git(
+                ["log", "-n1", "--format=%H", "--", path.name], repo_root
+            ).strip()
+        except RuntimeError as e:
+            if isinstance(e, TransientGitError):
+                raise
             return None
         if out:
             return out
@@ -91,28 +129,20 @@ def _base_commit(repo_root: Path) -> str | None:
 def changed_package_files(repo_root: Path) -> set[str] | None:
     """Repo-relative paths of package .py files edited since the base
     commit (committed, staged, unstaged, or untracked). None when the
-    base is undeterminable (no git / no round artifacts)."""
+    base is PERMANENTLY undeterminable (no git / not a repository / no
+    round artifacts); raises TransientGitError on retryable git failure
+    so the caller degrades for one call without caching (_run_git)."""
     base = _base_commit(repo_root)
     if base is None:
         return None
     try:
-        diff = subprocess.run(
-            ["git", "diff", "--name-only", base, "--", PKG],
-            cwd=repo_root,
-            capture_output=True,
-            text=True,
-            timeout=30,
-            check=True,
-        ).stdout
-        untracked = subprocess.run(
-            ["git", "ls-files", "--others", "--exclude-standard", PKG],
-            cwd=repo_root,
-            capture_output=True,
-            text=True,
-            timeout=30,
-            check=True,
-        ).stdout
-    except (OSError, subprocess.SubprocessError):
+        diff = _run_git(["diff", "--name-only", base, "--", PKG], repo_root)
+        untracked = _run_git(
+            ["ls-files", "--others", "--exclude-standard", PKG], repo_root
+        )
+    except RuntimeError as e:
+        if isinstance(e, TransientGitError):
+            raise
         return None
     return {
         line.strip()
@@ -214,7 +244,8 @@ def touched_modules_by_change(
     otherwise pin everything and destroy the pinning signal (r10
     self-review finding: a registry.py edit derived all 98 queries as
     touched, sorting the genuinely edited ones BEHIND their
-    less-recently-verified peers). Empty dict on degradation."""
+    less-recently-verified peers). Empty dict on permanent degradation;
+    TransientGitError propagates (module docstring)."""
     root = Path(repo_root) if repo_root is not None else _repo_root()
     changed = changed_package_files(root)
     if not changed:
@@ -227,7 +258,8 @@ def touched_modules_by_change(
 def touched_modules(repo_root: Path | str | None = None) -> set[str]:
     """Package modules (repo-relative paths) whose transitive import
     closure contains a file changed this round — ALL changes, breadth
-    unweighted. Empty set on any degradation (see module docstring)."""
+    unweighted. Empty set on permanent degradation; TransientGitError
+    propagates (see module docstring)."""
     by_change = touched_modules_by_change(repo_root)
     out: set[str] = set()
     for closure in by_change.values():

@@ -60,3 +60,102 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucketing metadata rides along automatically."""
     return spark.table(table)
+
+
+# -- crash-mid-compact pin recovery (shared by the stateful curation
+# classes: IncrementalNoveltyScorer, IncrementalSemanticDeduper,
+# IncrementalCorpusCurator). compact() overwrites a state table via
+# saveAsTable(overwrite), which drops then recreates — not atomic. Each
+# compact first PINS the full state to a plain parquet directory; a later
+# read that finds the table missing restores it from the newest pin.
+# One implementation: the pin-name scheme, validity rule, and recency
+# rule previously lived as three hand-rolled copies that had already
+# drifted into three naming schemes (r10 third-review finding 5).
+
+
+def newest_valid_pin(pattern: str) -> str | None:
+    """Newest COMMITTED pin directory matching glob ``pattern``.
+
+    Valid = contains Spark's ``_SUCCESS`` job-commit marker; a crash
+    mid-pin-write leaves a partial directory without one, which must
+    never be restored. Newest = ``_SUCCESS`` mtime (the commit instant),
+    NOT any wave number embedded in the directory name: in-memory wave
+    counters restart per process, so a re-attached process's pins carry
+    LOWER numbers than an earlier process's stale pins and number-based
+    selection would restore the stale copy, silently discarding every
+    append since (r10 third-review findings 1 and 3)."""
+    import glob
+    import os
+
+    best: tuple[float, str] | None = None
+    for p in glob.glob(pattern):
+        marker = os.path.join(p, "_SUCCESS")
+        if not os.path.exists(marker):
+            continue
+        mt = os.path.getmtime(marker)
+        if best is None or mt > best[0]:
+            best = (mt, p)
+    return best[1] if best else None
+
+
+def heal_bucketed_from_pins(
+    spark: SparkSession,
+    table: str,
+    pattern: str,
+    *,
+    key: str | tuple[str, ...],
+    buckets: int,
+) -> None:
+    """If ``table`` is missing from the catalog, restore it (bucketed on
+    ``key``) from the newest valid pin matching ``pattern``. No-op when
+    the table exists or no valid pin survives. Callers' reset()/drop
+    paths must delete pins together with the table, so a deliberate drop
+    can never be resurrected."""
+    if spark.catalog.tableExists(table):
+        return
+    pin = newest_valid_pin(pattern)
+    if pin is None:
+        return
+    write_bucketed(
+        spark.read.parquet(pin),
+        table,
+        key=key,
+        buckets=buckets,
+        mode="overwrite",
+        align=True,
+    )
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    state: DataFrame,
+    table: str,
+    pin_path: str,
+    prune_pattern: str,
+    *,
+    key: str | tuple[str, ...],
+    buckets: int,
+) -> None:
+    """Fold ``table`` back to one sorted file per bucket: pin ``state``
+    to ``pin_path`` (plain parquet — the overwrite plan must not scan the
+    table it replaces), rewrite the table bucketed from the pin, then
+    prune EVERY pin matching ``prune_pattern``. The pin only needs to
+    survive the overwrite crash window; once the rewrite commits, keeping
+    pins would (a) grow tmp by one full state copy per compaction forever
+    and (b) leave stale copies for heal's recency rule to trip over
+    after the pattern's directories outlive several processes (r10
+    third-review finding 6)."""
+    import glob
+    import shutil
+
+    state.write.mode("overwrite").parquet(pin_path)
+    write_bucketed(
+        spark.read.parquet(pin_path),
+        table,
+        key=key,
+        buckets=buckets,
+        mode="overwrite",
+        align=True,
+    )
+    for p in glob.glob(prune_pattern):
+        shutil.rmtree(p, ignore_errors=True)

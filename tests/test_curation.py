@@ -858,8 +858,11 @@ def test_novelty_heals_state_after_crashed_compaction(spark, tmp_path):
     sc.reset()
     try:
         sc.ingest(docs.filter(F.col("doc_id") < 8), wave_id=1)
-        sc.compact()
-        # simulated crash mid-compact: table gone, pin survives
+        # simulated crash mid-compact: the pin landed (committed), then
+        # the table overwrite died after the drop — pin survives, table
+        # gone. (A COMPLETED compact prunes its pins, so the old
+        # compact-then-drop simulation no longer models any real state.)
+        sc._state().write.parquet(str(tmp_path / "tmp" / "compact_w1"))
         spark.sql(f"DROP TABLE {sc._tbl}")
         out2 = sc.ingest(docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16)), wave_id=2)
         out3 = sc.ingest(docs.filter(F.col("doc_id") >= 16), wave_id=3)
@@ -878,3 +881,107 @@ def test_novelty_heals_state_after_crashed_compaction(spark, tmp_path):
         assert row[16]["novelty"] == 1.0  # nothing seen before
     finally:
         sc.drop_state()
+
+
+def test_heal_prefers_newest_valid_pin_over_higher_wave_number(spark, tmp_path):
+    """r10 third-review findings 1/3: pin recency must be the _SUCCESS
+    commit mtime, not the wave number embedded in the name — a
+    re-attached process's wave counter restarts, so its (current) pins
+    carry LOWER numbers than an earlier process's stale ones. Also: a
+    pin without _SUCCESS (crashed mid-pin-write) must never be restored."""
+    import os
+    import time
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    docs = _docs(spark, [(i, f"w{i} x y z") for i in range(8)])
+    sc = IncrementalNoveltyScorer(spark, str(tmp_path), state_buckets=4)
+    sc.reset()
+    try:
+        sc.ingest(docs.filter(F.col("doc_id") < 4), wave_id=1)
+        # stale pin from an "earlier process", wave number 9 — only doc 0's
+        # grams. Written FIRST so its _SUCCESS mtime is oldest.
+        sc._state().filter(F.col("_first") == 0).write.parquet(
+            str(tmp_path / "tmp" / "compact_w9")
+        )
+        time.sleep(1.1)
+        # current full pin, lower wave number, newer commit
+        sc._state().write.parquet(str(tmp_path / "tmp" / "compact_w2"))
+        # an even newer but UNCOMMITTED pin (no _SUCCESS): must be skipped
+        time.sleep(1.1)
+        part = tmp_path / "tmp" / "compact_w3"
+        sc._state().write.parquet(str(part))
+        os.remove(part / "_SUCCESS")
+        spark.sql(f"DROP TABLE {sc._tbl}")
+        healed = {r["_g"]: r["_first"] for r in sc._state().collect()}
+        full = 4 * 2  # 4 docs x 2 distinct 3-grams each, all distinct
+        assert len(healed) == full, "heal restored the stale or partial pin"
+    finally:
+        sc.drop_state()
+
+
+def test_successful_compaction_prunes_pins(spark, tmp_path):
+    """r10 third-review finding 6: once the compacted table is committed
+    the pins are dead weight (heal reads only the newest; tmp would grow
+    one full state copy per compaction forever) and stale copies feed
+    the recency-selection bugs. Scorer, deduper, and curator all prune."""
+    import glob
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+        IncrementalSemanticDeduper,
+    )
+
+    docs = _docs(spark, [(i, f"a{i} b c d") for i in range(6)])
+    sc = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"), state_buckets=4)
+    sc.reset()
+    try:
+        sc.ingest(docs, wave_id=1)
+        sc.compact()
+        assert glob.glob(str(tmp_path / "nov" / "tmp" / "compact_w*")) == []
+        # and the state is intact post-prune
+        assert sc._state().count() > 0
+    finally:
+        sc.drop_state()
+
+    emb = spark.createDataFrame(
+        [(i, "k", [float(i), 1.0, 0.0, 0.5]) for i in range(4)],
+        "vec_id long, label string, embedding array<float>",
+    )
+    ded = IncrementalSemanticDeduper(spark, str(tmp_path / "sem"), threshold=0.95)
+    ded.reset()
+    try:
+        ded.ingest(emb, wave_id=1)
+        ded.compact()
+        assert glob.glob(str(tmp_path / "sem" / "tmp" / "compact_*_w*")) == []
+        assert ded._state("sem_vecs", "_id bigint, embedding array<float>").count() == 4
+    finally:
+        ded.drop_state()
+
+
+def test_scorer_and_deduper_resume_wave_numbering_on_reattach(spark, tmp_path):
+    """r10 third-review finding 1 (resume half): a NEW instance on an
+    existing workdir must continue default wave numbering from the
+    persisted wave results, not restart at 1 and overwrite wave_1."""
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    docs = _docs(spark, [(i, f"q{i} r s t") for i in range(9)])
+    first = IncrementalNoveltyScorer(spark, str(tmp_path), state_buckets=4)
+    first.reset()
+    try:
+        first.ingest(docs.filter(F.col("doc_id") < 3))   # default wave 1
+        first.ingest(docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)))  # 2
+        w1 = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "wave_1")).collect())
+
+        again = IncrementalNoveltyScorer(spark, str(tmp_path), state_buckets=4)
+        again.ingest(docs.filter(F.col("doc_id") >= 6))  # must become wave 3
+        assert (tmp_path / "wave_3").exists()
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "wave_1")).collect()
+        ) == w1, "re-attach overwrote wave_1's historical result"
+    finally:
+        first.drop_state()
