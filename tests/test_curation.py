@@ -896,7 +896,7 @@ def test_heal_prefers_newest_valid_pin_over_higher_wave_number(spark, tmp_path):
         IncrementalNoveltyScorer,
     )
 
-    docs = _docs(spark, [(i, f"w{i} x y z") for i in range(8)])
+    docs = _docs(spark, [(i, f"a{i} b{i} c{i} d{i}") for i in range(8)])
     sc = IncrementalNoveltyScorer(spark, str(tmp_path), state_buckets=4)
     sc.reset()
     try:
