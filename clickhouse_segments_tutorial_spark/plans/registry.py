@@ -121,9 +121,26 @@ def _touched_module_paths() -> set[str]:
             by_change = _touched.touched_modules_by_change()
             qmods = _query_module_paths()
             out: set[str] = set()
-            for closure in by_change.values():
+            for change, closure in by_change.items():
                 if qmods - closure:  # not a span-everything hub edit
                     out |= closure
+                else:
+                    # A hub edit (closure spans every query module) is
+                    # dropped from pinning BY POLICY, but silently
+                    # dropping it recreates — for hub files only — the
+                    # ships-unchecked gap the derivation closes (r10
+                    # ADVICE item 5). Make the exclusion visible so the
+                    # author either accepts the rotation+pytest coverage
+                    # or pins specific queries via ROUND_TOUCHED_OVERRIDE.
+                    import warnings
+
+                    warnings.warn(
+                        f"round-touched: hub edit {change} reaches every "
+                        "query module and is NOT pinned; rely on the "
+                        "staleness rotation + full pytest parity, or add "
+                        "specific names to ROUND_TOUCHED_OVERRIDE",
+                        stacklevel=2,
+                    )
             _TOUCHED_CACHE = out
         except Exception:
             # degrade for THIS call only — caching a transient failure
@@ -199,40 +216,81 @@ def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
     return out
 
 
+def _driver_window() -> int:
+    """Size of the driver's per-round correctness window, inferred from
+    the recorded round files (the harness checks a fixed-size prefix of
+    the registration order; every full round on record shows the same
+    row count). Defaults to 50 — the observed size since round 3 — when
+    no round artifacts are present (fresh checkout)."""
+    root = Path(__file__).resolve().parents[2]
+    best = 0
+    for p in root.glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            best = max(best, len(data))
+    return best or 50
+
+
+def pin_cap() -> int:
+    """Maximum pinned slots: half the driver window (r10 VERDICT item 2).
+
+    Uncapped pinning starved the rotation: rounds 9 and 10 each pinned
+    ~26 queries of a 50-slot window over a 98-query registry, so the
+    staleness tail advanced only ~24 names per round and 22 queries went
+    unchecked from r08 through r10 — violating the two-round re-check
+    intent. Capping pins at window/2 bounds the staleness period at
+    ceil(N_unpinned / (window - cap)) rounds regardless of how broad a
+    round's edits are; the overflow pins (the most-recently-green ones,
+    least in need of a fresh row) join the staleness pool instead of
+    displacing it."""
+    return _driver_window() // 2
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """All registered queries: round-touched first, then
-    least-recently-verified.
+    """All registered queries: a CAPPED round-touched block first, then
+    everything else strictly by staleness.
 
-    Order = ascending (NOT round-touched, last green-checked round,
-    registration index): queries whose implementing code changed this
-    round (derived — see round_touched_names) lead, then queries with no
-    green CORRECTNESS row ever, then the ones whose last green row is
-    oldest. The harness checks a prefix of this dict, so any query it
-    skips this round was green last round and gets priority next round —
-    over any two consecutive rounds every registered query receives a
-    driver correctness row (the r5 verdict's 60-into-50 window fix), and
-    every query whose code changed gets a fresh row in the round of the
-    change (the r8 verdict's pinning fix, r9's derivation fix).
-    Deterministic for a given set of recorded round files; falls back to
-    (touched, registration order) when none exist.
+    Order: pinned queries (implementing code changed this round — see
+    round_touched_names) sorted by (last green-checked round,
+    registration index) and truncated to pin_cap(); then the remainder —
+    unpinned queries plus any pin overflow — in the same strict
+    staleness order. Never-checked queries (no green CORRECTNESS row,
+    last_green = -1) therefore lead their block. The harness checks a
+    window-sized prefix of this dict, so:
 
-    Saturation: when a round edits more queries than the harness window
-    (a broad operator or constants refactor), the pinned overflow —
-    most-recently-green last — misses its same-round driver row; it is
-    still covered by the full-registry pytest parity run every round,
-    and leads the next round's window by staleness once unpinned. The
-    window cannot re-check more than it holds; pinning chooses WHICH
-    guarantee bends under saturation (edited-query immediacy, never the
-    never-checked-first rule)."""
+    - every query whose code changed gets a fresh driver row in the
+      round of the change, up to pin_cap() of them (the r8 verdict's
+      pinning fix, r9's derivation fix, r10's cap fix);
+    - the unpinned tail advances by at least window - pin_cap() names
+      per round in strict last-checked order, so no query waits more
+      than ceil(N / (window - cap)) rounds for a driver row — the
+      starvation that left 22 queries stale from r08 to r10 cannot
+      recur (r10 verdict item 2);
+    - within the prefix, new (never-checked) queries outrank previously
+      green ones at equal pin status.
+
+    Window arithmetic caveat: with N registered > 2x window, covering
+    the FULL registry in exactly two rounds is impossible whenever a
+    round also adds queries or pins any (backlog N - window plus new
+    names can exceed window); the cap makes the period tight and bounded
+    rather than starvation-prone. Deterministic for a given set of
+    recorded round files; falls back to (touched, registration order)
+    when none exist."""
     specs = _specs_with_touched()
     last_green = _last_green_round()
     names = list(specs)
-    order = sorted(
-        range(len(names)),
-        key=lambda i: (
-            not specs[names[i]][1],
-            last_green.get(names[i], -1),
-            i,
-        ),
+
+    def staleness(i: int) -> tuple[int, int]:
+        return (last_green.get(names[i], -1), i)
+
+    pinned = sorted((i for i in range(len(names)) if specs[names[i]][1]), key=staleness)
+    cap = pin_cap()
+    head, overflow = pinned[:cap], pinned[cap:]
+    tail = sorted(
+        [i for i in range(len(names)) if not specs[names[i]][1]] + overflow,
+        key=staleness,
     )
-    return {names[i]: specs[names[i]][0] for i in order}
+    return {names[i]: specs[names[i]][0] for i in head + tail}

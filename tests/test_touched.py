@@ -145,3 +145,87 @@ def test_global_infrastructure_change_is_not_pinned(monkeypatch):
     assert "semantic_dedup_keep" in names  # selective closure pinned
     assert "bpe_merges_docs" in names
     assert "q1_pricing_summary" not in names  # global change dropped
+
+
+def test_pin_cap_and_rotation_invariant_98_registry_26_pins(monkeypatch):
+    """r10 verdict item 2: uncapped pinning (~26 pins of a 50 window over
+    98 queries) starved the staleness rotation — 22 queries went
+    unchecked r08→r10. Simulate the driver at exactly that shape and
+    assert the restored invariants: pins capped at window/2, the tail in
+    strict staleness order, and a BOUNDED staleness period of
+    ceil(N_unpinned / (window - cap)) rounds even with 26 persistent
+    pins (vs unbounded-tail starvation before the cap)."""
+    N, W, PINS = 98, 50, 26
+    names = [f"q{i:03d}" for i in range(N)]
+    pinned_names = set(names[:PINS])
+    spec = {
+        n: (registry.QuerySpec(name=n, spark=lambda s, d: None), n in pinned_names)
+        for n in names
+    }
+    last: dict[str, int] = {}
+    monkeypatch.setattr(registry, "_driver_window", lambda: W)
+    monkeypatch.setattr(registry, "_specs_with_touched", lambda: dict(spec))
+    monkeypatch.setattr(registry, "_last_green_round", lambda: dict(last))
+    cap = registry.pin_cap()
+    assert cap == W // 2 == 25
+
+    period = -(-(N - cap) // (W - cap))  # ceil(73/25) = 3 unpinned slots/round
+    for rnd in range(1, 10):
+        order = list(registry.all_queries())
+        assert len(order) == N
+        head, tail = order[:cap], order[cap:]
+        # pin block: capped, pinned-only (26 pins saturate it), stalest pins kept
+        assert all(n in pinned_names for n in head)
+        # exactly one pin overflows; it is the MOST recently green pin
+        overflow = [n for n in tail if n in pinned_names]
+        assert len(overflow) == PINS - cap == 1
+        if rnd > 1:
+            assert last[overflow[0]] == max(last.get(n, -1) for n in pinned_names)
+        # tail is strictly staleness-ordered (never-checked first)
+        tail_keys = [last.get(n, -1) for n in tail]
+        assert tail_keys == sorted(tail_keys)
+        for n in order[:W]:
+            last[n] = rnd
+        if rnd > period:
+            gaps = {n: rnd - last[n] for n in names}
+            assert max(gaps.values()) < period, (
+                f"round {rnd}: starved queries "
+                f"{[n for n, g in gaps.items() if g >= period]}"
+            )
+
+    # with NO pins the registry restores the original two-round guarantee
+    spec0 = {n: (s, False) for n, (s, _) in spec.items()}
+    monkeypatch.setattr(registry, "_specs_with_touched", lambda: dict(spec0))
+    last.clear()
+    covered: set[str] = set()
+    for rnd in (1, 2):
+        window = list(registry.all_queries())[:W]
+        covered |= set(window)
+        for n in window:
+            last[n] = rnd
+    assert covered == set(names)
+
+
+def test_hub_edit_drop_warns(monkeypatch):
+    """r10 ADVICE item 5: dropping a span-everything hub edit from
+    pinning must be a VISIBLE decision — a warning, not silence."""
+    import warnings
+
+    from clickhouse_segments_tutorial_spark.plans import touched as tmod
+
+    qmods = registry._query_module_paths()
+    monkeypatch.setattr(
+        tmod,
+        "touched_modules_by_change",
+        lambda repo_root=None: {
+            f"{PKG}/plans/registry.py": set(qmods) | {f"{PKG}/plans/registry.py"}
+        },
+    )
+    monkeypatch.setattr(registry, "_TOUCHED_CACHE", None)
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert registry._touched_module_paths() == set()
+        assert any("hub edit" in str(w.message) for w in caught)
+    finally:
+        monkeypatch.setattr(registry, "_TOUCHED_CACHE", None)
