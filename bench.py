@@ -106,6 +106,11 @@ def main() -> None:
     # broadcast-join query whose samples ride JIT tier-up and host
     # scheduling). Median-of-5 + double warmup pins it to steady state
     # instead of wherever a 3-sample window lands.
+    # tfidf_top_terms_docs joined in r11 (r10 verdict item 4): +27%
+    # r9->r10 at ±16.6% spread on byte-identical code — the one swing
+    # cell without a same-session attribution; it shares the signature
+    # (sub-second explode+agg+window whose samples ride JIT tier-up), so
+    # it gets the same median-of-5/double-warmup treatment.
     extra_sample_queries = {
         "segment_microbatch_members",
         "segment_eventtime_members",
@@ -113,6 +118,7 @@ def main() -> None:
         "corpus_pipeline_docs",
         "session_stats_per_user",
         "q3_top_revenue_orders",
+        "tfidf_top_terms_docs",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}

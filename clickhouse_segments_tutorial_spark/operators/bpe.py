@@ -45,6 +45,19 @@ tie-breaks on (count desc, lhs asc, rhs asc) in binary string order, so
 the learned merge list is partitioning-invariant and engine-portable —
 a DuckDB oracle replays the whole training loop bit-for-bit
 (plans/bpe_queries.py unrolls the rounds as chained CTEs).
+
+Unicode caveat (ASCII/BMP assumption): the character seeding uses
+Spark's ``split(word, '')``, which walks Java UTF-16 code units, while
+the DuckDB oracle's ``substring()`` walks codepoints — a non-BMP
+character (outside U+0000..U+FFFF, e.g. emoji) would seed as a
+surrogate PAIR on the Spark side and one codepoint on the oracle side.
+Independently, the argmax tie-break compares strings in UTF-16 order on
+Spark vs UTF-8 byte order in DuckDB, which diverge for non-ASCII ties.
+The bit-for-bit engine-portability claim therefore holds for ASCII
+corpora (the registered testdata is verified all-ASCII) and for BMP
+corpora whose tie-breaks never compare across the ASCII/non-ASCII
+boundary; a multilingual production deployment should seed BYTES (the
+GPT-2/tiktoken convention), which sidesteps both collations entirely.
 """
 
 from __future__ import annotations
@@ -135,8 +148,75 @@ def apply_merge(syms: Column | str, lhs: str, rhs: str) -> Column:
     )
 
 
+def apply_merge_batch(syms: Column | str, batch: list[Merge]) -> Column:
+    """Greedy left-to-right application of a SYMBOL-DISJOINT batch of
+    merge rules in ONE fold (no per-rule expression chaining: a 1k-rule
+    chain of :func:`apply_merge` folds would explode Catalyst analysis;
+    this is one fold with one map probe per element, constant expression
+    depth at any batch size).
+
+    Correctness requires the batch to be symbol-disjoint — no symbol
+    appears in two rules (as lhs, rhs, or merged output), which
+    :func:`_select_disjoint_batch` guarantees. Then no rule can consume
+    another rule's output or operand, so the single shared pass produces
+    exactly what applying the rules as separate :func:`apply_merge`
+    passes (in any order) would. The map key is a struct (not a string
+    concat) so symbols containing any separator byte cannot alias;
+    ``try_element_at`` returns NULL on the missing key and on the empty
+    accumulator's NULL last element under ANSI mode alike."""
+    col = F.col(syms) if isinstance(syms, str) else syms
+    kv: list[Column] = []
+    for m in batch:
+        kv += [
+            F.struct(F.lit(m.lhs).alias("l"), F.lit(m.rhs).alias("r")),
+            F.lit(m.merged),
+        ]
+    mp = F.create_map(*kv)
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: (
+            lambda merged: F.when(
+                merged.isNotNull(),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x)))
+        )(
+            F.try_element_at(
+                mp,
+                F.struct(F.get(acc, F.size(acc) - 1).alias("l"), x.alias("r")),
+            )
+        ),
+    )
+
+
+def _select_disjoint_batch(
+    rows: list, k: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """Walk pair-count rows in (cnt desc, lhs asc, rhs asc) order and
+    greedily keep up to ``k`` pairs whose symbol sets are mutually
+    disjoint — counting each pair's MERGED string as a symbol too, so a
+    kept rule can neither consume another kept rule's output (lhs or rhs
+    == someone's merged) nor produce a symbol another rule consumes.
+    Deterministic given the ordered rows; pairs skipped for overlap are
+    simply recounted next round (their counts may change once their
+    neighbors merge, which is exactly why they must wait)."""
+    taken: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in rows:
+        lhs, rhs, cnt = row["lhs"], row["rhs"], int(row["cnt"])
+        if cnt < min_freq:
+            break
+        if {lhs, rhs, lhs + rhs} & used:
+            continue
+        taken.append((lhs, rhs, cnt))
+        used |= {lhs, rhs, lhs + rhs}
+        if len(taken) >= k:
+            break
+    return taken
+
+
 def bpe_train(
-    words: DataFrame, *, n_merges: int, min_freq: int = 1
+    words: DataFrame, *, n_merges: int, min_freq: int = 1, round_batch: int = 1
 ) -> tuple[list[Merge], DataFrame]:
     """Learn up to ``n_merges`` merge rules from a (word, freq)
     dictionary. Returns (merge table, trained dictionary) where the
@@ -147,6 +227,26 @@ def bpe_train(
     only when every word is a single symbol). One Spark job per round:
     pair-count + TakeOrderedAndProject argmax; the merge application is
     folded into the next round's scan via localCheckpoint.
+
+    ``round_batch`` — merges learned per count snapshot (r10 verdict
+    item 3, the vocab-axis scale path). At the default 1 the loop is
+    exact sequential BPE: one job per merge, O(n_merges) sequential
+    jobs — days of driver round-trips at a production 32k vocab. At
+    ``round_batch=k`` each round collects the top ``4k`` pairs (one
+    bounded TakeOrderedAndProject, driver holds <= 4k rows), greedily
+    keeps up to ``k`` of them with mutually disjoint symbol sets
+    (:func:`_select_disjoint_batch` — disjointness makes each kept
+    pair's count invariant under the others' application, so the
+    snapshot counts recorded in the merge table stay exact), and applies
+    the whole batch in ONE fold pass (:func:`apply_merge_batch`) —
+    amortizing one job over k merges. The learned list remains
+    deterministic and partitioning-invariant (ordered walk over exact
+    integer counts with the same (cnt desc, pair asc) tie-break) but is
+    the standard batched APPROXIMATION of sequential BPE: a pair
+    *created* by an earlier merge in the batch cannot be picked until
+    the next snapshot, so rank order can differ from one-at-a-time
+    training (identical at round_batch=1; the registered oracle queries
+    train at 1 and replay bit-for-bit).
 
     Dictionary-proportional parallelism: after the one corpus-sized
     aggregation, the dictionary is repartitioned to
@@ -160,6 +260,8 @@ def bpe_train(
     cluster where each round does dictionary-sized work."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if round_batch < 1:
+        raise ValueError("round_batch must be >= 1")
     state = _init_symbols(words).select("word", "freq", "syms").localCheckpoint(eager=True)
     n_words = state.count()  # cheap: counts the materialized checkpoint
     spark = words.sparkSession
@@ -174,23 +276,45 @@ def bpe_train(
     # shuffle is dictionary-sized by construction). Restored in finally;
     # a real-cluster training run over a 1e8-word dictionary would leave
     # it on and amortize rounds differently.
+    #
+    # CONCURRENCY CONTRACT: the toggle is session-global, so any query
+    # planned on this SparkSession while the loop runs (e.g. a streaming
+    # micro-batch sharing the session) silently loses AQE, and the
+    # finally-restore races with concurrent toggles. Training assumes a
+    # single driver thread on its session — the engine's registered
+    # queries honor this (each owns its session for the call). To train
+    # concurrently with other work, give the trainer its own
+    # spark.newSession() and build `words` on THAT session; per-query
+    # AQE isolation is not expressible as a hint in Spark 4.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
+            k = min(round_batch, n_merges - len(merges))
+            # over-collect 4x: overlap-skipped candidates still leave a
+            # full batch in the common case; a short batch only costs an
+            # extra (equally correct) round. Bounded driver footprint.
             top = (
                 _pair_counts(state)
                 .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
+                .limit(max(4 * k, k + 16))
                 .collect()
             )
-            if not top or top[0]["cnt"] < min_freq:
+            batch = [
+                Merge(rank=len(merges) + j + 1, lhs=lhs, rhs=rhs, n_occurrences=cnt)
+                for j, (lhs, rhs, cnt) in enumerate(
+                    _select_disjoint_batch(top, k, min_freq)
+                )
+            ]
+            if not batch:
                 break
-            lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
-            merges.append(Merge(rank=rank, lhs=lhs, rhs=rhs, n_occurrences=cnt))
-            state = state.withColumn(
-                "syms", apply_merge("syms", lhs, rhs)
-            ).localCheckpoint(eager=False)
+            merges.extend(batch)
+            apply = (
+                apply_merge("syms", batch[0].lhs, batch[0].rhs)
+                if len(batch) == 1
+                else apply_merge_batch("syms", batch)
+            )
+            state = state.withColumn("syms", apply).localCheckpoint(eager=False)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return merges, state

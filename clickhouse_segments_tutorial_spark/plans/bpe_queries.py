@@ -37,7 +37,7 @@ from ..operators.bpe import (
     encode_docs,
     word_frequencies,
 )
-from ..operators.sampling import quota_by_group
+from ..operators.sampling import mix_corpus, quota_by_group
 from ..sources.catalog import load_table
 from .curation import _TOKENS_CTE
 from .registry import QuerySpec
@@ -60,6 +60,18 @@ BPE_QUOTA_UNITS = 1200
 # Docs here average ~55 whitespace tokens -> ~70-90 subwords, so 64
 # yields mostly 2-chunk docs — boundaries are real at every SF.
 BPE_CHUNK_BUDGET = 64
+
+# Training-sequence capacity for the subword packer, in learned
+# subwords: ~3-4 BPE_CHUNK_BUDGET chunks per packed sequence, so bins
+# close mid-stream at every SF (a real packing, not one-bin-per-chunk).
+BPE_PACK_CAPACITY = 256
+
+# Temperature and quantum for the subword-budgeted mixture weights —
+# operators.sampling.temperature_weights' pinned oracle-portable setting
+# (alpha=0.5 -> sqrt, IEEE-exact in every libm; integer quantum so the
+# weight sum is exact — see that docstring for the 2^53 product bound).
+BPE_MIX_ALPHA = 0.5
+BPE_MIX_QUANTUM = 10**9
 
 
 # One training per (Spark app, corpus): the three registered queries and
@@ -138,6 +150,60 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, value-checked bit-for-bit against the retraining oracle."""
     docs, _, trained = _trained(spark, sf_dir)
     return encode_docs(docs, trained)
+
+
+def mixed_corpus_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm.mixed_corpus_docs upgraded to LEARNED-subword budgets (r10
+    verdict item 5): the temperature mixture weights are computed over
+    each language's total trained-BPE token count instead of its row
+    count — the multilingual rebalancing rule (XLM-R/mT5) applied to
+    what the budget actually is, tokens, not documents.
+
+    Weight math is operators.sampling.temperature_weights' exact
+    oracle-portable formula (share^0.5 via IEEE sqrt, integer-quantized)
+    with sum(n_bpe_tokens) replacing count(*) as the share numerator —
+    inlined here rather than exploding one row per subword just to
+    reuse the row-counting operator (that reuse would be a corpus-
+    subword-sized explode for a #languages-sized aggregate). One
+    bounded collect (#languages rows), then mix_corpus's map-only
+    sequence+explode — no corpus shuffle beyond the dictionary join."""
+    import math
+
+    docs, _, trained = _trained(spark, sf_dir)
+    per_lang = (
+        bpe_token_counts(docs, trained)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_bpe_tokens").alias("_n"))
+        .collect()
+    )
+    total = sum(r["_n"] for r in per_lang)
+    weights = {
+        r["lang"]: int(
+            math.floor(math.sqrt(r["_n"] / total) * BPE_MIX_QUANTUM + 0.5)
+        )
+        for r in per_lang
+    }
+    return mix_corpus(
+        docs, weights, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "epoch")
+
+
+def packed_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm.packed_chunks upgraded to LEARNED-subword capacities (r10
+    verdict item 5): the packed bins are the subword-budgeted chunks of
+    bpe_budget_chunks, greedily packed into BPE_PACK_CAPACITY-subword
+    training sequences — capacity measured in the units a dataloader
+    actually fills. Same sharded applyInPandas recurrence and
+    recursive-CTE oracle as the whitespace packer; the oracle retrains
+    the tokenizer from scratch first (shared _train_ctes)."""
+    from ..operators.packing import pack_chunks
+
+    docs, _, trained = _trained(spark, sf_dir)
+    chunks = budget_chunks(docs, trained, budget=BPE_CHUNK_BUDGET)
+    return pack_chunks(
+        chunks, capacity=BPE_PACK_CAPACITY, tokens_col="n_subwords", shards=8
+    ).select("doc_id", "chunk_idx", "n_subwords", "shard", "seq_id")
 
 
 def _stage(k: int) -> str:
@@ -292,6 +358,84 @@ enc AS (
 SELECT doc_id, pos, token_id FROM enc JOIN vocab USING (sym)
 """
 
+_MIX_BPE_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+tok AS (SELECT doc_id, unnest(t) AS word FROM base),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+agg AS (
+  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+),
+langtok AS (
+  SELECT d.lang AS s, CAST(sum(coalesce(a.n_bpe, 0)) AS BIGINT) AS n_l
+  FROM documents d LEFT JOIN agg a USING (doc_id) GROUP BY d.lang
+),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS t FROM langtok),
+wts AS (
+  SELECT s,
+         CAST(floor(sqrt(CAST(n_l AS DOUBLE) / CAST(t AS DOUBLE))
+                    * {BPE_MIX_QUANTUM}.0 + 0.5) AS BIGINT) AS wt
+  FROM langtok, tot
+),
+wsum AS (SELECT CAST(sum(wt) AS BIGINT) AS ws FROM wts),
+counts AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang),
+ntot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nt FROM counts JOIN wts USING (s)),
+rates AS (
+  SELECT w.s, ((n.nt * w.wt) / m.ws) / c.n_s AS rate
+  FROM wts w JOIN counts c USING (s), wsum m, ntot n
+),
+expanded AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), 1, 8)
+                     < lpad(lower(hex(CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r ON d.lang = r.s
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+FROM expanded WHERE n_copies >= 1
+"""
+
+_PACKED_BPE_ORACLE = f"""
+WITH RECURSIVE {_train_ctes(N_MERGES)},
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos
+  FROM base
+),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+placed AS (
+  SELECT doc_id, pos, n_sub,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dict USING (word)
+),
+chunks AS (
+  SELECT doc_id, CAST(floor(bef / {BPE_CHUNK_BUDGET}) AS INT) AS chunk_idx,
+         CAST(sum(n_sub) AS INT) AS n_subwords,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM placed GROUP BY doc_id, chunk_idx
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+pack(shard, rn, doc_id, chunk_idx, n_subwords, seq_id, fill) AS (
+  SELECT shard, rn, doc_id, chunk_idx, n_subwords, 0, n_subwords
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_subwords,
+         CASE WHEN p.fill + c.n_subwords > {BPE_PACK_CAPACITY}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + c.n_subwords > {BPE_PACK_CAPACITY}
+              THEN c.n_subwords ELSE p.fill + c.n_subwords END
+  FROM pack p JOIN ordered c ON c.shard = p.shard AND c.rn = p.rn + 1
+)
+SELECT doc_id, chunk_idx, n_subwords, shard, CAST(seq_id AS INTEGER) AS seq_id
+FROM pack
+"""
+
 QUERIES = [
     # headline: representatively prices the new iterative train loop
     # (N_MERGES rounds of dictionary-sized pair-count hash-aggs) plus the
@@ -302,4 +446,6 @@ QUERIES = [
     QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
     QuerySpec("bpe_budget_chunks", bpe_budget_chunks, _BUDGET_CHUNKS_ORACLE),
     QuerySpec("bpe_encode_docs", bpe_encode_docs, _ENCODE_ORACLE),
+    QuerySpec("mixed_corpus_bpe_docs", mixed_corpus_bpe_docs, _MIX_BPE_ORACLE),
+    QuerySpec("packed_chunks_bpe", packed_chunks_bpe, _PACKED_BPE_ORACLE),
 ]

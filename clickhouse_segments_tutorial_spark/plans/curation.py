@@ -182,6 +182,8 @@ class IncrementalNoveltyScorer:
         if wave_id is None and self._wave == 0:
             self._wave = self._max_persisted_wave()
         self._wave = int(wave_id) if wave_id is not None else self._wave + 1
+        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
+            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
         sh = doc_gram_keys(docs, n=self.n)
         first_in_wave = sh.groupBy("_g").agg(F.min("doc_id").alias("_wf"))
         state = self._state()
@@ -622,6 +624,8 @@ class IncrementalSemanticDeduper:
         if wave_id is None and self._wave == 0:
             self._wave = _max_completed_wave_dir(self.workdir)
         self._wave = int(wave_id) if wave_id is not None else self._wave + 1
+        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
+            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
         first = embeddings.select(F.size("embedding").alias("d")).first()
         res_path = os.path.join(self.workdir, f"wave_{self._wave}")
         if first is None:  # empty wave: no-op

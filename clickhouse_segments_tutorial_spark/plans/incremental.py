@@ -343,9 +343,9 @@ class IncrementalCorpusCurator:
         prior state; returns the accepted rows (also written under
         ``curated/w<wave_id>``).
 
-        ``wave_id`` (default: previous + 1) must be strictly increasing
-        across waves; pass a restart-stable id (the streaming gate passes
-        its batch id) to make a crash-REPLAYED wave idempotent — state
+        ``wave_id`` (default: previous + 1) must be >= 1 and strictly
+        increasing across waves; pass a restart-stable id (the streaming
+        gate passes batch id + 1) to make a crash-REPLAYED wave idempotent — state
         lookups exclude rows tagged with the current wave id, and the
         wave's curated output overwrites its own subdirectory, so the
         replay reproduces the original result instead of dropping its
@@ -364,6 +364,11 @@ class IncrementalCorpusCurator:
         if wave_id is None and self._wave == 0:
             self._wave = self._max_persisted_wave()
         wid = int(wave_id) if wave_id is not None else self._wave + 1
+        if wid < 1:
+            # 0 is the universal "no completed wave" resume sentinel: a
+            # committed curated/w0 would be indistinguishable from an
+            # empty workdir on re-attach (r10 ADVICE item 3)
+            raise ValueError(f"wave_id must be >= 1, got {wid}")
         self._wave = wid
         ws = "[ \\t\\x0B\\f\\r]+"
         paras = F.filter(

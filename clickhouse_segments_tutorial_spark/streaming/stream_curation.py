@@ -119,9 +119,14 @@ class StreamingWaveGate:
                 batch_df = batch_df.select(*self.select_cols)
             # hand the restart-stable batch id to ingestors that key their
             # state/replay isolation on it (the curator's wave tags; the
-            # scorers use it for stable wave-result paths)
+            # scorers use it for stable wave-result paths). batch ids are
+            # 0-based but wave ids are 1-based — 0 is the universal
+            # "no completed wave" sentinel in the resume probes, so a
+            # completed wave 0 would be indistinguishable from an empty
+            # workdir and break default-numbering re-attach (r10 ADVICE
+            # item 3)
             if self._pass_wave_id:
-                out = self.ingestor.ingest(batch_df, wave_id=batch_id)
+                out = self.ingestor.ingest(batch_df, wave_id=batch_id + 1)
             else:
                 out = self.ingestor.ingest(batch_df)
             # overwrite keyed by the (restart-stable) batch id: replays
@@ -152,13 +157,20 @@ class StreamingWaveGate:
         q.awaitTermination()
 
     def results(self) -> DataFrame:
-        """Union of all processed batches' outputs (lazy readers)."""
+        """Union of all COMMITTED batches' outputs (lazy readers).
+
+        A crash between Spark's task-commit and job-commit leaves a
+        partial ``batch_*`` directory without ``_SUCCESS``; re-running
+        the gate overwrites it, but a direct results() read must not
+        surface the partial rows, mirroring the pin-validity rule in
+        the state heal (r10 ADVICE item 2)."""
         if not os.path.isdir(self.results_dir):
             raise RuntimeError("no batches processed yet")
         parts = sorted(
             os.path.join(self.results_dir, d)
             for d in os.listdir(self.results_dir)
             if d.startswith("batch_")
+            and os.path.exists(os.path.join(self.results_dir, d, "_SUCCESS"))
         )
         if not parts:
             raise RuntimeError("no batches processed yet")

@@ -233,3 +233,106 @@ def test_out_of_dictionary_words_fail_loudly_or_drop(spark):
     # drop semantics: both counts exclude the unseen word
     row = bpe_token_counts(docs, trained, on_missing="drop").collect()[0]
     assert (row["n_ws_tokens"], row["n_bpe_tokens"]) == (2, 4)
+
+
+# --- batched training (round_batch > 1, r10 verdict item 3) --------------------
+
+
+def _ref_train_batched(freqs: dict[str, int], k_total: int, k_batch: int):
+    """Driver-side reference of the documented batched spec: per count
+    snapshot, walk pairs in (cnt desc, pair asc) order over the same
+    4x over-collect prefix, greedily keep symbol-disjoint pairs
+    (lhs/rhs/merged all unused), apply the batch in one pass."""
+    words = {w: list(w) for w in freqs}
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < k_total:
+        k = min(k_batch, k_total - len(merges))
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + freqs[w]
+        rows = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: max(4 * k, k + 16)]
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for (a, b), cnt in rows:
+            if cnt < 1:
+                break
+            if {a, b, a + b} & used:
+                continue
+            batch.append((a, b, cnt))
+            used |= {a, b, a + b}
+            if len(batch) >= k:
+                break
+        if not batch:
+            break
+        merges += batch
+        for a, b, _ in batch:  # disjoint: application order irrelevant
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+    return merges, words
+
+
+def test_batched_train_matches_reference_spec(spark):
+    w = word_frequencies(_docs(spark))
+    freqs = {r["word"]: r["freq"] for r in w.collect()}
+    for kb in (3, 8):
+        merges, trained = bpe_train(w, n_merges=10, round_batch=kb)
+        ref_merges, ref_words = _ref_train_batched(freqs, 10, kb)
+        assert [(m.lhs, m.rhs, m.n_occurrences) for m in merges] == ref_merges
+        assert {r["word"]: r["syms"] for r in trained.collect()} == ref_words
+        assert [m.rank for m in merges] == list(range(1, len(merges) + 1))
+
+
+def test_batched_merges_partitioning_invariant(spark):
+    """The invariance bar at the batched setting (r10 verdict item 3)."""
+    w = word_frequencies(_docs(spark))
+    m1, _ = bpe_train(w, n_merges=8, round_batch=4)
+    m2, _ = bpe_train(w.repartition(13), n_merges=8, round_batch=4)
+    m3, _ = bpe_train(w.coalesce(1), n_merges=8, round_batch=4)
+    assert m1 == m2 == m3
+
+
+def test_apply_merge_batch_equals_sequential_folds(spark):
+    """One shared map-probe fold over a symbol-disjoint batch == chaining
+    the per-rule folds (any order)."""
+    from clickhouse_segments_tutorial_spark.operators.bpe import apply_merge_batch
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d", "a", "b", "x"],), (["c", "d", "c", "d"],), ([],)],
+        "syms array<string>",
+    )
+    batch = [
+        Merge(rank=1, lhs="a", rhs="b", n_occurrences=0),
+        Merge(rank=2, lhs="c", rhs="d", n_occurrences=0),
+    ]
+    one = df.select(apply_merge_batch("syms", batch).alias("m"))
+    chained = df.select(
+        apply_merge(apply_merge("syms", "a", "b"), "c", "d").alias("m")
+    )
+    assert [r["m"] for r in one.collect()] == [r["m"] for r in chained.collect()]
+
+
+def test_batched_training_amortizes_jobs(spark):
+    """The scale claim itself: jobs scale with ROUNDS, not merges —
+    much less than one job per merge at round_batch >> 1."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i} t{i} u{i} v{i} w{i % 7} common tokens here") for i in range(64)],
+        "doc_id long, text string",
+    )
+    w = word_frequencies(docs).localCheckpoint(eager=True)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    merges, _ = bpe_train(w, n_merges=24, round_batch=12)
+    jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    assert len(merges) == 24
+    # 2 count snapshots (+ a couple of checkpoint materializations) vs
+    # 24 sequential rounds: assert well under one job per merge
+    assert jobs <= 12, f"{jobs} jobs for 24 batched merges"

@@ -985,3 +985,84 @@ def test_scorer_and_deduper_resume_wave_numbering_on_reattach(spark, tmp_path):
         ) == w1, "re-attach overwrote wave_1's historical result"
     finally:
         first.drop_state()
+
+
+def test_results_skips_uncommitted_batch_dir(spark, tmp_path):
+    """r10 ADVICE item 2: a crash between task-commit and job-commit
+    leaves a batch_* dir without _SUCCESS; results() must not surface
+    its rows (the gate re-run would overwrite it, but a direct read
+    must already be safe)."""
+    import os
+
+    docs = _docs(spark, [(i, f"n{i} m{i} o p") for i in range(8)])
+    gate = _novelty_gate(spark, str(tmp_path))
+    gate.reset_state()
+    try:
+        docs.coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+        committed = sorted(map(tuple, gate.results().collect()))
+        # simulate the torn job-commit: a partial dir with data, no marker
+        torn = os.path.join(gate.results_dir, "batch_99")
+        gate.results().limit(2).write.parquet(torn)
+        os.remove(os.path.join(torn, "_SUCCESS"))
+        assert sorted(map(tuple, gate.results().collect())) == committed
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_streaming_gate_wave_ids_are_one_based(spark, tmp_path):
+    """r10 ADVICE item 3: batch ids start at 0 but wave 0 is the
+    universal no-completed-wave resume sentinel, so the gate passes
+    batch_id + 1 — the first batch's state/results are tagged wave 1
+    and explicit wave_id=0 is rejected outright."""
+    import os
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+        IncrementalSemanticDeduper,
+    )
+    from clickhouse_segments_tutorial_spark.plans.incremental import (
+        IncrementalCorpusCurator,
+    )
+
+    docs = _docs(spark, [(i, f"u{i} v{i} w x") for i in range(6)])
+    gate = _novelty_gate(spark, str(tmp_path))
+    gate.reset_state()
+    try:
+        docs.coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+        # gate state is tagged wave >= 1, never 0
+        assert gate.ingestor._wave == 1
+        # a default-numbering re-attach onto the gate's workdir resumes
+        # at the completed wave instead of tripping the orphaned-state
+        # guard (the w0-ambiguity ADVICE scenario)
+        sc2 = IncrementalNoveltyScorer(spark, f"{tmp_path}/state")
+        out = sc2.ingest(docs.limit(0))
+        assert sc2._wave == 2 and out.count() == 0
+        # explicit wave_id 0 (or negative) is rejected at every ingest
+        import pytest as _pytest
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        from clickhouse_segments_tutorial_spark.plans.incremental import (
+            eval_grams_from_docs,
+        )
+
+        for ing, wave in (
+            (IncrementalNoveltyScorer(spark, f"{tmp_path}/s2"), docs.limit(0)),
+            (
+                IncrementalSemanticDeduper(spark, f"{tmp_path}/s3", threshold=0.9),
+                emb,
+            ),
+            (
+                IncrementalCorpusCurator(
+                    spark, f"{tmp_path}/s4", eval_grams_from_docs(docs.limit(1))
+                ),
+                docs.limit(0).withColumn("lang", F.lit("en")),
+            ),
+        ):
+            with _pytest.raises(ValueError, match="wave_id"):
+                ing.ingest(wave, wave_id=0)
+    finally:
+        gate.ingestor.drop_state()
