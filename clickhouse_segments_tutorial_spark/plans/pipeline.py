@@ -96,6 +96,7 @@ def corpus_pipeline_stages(
     stride: int = 64,
     capacity: int = 512,
     shards: int = 8,
+    quality_gate=None,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build (module docstring) and return every
     stage's output DataFrame, in stage order — 'packed' is the final
@@ -134,11 +135,19 @@ def corpus_pipeline_stages(
         train, evals, text_col=text_col, id_col=id_col, n=5, min_common=1,
         broadcast_hits=False,
     )
-    # 7. quality gate (no language clause — mixture owns the balance)
-    filtered = clean.filter(
-        (quality_score(text_col) >= quality_min)
-        & token_count(text_col).between(min_tokens, max_tokens)
-    )
+    # 7. quality gate (no language clause — mixture owns the balance).
+    # ``quality_gate`` swaps the heuristic for an alternative filter
+    # (e.g. the learned NB scorer, quality_nb_queries) — it receives the
+    # decontaminated train docs and returns the kept subset with the
+    # same columns; length bounds are the gate's responsibility so a
+    # learned gate can own its whole keep policy.
+    if quality_gate is not None:
+        filtered = quality_gate(clean)
+    else:
+        filtered = clean.filter(
+            (quality_score(text_col) >= quality_min)
+            & token_count(text_col).between(min_tokens, max_tokens)
+        )
     filtered = filtered.persist()  # barrier: mixture count + expansion + chunker
     # 8. language mixture: (doc_id, epoch) copies
     epochs = mix_corpus(
@@ -254,12 +263,38 @@ def _normalize(col: str) -> str:
     )
 
 
-def _corpus_pipeline_ctes(mix_weights: dict[str, float]) -> str:
+def _corpus_pipeline_ctes(
+    mix_weights: dict[str, float], filt_sql: str | None = None
+) -> str:
     """The shared WITH RECURSIVE stack (stages 1-10 as CTEs) — composed
     with a final SELECT by the packed-output and report oracles, so both
-    replay the identical chain."""
+    replay the identical chain.
+
+    ``filt_sql``: optional replacement for the stage-7 CTE block — it
+    must end by defining ``filt(doc_id, lang, t, n_tokens)`` over the
+    ``clean`` CTE (the oracle twin of the ``quality_gate`` parameter;
+    quality_nb_queries splices the NB retraining chain here)."""
     mix_values = ",\n".join(f"  ('{s}', {w!r})" for s, w in mix_weights.items())
     wsum = repr(sum(mix_weights.values()))
+    if filt_sql is None:
+        filt_sql = f"""
+-- stage 7: quality gate (quality >= 0.5, 10..5000 tokens; no lang clause)
+q AS (
+  SELECT doc_id, lang, text, {_toks("text")} AS t FROM clean
+),
+filt AS MATERIALIZED (
+  SELECT doc_id, lang, t, len(t) AS n_tokens
+  FROM q
+  WHERE len(t) BETWEEN 10 AND 5000
+    AND round((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w{_WS[1:]}', '', 'g')) AS DOUBLE)
+                     / length(text) END) * 5, 1.0))
+         + least((CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                       ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
+                     / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.5
+)"""
     return f"""
 WITH RECURSIVE
 -- stage 1: paragraph dedup on raw text (first occurrence by (doc, pos))
@@ -331,23 +366,7 @@ clean AS (
   SELECT doc_id, lang, text FROM sp
   WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM c_bad)
 ),
--- stage 7: quality gate (quality >= 0.5, 10..5000 tokens; no lang clause)
-q AS (
-  SELECT doc_id, lang, text, {_toks("text")} AS t FROM clean
-),
-filt AS MATERIALIZED (
-  SELECT doc_id, lang, t, len(t) AS n_tokens
-  FROM q
-  WHERE len(t) BETWEEN 10 AND 5000
-    AND round((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
-         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w{_WS[1:]}', '', 'g')) AS DOUBLE)
-                     / length(text) END) * 5, 1.0))
-         + least((CASE WHEN len(t) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(t, x -> lower(x) IN
-                       ('the','and','of','to','is','you','that','it'))) AS DOUBLE)
-                     / len(t) END) * 4, 1.0)) / 3.0, 6) >= 0.5
-),
+{filt_sql},
 -- stage 8: language mixture -> (doc_id, epoch) copies
 m_w(s, wt) AS (VALUES
 {mix_values}

@@ -67,6 +67,7 @@ def _query_modules() -> tuple:
         incremental,
         llm,
         pipeline,
+        quality_nb_queries,
         relational,
         scale,
         segmentation_queries,
@@ -74,7 +75,7 @@ def _query_modules() -> tuple:
 
     return (
         segmentation_queries, relational, llm, scale, pipeline, incremental,
-        curation, bpe_queries,
+        curation, bpe_queries, quality_nb_queries,
     )
 
 
