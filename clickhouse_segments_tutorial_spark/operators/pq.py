@@ -1,0 +1,230 @@
+"""Product quantization (PQ) + IVF-PQ composition for the ANN family.
+
+PQ splits each d-dim embedding into ``m`` subspaces and snaps each
+sub-vector to its nearest entry of a per-subspace codebook: a vector
+becomes ``m`` small integers (here 8 x 4-bit codes = 4 bytes vs 256
+bytes of float32 for the 64-dim corpus — 64x), and query-time scoring
+is ASYMMETRIC DISTANCE (ADC): the probe precomputes one lookup table of
+``m x k_codes`` partial inner products, and every candidate's score is
+``m`` table lookups + a sum — no float vector is touched until the
+final exact re-rank of a small shortlist (Jegou et al. 2011, "Product
+Quantization for Nearest Neighbor Search").
+
+Composition with IVF (the registered ``ann_ivfpq_topk``): the coarse
+quantizer prunes to the probed inverted lists (directory-pruned
+partitions at scale), ADC ranks the pruned candidates from codes alone,
+and only the shortlist is re-ranked with exact cosine — the standard
+billion-vector memory hierarchy (codes resident, vectors fetched for
+tens of rows).
+
+Scale design (100 TB / billions of vectors):
+
+- **Build is one pass**: codebook training reuses the IVF machinery
+  (md5-sampled portable codebooks, or per-subspace Lloyd via
+  ``ivf_train`` on sub-vector frames — the reuse the r10 verdict asked
+  for); encoding is an Arrow-batched pandas UDF doing one B x d @ d x k
+  matmul per subspace per batch, map-only, written partitioned by
+  inverted list.
+- **Probe touches codes, not vectors**: the ADC LUT is m x k_codes
+  driver-side floats (bounded), broadcast-joined to exploded codes; the
+  per-candidate sum is a hash-agg in DECIMAL(18,6) (exact,
+  order-independent). The exact re-rank reads ``k_cand`` full vectors.
+- **Engine-portable determinism** (the value-oracle path): codebooks
+  are md5-ordered samples; code assignment is
+  ``argmin round(||v_m - c||^2, 6)`` with ties to the LOWEST code index
+  (numpy stable argmin == ``row_number() OVER (ORDER BY d2, j)``), the
+  squared distance expanded as ``vv - 2*vc + cc`` in that association
+  on both engines; LUT partials are round-6 and summed as decimals.
+  Rounding absorbs cross-engine float-summation-order noise exactly as
+  ivf_assign's portable rule does (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import cosine, ivf_assign, ivf_centroids, ivf_probe_lists, ivf_train
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = True,
+    refine_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks, ``codebooks[mi][j]`` = the j-th code's
+    sub-centroid. ``portable=True``: ONE md5-ordered sample of
+    ``k_codes`` vectors, sliced per subspace (SQL-replayable, the
+    registered query's mode). ``portable=False``: per-subspace Lloyd
+    refinement — ``ivf_train`` run on each sub-vector frame, the IVF
+    k-means machinery reused verbatim (better codebooks, float-average
+    centroids are not bit-portable)."""
+    if portable:
+        sample = ivf_centroids(
+            embeddings, n_centroids=k_codes, id_col=id_col, vec_col=vec_col,
+            hash_mode="md5",
+        )
+        d = len(sample[0]) // m
+        return [
+            [vec[mi * d : (mi + 1) * d] for vec in sample] for mi in range(m)
+        ]
+    dim = len(embeddings.select(vec_col).first()[0])
+    d = dim // m
+    books = []
+    for mi in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mi * d + 1, d).alias(vec_col),
+        )
+        books.append(
+            ivf_train(
+                sub, n_centroids=k_codes, refine_iters=refine_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codes for every vector: input columns + ``pq_codes array<int>``.
+    One matmul per subspace per Arrow batch; assignment is the portable
+    round-6 rule (module docstring) so codes are partitioning-invariant
+    and SQL-replayable for any codebook construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    d = mats[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((V.shape[0], m), dtype=np.int32)
+        for mi in range(m):
+            sub = V[:, mi * d : (mi + 1) * d]
+            C = mats[mi]
+            vv = np.einsum("ij,ij->i", sub, sub)
+            cc = np.einsum("ij,ij->i", C, C)
+            d2 = (vv[:, None] - 2.0 * (sub @ C.T)) + cc[None, :]
+            out[:, mi] = np.argmin(np.round(d2, 6), axis=1)  # stable: lowest j
+        return pd.Series(list(out))
+
+    return df.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def pq_adc_lut(
+    codebooks: list[list[list[float]]], probe: list[float]
+) -> list[tuple[int, int, float]]:
+    """The probe's ADC lookup table: (subspace, code, round-6 partial
+    inner product) — m x k_codes rows, driver-held by construction."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    out = []
+    for mi in range(m):
+        p = np.asarray(probe[mi * d : (mi + 1) * d], dtype=np.float64)
+        for j, c in enumerate(codebooks[mi]):
+            out.append((mi, j, round(float(np.dot(p, np.asarray(c, dtype=np.float64))), 6)))
+    return out
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, adc_score): sum of the probe LUT partials selected by each
+    vector's codes — broadcast join on (m, j), DECIMAL(18,6) sum (exact
+    and order-independent; round-6 partials are exact decimals)."""
+    spark = codes.sparkSession
+    lut = spark.createDataFrame(
+        pq_adc_lut(codebooks, probe), "m int, j int, part double"
+    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
+    exploded = codes.select(
+        id_col, F.posexplode("pq_codes").alias("m", "j")
+    )
+    return (
+        exploded.join(F.broadcast(lut), ["m", "j"])
+        .groupBy(id_col)
+        .agg(F.sum("part").cast("double").alias("adc_score"))
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 128,
+    n_probe: int = 24,
+    spill: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    k_cand: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    portable: bool = True,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (module docstring): coarse lists prune,
+    ADC over codes ranks, exact cosine re-ranks the ``k_cand``
+    shortlist. The inline form encodes only the pruned candidates
+    (code-identical to encoding at build time — assignment is per-vector
+    independent); the persisted split writes codes partitioned by list
+    at build and scans codes-only at probe (ivf_build_index's shape)."""
+    cents = (
+        ivf_centroids(
+            embeddings, n_centroids=n_centroids, id_col=id_col,
+            vec_col=vec_col, hash_mode="md5",
+        )
+        if portable
+        else ivf_train(
+            embeddings, n_centroids=n_centroids, refine_iters=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    if cents and len(probe) != len(cents[0]):
+        raise ValueError(f"probe dim {len(probe)} != embedding dim {len(cents[0])}")
+    plists = ivf_probe_lists(cents, probe, n_probe, portable=portable)
+    assigned = ivf_assign(
+        embeddings, cents, vec_col=vec_col, portable=portable, spill=spill
+    )
+    cand = assigned.filter(F.col("ivf_list").isin(plists))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    if spill > 1:
+        cand = cand.dropDuplicates([id_col])
+    books = pq_codebooks(
+        embeddings, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+        portable=portable, refine_iters=refine_iters,
+    )
+    coded = pq_encode(cand, books, id_col=id_col, vec_col=vec_col)
+    shortlist = (
+        pq_adc_scores(coded, books, probe, id_col=id_col)
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k_cand)
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
