@@ -47,6 +47,12 @@ try:  # real decoders, absent in this container — plumbing still testable
 except ImportError:
     HAVE_PIL = False
 
+# Module-level, not function-local: these run inside worker-side closures
+# shipped by value, where a deferred relative import would re-require the
+# package on the worker's sys.path (exactly what by-value shipping exists
+# to avoid).
+from .jpeg import decode_jpeg_luma, encode_jpeg_gray  # noqa: E402
+
 
 def decode_stub(payload: bytes) -> list[float]:
     """Deterministic fake 'decode + feature extract': 8 byte-histogram
@@ -232,19 +238,25 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
 def decode_image_py(payload: bytes) -> tuple[int, int, list[int]]:
     """Dependency-free image decode: (width, height, 8-bit luma pixels in
     row-major order) for PNG (8-bit grey/RGB, stdlib zlib), binary
-    PPM/PGM, and uncompressed 24-bit BMP — public formats simple enough
-    to parse exactly without codec libraries, so the real-decode path is
+    PPM/PGM, uncompressed 24-bit BMP, and baseline-sequential JPEG
+    (operators/jpeg.py, from the published T.81 spec) — public formats
+    parsed exactly without codec libraries, so the real-decode path is
     exercised in CI rather than import-gated away. RGB converts with the
-    same truncating ITU-R 601-2 luma as PIL convert('L')."""
+    same truncating ITU-R 601-2 luma as PIL convert('L'); JPEG returns
+    the decoded Y plane, which IS that luma. Progressive JPEG falls
+    through as NotImplementedError so the PIL lane (when installed)
+    picks it up."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_luma(payload)
     raise NotImplementedError(
-        "unsupported image format (PNG/PPM/PGM/BMP decode without codec "
-        "libraries; JPEG and friends need PIL)"
+        "unsupported image format (PNG/PPM/PGM/BMP/baseline-JPEG decode "
+        "without codec libraries; other formats need PIL)"
     )
 
 
@@ -299,7 +311,13 @@ def _ship_module_by_value() -> None:
 
     from pyspark import cloudpickle
 
+    from . import jpeg as _jpeg_mod
+
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # decode_image_py dispatches JPEG payloads to operators/jpeg.py, so
+    # that module must travel by value too for the same worker-side
+    # independence.
+    cloudpickle.register_pickle_by_value(_jpeg_mod)
     _by_value_registered = True
 
 
@@ -417,6 +435,54 @@ def synthesize_ppm(doc_id: int) -> bytes:
         (doc_id * 2654435761 + i * 40503) % 256 for i in range(w * h * 3)
     )
     return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def synthesize_jpeg_gray(doc_id: int) -> bytes:
+    """Deterministic baseline JPEG for a doc id, built for EXACT value
+    oracling of the full codec: the source image is piecewise-constant on
+    the 8x8 block grid (1..3 blocks wide, 1..2 high; each block's gray a
+    pure integer function of (doc_id, block index)), so every block is
+    DC-only and the quality-95 round-trip reconstructs bit-exactly (DC
+    quant step 2 divides the 8*delta DC coefficient evenly; all AC
+    coefficients are zero). A SQL oracle regenerates the block constants
+    with modular arithmetic — any defect anywhere in the Huffman coder,
+    bitstream framing, zigzag, quantization, or IDCT hash-mismatches."""
+    import numpy as np  # absolute import: resolvable on any worker
+
+    bw = 1 + (doc_id % 3)
+    bh = 1 + ((doc_id // 3) % 2)
+    img = np.zeros((8 * bh, 8 * bw), dtype=np.int64)
+    for b in range(bw * bh):
+        by, bx = divmod(b, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            doc_id * 2654435761 + b * 40503
+        ) % 256
+    return encode_jpeg_gray(img, quality=95)
+
+
+def synthetic_jpeg_corpus(documents: DataFrame) -> DataFrame:
+    """One synthetic baseline JPEG per document row (MEDIA_SCHEMA frame),
+    the JPEG sibling of ``synthetic_image_corpus`` — same worker-side
+    mapInPandas synthesis, dims recoverable only from the SOF0 header."""
+    _ship_module_by_value()
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": pdf["media_id"].map(
+                        lambda i: synthesize_jpeg_gray(int(i))
+                    ),
+                    "meta_width": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_height": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_sample_rate": pd.Series([None] * len(pdf), dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synthetic_image_corpus(documents: DataFrame) -> DataFrame:
