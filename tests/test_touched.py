@@ -206,6 +206,52 @@ def test_pin_cap_and_rotation_invariant_98_registry_26_pins(monkeypatch):
     assert covered == set(names)
 
 
+def test_rotation_optimal_when_registry_exceeds_two_windows(monkeypatch):
+    """The r11 regime: 104 registered queries vs a 50-slot window means
+    two rounds can cover at most 100 names — a strict two-round
+    guarantee is structurally impossible, so the selection must be
+    OPTIMAL instead: given today's real distribution (22 last-green r8,
+    26 r9, 50 r10, 6 never-checked, 62 touched), the window must take
+    every never-checked query and the stalest remainder, dropping
+    exactly the 4 least-stale of the 54-name must-check set (the
+    minimum possible shortfall), and those 4 must lead the next round."""
+    W = 50
+    names, last, touched = [], {}, set()
+    for grp, (cnt, rnd) in enumerate([(22, 8), (26, 9), (50, 10), (6, None)]):
+        for i in range(cnt):
+            n = f"g{grp}_{i:02d}"
+            names.append(n)
+            if rnd is not None:
+                last[n] = rnd
+    # 62 touched: all 6 new, plus a spread of old ones (mirrors r11)
+    touched = {n for n in names if n.startswith("g3_")} | set(names[:56])
+    spec = {
+        n: (registry.QuerySpec(name=n, spark=lambda s, d: None), n in touched)
+        for n in names
+    }
+    monkeypatch.setattr(registry, "_driver_window", lambda: W)
+    monkeypatch.setattr(registry, "_specs_with_touched", lambda: dict(spec))
+    monkeypatch.setattr(registry, "_last_green_round", lambda: dict(last))
+
+    window = list(registry.all_queries())[:W]
+    must = [n for n in names if last.get(n, -1) <= 9]
+    assert len(must) == 54
+    missed = [n for n in must if n not in window]
+    # optimal: only the structurally-impossible excess misses, and it is
+    # the LEAST stale slice of the must-check set (r9, never r8 or new)
+    assert len(missed) == len(must) - W == 4
+    assert all(last[n] == 9 for n in missed)
+    assert all(n in window for n in names if n not in last)  # new all in
+
+    # next round: the 4 dropped lead the must-check and are selected
+    nxt = dict(last)
+    for n in window:
+        nxt[n] = 11
+    monkeypatch.setattr(registry, "_last_green_round", lambda: dict(nxt))
+    window2 = list(registry.all_queries())[:W]
+    assert all(n in window2 for n in missed)
+
+
 def test_hub_edit_drop_warns(monkeypatch):
     """r10 ADVICE item 5: dropping a span-everything hub edit from
     pinning must be a VISIBLE decision — a warning, not silence."""
