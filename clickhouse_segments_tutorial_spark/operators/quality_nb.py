@@ -89,12 +89,37 @@ def nb_train(
             F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("t0"),
         )
     ).collect()[0]  # bounded: exactly 4 scalars
-    nd1, nd0 = int(tot["nd1"] or 0), int(tot["nd0"] or 0)
-    t1, t0 = int(tot["t1"] or 0), int(tot["t0"] or 0)
+    return nb_model_from_counts(
+        docs.sparkSession,
+        counts,
+        t1=int(tot["t1"] or 0),
+        t0=int(tot["t0"] or 0),
+        nd1=int(tot["nd1"] or 0),
+        nd0=int(tot["nd0"] or 0),
+        n_buckets=n_buckets,
+    )
+
+
+def nb_model_from_counts(
+    spark,
+    counts: DataFrame,
+    *,
+    t1: int,
+    t0: int,
+    nd1: int,
+    nd0: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, float]:
+    """Build (model, prior_llr) from the sufficient statistic: per-bucket
+    class counts ``(bucket, n1, n0)`` plus the four scalar totals. The
+    ONE definition site of the Laplace log-odds math — ``nb_train``
+    (single pass) and the incremental wave trainer (accumulated
+    wave-tagged counts, plans/quality_nb_queries.py) both delegate here,
+    so their models are bit-identical by construction: identical integer
+    counts in, identical doubles out."""
     import math
 
     prior_llr = round(math.log((nd1 + 1.0) / (nd0 + 1.0)), 12)
-    spark = docs.sparkSession
     dense = (
         spark.range(n_buckets)
         .select(F.col("id").cast("long").alias("bucket"))

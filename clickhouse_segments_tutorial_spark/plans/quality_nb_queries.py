@@ -21,8 +21,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.quality_nb import DEFAULT_BUCKETS, nb_score, nb_train
-from ..operators.text import quality_score, token_count
+from ..operators.quality_nb import (
+    DEFAULT_BUCKETS,
+    hash_bucket,
+    nb_model_from_counts,
+    nb_score,
+    nb_train,
+)
+from ..operators.text import quality_score, token_count, tokens
 from ..sources.catalog import load_table
 from .pipeline import _corpus_pipeline_ctes, _toks, _WS, corpus_pipeline_stages
 from .registry import QuerySpec
@@ -160,7 +166,267 @@ FROM pack
 """
 
 
+class IncrementalNBTrainer:
+    """Wave-state twin of ``nb_train`` — the batch / incremental /
+    streaming triangle (novelty, sem-dedup, curation, quota) closed for
+    the learned quality classifier.
+
+    The hashed-count model makes this the EASY leg: per-bucket class
+    counts plus four scalar totals are a sufficient statistic, and
+    counts are associative — so a wave contributes O(wave tokens) of
+    delta rows, the accumulated state reproduces the batch counts
+    EXACTLY (integer sums in any order), and the rebuilt model is
+    bit-identical to retraining from scratch
+    (``nb_model_from_counts`` is the one definition site of the llr
+    math). Unlike the novelty/curation twins, NO wave-order contract is
+    needed: ingest waves in any split, the final scores match batch.
+
+    State = ONE bucketed table (sources/bucketed.py) of wave-tagged
+    rows ``(_b, _w, n1, n0, nd1, nd0)``: real buckets carry token
+    counts, one sentinel row per wave (``_b = -1``) carries the wave's
+    class DOC counts — a single atomic append per wave. Class token
+    totals are derived (sum over buckets), never stored. Replay safety
+    (the StreamingWaveGate contract): a replayed wave re-appends
+    byte-identical rows, and every read collapses duplicate
+    ``(_b, _w)`` rows with max() before summing — so double-appends
+    can never double-count, including across compaction (compact keeps
+    the wave tags).
+
+    100 TB design: training state is ``n_buckets x n_waves`` rows
+    REGARDLESS of corpus size (the hashing trick), the per-wave pass is
+    one hash-agg over the wave, and model rebuild + scoring reuse the
+    batch operator's broadcast-join plan. Nightly-model-refresh without
+    re-reading a byte of historical text is exactly this pattern."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        n_buckets: int = DEFAULT_BUCKETS,
+        state_buckets: int = 32,
+    ):
+        import hashlib
+        import os
+        import re
+
+        self.spark, self.workdir = spark, workdir
+        self.n_buckets, self.state_buckets = n_buckets, state_buckets
+        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+        self._tbl = f"nbstate_{base}_{digest}_counts"
+        self._wave = 0
+        os.makedirs(workdir, exist_ok=True)
+
+    _SCHEMA = "_b long, _w int, n1 long, n0 long, nd1 long, nd0 long"
+
+    def _heal_from_compact_pin(self) -> None:
+        import os
+
+        from ..sources.bucketed import heal_bucketed_from_pins
+
+        heal_bucketed_from_pins(
+            self.spark,
+            self._tbl,
+            os.path.join(self.workdir, "tmp", "compact_w*"),
+            key="_b",
+            buckets=self.state_buckets,
+        )
+
+    def _state(self) -> DataFrame:
+        """Accumulated state with replay duplicates collapsed: one row
+        per (_b, _w) — max() is a no-op on the byte-identical rows a
+        crashed wave re-run appends."""
+        self._heal_from_compact_pin()
+        if self.spark.catalog.tableExists(self._tbl):
+            return (
+                self.spark.table(self._tbl)
+                .groupBy("_b", "_w")
+                .agg(
+                    F.max("n1").alias("n1"),
+                    F.max("n0").alias("n0"),
+                    F.max("nd1").alias("nd1"),
+                    F.max("nd0").alias("nd0"),
+                )
+            )
+        return self.spark.createDataFrame([], self._SCHEMA)
+
+    def _max_persisted_wave(self) -> int:
+        from .curation import _max_completed_wave_dir
+
+        return _max_completed_wave_dir(self.workdir)
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's counts into state; returns the wave's audit
+        row (wave, nd1, nd0, wt1, wt0 — class doc/token counts of THIS
+        wave), pinned under the workdir. The model itself is rebuilt on
+        demand (:meth:`model` / :meth:`score`)."""
+        import os
+
+        from ..sources.bucketed import write_bucketed
+
+        if wave_id is None and self._wave == 0:
+            self._wave = self._max_persisted_wave()
+        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
+        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
+            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        lbl = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+        tok = lbl.select(
+            "_y", F.explode(tokens("text")).alias("word")
+        ).select("_y", hash_bucket("word", self.n_buckets).alias("_b"))
+        bucket_rows = tok.groupBy("_b").agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n0"),
+            F.lit(0).cast("long").alias("nd1"),
+            F.lit(0).cast("long").alias("nd0"),
+        )
+        doc_row = lbl.agg(
+            F.lit(-1).cast("long").alias("_b"),
+            F.lit(0).cast("long").alias("n1"),
+            F.lit(0).cast("long").alias("n0"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("nd1"),
+            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).cast("long").alias("nd0"),
+        )
+        delta = (
+            bucket_rows.select("_b", "n1", "n0", "nd1", "nd0")
+            .unionByName(doc_row)
+            .na.fill(0)
+            .withColumn("_w", F.lit(self._wave).cast("int"))
+            .select("_b", "_w", "n1", "n0", "nd1", "nd0")
+        )
+        audit = delta.groupBy().agg(
+            F.lit(self._wave).alias("wave"),
+            F.sum("nd1").alias("nd1"),
+            F.sum("nd0").alias("nd0"),
+            F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("wt1"),
+            F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("wt0"),
+        )
+        # pin the audit BEFORE the state append (read-your-writes rule)
+        res_path = os.path.join(self.workdir, f"wave_{self._wave}")
+        audit.write.mode("overwrite").parquet(res_path)
+        write_bucketed(
+            delta,
+            self._tbl,
+            key="_b",
+            buckets=self.state_buckets,
+            mode="append" if self.spark.catalog.tableExists(self._tbl) else "overwrite",
+            align=True,
+        )
+        self.spark.catalog.refreshTable(self._tbl)
+        return self.spark.read.parquet(res_path)
+
+    def model(self) -> tuple[DataFrame, float]:
+        """(model, prior_llr) from the accumulated counts — bit-identical
+        to ``nb_train`` over the concatenation of every ingested wave."""
+        s = self._state()
+        tot = s.agg(
+            F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("t1"),
+            F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("t0"),
+            F.sum("nd1").alias("nd1"),
+            F.sum("nd0").alias("nd0"),
+        ).collect()[0]  # bounded: exactly 4 scalars
+        counts = (
+            s.filter(F.col("_b") >= 0)
+            .groupBy(F.col("_b").alias("bucket"))
+            .agg(F.sum("n1").alias("n1"), F.sum("n0").alias("n0"))
+        )
+        return nb_model_from_counts(
+            self.spark,
+            counts,
+            t1=int(tot["t1"] or 0),
+            t0=int(tot["t0"] or 0),
+            nd1=int(tot["nd1"] or 0),
+            nd0=int(tot["nd0"] or 0),
+            n_buckets=self.n_buckets,
+        )
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        model, prior = self.model()
+        return nb_score(docs, model, prior, n_buckets=self.n_buckets)
+
+    def compact(self) -> None:
+        """Fold appended files to one per bucket, PRESERVING wave tags
+        (one row per (_b, _w)) so replays of already-compacted waves
+        still collapse instead of double-counting."""
+        import os
+
+        from ..sources.bucketed import compact_bucketed
+
+        self._heal_from_compact_pin()
+        if not self.spark.catalog.tableExists(self._tbl):
+            return
+        compact_bucketed(
+            self.spark,
+            self._state(),
+            self._tbl,
+            os.path.join(self.workdir, "tmp", f"compact_w{self._wave}"),
+            os.path.join(self.workdir, "tmp", "compact_w*"),
+            key="_b",
+            buckets=self.state_buckets,
+        )
+
+    def reset(self) -> None:
+        import os
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
+        shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
+        self._wave = 0
+
+    def drop_state(self) -> None:
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+
+def quality_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB trainer run INCREMENTALLY over two waves with bucketed
+    count-state between them; the accumulated sufficient statistic
+    rebuilds the batch model exactly, so the final scores over the full
+    corpus SHARE quality_nb_scores_docs' retraining oracle. No wave-order
+    contract: counts are associative."""
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    tr = IncrementalNBTrainer(spark, _stream_scratch("nb_incremental"))
+    tr.reset()
+    tr.ingest(docs.filter(F.col("doc_id") < mid))
+    tr.ingest(docs.filter(F.col("doc_id") >= mid))
+    return tr.score(docs)
+
+
+def quality_nb_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB trainer driven by the generic streaming wave gate
+    (streaming/stream_curation.py): a checkpointed file stream drains
+    wave files into IncrementalNBTrainer via foreachBatch (per-batch
+    audit rows in results/), then the final model — rebuilt from the
+    gate-accumulated count state — scores the full corpus. Shares the
+    batch retraining oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("nb_streaming")
+    tr = IncrementalNBTrainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return tr.score(docs)
+
+
 QUERIES = [
     QuerySpec("quality_nb_scores_docs", quality_nb_scores_docs, _NB_SCORES_ORACLE),
     QuerySpec("corpus_pipeline_nb_docs", corpus_pipeline_nb_docs, _pipeline_nb_oracle()),
+    QuerySpec("quality_nb_incremental", quality_nb_incremental, _NB_SCORES_ORACLE),
+    QuerySpec("quality_nb_streaming", quality_nb_streaming, _NB_SCORES_ORACLE),
 ]

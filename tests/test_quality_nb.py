@@ -82,3 +82,64 @@ def test_pipeline_nb_gate_swaps_only_stage7(spark):
     same = lambda a, b: sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert same(base["decontaminated"], nb["decontaminated"])
     assert same(nb["quality_filtered"], _nb_gate(base["decontaminated"]))
+
+
+def test_incremental_trainer_equals_batch_any_split(spark, tmp_path):
+    """The wave trainer's accumulated counts are a sufficient statistic,
+    so ANY split of the corpus — including one that violates the other
+    twins' ascending-id wave contract — must reproduce the batch scores
+    bit-for-bit (counts are associative integers, the llr math is the
+    shared nb_model_from_counts)."""
+    from clickhouse_segments_tutorial_spark.operators.text import quality_score
+    from clickhouse_segments_tutorial_spark.plans.quality_nb_queries import (
+        NB_LABEL_MIN_QUALITY,
+        IncrementalNBTrainer,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    labeled = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+    model, prior = nb_train(labeled, label_col="_y")
+    batch = sorted(map(tuple, nb_score(docs, model, prior).collect()))
+
+    tr = IncrementalNBTrainer(spark, str(tmp_path / "nb"))
+    tr.reset()
+    # deliberately interleaved split: doc_id % 3, not contiguous ranges
+    for k in range(3):
+        tr.ingest(docs.filter(F.col("doc_id") % 3 == k))
+    inc = sorted(map(tuple, tr.score(docs).collect()))
+    assert inc == batch
+    tr.drop_state()
+
+
+def test_incremental_trainer_replay_and_compact_safe(spark, tmp_path):
+    """Replay safety (the StreamingWaveGate crash contract): re-ingesting
+    a wave under its original wave_id appends duplicate wave-tagged rows
+    that the max()-collapse read must ignore — including AFTER compact()
+    folded the state (wave tags survive compaction). Scores stay equal
+    to batch throughout."""
+    from clickhouse_segments_tutorial_spark.operators.text import quality_score
+    from clickhouse_segments_tutorial_spark.plans.quality_nb_queries import (
+        NB_LABEL_MIN_QUALITY,
+        IncrementalNBTrainer,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    labeled = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+    model, prior = nb_train(labeled, label_col="_y")
+    batch = sorted(map(tuple, nb_score(docs, model, prior).collect()))
+
+    tr = IncrementalNBTrainer(spark, str(tmp_path / "nb"))
+    tr.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tr.ingest(w1, wave_id=1)
+    tr.ingest(w2, wave_id=2)
+    tr.ingest(w2, wave_id=2)  # crash-replay of wave 2
+    assert sorted(map(tuple, tr.score(docs).collect())) == batch
+    tr.compact()
+    assert sorted(map(tuple, tr.score(docs).collect())) == batch
+    tr.ingest(w1, wave_id=1)  # replay of an already-compacted wave
+    assert sorted(map(tuple, tr.score(docs).collect())) == batch
+    tr.drop_state()
