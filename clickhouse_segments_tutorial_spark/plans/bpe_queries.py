@@ -95,15 +95,21 @@ def _trained(spark: SparkSession, sf_dir: str, *, refresh: bool = False):
     return docs, merges, trained
 
 
-def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned merge table, in learning order: (rank, lhs, rhs,
-    merged, n_occurrences). O(N_MERGES) rows — driver-held by design
-    (this IS the broadcastable tokenizer artifact)."""
-    _, merges, _ = _trained(spark, sf_dir, refresh=True)
+def _merges_df(spark: SparkSession, merges: list) -> DataFrame:
+    """The learned merge table as a DataFrame — O(N_MERGES) rows,
+    driver-held by design (this IS the broadcastable tokenizer
+    artifact)."""
     return spark.createDataFrame(
         [(m.rank, m.lhs, m.rhs, m.merged, m.n_occurrences) for m in merges],
         "rank int, lhs string, rhs string, merged string, n_occurrences bigint",
     )
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, in learning order: (rank, lhs, rhs,
+    merged, n_occurrences)."""
+    _, merges, _ = _trained(spark, sf_dir, refresh=True)
+    return _merges_df(spark, merges)
 
 
 def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +271,133 @@ w1 AS MATERIALIZED (
   FROM wf
 )"""
     return head + "," + ",".join(_stage(k) for k in range(1, n_merges + 1))
+
+
+class IncrementalBPETrainer:
+    """Wave-state twin of BPE training — the tokenizer joins the
+    batch / incremental / streaming triangle.
+
+    BPE's only corpus-sized input is the word-frequency dictionary
+    (operators/bpe.py module docstring), and word counts are an
+    ASSOCIATIVE sufficient statistic: per-wave (word, freq) deltas
+    summed in any order reproduce the batch dictionary exactly, and
+    ``bpe_train`` is deterministic given the dictionary — so the merge
+    table retrained from accumulated wave counts is bit-identical to
+    training on the full corpus, with NO wave-order contract. State
+    mechanics (bucketed wave-tagged rows, replay collapse, compaction,
+    crash healing, resume numbering) are the shared
+    operators.wave_counts.WaveCountState chassis.
+
+    100 TB design: each wave pays one wave-sized explode + hash-agg;
+    state is the Heaps-law dictionary x waves (compaction folds it);
+    retraining reads ONLY the state — the nightly-tokenizer-refresh
+    pattern where yesterday's corpus is never re-read. At a real 32k
+    vocab the rebuild uses ``round_batch`` batched training
+    (``bpe_train`` docstring); the registered twins train at the exact
+    sequential setting to share the batch oracle."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        n_merges: int = N_MERGES,
+        state_buckets: int = 32,
+    ):
+        from ..operators.wave_counts import WaveCountState
+
+        self.spark, self.n_merges = spark, n_merges
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="bpestate",
+            key_col="word",
+            key_type="string",
+            value_cols=["freq"],
+            state_buckets=state_buckets,
+        )
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's word frequencies into state; returns the
+        wave's audit row (wave, n_words, n_tokens — THIS wave's distinct
+        words and token total), pinned under the workdir."""
+        wave = self._st.resolve_wave(wave_id)
+        wf = word_frequencies(docs)
+        audit = wf.agg(
+            F.lit(wave).alias("wave"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        # pin the audit BEFORE the state append (read-your-writes rule)
+        pinned = self._st.pin_audit(audit, wave)
+        self._st.append(wf.select("word", "freq"), wave)
+        return pinned
+
+    def dictionary(self) -> DataFrame:
+        """(word, freq) over every ingested wave — equals
+        ``word_frequencies`` of the concatenated corpus exactly."""
+        return self._st.read().groupBy("word").agg(F.sum("freq").alias("freq"))
+
+    def train(self) -> tuple[list, DataFrame]:
+        """(merge table, trained dictionary) retrained from accumulated
+        counts — bit-identical to batch training on the full corpus."""
+        return bpe_train(self.dictionary(), n_merges=self.n_merges)
+
+    def compact(self) -> None:
+        self._st.compact(self._st._wave)
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def drop_state(self) -> None:
+        self._st.drop()
+
+
+def bpe_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training run INCREMENTALLY over two waves of documents with
+    bucketed word-count state between them (IncrementalBPETrainer); the
+    retrained merge table SHARES bpe_merges_docs' unrolled-rounds
+    retraining oracle. The waves are ingested newest-first on purpose:
+    word counts are associative, so unlike the novelty/curation twins
+    there is no ascending-id wave contract to honor."""
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    tr = IncrementalBPETrainer(spark, _stream_scratch("bpe_incremental"))
+    tr.reset()
+    tr.ingest(docs.filter(F.col("doc_id") >= mid))
+    tr.ingest(docs.filter(F.col("doc_id") < mid))
+    merges, _ = tr.train()
+    return _merges_df(spark, merges)
+
+
+def bpe_merges_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer driven by the generic streaming wave gate
+    (streaming/stream_curation.py): a checkpointed file stream drains
+    wave files into IncrementalBPETrainer via foreachBatch (per-batch
+    audit rows in results/), then the merge table is retrained from the
+    gate-accumulated word-count state. Shares the batch retraining
+    oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("bpe_streaming")
+    tr = IncrementalBPETrainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    merges, _ = tr.train()
+    return _merges_df(spark, merges)
 
 
 _MERGES_ORACLE = f"""
@@ -448,4 +581,6 @@ QUERIES = [
     QuerySpec("bpe_encode_docs", bpe_encode_docs, _ENCODE_ORACLE),
     QuerySpec("mixed_corpus_bpe_docs", mixed_corpus_bpe_docs, _MIX_BPE_ORACLE),
     QuerySpec("packed_chunks_bpe", packed_chunks_bpe, _PACKED_BPE_ORACLE),
+    QuerySpec("bpe_merges_incremental", bpe_merges_incremental, _MERGES_ORACLE),
+    QuerySpec("bpe_merges_streaming", bpe_merges_streaming, _MERGES_ORACLE),
 ]

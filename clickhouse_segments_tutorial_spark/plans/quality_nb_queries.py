@@ -181,16 +181,14 @@ class IncrementalNBTrainer:
     math). Unlike the novelty/curation twins, NO wave-order contract is
     needed: ingest waves in any split, the final scores match batch.
 
-    State = ONE bucketed table (sources/bucketed.py) of wave-tagged
-    rows ``(_b, _w, n1, n0, nd1, nd0)``: real buckets carry token
+    State = ONE bucketed table of wave-tagged rows
+    ``(_b, _w, n1, n0, nd1, nd0)`` managed by the shared
+    operators.wave_counts.WaveCountState chassis (storage, replay
+    collapse, compaction, healing, resume numbering — see that module's
+    docstring for the crash/replay contract): real buckets carry token
     counts, one sentinel row per wave (``_b = -1``) carries the wave's
     class DOC counts — a single atomic append per wave. Class token
-    totals are derived (sum over buckets), never stored. Replay safety
-    (the StreamingWaveGate contract): a replayed wave re-appends
-    byte-identical rows, and every read collapses duplicate
-    ``(_b, _w)`` rows with max() before summing — so double-appends
-    can never double-count, including across compaction (compact keeps
-    the wave tags).
+    totals are derived (sum over buckets), never stored.
 
     100 TB design: training state is ``n_buckets x n_waves`` rows
     REGARDLESS of corpus size (the hashing trick), the per-wave pass is
@@ -206,70 +204,26 @@ class IncrementalNBTrainer:
         n_buckets: int = DEFAULT_BUCKETS,
         state_buckets: int = 32,
     ):
-        import hashlib
-        import os
-        import re
+        from ..operators.wave_counts import WaveCountState
 
         self.spark, self.workdir = spark, workdir
-        self.n_buckets, self.state_buckets = n_buckets, state_buckets
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self._tbl = f"nbstate_{base}_{digest}_counts"
-        self._wave = 0
-        os.makedirs(workdir, exist_ok=True)
-
-    _SCHEMA = "_b long, _w int, n1 long, n0 long, nd1 long, nd0 long"
-
-    def _heal_from_compact_pin(self) -> None:
-        import os
-
-        from ..sources.bucketed import heal_bucketed_from_pins
-
-        heal_bucketed_from_pins(
-            self.spark,
-            self._tbl,
-            os.path.join(self.workdir, "tmp", "compact_w*"),
-            key="_b",
-            buckets=self.state_buckets,
+        self.n_buckets = n_buckets
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="nbstate",
+            key_col="_b",
+            key_type="long",
+            value_cols=["n1", "n0", "nd1", "nd0"],
+            state_buckets=state_buckets,
         )
-
-    def _state(self) -> DataFrame:
-        """Accumulated state with replay duplicates collapsed: one row
-        per (_b, _w) — max() is a no-op on the byte-identical rows a
-        crashed wave re-run appends."""
-        self._heal_from_compact_pin()
-        if self.spark.catalog.tableExists(self._tbl):
-            return (
-                self.spark.table(self._tbl)
-                .groupBy("_b", "_w")
-                .agg(
-                    F.max("n1").alias("n1"),
-                    F.max("n0").alias("n0"),
-                    F.max("nd1").alias("nd1"),
-                    F.max("nd0").alias("nd0"),
-                )
-            )
-        return self.spark.createDataFrame([], self._SCHEMA)
-
-    def _max_persisted_wave(self) -> int:
-        from .curation import _max_completed_wave_dir
-
-        return _max_completed_wave_dir(self.workdir)
 
     def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Fold one wave's counts into state; returns the wave's audit
         row (wave, nd1, nd0, wt1, wt0 — class doc/token counts of THIS
         wave), pinned under the workdir. The model itself is rebuilt on
         demand (:meth:`model` / :meth:`score`)."""
-        import os
-
-        from ..sources.bucketed import write_bucketed
-
-        if wave_id is None and self._wave == 0:
-            self._wave = self._max_persisted_wave()
-        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
-        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
-            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        wave = self._st.resolve_wave(wave_id)
         lbl = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
         tok = lbl.select(
             "_y", F.explode(tokens("text")).alias("word")
@@ -291,34 +245,23 @@ class IncrementalNBTrainer:
             bucket_rows.select("_b", "n1", "n0", "nd1", "nd0")
             .unionByName(doc_row)
             .na.fill(0)
-            .withColumn("_w", F.lit(self._wave).cast("int"))
-            .select("_b", "_w", "n1", "n0", "nd1", "nd0")
         )
         audit = delta.groupBy().agg(
-            F.lit(self._wave).alias("wave"),
+            F.lit(wave).alias("wave"),
             F.sum("nd1").alias("nd1"),
             F.sum("nd0").alias("nd0"),
             F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("wt1"),
             F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("wt0"),
         )
         # pin the audit BEFORE the state append (read-your-writes rule)
-        res_path = os.path.join(self.workdir, f"wave_{self._wave}")
-        audit.write.mode("overwrite").parquet(res_path)
-        write_bucketed(
-            delta,
-            self._tbl,
-            key="_b",
-            buckets=self.state_buckets,
-            mode="append" if self.spark.catalog.tableExists(self._tbl) else "overwrite",
-            align=True,
-        )
-        self.spark.catalog.refreshTable(self._tbl)
-        return self.spark.read.parquet(res_path)
+        pinned = self._st.pin_audit(audit, wave)
+        self._st.append(delta, wave)
+        return pinned
 
     def model(self) -> tuple[DataFrame, float]:
         """(model, prior_llr) from the accumulated counts — bit-identical
         to ``nb_train`` over the concatenation of every ingested wave."""
-        s = self._state()
+        s = self._st.read()
         tot = s.agg(
             F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("t1"),
             F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("t0"),
@@ -348,36 +291,13 @@ class IncrementalNBTrainer:
         """Fold appended files to one per bucket, PRESERVING wave tags
         (one row per (_b, _w)) so replays of already-compacted waves
         still collapse instead of double-counting."""
-        import os
-
-        from ..sources.bucketed import compact_bucketed
-
-        self._heal_from_compact_pin()
-        if not self.spark.catalog.tableExists(self._tbl):
-            return
-        compact_bucketed(
-            self.spark,
-            self._state(),
-            self._tbl,
-            os.path.join(self.workdir, "tmp", f"compact_w{self._wave}"),
-            os.path.join(self.workdir, "tmp", "compact_w*"),
-            key="_b",
-            buckets=self.state_buckets,
-        )
+        self._st.compact(self._st._wave)
 
     def reset(self) -> None:
-        import os
-        import shutil
-
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
-        shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
-        self._wave = 0
+        self._st.reset()
 
     def drop_state(self) -> None:
-        import shutil
-
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
-        shutil.rmtree(self.workdir, ignore_errors=True)
+        self._st.drop()
 
 
 def quality_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,3 +336,58 @@ def test_batched_training_amortizes_jobs(spark):
     # 2 count snapshots (+ a couple of checkpoint materializations) vs
     # 24 sequential rounds: assert well under one job per merge
     assert jobs <= 12, f"{jobs} jobs for 24 batched merges"
+
+
+def test_incremental_bpe_equals_batch_any_split(spark, tmp_path):
+    """Word counts are an associative sufficient statistic, so the wave
+    trainer's retrained merge table must equal batch training on the
+    full corpus from ANY split — here a deliberately interleaved one
+    (doc_id % 3), which would violate the other twins' ascending-id
+    wave contract."""
+    from clickhouse_segments_tutorial_spark.plans.bpe_queries import (
+        IncrementalBPETrainer,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch, _ = bpe_train(word_frequencies(docs), n_merges=12)
+
+    tr = IncrementalBPETrainer(spark, str(tmp_path / "bpe"), n_merges=12)
+    tr.reset()
+    for k in range(3):
+        tr.ingest(docs.filter(F.col("doc_id") % 3 == k))
+    inc, _ = tr.train()
+    assert inc == batch
+    tr.drop_state()
+
+
+def test_incremental_bpe_replay_and_compact_safe(spark, tmp_path):
+    """Replay safety (the StreamingWaveGate crash contract): re-ingesting
+    a wave under its original wave_id appends duplicate wave-tagged rows
+    the max()-collapse read must ignore — including AFTER compact()
+    folded the state. The retrained merge list stays equal to batch
+    throughout, and the accumulated dictionary equals the batch one."""
+    from clickhouse_segments_tutorial_spark.plans.bpe_queries import (
+        IncrementalBPETrainer,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    batch, _ = bpe_train(word_frequencies(docs), n_merges=8)
+    batch_dict = sorted(map(tuple, word_frequencies(docs).collect()))
+
+    tr = IncrementalBPETrainer(spark, str(tmp_path / "bpe"), n_merges=8)
+    tr.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tr.ingest(w1, wave_id=1)
+    tr.ingest(w2, wave_id=2)
+    tr.ingest(w2, wave_id=2)  # crash-replay of wave 2
+    assert sorted(map(tuple, tr.dictionary().collect())) == batch_dict
+    tr.compact()
+    assert sorted(map(tuple, tr.dictionary().collect())) == batch_dict
+    tr.ingest(w1, wave_id=1)  # replay of an already-compacted wave
+    assert sorted(map(tuple, tr.dictionary().collect())) == batch_dict
+    inc, _ = tr.train()
+    assert inc == batch
+    tr.drop_state()
