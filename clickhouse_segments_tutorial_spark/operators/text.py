@@ -413,3 +413,99 @@ def normalize_text(text: str | Column) -> Column:
     no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
     collapsed = F.regexp_replace(no_tags, "[ \\t\\n\\x0B\\f\\r]+", " ")
     return F.lower(F.trim(collapsed))
+
+
+# Gopher-style rule gate thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 quality rules), tuned so every rule
+# discriminates on this corpus (the paper's 50..100k word bounds etc.
+# would pass or fail trivially on 10..99-word synthetic docs). ONE
+# definition site shared by the Spark operator and the DuckDB oracle
+# (plans/llm.py) — the curation._QUOTA_TOKENS rule.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+# mean word length in [4, 5]: compared in the INTEGER domain as
+# 4*n_words <= sum_word_chars <= 5*n_words — exact in any engine.
+GOPHER_MIN_MWL = 4
+GOPHER_MAX_MWL = 5
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "that", "have", "with")
+# duplicate-bigram fraction <= 1/20: (n_bigrams - n_distinct)*20 <=
+# n_bigrams in the integer domain.
+GOPHER_DUP_BIGRAM_DENOM = 20
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style RULE-BASED quality gate: per-document boolean rule
+    flags plus the conjunctive keep — the standard pre-filter that runs
+    BEFORE any learned scorer (quality_score heuristic, the NB
+    classifier) in a production curation stack (Gopher/MassiveText,
+    RefinedWeb, Dolma all lead with rule gates).
+
+    Four rules, each engine-exact (no float-threshold comparisons — all
+    rule predicates are INTEGER arithmetic, the displayed ratios are
+    derived afterwards):
+
+    - ``r_word_count``: GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS;
+    - ``r_mean_word_len``: mean word length within
+      [GOPHER_MIN_MWL, GOPHER_MAX_MWL], compared as
+      min*n <= sum_chars <= max*n;
+    - ``r_stopwords``: at least GOPHER_MIN_STOPWORDS occurrences of the
+      Gopher stop list (an English-ness proxy);
+    - ``r_repetition``: duplicate-bigram fraction at most
+      1/GOPHER_DUP_BIGRAM_DENOM (the paper's duplicate-n-gram family) —
+      (n_bigrams - n_distinct_bigrams) * DENOM <= n_bigrams; vacuously
+      true for docs with < 2 words. Bigrams are compared as
+      space-joined strings, alias-free because tokens are
+      whitespace-split (no token contains a space).
+
+    Scale: map-only per document (explode-free — all array expressions
+    over the token list), so the plan is one WholeStageCodegen project
+    over the scan; composes with any downstream gate. Output: (doc_id,
+    n_words, mean_word_len, n_stop, dup_bigram_frac, r_word_count,
+    r_mean_word_len, r_stopwords, r_repetition, keep)."""
+    t = tokens(text_col)
+    n_words = F.size(t)
+    sum_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    idx = F.when(
+        n_words > 1, F.sequence(F.lit(0), n_words - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1))
+    )
+    n_bi = F.size(bigrams)
+    n_dist = F.size(F.array_distinct(bigrams))
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (
+        (n_words > 0)
+        & (sum_chars >= GOPHER_MIN_MWL * n_words)
+        & (sum_chars <= GOPHER_MAX_MWL * n_words)
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    r_rep = (n_bi - n_dist) * GOPHER_DUP_BIGRAM_DENOM <= n_bi
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, sum_chars.cast("double") / n_words).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        F.round(
+            F.when(
+                n_bi > 0, (n_bi - n_dist).cast("double") / n_bi
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_mwl & r_stop & r_rep).alias("keep"),
+    )

@@ -48,8 +48,16 @@ from ..operators.similarity import (
     srp_probe_index,
 )
 from ..operators.text import (
+    GOPHER_DUP_BIGRAM_DENOM,
+    GOPHER_MAX_MWL,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MWL,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
     PII_PATTERNS,
     chunk_documents,
+    gopher_quality,
     normalize_text,
     quality_score,
     redact_pii,
@@ -816,6 +824,51 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate over documents (operators.text.
+    gopher_quality): per-rule boolean flags + conjunctive keep, all rule
+    predicates integer-exact. Map-only — one codegen project over the
+    scan."""
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_chars,
+         len(list_filter(toks, x -> x IN {tuple(GOPHER_STOPWORDS)})) AS n_stop,
+         CASE WHEN len(toks) > 1
+              THEN [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]
+              ELSE []::VARCHAR[] END AS bg
+  FROM base
+),
+rules AS (
+  SELECT doc_id, n_words, sum_chars, n_stop,
+         len(bg) AS n_bi, len(list_distinct(bg)) AS n_dist,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_word_count,
+         n_words > 0 AND sum_chars >= {GOPHER_MIN_MWL} * n_words
+                     AND sum_chars <= {GOPHER_MAX_MWL} * n_words AS r_mean_word_len,
+         n_stop >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+         (len(bg) - len(list_distinct(bg))) * {GOPHER_DUP_BIGRAM_DENOM} <= len(bg) AS r_repetition
+  FROM feat
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN CAST(sum_chars AS DOUBLE) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+       n_stop,
+       round(CASE WHEN n_bi > 0 THEN CAST(n_bi - n_dist AS DOUBLE) / n_bi ELSE 0.0 END, 6) AS dup_bigram_frac,
+       r_word_count, r_mean_word_len, r_stopwords, r_repetition,
+       r_word_count AND r_mean_word_len AND r_stopwords AND r_repetition AS keep
+FROM rules
+"""
 
 
 _TEXT_STATS_ORACLE = r"""
@@ -1891,6 +1944,7 @@ QUERIES = [
     ),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
+    QuerySpec("gopher_quality_docs", gopher_quality_docs, _GOPHER_ORACLE),
     QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE, headline=True),
     QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE, headline=True),
     QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE, headline=True),

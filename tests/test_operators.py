@@ -1812,3 +1812,32 @@ def test_real_decode_jpeg_with_pil(spark):
     row = extract_features(media, use_stub=False).collect()[0]
     assert row.n_bytes == len(jpeg)
     assert list(row.feature) == pytest.approx(hist)
+
+
+def test_gopher_rules_flip_individually(spark):
+    """Each Gopher rule fails on a doc constructed to violate ONLY it
+    (word-soup baseline passes all four), and keep is the conjunction."""
+    from clickhouse_segments_tutorial_spark.operators.text import gopher_quality
+
+    # passing doc: 34 distinct 5-char words + 2 stopwords -> 36 words,
+    # mean word length (34*5 + 7)/36 = 4.92 in [4, 5], no dup bigrams
+    base = " ".join(f"wde{i:02d}" for i in range(34)) + " the with"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # passes all
+            (2, " ".join(base.split()[:20])),            # too few words
+            (3, " ".join(f"w{i}" for i in range(34)) + " the with"),  # short words -> mwl < 4
+            (4, " ".join(f"wd{i:02d}" for i in range(36))),           # no stopwords
+            (5, " ".join(["dupa dupb"] * 17) + " the with"),          # duplicate bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert rows[1]["keep"] and all(
+        rows[1][c] for c in ("r_word_count", "r_mean_word_len", "r_stopwords", "r_repetition")
+    )
+    assert not rows[2]["r_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["r_mean_word_len"] and rows[3]["r_word_count"]
+    assert not rows[4]["r_stopwords"] and rows[4]["r_word_count"]
+    assert not rows[5]["r_repetition"] and rows[5]["r_stopwords"]
+    assert not rows[5]["keep"]
