@@ -35,6 +35,11 @@ from ..operators.text import chunk_documents, token_count
 from ..sources.catalog import load_table
 from .llm import (
     _COS_PAIRS_LSH_ORACLE,
+    _JACCARD_ORACLE,
+    MH_BANDS,
+    MH_K,
+    MH_SHINGLE_N,
+    MH_THRESHOLD,
     SEM_NEAR_DUP_THRESHOLD,
     SEM_SRP_MAX_HAMMING,
     SEM_SRP_PLANES,
@@ -809,6 +814,267 @@ def semantic_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate.results()
 
 
+class IncrementalMinHashDeduper:
+    """Wave-state twin of :func:`operators.dedup.minhash_lsh_pairs` —
+    the batch / incremental / streaming triangle closed for the MinHash
+    near-dup family (the embedding-space family already has it via
+    IncrementalSemanticDeduper).
+
+    Emits each wave's NEW near-dup pairs: a pair (a, b) is discovered in
+    the wave that ingests its LATER-arriving member — wave-vs-state band
+    matches plus intra-wave matches, exact-Jaccard verified like the
+    batch operator. Because the banded signature of a document depends
+    only on the document, the union of per-wave pair sets equals the
+    batch pair set from ANY disjoint wave split (no wave-order
+    contract), so the registered twins SHARE minhash_near_dup_pairs'
+    exact-Jaccard oracle.
+
+    State, mirroring IncrementalSemanticDeduper's layout:
+    - ``mh_bands`` (band, bucket, _id): every seen doc's LSH band keys,
+      bucketed on (band, bucket) — the wave's candidate join reads
+      history co-located;
+    - ``mh_shingles`` (_id, _sh): every seen doc's hashed shingle set,
+      bucketed on _id — the verify stage's history-side lookup.
+
+    Replay safety (the StreamingWaveGate crash window: a re-run of the
+    MOST RECENT wave): the replayed wave finds its OWN band rows in
+    state; the cross join then yields exactly the intra-wave pairs
+    (self-pairs die on the id_a < id_b normalization), which the final
+    distinct folds into the wave's original output — byte-identical
+    re-emission — and the re-appended state rows are exact duplicates
+    every downstream read deduplicates. Replaying an OLDER wave after
+    later waves have landed is outside the gate's crash window and NOT
+    idempotent by construction: pair discovery is time-dependent, so
+    the re-run additionally emits this-wave-vs-later-wave pairs that
+    the later waves' original runs already reported (still a subset of
+    the union — nothing new is invented, pairs are re-reported).
+
+    100 TB design: per wave the work is wave-sized shingling + k
+    min-aggs, one co-located band join against state, and a verify join
+    over candidate pairs only — never all-pairs, never a re-scan of
+    history text. This is the production shape of continuous-crawl
+    dedup (new snapshot vs corpus index)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        n: int = MH_SHINGLE_N,
+        k: int = MH_K,
+        bands: int = MH_BANDS,
+        threshold: float = MH_THRESHOLD,
+        state_buckets: int = 32,
+    ):
+        import hashlib
+        import os
+        import re
+
+        if k % bands:
+            raise ValueError("k must be divisible by bands")
+        self.spark, self.workdir = spark, workdir
+        self.n, self.k, self.bands, self.threshold = n, k, bands, threshold
+        self.state_buckets = state_buckets
+        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+        self._prefix = f"mhstate_{base}_{digest}"
+        self._wave = 0
+        os.makedirs(workdir, exist_ok=True)
+
+    def _tbl(self, name: str) -> str:
+        return f"{self._prefix}_{name}"
+
+    _STATE_KEYS = {"mh_bands": ("band", "bucket"), "mh_shingles": ("_id",)}
+
+    def _heal_from_compact_pin(self, name: str) -> None:
+        import os
+
+        from ..sources.bucketed import heal_bucketed_from_pins
+
+        heal_bucketed_from_pins(
+            self.spark,
+            self._tbl(name),
+            os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
+            key=self._STATE_KEYS[name],
+            buckets=self.state_buckets,
+        )
+
+    def _state(self, name: str, schema: str) -> DataFrame:
+        self._heal_from_compact_pin(name)
+        if self.spark.catalog.tableExists(self._tbl(name)):
+            return self.spark.table(self._tbl(name))
+        return self.spark.createDataFrame([], schema)
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Find one wave's new near-dup pairs (id_a, id_b, jaccard) and
+        fold the wave into the band/shingle index; result pinned under
+        the workdir (lazy reader)."""
+        import os
+
+        from ..operators.dedup import banded_minhash_keys, shingled_docs
+        from ..sources.bucketed import write_bucketed
+
+        if wave_id is None and self._wave == 0:
+            self._wave = _max_completed_wave_dir(self.workdir)
+        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
+        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
+            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        wave_sh = shingled_docs(docs, n=self.n).persist()
+        wave_keys = banded_minhash_keys(wave_sh, k=self.k, bands=self.bands)
+        state_bands = self._state("mh_bands", "band int, bucket bigint, _id bigint")
+        state_sh = self._state("mh_shingles", "_id bigint, _sh array<bigint>")
+        # normalized with least/greatest (state ids need not be smaller
+        # than wave ids — no wave-order contract); self-matches from a
+        # replayed wave's own state rows die on id_a < id_b
+        cross = (
+            wave_keys.alias("w")
+            .join(state_bands.alias("s"), ["band", "bucket"])
+            .select(
+                F.least(F.col("s._id"), F.col("w._id")).alias("id_a"),
+                F.greatest(F.col("s._id"), F.col("w._id")).alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        intra = (
+            wave_keys.alias("a")
+            .join(
+                wave_keys.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        cand = cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
+        # verify with exact Jaccard; either side may live in state or the
+        # wave, so the lookup is their union (replay duplicates collapse)
+        lookup = state_sh.unionByName(wave_sh.select("_id", "_sh")).dropDuplicates(
+            ["_id"]
+        )
+        verified = (
+            cand.join(
+                lookup.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                    "_sh", "_sh_a"
+                ),
+                "id_a",
+            )
+            .join(
+                lookup.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                    "_sh", "_sh_b"
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        res_path = os.path.join(self.workdir, f"wave_{self._wave}")
+        verified.write.mode("overwrite").parquet(res_path)
+        # write mode decided PER TABLE (the IncrementalSemanticDeduper
+        # crash-between-appends rule)
+        for frame, name in (
+            (wave_keys.select("band", "bucket", "_id"), "mh_bands"),
+            (wave_sh.select("_id", "_sh"), "mh_shingles"),
+        ):
+            write_bucketed(
+                frame,
+                self._tbl(name),
+                key=self._STATE_KEYS[name],
+                buckets=self.state_buckets,
+                mode="append"
+                if self.spark.catalog.tableExists(self._tbl(name))
+                else "overwrite",
+                align=True,
+            )
+            self.spark.catalog.refreshTable(self._tbl(name))
+        wave_sh.unpersist()
+        return self.spark.read.parquet(res_path)
+
+    def compact(self) -> None:
+        import os
+
+        from ..sources.bucketed import compact_bucketed
+
+        for name in ("mh_bands", "mh_shingles"):
+            self._heal_from_compact_pin(name)
+            if not self.spark.catalog.tableExists(self._tbl(name)):
+                continue
+            compact_bucketed(
+                self.spark,
+                self.spark.table(self._tbl(name)).distinct(),
+                self._tbl(name),
+                os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}"),
+                os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
+                key=self._STATE_KEYS[name],
+                buckets=self.state_buckets,
+            )
+
+    def reset(self) -> None:
+        import os
+        import shutil
+
+        for name in ("mh_bands", "mh_shingles"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+        shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
+        self._wave = 0
+
+    def drop_state(self) -> None:
+        import shutil
+
+        self.reset()
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+
+def minhash_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup discovery run INCREMENTALLY over two waves
+    with a persisted band + shingle index between them
+    (IncrementalMinHashDeduper); the union of per-wave pair sets equals
+    the batch pair set, so this SHARES minhash_near_dup_pairs'
+    exact-Jaccard oracle. Waves are ingested newest-first on purpose —
+    pair discovery has no wave-order contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    deduper = IncrementalMinHashDeduper(
+        spark, _stream_scratch("minhash_incremental")
+    )
+    deduper.reset()
+    out1 = deduper.ingest(docs.filter(F.col("doc_id") >= mid))
+    out2 = deduper.ingest(docs.filter(F.col("doc_id") < mid))
+    return out1.unionByName(out2)
+
+
+def minhash_near_dup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup discovery as a Structured Streaming ingest
+    gate: foreachBatch drives IncrementalMinHashDeduper (bucketed band +
+    shingle index) over a checkpointed file stream, one wave per
+    micro-batch. SHARES minhash_near_dup_pairs' exact-Jaccard oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("minhash_streaming")
+    gate = StreamingWaveGate(
+        spark,
+        workdir,
+        schema=docs.schema,
+        ingestor=IncrementalMinHashDeduper(spark, f"{workdir}/state"),
+    )
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return gate.results()
+
+
 QUERIES = [
     # novelty is the round-9 headline addition (BASELINE.md widening note):
     # it representatively prices the new curation family's corpus-wide
@@ -824,4 +1090,10 @@ QUERIES = [
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
     QuerySpec("semantic_dedup_incremental", semantic_dedup_incremental, _SEMANTIC_KEEP_ORACLE),
     QuerySpec("semantic_dedup_streaming", semantic_dedup_streaming, _SEMANTIC_KEEP_ORACLE),
+    QuerySpec(
+        "minhash_near_dup_incremental", minhash_near_dup_incremental, _JACCARD_ORACLE
+    ),
+    QuerySpec(
+        "minhash_near_dup_streaming", minhash_near_dup_streaming, _JACCARD_ORACLE
+    ),
 ]

@@ -76,6 +76,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- dedup ---------------------------------------------------------------------
 
+# MinHash-LSH near-dup operating point, ONE definition site shared by the
+# batch query, the exact-Jaccard oracle twin, and the incremental /
+# streaming twins in plans/curation.py (the SEM_* shared-constants rule:
+# query and twins cannot desync).
+MH_SHINGLE_N = 3
+MH_K = 64
+MH_BANDS = 32
+MH_THRESHOLD = 0.8
+
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -91,17 +100,21 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (allow_quadratic acknowledged; the scale twin with the same output and
     oracle is minhash_near_dup_pairs)."""
     return jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, allow_quadratic=True
+        _t(spark, sf_dir, "documents"),
+        n=MH_SHINGLE_N,
+        threshold=MH_THRESHOLD,
+        allow_quadratic=True,
     )
 
 
-_JACCARD_ORACLE = """
+_JACCARD_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id,
          list_distinct(
            CASE WHEN len(t) = 0 THEN []::VARCHAR[]
-                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                WHEN len(t) < {MH_SHINGLE_N} THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+{MH_SHINGLE_N - 1}], ' ')
+                      FOR i IN range(1, len(t) - {MH_SHINGLE_N - 2})]
            END
          ) AS sh
   FROM (
@@ -123,7 +136,7 @@ common AS (
 SELECT id_a, id_b,
        round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
 FROM common
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {MH_THRESHOLD}
 """
 
 
@@ -134,7 +147,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to jaccard_near_dup_pairs on this corpus, hence the shared oracle.
     """
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, k=64, bands=32, threshold=0.8
+        _t(spark, sf_dir, "documents"),
+        n=MH_SHINGLE_N,
+        k=MH_K,
+        bands=MH_BANDS,
+        threshold=MH_THRESHOLD,
     )
 
 
@@ -1944,7 +1961,9 @@ QUERIES = [
     ),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
-    QuerySpec("gopher_quality_docs", gopher_quality_docs, _GOPHER_ORACLE),
+    QuerySpec(
+        "gopher_quality_docs", gopher_quality_docs, _GOPHER_ORACLE, headline=True
+    ),
     QuerySpec("repetition_stats_docs", repetition_stats_docs, _REPETITION_ORACLE, headline=True),
     QuerySpec("dedup_paragraphs_docs", dedup_paragraphs_docs, _DEDUP_PARAGRAPHS_ORACLE, headline=True),
     QuerySpec("pii_redacted_docs", pii_redacted_docs, _PII_ORACLE, headline=True),

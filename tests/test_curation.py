@@ -1066,3 +1066,63 @@ def test_streaming_gate_wave_ids_are_one_based(spark, tmp_path):
                 ing.ingest(wave, wave_id=0)
     finally:
         gate.ingestor.drop_state()
+
+
+# --- IncrementalMinHashDeduper ------------------------------------------------
+
+
+def test_incremental_minhash_pairs_equal_batch_any_split(spark, tmp_path):
+    """The union of per-wave pair sets must equal the batch MinHash-LSH
+    pair set from ANY disjoint split — a pair is discovered when its
+    later member arrives, and banded signatures depend only on the doc.
+    Interleaved doc_id % 3 waves deliberately break ascending-id order."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import minhash_lsh_pairs
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalMinHashDeduper,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = sorted(
+        map(tuple, minhash_lsh_pairs(docs, n=3, k=64, bands=32, threshold=0.8).collect())
+    )
+    ded = IncrementalMinHashDeduper(spark, str(tmp_path / "mh"))
+    ded.reset()
+    outs = [ded.ingest(docs.filter(F.col("doc_id") % 3 == k)) for k in range(3)]
+    inc = sorted(
+        tuple(r) for out in outs for r in out.collect()
+    )
+    assert inc == batch
+    assert len(batch) > 0  # the corpus must actually contain near-dups
+    ded.drop_state()
+
+
+def test_incremental_minhash_replay_and_compact_safe(spark, tmp_path):
+    """A crash-replayed LATEST wave (the gate's actual crash window)
+    re-emits its original pairs byte-identically — its own state rows
+    reduce to intra-wave pairs under the id_a < id_b normalization —
+    including after compaction. Replaying an OLDER wave is outside the
+    contract: it re-reports (but never invents) cross-wave pairs later
+    waves already emitted."""
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalMinHashDeduper,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ded = IncrementalMinHashDeduper(spark, str(tmp_path / "mh"))
+    ded.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    out1 = sorted(map(tuple, ded.ingest(w1, wave_id=1).collect()))
+    out2 = sorted(map(tuple, ded.ingest(w2, wave_id=2).collect()))
+    replay2 = sorted(map(tuple, ded.ingest(w2, wave_id=2).collect()))
+    assert replay2 == out2
+    ded.compact()
+    replay2b = sorted(map(tuple, ded.ingest(w2, wave_id=2).collect()))
+    assert replay2b == out2
+    # out-of-window replay: superset of the wave's own pairs, subset of
+    # everything already reported — nothing new is invented
+    replay1 = sorted(map(tuple, ded.ingest(w1, wave_id=1).collect()))
+    assert set(out1) <= set(replay1) <= set(out1) | set(out2)
+    ded.drop_state()
