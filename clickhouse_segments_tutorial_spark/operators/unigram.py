@@ -1,0 +1,361 @@
+"""Unigram-LM subword tokenizer (SentencePiece-style) trained by
+Viterbi hard-EM as a distributed operator — the second of the two
+standard subword algorithms (Kudo 2018, "Subword Regularization";
+Kudo & Richardson 2018, SentencePiece), joining the corpus-trained BPE
+operator (operators/bpe.py).
+
+Algorithm (the deterministic hard-EM variant):
+
+1. **Seed**: every substring of length 1..UNI_MAX_PIECE_LEN of every
+   dictionary word, weighted by word frequency (one occurrence per
+   position). The vocabulary keeps ALL single characters (so every word
+   stays segmentable) plus the top UNI_VOCAB_EXTRA multi-char pieces by
+   (count desc, piece asc). Initial piece log-probs
+   lp = round(ln(cnt) - ln(C), 12) over the kept pieces' count total.
+2. **E-step (Viterbi)**: each dictionary word's single best
+   segmentation under the current lp table — DP over character
+   positions, ties broken toward the LONGER last piece (deterministic).
+3. **M-step**: piece counts re-estimated from the Viterbi segmentations
+   weighted by word frequency, add-one smoothed over the FULL vocabulary
+   (so unused pieces stay finite and the table never degenerates), and
+   re-logged with the same round-12 rule. UNI_ROUNDS such rounds.
+
+This is hard-EM, not SentencePiece's soft-EM + vocabulary pruning —
+the deterministic, integer-count variant that fits the engine's oracle
+discipline (soft-EM's fractional expected counts are corpus-order-
+dependent float sums no cross-engine replay can pin down). Documented
+simplification; the seed/Viterbi/re-estimate skeleton and the unigram
+scoring model are the paper's.
+
+Engine portability: counts are exact integers; log-probs are
+ulp-stripped (round(ln, 12) — the bigram-LM/NB rule); the Viterbi DP
+adds the SAME rounded doubles in the SAME left-to-right order in both
+engines, so scores are bit-identical and the argmax (with the
+j-descending tie-break) replays exactly. The DuckDB oracle retrains
+from scratch: seeding, round loop, and the unrolled forward/backtrack
+DP (plans/unigram_queries.py).
+
+Scale design (100 TB corpus): identical to BPE's — ONE corpus-sized
+explode + hash-agg builds the word-frequency dictionary; everything
+after (seeding, per-round Viterbi + recount) is dictionary-sized
+(Heaps' law). The lp table reaches the DP by JOIN (explode each word's
+substring slots, join the vocab, fold back to a per-word slot map), so
+the vocabulary is NEVER driver-held — a real 100k-piece vocab
+broadcasts or shuffles at AQE's discretion. The Viterbi DP itself is
+two PURE CATALYST runtime folds (``F.aggregate`` over the position
+sequence — no Python UDF; see viterbi_segmented's plan-shape note for
+why folds and not unrolled per-position columns), so the per-round
+cost is one dictionary-sized join + map + hash-agg and the driver
+never collects anything. Corpus tokenization never re-runs Viterbi per
+occurrence: the trained dictionary's segmentations ARE the per-word
+answer, applied by join (the BPE module's rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+UNI_MAX_PIECE_LEN = 4
+# DP unroll depth == max supported word length; guarded LOUDLY in
+# unigram_train (a longer word would silently truncate the DP).
+UNI_MAX_WORD_LEN = 8
+UNI_VOCAB_EXTRA = 256  # multi-char piece budget on top of the alphabet
+UNI_ROUNDS = 3
+
+
+def seed_vocab(words: DataFrame, *, max_piece_len: int = UNI_MAX_PIECE_LEN,
+               vocab_extra: int = UNI_VOCAB_EXTRA) -> DataFrame:
+    """(piece, cnt) seed vocabulary from a (word, freq) dictionary:
+    every substring occurrence weighted by word frequency; ALL single
+    chars kept + top ``vocab_extra`` multi-char pieces by
+    (cnt desc, piece asc). Deterministic; the multi-char top-K is a
+    bounded TakeOrderedAndProject (vocab-sized driver footprint)."""
+    w = F.col("word")
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda p: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.length(w) - p + 1)
+                ),
+                lambda l: w.substr(p, l),
+            ),
+        )
+    )
+    counts = (
+        words.select("freq", F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(vocab_extra)
+    )
+    return chars.unionByName(multi)
+
+
+def _logged(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt, lp): ulp-stripped unigram log-probs over the table's
+    count total — lp = round(ln(cnt) - ln(C), 12), the bigram-LM rule."""
+    c = vocab.agg(F.sum("cnt").alias("_c"))
+    return vocab.crossJoin(F.broadcast(c)).select(
+        "piece",
+        "cnt",
+        F.round(F.log("cnt") - F.log("_c"), 12).alias("lp"),
+    )
+
+
+def _word_lp_lookup(
+    words: DataFrame,
+    vocab: DataFrame,
+    *,
+    max_word_len: int,
+    max_piece_len: int,
+) -> DataFrame:
+    """(word, freq, _lpm): per-word map from substring slot
+    ``(start-1) * max_piece_len + len`` to that substring's piece
+    log-prob — built by EXPLODE + JOIN + map_from_entries, never a
+    driver-held vocabulary: the lp table stays distributed (at a real
+    32k+ vocab it broadcasts or shuffles by AQE's choice), which is the
+    whole-corpus-scale substitute for inlining a map literal. Substrings
+    absent from the vocabulary are simply missing keys (NULL lookups in
+    the DP)."""
+    w = F.col("word")
+    slots = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda p: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.length(w) - p + 1)
+                ),
+                lambda l: F.struct(
+                    ((p - 1) * max_piece_len + l).alias("slot"),
+                    w.substr(p, l).alias("piece"),
+                ),
+            ),
+        )
+    )
+    sub = words.select("word", "freq", F.explode(slots).alias("sl")).select(
+        "word", "freq", F.col("sl.slot").alias("slot"), F.col("sl.piece").alias("piece")
+    )
+    hit = sub.join(vocab.select("piece", "lp"), "piece")
+    return (
+        sub.select("word", "freq").distinct()
+        .join(
+            hit.groupBy("word").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("slot", "lp"))
+                ).alias("_lpm")
+            ),
+            "word",
+        )
+    )
+
+
+def viterbi_segmented(
+    words: DataFrame,
+    vocab: DataFrame,
+    *,
+    max_word_len: int = UNI_MAX_WORD_LEN,
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+) -> DataFrame:
+    """(word, freq, pieces): each dictionary word's best unigram
+    segmentation under the (piece, lp) ``vocab`` table — pure Catalyst,
+    no UDF: piece log-probs reach the DP through a per-word slot map
+    built by join (:func:`_word_lp_lookup`), so the vocabulary is never
+    driver-held, and both DP passes are RUNTIME FOLDS
+    (``F.aggregate`` over a position sequence — the bpe.apply_merge
+    expression style).
+
+    Position i's best score is greatest over piece lengths
+    j = 1..min(max_piece_len, i) of best[i-j] + lp(word[i-j+1 .. i]);
+    the chosen j is recovered by probing candidates in DESCENDING j
+    order against the max (the longer-last-piece tie-break, identical
+    in the SQL oracle). Single characters are always in the vocabulary
+    (seed_vocab), so every position within the word is reachable and
+    the backtrack always terminates at position 0.
+
+    Plan-shape note — why folds and not unrolled per-position columns:
+    an unrolled DP (one withColumn per cell) gets collapsed by Catalyst
+    into a single projection that COPIES each referenced cell's subtree;
+    the backtrack references its previous position three times per
+    step, so the inlined chain re-expands ~3^max_word_len times
+    (measured: 150 s codegen at max_word_len=8, analysis OOM beyond).
+    A fold's lambda is ONE constant-size expression iterated at
+    runtime — the plan stays a few hundred nodes at any word length."""
+    df = _word_lp_lookup(
+        words, vocab, max_word_len=max_word_len, max_piece_len=max_piece_len
+    )
+    w, n = F.col("word"), F.length("word")
+    L = max_piece_len
+    lpm = F.col("_lpm")
+
+    # forward fold: acc.ss[p+1] = best score at position p (NULL past the
+    # word end), acc.js[p] = chosen piece length at position p
+    def fwd_step(acc, i):
+        cands = {
+            j: F.when(
+                i >= j,
+                F.try_element_at(acc["ss"], (i - j + 1).cast("int"))
+                + F.try_element_at(lpm, ((i - j) * L + j).cast("int")),
+            )
+            for j in range(1, L + 1)
+        }
+        best = F.greatest(*cands.values())
+        jb = None
+        for j in sorted(cands, reverse=True):  # longer piece wins ties
+            cond = cands[j] == best
+            jb = F.when(cond, F.lit(j)) if jb is None else jb.when(cond, F.lit(j))
+        return F.struct(
+            F.concat(acc["ss"], F.array(F.when(i <= n, best))).alias("ss"),
+            F.concat(acc["js"], F.array(F.when(i <= n, jb).cast("int"))).alias("js"),
+        )
+
+    fwd = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.struct(
+            F.array(F.lit(0.0)).alias("ss"),
+            F.array().cast("array<int>").alias("js"),
+        ),
+        fwd_step,
+    )
+    chosen = fwd["js"]
+
+    # backtrack fold from position n (CASE branches evaluate lazily, so
+    # element_at never sees position 0)
+    def bt_step(acc, _):
+        j = F.element_at(chosen, acc["pos"])
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - j).cast("int").alias("pos"),
+                F.concat(
+                    acc["ps"], F.array(w.substr(acc["pos"] - j + 1, j))
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    bt = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.struct(
+            n.cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        bt_step,
+    )
+    return df.select("word", "freq", F.reverse(bt["ps"]).alias("pieces"))
+
+
+def unigram_train(
+    words: DataFrame,
+    *,
+    rounds: int = UNI_ROUNDS,
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+    max_word_len: int = UNI_MAX_WORD_LEN,
+    vocab_extra: int = UNI_VOCAB_EXTRA,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram LM on a (word, freq) dictionary. Returns
+    (vocab, segmented):
+
+    - ``vocab``: (piece, cnt, lp) after ``rounds`` hard-EM rounds —
+      cnt is the LAST round's raw Viterbi count (0 for unused pieces),
+      lp its add-one-smoothed log-prob;
+    - ``segmented``: (word, freq, pieces) — each dictionary word's final
+      Viterbi segmentation under the final table, the corpus-wide
+      tokenization lookup (join, never per-occurrence DP).
+
+    Fully distributed: the vocabulary is never collected (the DP reads
+    it through a join-built per-word slot map); the only driver scalar
+    is the max-word-length guard. Per round: one dictionary-sized join
+    + map + hash-agg, with the DP barrier checkpoint in between."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    too_long = words.agg(
+        F.max(F.length("word")).alias("m")
+    ).collect()[0]["m"]  # bounded: one scalar
+    if too_long is not None and too_long > max_word_len:
+        raise ValueError(
+            f"dictionary word of length {too_long} exceeds the DP unroll "
+            f"depth max_word_len={max_word_len}; raise it (both the "
+            f"operator and the oracle unroll this constant)"
+        )
+    vocab = _logged(seed_vocab(
+        words, max_piece_len=max_piece_len, vocab_extra=vocab_extra
+    ))
+    full = vocab.select("piece")  # fixed vocabulary across rounds
+    seg = None
+    for _ in range(rounds):
+        seg = viterbi_segmented(
+            words,
+            vocab,
+            max_word_len=max_word_len,
+            max_piece_len=max_piece_len,
+        )
+        raw = (
+            seg.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("raw"))
+        )
+        smoothed = full.join(raw, "piece", "left").select(
+            "piece",
+            F.coalesce("raw", F.lit(0)).alias("cnt"),
+        )
+        vocab = smoothed.withColumn("_c1", F.col("cnt") + 1)
+        c = vocab.agg(F.sum("_c1").alias("_ct"))
+        # round-boundary barrier (vocab-sized): without it the next
+        # round's lookup join re-analyzes this round's backtrack plan —
+        # the bpe_train per-round localCheckpoint rule
+        vocab = (
+            vocab.crossJoin(F.broadcast(c))
+            .select(
+                "piece",
+                "cnt",
+                F.round(F.log("_c1") - F.log("_ct"), 12).alias("lp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # dictionary-sized: consumer queries join this repeatedly
+    return vocab, seg.localCheckpoint(eager=True)
+
+
+def unigram_token_counts(
+    docs: DataFrame,
+    segmented: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document (n_ws_tokens, n_unigram_tokens) via the trained
+    dictionary join — the bpe_token_counts shape: explode corpus words,
+    join each word's final segmentation length, sum per doc; docs with
+    no tokens keep a zero row. Unseen words fail loudly (train on this
+    corpus — the dictionary covers it by construction)."""
+    dict_df = segmented.select("word", F.size("pieces").alias("_n_sub"))
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    joined = toks.join(dict_df, "word", "left").withColumn(
+        "_n_sub",
+        F.when(F.col("_n_sub").isNotNull(), F.col("_n_sub")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("word not in unigram dictionary: "), F.col("word")
+                )
+            )
+        ),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("_n_ws"),
+        F.sum("_n_sub").cast("int").alias("_n_uni"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_ws", F.lit(0)).alias("n_ws_tokens"),
+            F.coalesce("_n_uni", F.lit(0)).alias("n_unigram_tokens"),
+        )
+    )

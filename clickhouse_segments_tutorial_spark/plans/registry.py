@@ -71,11 +71,12 @@ def _query_modules() -> tuple:
         relational,
         scale,
         segmentation_queries,
+        unigram_queries,
     )
 
     return (
         segmentation_queries, relational, llm, scale, pipeline, incremental,
-        curation, bpe_queries, quality_nb_queries,
+        curation, bpe_queries, quality_nb_queries, unigram_queries,
     )
 
 
