@@ -465,18 +465,30 @@ def gopher_quality(
     over the scan; composes with any downstream gate. Output: (doc_id,
     n_words, mean_word_len, n_stop, dup_bigram_frac, r_word_count,
     r_mean_word_len, r_stopwords, r_repetition, keep)."""
-    t = tokens(text_col)
+    # Materialize the token and bigram ARRAYS as named columns first:
+    # every rule below references them several times, and inlined they
+    # would re-run the regex tokenization per array ELEMENT of every
+    # consumer (F.get(tokens(text), i) inside a transform re-splits the
+    # whole text per position — measured 13.7 s vs 0.5 s at sf0.1 for
+    # the whole query). Non-cheap multiply-referenced aliases survive
+    # Catalyst's project-collapse, so each array is computed once per row.
+    staged = df.withColumn("_gq_t", tokens(text_col))
+    t = F.col("_gq_t")
+    n_words0 = F.size(t)
+    idx = F.when(
+        n_words0 > 1, F.sequence(F.lit(0), n_words0 - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.withColumn(
+        "_gq_bg",
+        F.transform(idx, lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1))),
+    )
+    bigrams = F.col("_gq_bg")
+    df = staged
     n_words = F.size(t)
     sum_chars = F.aggregate(
         t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     n_stop = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOPWORDS)))
-    idx = F.when(
-        n_words > 1, F.sequence(F.lit(0), n_words - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1))
-    )
     n_bi = F.size(bigrams)
     n_dist = F.size(F.array_distinct(bigrams))
     r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)

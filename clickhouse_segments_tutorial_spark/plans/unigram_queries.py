@@ -170,7 +170,9 @@ FROM documents d LEFT JOIN (
 
 
 QUERIES = [
-    QuerySpec("unigram_pieces_docs", unigram_pieces_docs, _PIECES_ORACLE),
+    QuerySpec(
+        "unigram_pieces_docs", unigram_pieces_docs, _PIECES_ORACLE, headline=True
+    ),
     QuerySpec(
         "unigram_token_counts_docs", unigram_token_counts_docs, _TOKEN_COUNTS_ORACLE
     ),
