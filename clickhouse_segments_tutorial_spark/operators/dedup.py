@@ -309,7 +309,7 @@ def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
 
 
 def banded_minhash_keys(
-    shingled: DataFrame, *, k: int = 64, bands: int = 32
+    shingled: DataFrame, *, k: int = 64, bands: int = 32, persist: bool = True
 ) -> DataFrame:
     """(_id, band, bucket) LSH keys from a shingled corpus (``_id``,
     ``_sh`` — :func:`shingled_docs` output). This IS the persistable LSH
@@ -321,9 +321,15 @@ def banded_minhash_keys(
     to array_min(transform(...)) but whole-stage-codegen instead of
     interpreted per-element folds (measured 2x; the same trade as
     simhash_signatures). One extra shuffle of 8-byte (id, shingle) rows.
-    The signature frame is persisted — the banding self-join in
-    :func:`minhash_lsh_pairs` consumes it twice, and without a barrier
-    the whole explode+agg re-runs per side."""
+    With ``persist=True`` (the batch default) the signature frame is
+    persisted — the banding self-join in :func:`minhash_lsh_pairs`
+    consumes it twice, and without a barrier the whole explode+agg
+    re-runs per side. A LONG-LIVED caller (the per-wave incremental /
+    streaming ingest loops) must pass ``persist=False`` and manage its
+    own barrier on the returned keys: the internal persist is
+    unreachable from outside, so each micro-batch would otherwise leak
+    one cached signature frame for the life of the session (r11 review
+    finding 6)."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
@@ -336,8 +342,9 @@ def banded_minhash_keys(
                 for i in range(k)
             ]
         )
-        .persist()
     )
+    if persist:
+        sigs = sigs.persist()
     return sigs.select(
         "_id",
         F.explode(

@@ -143,11 +143,18 @@ class _BitReader:
     def _fill(self) -> None:
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker code; swallow them (libjpeg does the same) so a
+            # padded RSTn/EOI is still recognized and FF FF 00 decodes
+            # as a stuffed 0xFF data byte.
+            j = self.pos + 1
+            while self.data[j] == 0xFF:
+                j += 1
+            nxt = self.data[j]
             if nxt == 0x00:
-                self.pos += 2
+                self.pos = j + 1
             else:
-                raise _MarkerHit(0xFF00 | nxt, self.pos)
+                raise _MarkerHit(0xFF00 | nxt, j - 1)
         else:
             self.pos += 1
         self.bitbuf = (self.bitbuf << 8) | b
@@ -251,8 +258,13 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, list[int]]:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("invalid JPEG: expected marker")
-        marker = payload[pos + 1]
-        pos += 2
+        pos += 1
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional fill bytes before the marker code
+        if pos >= n:
+            break  # trailing fill with no marker -> falls to "no scan data"
+        marker = payload[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI before SOS

@@ -70,8 +70,12 @@ def nb_train(
     ``round(ln((N1+1)/(N0+1)), 12)`` over class DOC counts.
 
     ``label_col`` must be boolean-valued (the weak-supervision seed
-    labels). One aggregation over the exploded corpus; the class/doc
-    totals are a second, 1-row aggregation (4 scalars collected)."""
+    labels). ONE aggregation over the exploded corpus: its result — the
+    sufficient statistic — is at most ``n_buckets`` rows (the hashing
+    trick's point), so it is collected and the class token totals summed
+    driver-side rather than re-running the corpus-sized explode for them
+    (r11 review finding 2) or leaking a persist the caller can't reach.
+    The class DOC totals are a label-only scan, no tokenization."""
     lbl = F.col(label_col)
     tok = docs.select(
         lbl.alias("_y"), F.explode(tokens(text_col)).alias("word")
@@ -80,22 +84,20 @@ def nb_train(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n1"),
         F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n0"),
     )
-    tot = docs.select(
+    rows = counts.collect()  # bounded: <= n_buckets rows, the model's size
+    t1 = sum(int(r["n1"] or 0) for r in rows)
+    t0 = sum(int(r["n0"] or 0) for r in rows)
+    nd = docs.select(
         F.sum(F.when(lbl, 1).otherwise(0)).alias("nd1"),
         F.sum(F.when(~lbl, 1).otherwise(0)).alias("nd0"),
-    ).crossJoin(
-        tok.select(
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("t1"),
-            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("t0"),
-        )
-    ).collect()[0]  # bounded: exactly 4 scalars
+    ).collect()[0]  # bounded: 2 scalars, no explode in the lineage
     return nb_model_from_counts(
         docs.sparkSession,
-        counts,
-        t1=int(tot["t1"] or 0),
-        t0=int(tot["t0"] or 0),
-        nd1=int(tot["nd1"] or 0),
-        nd0=int(tot["nd0"] or 0),
+        docs.sparkSession.createDataFrame(rows, counts.schema),
+        t1=t1,
+        t0=t0,
+        nd1=int(nd["nd1"] or 0),
+        nd0=int(nd["nd0"] or 0),
         n_buckets=n_buckets,
     )
 

@@ -293,6 +293,7 @@ def temperature_weights(
     strata_col: str,
     alpha: float = 0.5,
     quantum: int = 10**9,
+    weight_col: str | None = None,
 ) -> dict[str, int]:
     """Temperature-based mixture weights: target share of stratum l
     proportional to (natural share)^alpha — the multilingual rebalancing
@@ -318,13 +319,24 @@ def temperature_weights(
     ~9e6 rows (r9 ADVICE). Value-oracle comparisons beyond that corpus
     size need either a smaller quantum or an exact wide-integer product
     on the oracle side; production runs are unaffected (a 1-ulp rate
-    difference moves at most one hash-draw boundary)."""
+    difference moves at most one hash-draw boundary).
+
+    The share numerator is ``count(*)`` by default; pass ``weight_col``
+    to budget in a measured per-row unit instead — e.g. learned-subword
+    token counts, where ``sum(weight_col)`` replaces the row count (the
+    BPE mixture twin). This keeps the quantization formula at its ONE
+    definition site whatever the budget unit."""
     import math
 
+    n_expr = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.coalesce(F.sum(weight_col), F.lit(0)).cast("long")
+    )
     counts = {
-        r["_s"]: r["_n"]
+        r["_s"]: int(r["_n"])
         for r in df.groupBy(F.col(strata_col).alias("_s"))
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(n_expr.alias("_n"))
         .collect()
     }
     total = sum(counts.values())

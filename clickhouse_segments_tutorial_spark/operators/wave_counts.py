@@ -41,9 +41,7 @@ nightly-refresh-without-re-reading-history pattern.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -74,9 +72,9 @@ class WaveCountState:
         self.key_col, self.key_type = key_col, key_type
         self.value_cols = list(value_cols)
         self.state_buckets = state_buckets
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self.table = f"{name}_{base}_{digest}_counts"
+        from ..sources.bucketed import state_table_prefix
+
+        self.table = state_table_prefix(workdir, name) + "_counts"
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
 
@@ -91,12 +89,11 @@ class WaveCountState:
         ``wave_<k>`` audit pin on re-attach. Rejects waves < 1 — 0 is the
         no-completed-wave resume sentinel (r10 ADVICE item 3 rule)."""
         from ..plans.curation import _max_completed_wave_dir
+        from ..sources.bucketed import resolve_wave_counter
 
-        if wave_id is None and self._wave == 0:
-            self._wave = _max_completed_wave_dir(self.workdir)
-        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
-        if self._wave < 1:
-            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        self._wave = resolve_wave_counter(
+            self._wave, wave_id, lambda: _max_completed_wave_dir(self.workdir)
+        )
         return self._wave
 
     def pin_audit(self, audit: DataFrame, wave: int) -> DataFrame:

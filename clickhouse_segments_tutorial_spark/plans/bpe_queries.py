@@ -37,7 +37,7 @@ from ..operators.bpe import (
     encode_docs,
     word_frequencies,
 )
-from ..operators.sampling import mix_corpus, quota_by_group
+from ..operators.sampling import mix_corpus, quota_by_group, temperature_weights
 from ..sources.catalog import load_table
 from .curation import _TOKENS_CTE
 from .registry import QuerySpec
@@ -165,31 +165,21 @@ def mixed_corpus_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the multilingual rebalancing rule (XLM-R/mT5) applied to
     what the budget actually is, tokens, not documents.
 
-    Weight math is operators.sampling.temperature_weights' exact
-    oracle-portable formula (share^0.5 via IEEE sqrt, integer-quantized)
-    with sum(n_bpe_tokens) replacing count(*) as the share numerator —
-    inlined here rather than exploding one row per subword just to
-    reuse the row-counting operator (that reuse would be a corpus-
-    subword-sized explode for a #languages-sized aggregate). One
+    Weight math is operators.sampling.temperature_weights — the ONE
+    definition site of the oracle-portable quantization (share^0.5 via
+    IEEE sqrt, integer-quantized) — called with ``weight_col`` so
+    sum(n_bpe_tokens) replaces count(*) as the share numerator: no
+    per-subword explode, just the per-doc token-count frame. One
     bounded collect (#languages rows), then mix_corpus's map-only
     sequence+explode — no corpus shuffle beyond the dictionary join."""
-    import math
-
     docs, _, trained = _trained(spark, sf_dir)
-    per_lang = (
-        bpe_token_counts(docs, trained)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(F.sum("n_bpe_tokens").alias("_n"))
-        .collect()
+    weights = temperature_weights(
+        bpe_token_counts(docs, trained).join(docs.select("doc_id", "lang"), "doc_id"),
+        strata_col="lang",
+        alpha=BPE_MIX_ALPHA,
+        quantum=BPE_MIX_QUANTUM,
+        weight_col="n_bpe_tokens",
     )
-    total = sum(r["_n"] for r in per_lang)
-    weights = {
-        r["lang"]: int(
-            math.floor(math.sqrt(r["_n"] / total) * BPE_MIX_QUANTUM + 0.5)
-        )
-        for r in per_lang
-    }
     return mix_corpus(
         docs, weights, strata_col="lang", key_col="doc_id"
     ).select("doc_id", "lang", "epoch")
@@ -322,15 +312,21 @@ class IncrementalBPETrainer:
         wave's audit row (wave, n_words, n_tokens — THIS wave's distinct
         words and token total), pinned under the workdir."""
         wave = self._st.resolve_wave(wave_id)
-        wf = word_frequencies(docs)
-        audit = wf.agg(
-            F.lit(wave).alias("wave"),
-            F.count(F.lit(1)).alias("n_words"),
-            F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("n_tokens"),
-        )
-        # pin the audit BEFORE the state append (read-your-writes rule)
-        pinned = self._st.pin_audit(audit, wave)
-        self._st.append(wf.select("word", "freq"), wave)
+        # The wave aggregate feeds TWO writes (audit pin, state append);
+        # persist it for their duration so the wave-sized explode+agg
+        # runs once, not twice per micro-batch (r11 review finding 3).
+        wf = word_frequencies(docs).persist()
+        try:
+            audit = wf.agg(
+                F.lit(wave).alias("wave"),
+                F.count(F.lit(1)).alias("n_words"),
+                F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("n_tokens"),
+            )
+            # pin the audit BEFORE the state append (read-your-writes rule)
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(wf.select("word", "freq"), wave)
+        finally:
+            wf.unpersist()
         return pinned
 
     def dictionary(self) -> DataFrame:

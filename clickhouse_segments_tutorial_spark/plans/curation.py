@@ -115,15 +115,13 @@ class IncrementalNoveltyScorer:
 
     def __init__(self, spark: SparkSession, workdir: str, *, n: int = 3,
                  state_buckets: int = 32):
-        import hashlib
         import os
-        import re
+
+        from ..sources.bucketed import state_table_prefix
 
         self.spark, self.workdir, self.n = spark, workdir, n
         self.state_buckets = state_buckets
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self._tbl = f"novstate_{base}_{digest}_grams"
+        self._tbl = state_table_prefix(workdir, "novstate") + "_grams"
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
 
@@ -182,13 +180,11 @@ class IncrementalNoveltyScorer:
         import os
 
         from ..operators.corpus_stats import doc_gram_keys, novelty_from_firsts
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import resolve_wave_counter, write_bucketed
 
-        if wave_id is None and self._wave == 0:
-            self._wave = self._max_persisted_wave()
-        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
-        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
-            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        self._wave = resolve_wave_counter(
+            self._wave, wave_id, self._max_persisted_wave
+        )
         sh = doc_gram_keys(docs, n=self.n)
         first_in_wave = sh.groupBy("_g").agg(F.min("doc_id").alias("_wf"))
         state = self._state()
@@ -569,17 +565,15 @@ class IncrementalSemanticDeduper:
                  n_planes: int = SEM_SRP_PLANES,
                  max_hamming: int = SEM_SRP_MAX_HAMMING,
                  state_buckets: int = 32):
-        import hashlib
         import os
-        import re
+
+        from ..sources.bucketed import state_table_prefix
 
         self.spark, self.workdir = spark, workdir
         self.threshold = threshold
         self.n_planes, self.max_hamming = n_planes, max_hamming
         self.state_buckets = state_buckets
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self._prefix = f"semstate_{base}_{digest}"
+        self._prefix = state_table_prefix(workdir, "semstate")
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
 
@@ -624,13 +618,11 @@ class IncrementalSemanticDeduper:
             srp_banded_candidate_pairs,
             srp_banded_keys,
         )
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import resolve_wave_counter, write_bucketed
 
-        if wave_id is None and self._wave == 0:
-            self._wave = _max_completed_wave_dir(self.workdir)
-        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
-        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
-            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        self._wave = resolve_wave_counter(
+            self._wave, wave_id, lambda: _max_completed_wave_dir(self.workdir)
+        )
         first = embeddings.select(F.size("embedding").alias("d")).first()
         res_path = os.path.join(self.workdir, f"wave_{self._wave}")
         if first is None:  # empty wave: no-op
@@ -866,18 +858,16 @@ class IncrementalMinHashDeduper:
         threshold: float = MH_THRESHOLD,
         state_buckets: int = 32,
     ):
-        import hashlib
         import os
-        import re
+
+        from ..sources.bucketed import state_table_prefix
 
         if k % bands:
             raise ValueError("k must be divisible by bands")
         self.spark, self.workdir = spark, workdir
         self.n, self.k, self.bands, self.threshold = n, k, bands, threshold
         self.state_buckets = state_buckets
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self._prefix = f"mhstate_{base}_{digest}"
+        self._prefix = state_table_prefix(workdir, "mhstate")
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
 
@@ -912,15 +902,19 @@ class IncrementalMinHashDeduper:
         import os
 
         from ..operators.dedup import banded_minhash_keys, shingled_docs
-        from ..sources.bucketed import write_bucketed
+        from ..sources.bucketed import resolve_wave_counter, write_bucketed
 
-        if wave_id is None and self._wave == 0:
-            self._wave = _max_completed_wave_dir(self.workdir)
-        self._wave = int(wave_id) if wave_id is not None else self._wave + 1
-        if self._wave < 1:  # 0 = the no-completed-wave resume sentinel
-            raise ValueError(f"wave_id must be >= 1, got {self._wave}")
+        self._wave = resolve_wave_counter(
+            self._wave, wave_id, lambda: _max_completed_wave_dir(self.workdir)
+        )
         wave_sh = shingled_docs(docs, n=self.n).persist()
-        wave_keys = banded_minhash_keys(wave_sh, k=self.k, bands=self.bands)
+        # persist=False: the operator's internal signature persist is
+        # unreachable and would leak one cached frame per wave in this
+        # long-lived loop; the barrier lives on wave_keys instead and is
+        # released with wave_sh below (r11 review finding 6).
+        wave_keys = banded_minhash_keys(
+            wave_sh, k=self.k, bands=self.bands, persist=False
+        ).persist()
         state_bands = self._state("mh_bands", "band int, bucket bigint, _id bigint")
         state_sh = self._state("mh_shingles", "_id bigint, _sh array<bigint>")
         # normalized with least/greatest (state ids need not be smaller
@@ -992,6 +986,7 @@ class IncrementalMinHashDeduper:
             )
             self.spark.catalog.refreshTable(self._tbl(name))
         wave_sh.unpersist()
+        wave_keys.unpersist()
         return self.spark.read.parquet(res_path)
 
     def compact(self) -> None:

@@ -55,7 +55,6 @@ correctness gate checks.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 
@@ -68,6 +67,8 @@ from ..sources import (
     compact_bucketed,
     heal_bucketed_from_pins,
     load_table,
+    resolve_wave_counter,
+    state_table_prefix,
     write_bucketed,
 )
 from .pipeline import _LINE_WS, _normalize, _shingles, _toks
@@ -157,14 +158,9 @@ class IncrementalCorpusCurator:
         # thousands at 100 TB. All waves of one curator must agree (the
         # bucketing spec is fixed at table creation).
         self.state_buckets = state_buckets
-        # catalog tables need a per-curator namespace. Derived from the
-        # FULL workdir path (hashed — basenames like "state" recur across
-        # callers), deterministically: a crashed ingest re-run on the same
-        # workdir must re-attach to its existing state tables, so the name
-        # cannot be random per instance.
-        base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
-        digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
-        self._tbl_prefix = f"incstate_{base}_{digest}"
+        # catalog tables need a per-curator namespace (shared mangle —
+        # sources/bucketed.state_table_prefix has the rationale)
+        self._tbl_prefix = state_table_prefix(workdir, "incstate")
         self._wave = 0
         os.makedirs(workdir, exist_ok=True)
         eval_path = os.path.join(workdir, "eval_grams")
@@ -361,14 +357,7 @@ class IncrementalCorpusCurator:
         mid-ingest resumes AS ITSELF (its curated marker never landed),
         so the re-feed is replay-isolated rather than dropped against
         its own partial state appends (r10 third-review finding 2)."""
-        if wave_id is None and self._wave == 0:
-            self._wave = self._max_persisted_wave()
-        wid = int(wave_id) if wave_id is not None else self._wave + 1
-        if wid < 1:
-            # 0 is the universal "no completed wave" resume sentinel: a
-            # committed curated/w0 would be indistinguishable from an
-            # empty workdir on re-attach (r10 ADVICE item 3)
-            raise ValueError(f"wave_id must be >= 1, got {wid}")
+        wid = resolve_wave_counter(self._wave, wave_id, self._max_persisted_wave)
         self._wave = wid
         ws = "[ \\t\\x0B\\f\\r]+"
         paras = F.filter(
@@ -443,7 +432,12 @@ class IncrementalCorpusCurator:
         # 5. near-dup: band-join the wave against the persisted LSH index
         # (new-vs-all candidates only), CC within the wave, anchor-drop
         sh_new = shingled_docs(exd_new, n=self.n).persist()
-        bands_new = banded_minhash_keys(sh_new, k=self.k, bands=self.bands).persist()
+        # persist=False: the caller's own persist below is the barrier;
+        # the operator-internal one would leak per wave (r11 review
+        # finding 6 — this loop is long-lived).
+        bands_new = banded_minhash_keys(
+            sh_new, k=self.k, bands=self.bands, persist=False
+        ).persist()
         old_bands = self._read("exd_bands", before_wave=wid)
         old_sh = self._read("exd_shingles", before_wave=wid)
         cand_old = (

@@ -241,21 +241,27 @@ class IncrementalNBTrainer:
             F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("nd1"),
             F.sum(F.when(~F.col("_y"), 1).otherwise(0)).cast("long").alias("nd0"),
         )
+        # The wave delta feeds TWO writes (audit pin, state append);
+        # persist it for their duration so the wave-sized tokenize+agg
+        # runs once, not twice per micro-batch (r11 review finding 3).
         delta = (
             bucket_rows.select("_b", "n1", "n0", "nd1", "nd0")
             .unionByName(doc_row)
             .na.fill(0)
-        )
-        audit = delta.groupBy().agg(
-            F.lit(wave).alias("wave"),
-            F.sum("nd1").alias("nd1"),
-            F.sum("nd0").alias("nd0"),
-            F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("wt1"),
-            F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("wt0"),
-        )
-        # pin the audit BEFORE the state append (read-your-writes rule)
-        pinned = self._st.pin_audit(audit, wave)
-        self._st.append(delta, wave)
+        ).persist()
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.sum("nd1").alias("nd1"),
+                F.sum("nd0").alias("nd0"),
+                F.sum(F.when(F.col("_b") >= 0, F.col("n1")).otherwise(0)).alias("wt1"),
+                F.sum(F.when(F.col("_b") >= 0, F.col("n0")).otherwise(0)).alias("wt0"),
+            )
+            # pin the audit BEFORE the state append (read-your-writes rule)
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
         return pinned
 
     def model(self) -> tuple[DataFrame, float]:

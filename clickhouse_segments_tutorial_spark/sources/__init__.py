@@ -3,6 +3,8 @@ from .bucketed import (
     heal_bucketed_from_pins,
     newest_valid_pin,
     read_table,
+    resolve_wave_counter,
+    state_table_prefix,
     write_bucketed,
 )
 from .catalog import Catalog, load_table
@@ -18,5 +20,7 @@ __all__ = [
     "newest_valid_pin",
     "read_json_rows",
     "read_table",
+    "resolve_wave_counter",
+    "state_table_prefix",
     "write_bucketed",
 ]

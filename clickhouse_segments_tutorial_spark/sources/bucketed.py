@@ -159,3 +159,50 @@ def compact_bucketed(
     )
     for p in glob.glob(prune_pattern):
         shutil.rmtree(p, ignore_errors=True)
+
+
+# -- per-workdir state naming and wave numbering (shared by the five
+# wave-state classes: WaveCountState, IncrementalNoveltyScorer,
+# IncrementalSemanticDeduper, IncrementalMinHashDeduper,
+# IncrementalCorpusCurator). The naming mangle and the resume/sentinel
+# block previously lived as five/four hand-rolled copies (r11 review
+# finding 5) — any future change to the naming or resume contract now
+# has ONE definition site, next to the pin validity/recency rules it
+# composes with.
+
+
+def state_table_prefix(workdir: str, kind: str) -> str:
+    """Deterministic per-workdir catalog namespace ``{kind}_{base}_{md5}``.
+
+    Derived from the FULL workdir path (hashed — basenames like "state"
+    recur across callers), deterministically: a crashed re-run on the
+    same workdir must re-attach to its existing state tables, so the
+    name cannot be random per instance; two workdirs sharing a basename
+    must not collide, so the basename alone is not enough."""
+    import hashlib
+    import os
+    import re
+
+    base = re.sub(r"\W", "_", os.path.basename(os.path.normpath(workdir))).lower()
+    digest = hashlib.md5(os.path.abspath(workdir).encode()).hexdigest()[:12]
+    return f"{kind}_{base}_{digest}"
+
+
+def resolve_wave_counter(current, wave_id, probe):
+    """Next wave number for a stateful ingest loop.
+
+    Explicit ``wave_id`` (a gate's restart-stable batch id + 1) wins;
+    otherwise previous + 1, where a fresh in-memory counter (``current``
+    == 0) first resumes from ``probe()`` — the workdir's highest
+    COMPLETED wave (committed result markers), so a re-attached process
+    never renumbers from 1 and overwrites history. Waves < 1 are
+    rejected: 0 is the universal "no completed wave" resume sentinel and
+    a committed wave_0 would be indistinguishable from an empty workdir
+    on re-attach (r10 ADVICE item 3 rule).
+    """
+    if wave_id is None and current == 0:
+        current = int(probe())
+    wave = int(wave_id) if wave_id is not None else current + 1
+    if wave < 1:
+        raise ValueError(f"wave_id must be >= 1, got {wave}")
+    return wave

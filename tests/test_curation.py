@@ -1126,3 +1126,41 @@ def test_incremental_minhash_replay_and_compact_safe(spark, tmp_path):
     replay1 = sorted(map(tuple, ded.ingest(w1, wave_id=1).collect()))
     assert set(out1) <= set(replay1) <= set(out1) | set(out2)
     ded.drop_state()
+
+
+def test_shared_state_naming_and_wave_resolution_contract(tmp_path):
+    """r11 review finding 5: the per-workdir table mangle and the
+    resume/sentinel wave numbering now have ONE definition site
+    (sources/bucketed.py) shared by all five wave-state classes — this
+    pins the contract they all inherit."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.sources.bucketed import (
+        resolve_wave_counter,
+        state_table_prefix,
+    )
+
+    a = state_table_prefix(str(tmp_path / "state"), "novstate")
+    # deterministic: a crashed re-run must re-attach to the same tables
+    assert a == state_table_prefix(str(tmp_path / "state"), "novstate")
+    # full-path hashed: same basename under different parents must differ
+    b = state_table_prefix(str(tmp_path / "other" / "state"), "novstate")
+    assert a != b and a.startswith("novstate_state_")
+    # catalog-safe: identifier chars only
+    import re as _re
+
+    assert _re.fullmatch(r"[a-z0-9_]+", a)
+
+    # explicit wave id wins and the probe is not consulted
+    assert resolve_wave_counter(0, 7, lambda: 1 / 0) == 7
+    # fresh counter resumes after the probe's last completed wave
+    assert resolve_wave_counter(0, None, lambda: 3) == 4
+    # warm counter just increments (probe not consulted)
+    assert resolve_wave_counter(5, None, lambda: 1 / 0) == 6
+    # fresh workdir (probe 0) starts at 1
+    assert resolve_wave_counter(0, None, lambda: 0) == 1
+    # 0 is the no-completed-wave sentinel: never a valid wave id
+    with _pytest.raises(ValueError):
+        resolve_wave_counter(0, 0, lambda: 0)
+    with _pytest.raises(ValueError):
+        resolve_wave_counter(0, -2, lambda: 0)

@@ -685,6 +685,40 @@ def test_jpeg_hermetic_roundtrip():
     assert (w, h, len(px)) == (21, 13, 21 * 13)
 
 
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """r11 review finding 1: T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker; padding encoders emit them. The header loop
+    must skip them (not read 0xFF as the marker code and misparse the
+    stream), and the entropy reader must treat FF FF 00 as a stuffed
+    0xFF data byte and FF FF D9 as a (padded) EOI marker."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.jpeg import (
+        _BitReader,
+        _MarkerHit,
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.clip(xx * 5 + yy * 3, 0, 255).astype(np.int64)
+    data = encode_jpeg_gray(img, quality=95)
+    base = decode_jpeg_luma(data)
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xda"):  # DQT, DHT, SOS
+        at = data.index(marker, 2)
+        padded = data[:at] + b"\xff\xff" + data[at:]
+        assert decode_jpeg_luma(padded) == base, f"fill before {marker!r}"
+
+    r = _BitReader(b"\xff\xff\x00", 0)
+    assert r.receive(8) == 0xFF  # fill byte + stuffed data 0xFF
+    assert r.pos == 3
+    r = _BitReader(b"\xff\xff\xd9", 0)
+    with pytest.raises(_MarkerHit) as exc:
+        r.read_bit()
+    assert exc.value.marker == 0xFFD9
+    assert exc.value.pos == 1  # the 0xFF immediately preceding the code
+
+
 def test_jpeg_truncated_raises_valueerror():
     import numpy as np
 
