@@ -1,0 +1,274 @@
+"""Registered queries for DSIR-style importance resampling
+(operators/dsir.py): hashed unigram+bigram importance log-weights
+against a heuristic-quality target set, and the deterministic-Bernoulli
+resampled corpus.
+
+Target set = the heuristic quality gate's keep set (``quality_score >=
+NB_LABEL_MIN_QUALITY`` — the same weak-supervision seed the NB
+classifier trains on), so the two learned signals are directly
+comparable: NB answers "which class", DSIR answers "how much more
+likely under the target distribution" and converts it to a sampling
+rate.
+
+Oracle strategy: the whole train-score-resample chain is exact integer
+counts + ulp-stripped logs (round(ln, 12)) + DECIMAL(28,14)
+order-independent sums + an md5-derived uniform draw, so the DuckDB
+oracle RETRAINS from scratch and replays the draw — one shared CTE
+chain (:func:`_dsir_sql`). The incremental and streaming twins
+accumulate the associative (bucket, raw_n, tgt_n) sufficient statistic
+on the shared WaveCountState chassis and SHARE the batch retraining
+oracle (the IncrementalNBTrainer pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dsir import (
+    DSIR_TAU,
+    dsir_accept,
+    dsir_model_from_counts,
+    dsir_score,
+    dsir_train,
+)
+from ..operators.quality_nb import DEFAULT_BUCKETS, hash_bucket
+from ..operators.text import quality_score
+from ..sources.catalog import load_table
+from .pipeline import _toks
+from .quality_nb_queries import NB_LABEL_MIN_QUALITY, _quality_sql
+from .registry import QuerySpec
+
+# 2^60 as an exact double literal for the oracle's uniform draw.
+_TWO60_SQL = "1152921504606846976.0"
+
+
+def _dsir_sql(src: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """The DSIR retraining chain over a CTE/table ``src`` exposing
+    (doc_id, text): heuristic target labels, hashed unigram+bigram
+    feature stream, smoothed per-bucket importance log-ratios, per-doc
+    DECIMAL-exact log-weight sums. Ends with ``ds_scores(doc_id,
+    n_feats, dsir_lw)``."""
+    return f"""
+ds_src AS (SELECT doc_id, text, {_toks("text")} AS t FROM {src}),
+ds_lbl AS (
+  SELECT *, {_quality_sql("t", "text")} >= {NB_LABEL_MIN_QUALITY} AS y
+  FROM ds_src
+),
+ds_feat AS (
+  SELECT doc_id, y,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id, y, unnest(t) AS f FROM ds_lbl
+    UNION ALL
+    SELECT doc_id, y, t[i] || ' ' || t[i + 1] AS f
+    FROM (SELECT doc_id, y, t, CAST(unnest(range(1, len(t))) AS INT) AS i
+          FROM ds_lbl)
+  )
+),
+ds_cnt AS (
+  SELECT bucket, count(*) AS raw_n, count(*) FILTER (y) AS tgt_n
+  FROM ds_feat GROUP BY bucket
+),
+ds_tot AS (SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM ds_cnt),
+ds_model AS (
+  SELECT r.range AS bucket,
+         round(ln((coalesce(c.tgt_n, 0) + 1.0) / CAST(t.t + {n_buckets} AS DOUBLE)), 12)
+       - round(ln((coalesce(c.raw_n, 0) + 1.0) / CAST(t.r + {n_buckets} AS DOUBLE)), 12) AS lam
+  FROM range(0, {n_buckets}) r LEFT JOIN ds_cnt c ON r.range = c.bucket, ds_tot t
+),
+ds_sum AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS nf,
+         CAST(sum(CAST(m.lam AS DECIMAL(28,14))) AS DOUBLE) AS s
+  FROM ds_feat k JOIN ds_model m USING (bucket) GROUP BY doc_id
+),
+ds_scores AS (
+  SELECT l.doc_id,
+         CAST(coalesce(u.nf, 0) AS INT) AS n_feats,
+         round(coalesce(u.s, 0.0), 6) AS dsir_lw
+  FROM ds_lbl l LEFT JOIN ds_sum u USING (doc_id)
+)"""
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "_y", quality_score("text") >= NB_LABEL_MIN_QUALITY
+    )
+
+
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the DSIR importance model (target = heuristic-quality keep
+    set, raw = whole corpus) and score every document:
+    (doc_id, n_feats, dsir_lw). One training hash-agg, one scoring
+    explode + broadcast join, zero Python row paths."""
+    docs = _labeled(spark, sf_dir)
+    model = dsir_train(docs, target_col="_y")
+    return dsir_score(docs, model)
+
+
+_DSIR_WEIGHTS_ORACLE = f"""
+WITH {_dsir_sql("documents")}
+SELECT doc_id, n_feats, dsir_lw FROM ds_scores
+"""
+
+
+def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampled corpus: documents accepted by the deterministic
+    Bernoulli draw with probability min(1, exp(dsir_lw - tau)) —
+    (doc_id, dsir_lw). Map-only over the scored frame: the selection
+    step costs one scan at any corpus size."""
+    return (
+        dsir_weights_docs(spark, sf_dir)
+        .filter(dsir_accept("doc_id"))
+        .select("doc_id", "dsir_lw")
+    )
+
+
+_DSIR_RESAMPLED_ORACLE = f"""
+WITH {_dsir_sql("documents")}
+SELECT doc_id, dsir_lw
+FROM ds_scores
+WHERE round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+             / {_TWO60_SQL}), 12) <= dsir_lw - {DSIR_TAU}
+"""
+
+
+class IncrementalDSIRTrainer:
+    """Wave-state twin of ``dsir_train`` — the batch / incremental /
+    streaming triangle closed for the importance-resampling selector,
+    on the same chassis as IncrementalNBTrainer.
+
+    The (bucket, raw_n, tgt_n) sufficient statistic is associative:
+    integer sums of per-wave deltas in any order reproduce the batch
+    counts exactly, and ``dsir_model_from_counts`` is the one
+    definition site of the log-ratio math — so the rebuilt model, the
+    scores, and the resampled set are bit-identical to batch retraining
+    whatever the wave split. State = ONE bucketed table of wave-tagged
+    rows managed by operators.wave_counts.WaveCountState (storage,
+    replay collapse, compaction, healing, resume numbering)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        n_buckets: int = DEFAULT_BUCKETS,
+        state_buckets: int = 32,
+    ):
+        from ..operators.wave_counts import WaveCountState
+
+        self.spark, self.n_buckets = spark, n_buckets
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="dsirstate",
+            key_col="bucket",
+            key_type="long",
+            value_cols=["raw_n", "tgt_n"],
+            state_buckets=state_buckets,
+        )
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's feature counts into state; returns the wave's
+        audit row (wave, n_raw, n_tgt — THIS wave's feature totals),
+        pinned under the workdir. ``docs`` must expose (doc_id, text);
+        target labels are recomputed from the shared heuristic (one
+        definition site with the batch query)."""
+        from ..operators.dsir import _staged_features
+
+        wave = self._st.resolve_wave(wave_id)
+        lbl = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+        feats = _staged_features(lbl, "text", [F.col("_y")]).select(
+            "_y", hash_bucket("_f", self.n_buckets).alias("bucket")
+        )
+        # the wave aggregate feeds TWO writes (audit pin, state append);
+        # persist for their duration so the wave-sized explode+agg runs
+        # once (the r11 review finding 3 rule)
+        delta = feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("tgt_n"),
+        ).persist()
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.coalesce(F.sum("raw_n"), F.lit(0)).cast("long").alias("n_raw"),
+                F.coalesce(F.sum("tgt_n"), F.lit(0)).cast("long").alias("n_tgt"),
+            )
+            # pin the audit BEFORE the state append (read-your-writes rule)
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def model(self) -> DataFrame:
+        """(bucket, lam) from the accumulated counts — bit-identical to
+        ``dsir_train`` over the concatenation of every ingested wave."""
+        counts = (
+            self._st.read()
+            .groupBy("bucket")
+            .agg(F.sum("raw_n").alias("raw_n"), F.sum("tgt_n").alias("tgt_n"))
+        )
+        return dsir_model_from_counts(self.spark, counts, n_buckets=self.n_buckets)
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        return dsir_score(docs, self.model(), n_buckets=self.n_buckets)
+
+    def compact(self) -> None:
+        self._st.compact(self._st._wave)
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def drop_state(self) -> None:
+        self._st.drop()
+
+
+def dsir_weights_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR trainer run INCREMENTALLY over two waves with bucketed
+    count-state between them; the accumulated sufficient statistic
+    rebuilds the batch model exactly, so the final scores over the full
+    corpus SHARE dsir_weights_docs' retraining oracle. No wave-order
+    contract: counts are associative."""
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    tr = IncrementalDSIRTrainer(spark, _stream_scratch("dsir_incremental"))
+    tr.reset()
+    tr.ingest(docs.filter(F.col("doc_id") < mid))
+    tr.ingest(docs.filter(F.col("doc_id") >= mid))
+    return tr.score(docs)
+
+
+def dsir_weights_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR trainer driven by the generic streaming wave gate
+    (streaming/stream_curation.py): a checkpointed file stream drains
+    wave files into IncrementalDSIRTrainer via foreachBatch, then the
+    final model — rebuilt from the gate-accumulated count state —
+    scores the full corpus. Shares the batch retraining oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("dsir_streaming")
+    tr = IncrementalDSIRTrainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return tr.score(docs)
+
+
+QUERIES = [
+    QuerySpec("dsir_weights_docs", dsir_weights_docs, _DSIR_WEIGHTS_ORACLE, headline=True),
+    QuerySpec("dsir_resampled_docs", dsir_resampled_docs, _DSIR_RESAMPLED_ORACLE),
+    QuerySpec("dsir_weights_incremental", dsir_weights_incremental, _DSIR_WEIGHTS_ORACLE),
+    QuerySpec("dsir_weights_streaming", dsir_weights_streaming, _DSIR_WEIGHTS_ORACLE),
+]

@@ -64,6 +64,7 @@ def _query_modules() -> tuple:
     from . import (
         bpe_queries,
         curation,
+        dsir_queries,
         incremental,
         llm,
         pipeline,
@@ -77,6 +78,7 @@ def _query_modules() -> tuple:
     return (
         segmentation_queries, relational, llm, scale, pipeline, incremental,
         curation, bpe_queries, quality_nb_queries, unigram_queries,
+        dsir_queries,
     )
 
 
