@@ -699,6 +699,79 @@ LIMIT 10
 """
 
 
+# Cluster-balanced selection constants: ONE definition site for the
+# Spark query and the oracle f-string. 16 clusters over the 500-vector
+# test table leave real imbalance (md5-sampled centroids do not
+# equalize occupancy), so the cap genuinely thins heavy clusters at
+# every SF.
+CB_N_CENTROIDS = 16
+CB_CAP_PER_CLUSTER = 20
+
+
+def cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection over the embedding space — the
+    DataComp/SemDeDup-adjacent "balance the topic mix" step: k-means-style
+    clusters from the portable IVF coarse quantizer (md5-ordered sampled
+    centroids, round-6 cosine argmax assignment — ann_ivf_topk's exact
+    machinery), then at most CB_CAP_PER_CLUSTER vectors kept per cluster
+    in deterministic md5 order (a reproducible uniform subsample within
+    each cluster, the deterministic_shuffle rule). Heavy clusters —
+    over-represented topics — are thinned to the cap; rare clusters
+    survive whole. Output (vec_id, label, cluster).
+
+    Scale: assignment is the map-only Arrow-batched matmul (no shuffle);
+    the cap is ONE shuffle on the cluster key + a bounded per-cluster
+    sort — at 100 TB the same shape as every quota operator here. The
+    centroid table is driver-resident by design (C x dim floats)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=CB_N_CENTROIDS, hash_mode="md5")
+    assigned = ivf_assign(emb, cents, portable=True, spill=1)
+    w = Window.partitionBy("ivf_list").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= CB_CAP_PER_CLUSTER)
+        .select("vec_id", "label", F.col("ivf_list").cast("int").alias("cluster"))
+    )
+
+
+_CLUSTER_BALANCED_ORACLE = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {CB_N_CENTROIDS}
+),
+assign AS (
+  SELECT e.vec_id, e.label, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+vl AS (SELECT vec_id, label, cidx AS cluster FROM assign WHERE rk <= 1),
+ranked AS (
+  SELECT vec_id, label, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rk
+  FROM vl
+)
+SELECT vec_id, label, CAST(cluster AS INT) AS cluster
+FROM ranked WHERE rk <= {CB_CAP_PER_CLUSTER}
+"""
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF-PQ (r10 verdict item 7): the portable
     IVF coarse quantizer prunes to 24 of 128 lists (spill=2, identical
@@ -1954,6 +2027,11 @@ QUERIES = [
     QuerySpec("ann_srp_topk", ann_srp_topk, _ANN_SRP_ORACLE),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE),
     QuerySpec("ann_ivfpq_topk", ann_ivfpq_topk, _ANN_IVFPQ_ORACLE),
+    QuerySpec(
+        "cluster_balanced_embeddings",
+        cluster_balanced_embeddings,
+        _CLUSTER_BALANCED_ORACLE,
+    ),
     QuerySpec(
         "embedding_near_dup_pairs_lsh",
         embedding_near_dup_pairs_lsh,

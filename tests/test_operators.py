@@ -1875,3 +1875,41 @@ def test_gopher_rules_flip_individually(spark):
     assert not rows[4]["r_stopwords"] and rows[4]["r_word_count"]
     assert not rows[5]["r_repetition"] and rows[5]["r_stopwords"]
     assert not rows[5]["keep"]
+
+
+def test_cluster_balanced_selection_caps_and_is_deterministic(spark, sf_oracle):
+    """cluster_balanced_embeddings (r11): no cluster exceeds the cap,
+    under-cap clusters survive whole, and the md5-ordered subsample is
+    partitioning-invariant."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from clickhouse_segments_tutorial_spark.plans.llm import (
+        CB_CAP_PER_CLUSTER,
+        CB_N_CENTROIDS,
+        cluster_balanced_embeddings,
+    )
+
+    out = cluster_balanced_embeddings(spark, sf_oracle).collect()
+    per = {}
+    for r in out:
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+    assert max(per.values()) <= CB_CAP_PER_CLUSTER
+    # full per-cluster occupancy from the same portable assignment
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=CB_N_CENTROIDS, hash_mode="md5")
+    occ = {
+        r["ivf_list"]: r["n"]
+        for r in ivf_assign(emb, cents, portable=True, spill=1)
+        .groupBy("ivf_list")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(per.values()) == sum(min(n, CB_CAP_PER_CLUSTER) for n in occ.values())
+    # the cap must actually thin SOME cluster on this corpus, else the
+    # query degenerates to the identity and tests nothing
+    assert any(n > CB_CAP_PER_CLUSTER for n in occ.values())
+    # determinism under a different input partitioning
+    out2 = cluster_balanced_embeddings(spark, sf_oracle).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
