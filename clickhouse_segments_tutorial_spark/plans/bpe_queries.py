@@ -202,6 +202,43 @@ def packed_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "chunk_idx", "n_subwords", "shard", "seq_id")
 
 
+def bpe_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality evaluation: per-language FERTILITY (learned
+    subwords per whitespace word) and compression (text characters per
+    subword) of the trained BPE — the standard multilingual-tokenizer
+    health metrics (a language with outsized fertility is being
+    over-fragmented and under-served by the shared vocabulary). Exact
+    integer sums per language; each ratio is ONE double division of
+    exact integers, rounded to 6 (NULL for a language with no tokens).
+    Output (lang, n_words, n_subwords, fertility, chars_per_subword).
+
+    Scale: one dictionary join (bpe_token_counts' plan) + a
+    #languages-sized hash-agg — nothing beyond the existing encode
+    shapes."""
+    docs, _, trained = _trained(spark, sf_dir)
+    per_doc = bpe_token_counts(docs, trained).join(
+        docs.select("doc_id", "lang", F.length("text").alias("_chars")), "doc_id"
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_ws_tokens").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_subwords"),
+        F.sum("_chars").cast("long").alias("_nc"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(F.col("_nc").cast("double") / F.col("n_subwords"), 6),
+        ).alias("chars_per_subword"),
+    )
+
+
 def _stage(k: int) -> str:
     """One unrolled training round: w{k} -> b{k} (the round's argmax
     pair) and w{k+1} (dictionary after applying it)."""
@@ -420,6 +457,30 @@ SELECT b.doc_id,
 FROM (SELECT DISTINCT doc_id FROM base) b LEFT JOIN agg a USING (doc_id)
 """
 
+_FERTILITY_ORACLE = f"""
+WITH {_train_ctes(N_MERGES)},
+tok AS (SELECT doc_id, unnest(t) AS word FROM base),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES + 1}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws, CAST(sum(n_sub) AS BIGINT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+),
+perlang AS (
+  SELECT d.lang,
+         CAST(coalesce(sum(a.n_ws), 0) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(a.n_bpe), 0) AS BIGINT) AS n_subwords,
+         CAST(sum(length(d.text)) AS BIGINT) AS nc
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_words, n_subwords,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_subwords AS DOUBLE) / n_words, 6) END AS fertility,
+       CASE WHEN n_subwords > 0
+            THEN round(CAST(nc AS DOUBLE) / n_subwords, 6) END AS chars_per_subword
+FROM perlang
+"""
+
 _QUOTA_BPE_ORACLE = f"""
 WITH {_train_ctes(N_MERGES)},
 tok AS (SELECT doc_id, unnest(t) AS word FROM base),
@@ -572,6 +633,7 @@ QUERIES = [
     # timed set exercises (BASELINE.md widening note, r10).
     QuerySpec("bpe_merges_docs", bpe_merges_docs, _MERGES_ORACLE, headline=True),
     QuerySpec("bpe_token_counts_docs", bpe_token_counts_docs, _TOKEN_COUNTS_ORACLE),
+    QuerySpec("bpe_fertility_lang", bpe_fertility_lang, _FERTILITY_ORACLE),
     QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
     QuerySpec("bpe_budget_chunks", bpe_budget_chunks, _BUDGET_CHUNKS_ORACLE),
     QuerySpec("bpe_encode_docs", bpe_encode_docs, _ENCODE_ORACLE),
