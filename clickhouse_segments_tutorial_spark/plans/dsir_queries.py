@@ -44,12 +44,12 @@ _TWO60_SQL = "1152921504606846976.0"
 
 def _dsir_sql(src: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
     """The DSIR retraining chain over a CTE/table ``src`` exposing
-    (doc_id, text): heuristic target labels, hashed unigram+bigram
+    (doc_id, lang, text): heuristic target labels, hashed unigram+bigram
     feature stream, smoothed per-bucket importance log-ratios, per-doc
     DECIMAL-exact log-weight sums. Ends with ``ds_scores(doc_id,
     n_feats, dsir_lw)``."""
     return f"""
-ds_src AS (SELECT doc_id, text, {_toks("text")} AS t FROM {src}),
+ds_src AS (SELECT doc_id, lang, text, {_toks("text")} AS t FROM {src}),
 ds_lbl AS (
   SELECT *, {_quality_sql("t", "text")} >= {NB_LABEL_MIN_QUALITY} AS y
   FROM ds_src
@@ -129,6 +129,66 @@ SELECT doc_id, dsir_lw
 FROM ds_scores
 WHERE round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
              / {_TWO60_SQL}), 12) <= dsir_lw - {DSIR_TAU}
+"""
+
+
+def _dsir_gate(clean: DataFrame) -> DataFrame:
+    """The pipeline's alternative stage-7 gate: retrain the DSIR
+    importance model on the decontaminated train docs (heuristic target
+    labels), keep the resample-accepted docs within the usual length
+    bounds — the importance-RESAMPLING counterpart of the NB
+    classification gate (quality_nb_queries._nb_gate)."""
+    from ..operators.text import token_count
+
+    labeled = clean.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+    model = dsir_train(labeled, target_col="_y")
+    keep = (
+        dsir_score(clean, model)
+        .filter(dsir_accept("doc_id"))
+        .select("doc_id")
+    )
+    return clean.join(keep, "doc_id", "left_semi").filter(
+        token_count("text").between(10, 5000)
+    )
+
+
+def corpus_pipeline_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus build with the DSIR RESAMPLING gate composed in
+    place of the heuristic (pipeline stage 7): identical dedup /
+    decontamination / mixture / packing chain, but the quality decision
+    is the deterministic importance draw. The oracle replays the entire
+    pipeline AND the DSIR retraining + acceptance draw through the
+    shared filt_sql seam — the corpus_pipeline_nb_docs pattern."""
+    from .llm import _MIX_WEIGHTS
+    from .pipeline import corpus_pipeline_stages
+
+    return corpus_pipeline_stages(
+        load_table(spark, sf_dir, "documents"),
+        mix_weights=_MIX_WEIGHTS,
+        quality_gate=_dsir_gate,
+    )["packed"]
+
+
+_DSIR_FILT_SQL = f"""
+-- stage 7 (alternative): DSIR resampling gate, retrained on `clean`
+{_dsir_sql("clean").lstrip()},
+filt AS MATERIALIZED (
+  SELECT l.doc_id, l.lang, l.t, len(l.t) AS n_tokens
+  FROM ds_lbl l JOIN ds_scores s USING (doc_id)
+  WHERE round(ln((('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / {_TWO60_SQL}), 12) <= s.dsir_lw - {DSIR_TAU}
+    AND len(l.t) BETWEEN 10 AND 5000
+)"""
+
+
+def _pipeline_dsir_oracle() -> str:
+    from .llm import _MIX_WEIGHTS
+    from .pipeline import _corpus_pipeline_ctes
+
+    return _corpus_pipeline_ctes(_MIX_WEIGHTS, filt_sql=_DSIR_FILT_SQL) + """
+SELECT doc_id, epoch, chunk_idx, n_chunk_tokens, shard,
+       CAST(seq_id AS INTEGER) AS seq_id
+FROM pack
 """
 
 
@@ -269,6 +329,7 @@ def dsir_weights_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("dsir_weights_docs", dsir_weights_docs, _DSIR_WEIGHTS_ORACLE, headline=True),
     QuerySpec("dsir_resampled_docs", dsir_resampled_docs, _DSIR_RESAMPLED_ORACLE),
+    QuerySpec("corpus_pipeline_dsir_docs", corpus_pipeline_dsir_docs, _pipeline_dsir_oracle()),
     QuerySpec("dsir_weights_incremental", dsir_weights_incremental, _DSIR_WEIGHTS_ORACLE),
     QuerySpec("dsir_weights_streaming", dsir_weights_streaming, _DSIR_WEIGHTS_ORACLE),
 ]
