@@ -39,11 +39,13 @@ accepted iff
 
     round(ln(u_i), 12) <= lw_i - tau,      u_i = (h_i + 1) / 2^60
 
-where h_i is the first 15 hex chars of md5(doc_id) (the engine's
-portable 60-bit hash) — i.e. acceptance probability min(1,
-exp(lw_i - tau)). No RNG state, no order dependence: the draw is a pure
-column expression, reproducible across engines and partitionings, the
-same design as deterministic_shuffle / sample_stratified.
+where h_i is the first 15 hex chars of md5('dsir:' || doc_id) (the
+engine's portable 60-bit hash, SALTED so the draw is independent of
+every other md5(doc_id) consumer — see DSIR_ACCEPT_SALT) — i.e.
+acceptance probability min(1, exp(lw_i - tau)). No RNG state, no order
+dependence: the draw is a pure column expression, reproducible across
+engines and partitionings, the same design as deterministic_shuffle /
+sample_stratified.
 
 Scale design (100 TB):
 
@@ -90,15 +92,14 @@ def dsir_features(t: Column) -> Column:
     ``tokens(text)`` expression: inlined, the bigram transform re-runs
     the regex tokenization per array ELEMENT — the Gopher-gate
     O(tokens^2) lesson (measured 7.6 s vs <1 s for the sf0.1 feature
-    explode). :func:`_staged_features` is the shared staging helper."""
-    bis = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(t, bis)
+    explode). :func:`_staged_features` is the shared staging helper.
+
+    The bigram strings come from text.ngrams_from_tokens — the ONE
+    definition site of the space-joined adjacent-n-gram format the SQL
+    oracles replicate (r11 second-review finding 2)."""
+    from .text import ngrams_from_tokens
+
+    return F.concat(t, ngrams_from_tokens(t, 2))
 
 
 def _staged_features(
@@ -227,13 +228,26 @@ def dsir_score(
     )
 
 
+# Salt for the acceptance draw's hash key. The draw MUST NOT hash the
+# bare doc_id: other deterministic samplers consume md5(doc_id) prefixes
+# (train_test_split's hash_draw), so on a frame they already filtered —
+# e.g. the pipeline's train side — the bare draw is CONDITIONED (every
+# surviving doc has u >= eval_fraction, so sub-unity acceptance rates
+# are systematically under-kept and the low-weight tail can never be
+# accepted; r11 second-review finding 1). Salting decorrelates the two
+# draws — the deterministic_shuffle rule.
+DSIR_ACCEPT_SALT = "dsir"
+
+
 def dsir_accept(id_col: str | Column = "doc_id", *, tau: float = DSIR_TAU) -> Column:
     """Deterministic Bernoulli acceptance predicate over a scored frame
     carrying ``dsir_lw``: accept iff round(ln(u), 12) <= dsir_lw - tau
-    with u the doc's md5-derived uniform draw in (0, 1] — acceptance
-    probability min(1, exp(dsir_lw - tau)), reproducible across engines
-    and partitionings (module docstring)."""
+    with u the doc's SALTED md5-derived uniform draw in (0, 1] —
+    acceptance probability min(1, exp(dsir_lw - tau)), reproducible
+    across engines and partitionings (module docstring), independent of
+    every other md5(key) consumer (DSIR_ACCEPT_SALT note)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    key = F.concat_ws(":", F.lit(DSIR_ACCEPT_SALT), c.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(_TWO60)
     return F.round(F.log(u), 12) <= F.col("dsir_lw") - F.lit(tau)

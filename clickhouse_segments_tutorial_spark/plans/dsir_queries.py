@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dsir import (
+    DSIR_ACCEPT_SALT,
     DSIR_TAU,
     dsir_accept,
     dsir_model_from_counts,
@@ -127,7 +128,7 @@ _DSIR_RESAMPLED_ORACLE = f"""
 WITH {_dsir_sql("documents")}
 SELECT doc_id, dsir_lw
 FROM ds_scores
-WHERE round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+WHERE round(ln((('0x' || substr(md5('{DSIR_ACCEPT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
              / {_TWO60_SQL}), 12) <= dsir_lw - {DSIR_TAU}
 """
 
@@ -175,7 +176,7 @@ _DSIR_FILT_SQL = f"""
 filt AS MATERIALIZED (
   SELECT l.doc_id, l.lang, l.t, len(l.t) AS n_tokens
   FROM ds_lbl l JOIN ds_scores s USING (doc_id)
-  WHERE round(ln((('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+  WHERE round(ln((('0x' || substr(md5('{DSIR_ACCEPT_SALT}:' || CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
                / {_TWO60_SQL}), 12) <= s.dsir_lw - {DSIR_TAU}
     AND len(l.t) BETWEEN 10 AND 5000
 )"""

@@ -147,3 +147,28 @@ def test_ingest_audit_reports_wave_totals(spark, tmp_path):
             tr.ingest(docs, wave_id=0)  # 0 is the resume sentinel
     finally:
         tr.drop_state()
+
+
+def test_accept_draw_is_independent_of_other_md5_consumers(spark):
+    """r11 second-review finding 1: the acceptance draw must be SALTED.
+    Unsalted, it reads a prefix of the same md5(doc_id) that
+    train_test_split's hash_draw consumes, so on the split's train side
+    every doc has u >= test_fraction and a doc with
+    dsir_lw < ln(test_fraction) can NEVER be accepted — the composed
+    pipeline gate zeroes out the whole low-weight tail."""
+    import math
+
+    from clickhouse_segments_tutorial_spark.operators.sampling import hash_draw
+
+    lw = round(math.log(0.05), 6)  # intended keep probability 5%
+    ids = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit(lw).alias("dsir_lw")
+    )
+    # the pipeline's train side: hash_draw(doc_id) >= 0.1 (test_fraction)
+    train = ids.filter(hash_draw(F.col("doc_id")) >= F.lit("19999999"))
+    kept = train.filter(dsir_accept("doc_id")).count()
+    n = train.count()
+    # unsalted draw keeps EXACTLY ZERO (ln u >= ln 0.1 > lw for all);
+    # the salted draw keeps ~5% — accept a wide band around it
+    assert n > 15000
+    assert 0.02 * n < kept < 0.10 * n, (kept, n)
