@@ -740,6 +740,64 @@ def cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_balanced_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster balancing run as an ACTUAL Structured Streaming ingest
+    gate: the quota gate (streaming/stream_quota.py) generalized to a
+    ROW-COUNT budget keyed on the cluster id — per-cluster admitted
+    counts carry across checkpointed availableNow runs, so an
+    over-represented topic stops admitting the moment its cap fills,
+    at ingest time instead of in a batch rewrite.
+
+    The coarse quantizer is trained BEFORE the stream (the production
+    IVF contract: the codebook is an offline artifact) from the same
+    md5-ordered sample the batch query uses; each wave is assigned
+    batch-side with the portable rule and fed in md5-of-vec_id order
+    (waves split lexicographically on the order key), so the gate's
+    first-cap-admitted prefix equals the batch query's md5-ordered cap
+    selection and this SHARES cluster_balanced_embeddings' oracle."""
+    from ..operators.similarity import ivf_assign, ivf_centroids
+    from ..streaming.stream_quota import StreamingQuotaGate
+    from .curation import _stream_scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=CB_N_CENTROIDS, hash_mode="md5")
+    assigned = ivf_assign(emb, cents, portable=True, spill=1).select(
+        "vec_id",
+        "label",
+        F.col("ivf_list").cast("int").alias("cluster"),
+        F.md5(F.col("vec_id").cast("string")).alias("_ord"),
+    )
+    workdir = _stream_scratch("cluster_balanced_streaming")
+    gate = StreamingQuotaGate(
+        spark,
+        workdir,
+        schema=assigned.select("cluster", "_ord").schema,
+        budget=CB_CAP_PER_CLUSTER,
+        group_col="cluster",
+        order_col="_ord",
+        weight_expr=F.lit(1),
+        group_type="int",
+        order_type="string",
+    )
+    waves = assigned.select("cluster", "_ord")
+    # one file per wave (the source_quota_streaming rule); split
+    # lexicographically on the order key so cross-batch arrival respects
+    # the per-cluster admission order
+    waves.filter(F.col("_ord") < "8").coalesce(1).write.mode("append").parquet(
+        gate.docs_dir
+    )
+    gate.run_available_now()
+    waves.filter(F.col("_ord") >= "8").coalesce(1).write.mode("append").parquet(
+        gate.docs_dir
+    )
+    gate.run_available_now()
+    # recover the passthrough columns: the order key is md5(vec_id),
+    # unique per vector, so the join is 1:1
+    return gate.accepted().select("cluster", "_ord").join(
+        assigned, ["cluster", "_ord"]
+    ).select("vec_id", "label", "cluster")
+
+
 _CLUSTER_BALANCED_ORACLE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
@@ -2030,6 +2088,11 @@ QUERIES = [
     QuerySpec(
         "cluster_balanced_embeddings",
         cluster_balanced_embeddings,
+        _CLUSTER_BALANCED_ORACLE,
+    ),
+    QuerySpec(
+        "cluster_balanced_streaming",
+        cluster_balanced_streaming,
         _CLUSTER_BALANCED_ORACLE,
     ),
     QuerySpec(

@@ -55,13 +55,27 @@ class StreamingQuotaGate:
         group_col: str = "source",
         order_col: str = "doc_id",
         text_col: str = "text",
+        weight_expr=None,
+        group_type: str = "string",
+        order_type: str = "long",
     ):
+        """``weight_expr``: per-row admission weight Column; defaults to
+        ``token_count(text_col)`` (the per-source token quota). Pass
+        ``F.lit(1)`` for a row-count cap — e.g. the streaming
+        cluster-balance gate, where budget = max vectors per cluster.
+        ``group_type``/``order_type``: SQL types of the key columns in
+        the state output schema (the quota default is a string source
+        keyed by long doc_id; cluster balance uses an int cluster keyed
+        by the md5 order string)."""
         self.spark = spark
         self.schema = schema
         self.budget = int(budget)
         self.group_col = group_col
         self.order_col = order_col
         self.text_col = text_col
+        self.weight_expr = weight_expr
+        self.group_type = group_type
+        self.order_type = order_type
         self.docs_dir = os.path.join(workdir, "docs_in")
         self.checkpoint = os.path.join(workdir, "checkpoint")
         self.accepted_path = os.path.join(workdir, "accepted")
@@ -69,17 +83,23 @@ class StreamingQuotaGate:
 
     def _admitted(self) -> DataFrame:
         group_col, order_col, budget = self.group_col, self.order_col, self.budget
+        weight = (
+            token_count(self.text_col)
+            if self.weight_expr is None
+            else self.weight_expr
+        )
         stream = (
             self.spark.readStream.schema(self.schema)
             .parquet(self.docs_dir)
             .select(
                 group_col,
                 order_col,
-                token_count(self.text_col).cast("int").alias("n_tokens"),
+                weight.cast("int").alias("n_tokens"),
             )
         )
         out_schema = (
-            f"{group_col} string, {order_col} long, n_tokens int, cum_tokens long"
+            f"{group_col} {self.group_type}, {order_col} {self.order_type}, "
+            "n_tokens int, cum_tokens long"
         )
 
         def update(key, pdf_iter, state: GroupState):

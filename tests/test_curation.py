@@ -1164,3 +1164,47 @@ def test_shared_state_naming_and_wave_resolution_contract(tmp_path):
         resolve_wave_counter(0, 0, lambda: 0)
     with _pytest.raises(ValueError):
         resolve_wave_counter(0, -2, lambda: 0)
+
+
+def test_streaming_rowcount_gate_restarts_with_cluster_key(spark, tmp_path):
+    """The quota gate generalized to a row-count budget on an int group
+    key (the streaming cluster-balance configuration, r11): per-group
+    admitted counts survive a gate-object RESTART (checkpointed state),
+    the cap is inclusive-prefix, and the order key may be a string."""
+    from clickhouse_segments_tutorial_spark.streaming.stream_quota import (
+        StreamingQuotaGate,
+    )
+
+    schema = "cluster int, _ord string"
+
+    def mk():
+        return StreamingQuotaGate(
+            spark,
+            str(tmp_path),
+            schema=spark.createDataFrame([], schema).schema,
+            budget=2,
+            group_col="cluster",
+            order_col="_ord",
+            weight_expr=F.lit(1),
+            group_type="int",
+            order_type="string",
+        )
+
+    gate = mk()
+    w1 = spark.createDataFrame(
+        [(0, "aa"), (0, "ab"), (1, "ba")], schema
+    )
+    w1.coalesce(1).write.mode("append").parquet(gate.docs_dir)
+    gate.run_available_now()
+    # NEW gate object on the same workdir: state resumes from checkpoint —
+    # cluster 0 is already full, cluster 1 admits exactly one more
+    gate2 = mk()
+    w2 = spark.createDataFrame(
+        [(0, "ac"), (1, "bb"), (1, "bc")], schema
+    )
+    w2.coalesce(1).write.mode("append").parquet(gate2.docs_dir)
+    gate2.run_available_now()
+    got = sorted(
+        (r["cluster"], r["_ord"], r["cum_tokens"]) for r in gate2.accepted().collect()
+    )
+    assert got == [(0, "aa", 1), (0, "ab", 2), (1, "ba", 1), (1, "bb", 2)]
