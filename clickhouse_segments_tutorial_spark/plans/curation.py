@@ -398,17 +398,8 @@ def source_quota_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_QUOTA_TOKENS,
     )
     waves = docs.select("source", "doc_id", "text")
-    # one file per wave: files within a single availableNow run may split
-    # across micro-batches in file order, and the cross-batch contract
-    # requires doc_id order per source (module docstring)
-    waves.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
-        gate.docs_dir
-    )
-    gate.run_available_now()
-    waves.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
-        gate.docs_dir
-    )
-    gate.run_available_now()
+    gate.ingest_wave(waves.filter(F.col("doc_id") < mid))
+    gate.ingest_wave(waves.filter(F.col("doc_id") >= mid))
     return gate.accepted().select("source", "doc_id", "n_tokens", "cum_tokens")
 
 

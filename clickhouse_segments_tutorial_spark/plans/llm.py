@@ -759,15 +759,23 @@ def cluster_balanced_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream_quota import StreamingQuotaGate
     from .curation import _stream_scratch
 
+    import os
+
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, n_centroids=CB_N_CENTROIDS, hash_mode="md5")
-    assigned = ivf_assign(emb, cents, portable=True, spill=1).select(
+    workdir = _stream_scratch("cluster_balanced_streaming")
+    # materialize the assignment ONCE to scratch (the Arrow matmul + md5
+    # over every vector is the query's dominant cost; lazily it would
+    # re-run for each wave write AND the final recovery join — r11
+    # third-review finding 1)
+    asg_path = os.path.join(workdir, "assigned")
+    ivf_assign(emb, cents, portable=True, spill=1).select(
         "vec_id",
         "label",
         F.col("ivf_list").cast("int").alias("cluster"),
         F.md5(F.col("vec_id").cast("string")).alias("_ord"),
-    )
-    workdir = _stream_scratch("cluster_balanced_streaming")
+    ).write.parquet(asg_path)
+    assigned = spark.read.parquet(asg_path)
     gate = StreamingQuotaGate(
         spark,
         workdir,
@@ -779,18 +787,11 @@ def cluster_balanced_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_type="int",
         order_type="string",
     )
+    # waves split lexicographically on the order key so cross-batch
+    # arrival respects the per-cluster admission order
     waves = assigned.select("cluster", "_ord")
-    # one file per wave (the source_quota_streaming rule); split
-    # lexicographically on the order key so cross-batch arrival respects
-    # the per-cluster admission order
-    waves.filter(F.col("_ord") < "8").coalesce(1).write.mode("append").parquet(
-        gate.docs_dir
-    )
-    gate.run_available_now()
-    waves.filter(F.col("_ord") >= "8").coalesce(1).write.mode("append").parquet(
-        gate.docs_dir
-    )
-    gate.run_available_now()
+    gate.ingest_wave(waves.filter(F.col("_ord") < "8"))
+    gate.ingest_wave(waves.filter(F.col("_ord") >= "8"))
     # recover the passthrough columns: the order key is md5(vec_id),
     # unique per vector, so the join is 1:1
     return gate.accepted().select("cluster", "_ord").join(

@@ -126,6 +126,17 @@ class StreamingQuotaGate:
             GroupStateTimeout.NoTimeout,
         )
 
+    def ingest_wave(self, wave: DataFrame) -> None:
+        """Feed one wave and drain it: write the wave as ONE parquet file
+        and run an availableNow pass. One file per wave because files
+        within a single availableNow run may split across micro-batches
+        in file order, and the cross-batch determinism contract requires
+        ``order_col`` order per group ACROSS batches (module docstring) —
+        this helper is the one definition site of that choreography for
+        every registered streaming-gate twin."""
+        wave.coalesce(1).write.mode("append").parquet(self.docs_dir)
+        self.run_available_now()
+
     def run_available_now(self) -> None:
         q = (
             self._admitted()
