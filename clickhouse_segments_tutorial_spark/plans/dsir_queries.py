@@ -43,50 +43,63 @@ from .registry import QuerySpec
 _TWO60_SQL = "1152921504606846976.0"
 
 
-def _dsir_sql(src: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
+def _accept_sql(doc: str, lw: str) -> str:
+    """The salted deterministic acceptance draw as a SQL predicate —
+    ONE definition site for the three oracle splices (standalone
+    resample, pipeline gate, streaming resample)."""
+    return (
+        f"round(ln((('0x' || substr(md5('{DSIR_ACCEPT_SALT}:' || "
+        f"CAST({doc} AS VARCHAR)), 1, 15))::BIGINT + 1) "
+        f"/ {_TWO60_SQL}), 12) <= {lw} - {DSIR_TAU}"
+    )
+
+
+def _dsir_sql(src: str, n_buckets: int = DEFAULT_BUCKETS, p: str = "ds") -> str:
     """The DSIR retraining chain over a CTE/table ``src`` exposing
     (doc_id, lang, text): heuristic target labels, hashed unigram+bigram
     feature stream, smoothed per-bucket importance log-ratios, per-doc
-    DECIMAL-exact log-weight sums. Ends with ``ds_scores(doc_id,
-    n_feats, dsir_lw)``."""
+    DECIMAL-exact log-weight sums. Ends with ``{p}_scores(doc_id,
+    n_feats, dsir_lw)``. ``p`` prefixes every CTE name so the chain can
+    be instantiated more than once in one statement (the streaming
+    resample oracle trains one model per wave)."""
     return f"""
-ds_src AS (SELECT doc_id, lang, text, {_toks("text")} AS t FROM {src}),
-ds_lbl AS (
+{p}_src AS (SELECT doc_id, lang, text, {_toks("text")} AS t FROM {src}),
+{p}_lbl AS (
   SELECT *, {_quality_sql("t", "text")} >= {NB_LABEL_MIN_QUALITY} AS y
-  FROM ds_src
+  FROM {p}_src
 ),
-ds_feat AS (
+{p}_feat AS (
   SELECT doc_id, y,
          ('0x' || substr(md5(f), 1, 15))::BIGINT % {n_buckets} AS bucket
   FROM (
-    SELECT doc_id, y, unnest(t) AS f FROM ds_lbl
+    SELECT doc_id, y, unnest(t) AS f FROM {p}_lbl
     UNION ALL
     SELECT doc_id, y, t[i] || ' ' || t[i + 1] AS f
     FROM (SELECT doc_id, y, t, CAST(unnest(range(1, len(t))) AS INT) AS i
-          FROM ds_lbl)
+          FROM {p}_lbl)
   )
 ),
-ds_cnt AS (
+{p}_cnt AS (
   SELECT bucket, count(*) AS raw_n, count(*) FILTER (y) AS tgt_n
-  FROM ds_feat GROUP BY bucket
+  FROM {p}_feat GROUP BY bucket
 ),
-ds_tot AS (SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM ds_cnt),
-ds_model AS (
+{p}_tot AS (SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM {p}_cnt),
+{p}_model AS (
   SELECT r.range AS bucket,
          round(ln((coalesce(c.tgt_n, 0) + 1.0) / CAST(t.t + {n_buckets} AS DOUBLE)), 12)
        - round(ln((coalesce(c.raw_n, 0) + 1.0) / CAST(t.r + {n_buckets} AS DOUBLE)), 12) AS lam
-  FROM range(0, {n_buckets}) r LEFT JOIN ds_cnt c ON r.range = c.bucket, ds_tot t
+  FROM range(0, {n_buckets}) r LEFT JOIN {p}_cnt c ON r.range = c.bucket, {p}_tot t
 ),
-ds_sum AS (
+{p}_sum AS (
   SELECT doc_id, CAST(count(*) AS INT) AS nf,
          CAST(sum(CAST(m.lam AS DECIMAL(28,14))) AS DOUBLE) AS s
-  FROM ds_feat k JOIN ds_model m USING (bucket) GROUP BY doc_id
+  FROM {p}_feat k JOIN {p}_model m USING (bucket) GROUP BY doc_id
 ),
-ds_scores AS (
+{p}_scores AS (
   SELECT l.doc_id,
          CAST(coalesce(u.nf, 0) AS INT) AS n_feats,
          round(coalesce(u.s, 0.0), 6) AS dsir_lw
-  FROM ds_lbl l LEFT JOIN ds_sum u USING (doc_id)
+  FROM {p}_lbl l LEFT JOIN {p}_sum u USING (doc_id)
 )"""
 
 
@@ -128,8 +141,7 @@ _DSIR_RESAMPLED_ORACLE = f"""
 WITH {_dsir_sql("documents")}
 SELECT doc_id, dsir_lw
 FROM ds_scores
-WHERE round(ln((('0x' || substr(md5('{DSIR_ACCEPT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-             / {_TWO60_SQL}), 12) <= dsir_lw - {DSIR_TAU}
+WHERE {_accept_sql("doc_id", "dsir_lw")}
 """
 
 
@@ -176,8 +188,7 @@ _DSIR_FILT_SQL = f"""
 filt AS MATERIALIZED (
   SELECT l.doc_id, l.lang, l.t, len(l.t) AS n_tokens
   FROM ds_lbl l JOIN ds_scores s USING (doc_id)
-  WHERE round(ln((('0x' || substr(md5('{DSIR_ACCEPT_SALT}:' || CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-               / {_TWO60_SQL}), 12) <= s.dsir_lw - {DSIR_TAU}
+  WHERE {_accept_sql("l.doc_id", "s.dsir_lw")}
     AND len(l.t) BETWEEN 10 AND 5000
 )"""
 
@@ -284,6 +295,76 @@ class IncrementalDSIRTrainer:
         self._st.drop()
 
 
+class DSIRResampleIngestor:
+    """Online-selection ingestor for the streaming wave gate: per wave,
+    fold the wave's counts into the accumulated model, then score and
+    admit THE WAVE against it (retrain-then-admit). Early waves are
+    judged by poorer models than late ones — the honest online-selection
+    semantics, which the registered query's oracle replays wave by wave
+    (it does NOT share the batch oracle: a batch recompute scores every
+    doc under the final model)."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.tr = IncrementalDSIRTrainer(spark, workdir)
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        self.tr.ingest(docs, wave_id=wave_id)
+        return (
+            self.tr.score(docs)
+            .filter(dsir_accept("doc_id"))
+            .select("doc_id", "dsir_lw")
+        )
+
+    def compact(self) -> None:
+        self.tr.compact()
+
+    def reset(self) -> None:
+        self.tr.reset()
+
+
+def dsir_resampled_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling as an ONLINE ingest gate: a checkpointed
+    file stream drains two waves (doc_id parity split — deterministic
+    and scale-free) into DSIRResampleIngestor via the generic wave gate;
+    each wave is admitted by the model accumulated up to and including
+    itself. The oracle retrains per wave (the prefix-parametrized
+    _dsir_sql chain instantiated once per wave), so the online
+    semantics — not the batch ones — are what the correctness gate
+    checks."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    workdir = _stream_scratch("dsir_resample_streaming")
+    ing = DSIRResampleIngestor(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=ing)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return gate.results()
+
+
+# wave 1 = even doc_ids scored under the wave-1-only model; wave 2 = odd
+# doc_ids scored under the full accumulated model (= the whole corpus,
+# since counts are associative). Each chain instantiation filters its
+# TRAINING src; the wave-2 chain trains on everything ingested so far.
+_DSIR_RESAMPLED_STREAMING_ORACLE = f"""
+WITH {_dsir_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0) w1src", p="w1")},
+{_dsir_sql("documents", p="w2")}
+SELECT doc_id, dsir_lw FROM w1_scores
+WHERE {_accept_sql("doc_id", "dsir_lw")}
+UNION ALL
+SELECT doc_id, dsir_lw FROM w2_scores
+WHERE doc_id % 2 = 1 AND {_accept_sql("doc_id", "dsir_lw")}
+"""
+
+
 def dsir_weights_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR trainer run INCREMENTALLY over two waves with bucketed
     count-state between them; the accumulated sufficient statistic
@@ -331,6 +412,11 @@ QUERIES = [
     QuerySpec("dsir_weights_docs", dsir_weights_docs, _DSIR_WEIGHTS_ORACLE, headline=True),
     QuerySpec("dsir_resampled_docs", dsir_resampled_docs, _DSIR_RESAMPLED_ORACLE),
     QuerySpec("corpus_pipeline_dsir_docs", corpus_pipeline_dsir_docs, _pipeline_dsir_oracle()),
+    QuerySpec(
+        "dsir_resampled_streaming",
+        dsir_resampled_streaming,
+        _DSIR_RESAMPLED_STREAMING_ORACLE,
+    ),
     QuerySpec("dsir_weights_incremental", dsir_weights_incremental, _DSIR_WEIGHTS_ORACLE),
     QuerySpec("dsir_weights_streaming", dsir_weights_streaming, _DSIR_WEIGHTS_ORACLE),
 ]
