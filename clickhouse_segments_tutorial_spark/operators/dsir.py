@@ -200,6 +200,7 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance log-weights: (doc_id, n_feats, dsir_lw).
 
@@ -207,10 +208,16 @@ def dsir_score(
     DECIMAL-exact per-doc sum of the 12-decimal lams, round to 6.
     Feature-less (empty) docs score 0.0 with n_feats = 0 — neutral
     weight, so resampling keeps them at the tau = 0 base rate rather
-    than silently dropping them."""
-    feats = _staged_features(
-        docs, text_col, [F.col(id_col).alias("doc_id")]
-    ).select("doc_id", hash_bucket("_f", n_buckets).alias("bucket"))
+    than silently dropping them.
+
+    ``feats``: optional precomputed (doc_id, bucket) feature stream —
+    a caller that also folds the SAME wave's counts (the online
+    retrain-then-admit ingestor) passes one persisted frame to both so
+    the wave is tokenized once, not twice."""
+    if feats is None:
+        feats = _staged_features(
+            docs, text_col, [F.col(id_col).alias("doc_id")]
+        ).select("doc_id", hash_bucket("_f", n_buckets).alias("bucket"))
     summed = (
         feats.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")

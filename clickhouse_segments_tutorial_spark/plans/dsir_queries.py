@@ -109,6 +109,19 @@ def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wave_features(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, _y, bucket): one wave's labeled hashed feature stream —
+    the shared input of the count fold (ingest) and the admit scoring
+    join, so the online gate computes the wave's tokenize+explode ONCE
+    when it persists this frame across both consumers."""
+    from ..operators.dsir import _staged_features
+
+    lbl = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
+    return _staged_features(lbl, "text", [F.col("doc_id"), F.col("_y")]).select(
+        "doc_id", "_y", hash_bucket("_f", n_buckets).alias("bucket")
+    )
+
+
 def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit the DSIR importance model (target = heuristic-quality keep
     set, raw = whole corpus) and score every document:
@@ -239,19 +252,24 @@ class IncrementalDSIRTrainer:
             state_buckets=state_buckets,
         )
 
-    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+    def ingest(
+        self,
+        docs: DataFrame,
+        *,
+        wave_id: int | None = None,
+        feats: DataFrame | None = None,
+    ) -> DataFrame:
         """Fold one wave's feature counts into state; returns the wave's
         audit row (wave, n_raw, n_tgt — THIS wave's feature totals),
         pinned under the workdir. ``docs`` must expose (doc_id, text);
         target labels are recomputed from the shared heuristic (one
-        definition site with the batch query)."""
-        from ..operators.dsir import _staged_features
-
+        definition site with the batch query). ``feats``: optional
+        precomputed :func:`_wave_features` frame — the online ingestor
+        passes one persisted frame here AND to the scoring join so the
+        wave is tokenized once (r11 fourth-review finding 1)."""
         wave = self._st.resolve_wave(wave_id)
-        lbl = docs.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
-        feats = _staged_features(lbl, "text", [F.col("_y")]).select(
-            "_y", hash_bucket("_f", self.n_buckets).alias("bucket")
-        )
+        if feats is None:
+            feats = _wave_features(docs, self.n_buckets)
         # the wave aggregate feeds TWO writes (audit pin, state append);
         # persist for their duration so the wave-sized explode+agg runs
         # once (the r11 review finding 3 rule)
@@ -305,15 +323,38 @@ class DSIRResampleIngestor:
     doc under the final model)."""
 
     def __init__(self, spark: SparkSession, workdir: str):
+        import os
+
+        self.spark, self.workdir = spark, workdir
         self.tr = IncrementalDSIRTrainer(spark, workdir)
+        os.makedirs(workdir, exist_ok=True)
 
     def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
-        self.tr.ingest(docs, wave_id=wave_id)
-        return (
-            self.tr.score(docs)
-            .filter(dsir_accept("doc_id"))
-            .select("doc_id", "dsir_lw")
-        )
+        import os
+
+        # ONE persisted feature frame feeds both the count fold and the
+        # admit scoring join — without it the wave is tokenized+exploded
+        # twice per micro-batch (r11 fourth-review finding 1). The admit
+        # set is pinned to the workdir before the unpersist so the
+        # returned reader does not depend on the released cache.
+        feats = _wave_features(docs, self.tr.n_buckets).persist()
+        try:
+            self.tr.ingest(docs, wave_id=wave_id, feats=feats)
+            admitted = (
+                dsir_score(
+                    docs,
+                    self.tr.model(),
+                    n_buckets=self.tr.n_buckets,
+                    feats=feats.select("doc_id", "bucket"),
+                )
+                .filter(dsir_accept("doc_id"))
+                .select("doc_id", "dsir_lw")
+            )
+            path = os.path.join(self.workdir, f"admitted_w{self.tr._st._wave}")
+            admitted.write.mode("overwrite").parquet(path)
+        finally:
+            feats.unpersist()
+        return self.spark.read.parquet(path)
 
     def compact(self) -> None:
         self.tr.compact()
@@ -334,18 +375,23 @@ def dsir_resampled_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream_curation import StreamingWaveGate
     from .curation import _stream_scratch
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     workdir = _stream_scratch("dsir_resample_streaming")
     ing = DSIRResampleIngestor(spark, f"{workdir}/state")
     gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=ing)
     gate.reset_state()
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
-        gate.in_dir
-    )
+    # pmod: sign-safe parity (plain % follows the sign in both engines,
+    # so a negative odd doc_id would fall out of BOTH waves while the
+    # oracle's wave-2 model trains on all documents — r11 fourth-review
+    # finding 2). NULL ids are out of scope of either split; the oracle
+    # excludes them from training identically.
+    docs.filter(F.pmod(F.col("doc_id"), 2) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
     gate.run_available_now()
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
-        gate.in_dir
-    )
+    docs.filter(F.pmod(F.col("doc_id"), 2) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
     gate.run_available_now()
     return gate.results()
 
@@ -355,13 +401,17 @@ def dsir_resampled_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # since counts are associative). Each chain instantiation filters its
 # TRAINING src; the wave-2 chain trains on everything ingested so far.
 _DSIR_RESAMPLED_STREAMING_ORACLE = f"""
-WITH {_dsir_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0) w1src", p="w1")},
-{_dsir_sql("documents", p="w2")}
+WITH {_dsir_sql(
+    "(SELECT * FROM documents WHERE ((doc_id % 2) + 2) % 2 = 0) w1src", p="w1"
+)},
+{_dsir_sql(
+    "(SELECT * FROM documents WHERE doc_id IS NOT NULL) w2src", p="w2"
+)}
 SELECT doc_id, dsir_lw FROM w1_scores
 WHERE {_accept_sql("doc_id", "dsir_lw")}
 UNION ALL
 SELECT doc_id, dsir_lw FROM w2_scores
-WHERE doc_id % 2 = 1 AND {_accept_sql("doc_id", "dsir_lw")}
+WHERE ((doc_id % 2) + 2) % 2 = 1 AND {_accept_sql("doc_id", "dsir_lw")}
 """
 
 
