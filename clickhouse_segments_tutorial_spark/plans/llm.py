@@ -1317,6 +1317,52 @@ FROM pack
 """
 
 
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-health report for the sequence packer: per shard, how
+    full the 512-token training sequences actually are — (shard, n_seqs,
+    n_chunks, n_tokens, fill_rate). A fill rate well below 1.0 means the
+    capacity/chunk-size pairing wastes context window (padding) and the
+    budget constants need retuning; this is the metric that decision is
+    made on. Exact integer sums; ONE rounded double division per shard.
+
+    Scale: a two-level hash-agg over the packed output — nothing beyond
+    the packer's own shapes."""
+    packed = packed_chunks(spark, sf_dir)
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("_nc"),
+        F.sum("n_chunk_tokens").alias("_nt"),
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("_nc").cast("long").alias("n_chunks"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "n_chunks",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / (F.col("n_seqs") * F.lit(512.0)), 6
+            ).alias("fill_rate"),
+        )
+    )
+
+
+_PACKING_EFFICIENCY_ORACLE = f"""
+SELECT shard,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_chunk_tokens) AS DOUBLE)
+             / (count(DISTINCT seq_id) * 512.0), 6) AS fill_rate
+FROM ({_PACKED_ORACLE})
+GROUP BY shard
+"""
+
+
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style quality gate: English, mid-length, decent
     heuristic quality — the filter stage every training pipeline runs
@@ -2118,6 +2164,11 @@ QUERIES = [
         "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE
     ),
     QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
+    QuerySpec(
+        "packing_efficiency_report",
+        packing_efficiency_report,
+        _PACKING_EFFICIENCY_ORACLE,
+    ),
     QuerySpec("quality_filter_docs", quality_filter_docs, _QUALITY_FILTER_ORACLE),
     QuerySpec("tfidf_top_terms_docs", tfidf_top_terms_docs, _TFIDF_ORACLE, headline=True),
     QuerySpec("duplicate_spans_docs", duplicate_spans_docs, _DUP_SPANS_ORACLE, headline=True),
