@@ -64,6 +64,37 @@ def unigram_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_counts(docs, seg)
 
 
+def unigram_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (learned unigram subwords per whitespace
+    word) and compression (text characters per subword) of the trained
+    unigram-LM vocabulary — the bpe_fertility_lang report for the OTHER
+    learned tokenizer, so the two vocabularies are directly comparable
+    on the standard multilingual health metrics. Exact integer sums per
+    language, one rounded double division each (NULL on empty)."""
+    docs, _, seg = _trained(spark, sf_dir)
+    per_doc = unigram_token_counts(docs, seg).join(
+        docs.select("doc_id", "lang", F.length("text").alias("_chars")), "doc_id"
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_ws_tokens").cast("long").alias("n_words"),
+        F.sum("n_unigram_tokens").cast("long").alias("n_subwords"),
+        F.sum("_chars").cast("long").alias("_nc"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(F.col("_nc").cast("double") / F.col("n_subwords"), 6),
+        ).alias("chars_per_subword"),
+    )
+
+
 def _viterbi_round(r: int) -> str:
     """Round ``r`` CTEs: mp{r} (piece -> lp map), f{r}_i forward DP
     positions, b{r}_t backtrack steps, seg{r}, raw{r}, v{r}, lp{r}."""
@@ -169,11 +200,38 @@ FROM documents d LEFT JOIN (
 """
 
 
+_FERTILITY_ORACLE = f"""WITH {_train_ctes()},
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         CAST(sum(len(s.pieces)) AS BIGINT) AS n_uni
+  FROM (SELECT doc_id, unnest(t) AS word FROM base) bw
+  JOIN seg{UNI_ROUNDS} s ON bw.word = s.word
+  GROUP BY doc_id
+),
+perlang AS (
+  SELECT d.lang,
+         CAST(coalesce(sum(a.n_ws), 0) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(a.n_uni), 0) AS BIGINT) AS n_subwords,
+         CAST(sum(length(d.text)) AS BIGINT) AS nc
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_words, n_subwords,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_subwords AS DOUBLE) / n_words, 6) END AS fertility,
+       CASE WHEN n_subwords > 0
+            THEN round(CAST(nc AS DOUBLE) / n_subwords, 6) END AS chars_per_subword
+FROM perlang
+"""
+
 QUERIES = [
     QuerySpec(
         "unigram_pieces_docs", unigram_pieces_docs, _PIECES_ORACLE, headline=True
     ),
     QuerySpec(
         "unigram_token_counts_docs", unigram_token_counts_docs, _TOKEN_COUNTS_ORACLE
+    ),
+    QuerySpec(
+        "unigram_fertility_lang", unigram_fertility_lang, _FERTILITY_ORACLE
     ),
 ]
