@@ -36,7 +36,12 @@ from ..operators.quality_nb import DEFAULT_BUCKETS, hash_bucket
 from ..operators.text import quality_score
 from ..sources.catalog import load_table
 from .pipeline import _toks
-from .quality_nb_queries import NB_LABEL_MIN_QUALITY, _quality_sql
+from .quality_nb_queries import (
+    NB_LABEL_MIN_QUALITY,
+    _NB_SCORES_ORACLE,
+    _quality_sql,
+    quality_nb_scores_docs,
+)
 from .registry import QuerySpec
 
 # 2^60 as an exact double literal for the oracle's uniform draw.
@@ -214,6 +219,38 @@ def _pipeline_dsir_oracle() -> str:
 SELECT doc_id, epoch, chunk_idx, n_chunk_tokens, shard,
        CAST(seq_id AS INTEGER) AS seq_id
 FROM pack
+"""
+
+
+def quality_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every quality signal the engine computes, joined per document —
+    the table a curation team actually reads when tuning gates:
+    (doc_id, quality, gopher_keep, nb_llr, dsir_lw) = the C4-style
+    heuristic score, the Gopher rule verdict, the learned NB log-odds,
+    and the DSIR importance log-weight. Signals disagree by design
+    (heuristic vs learned vs generative); this query makes the
+    disagreement queryable. Four equi-joins on doc_id; the oracle joins
+    the four existing retraining chains as subqueries, so the composite
+    is value-checked end to end."""
+    from ..operators.text import gopher_quality, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = text_stats(docs).select("doc_id", "quality")
+    gop = gopher_quality(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    nb = quality_nb_scores_docs(spark, sf_dir).select("doc_id", "nb_llr")
+    ds = dsir_weights_docs(spark, sf_dir).select("doc_id", "dsir_lw")
+    return heur.join(gop, "doc_id").join(nb, "doc_id").join(ds, "doc_id")
+
+
+def _quality_signals_oracle() -> str:
+    from .llm import _GOPHER_ORACLE, _TEXT_STATS_ORACLE
+
+    return f"""
+SELECT doc_id, q.quality, g.gopher_keep, n.nb_llr, d.dsir_lw
+FROM (SELECT doc_id, quality FROM ({_TEXT_STATS_ORACLE})) q
+JOIN (SELECT doc_id, keep AS gopher_keep FROM ({_GOPHER_ORACLE})) g USING (doc_id)
+JOIN (SELECT doc_id, nb_llr FROM ({_NB_SCORES_ORACLE})) n USING (doc_id)
+JOIN (SELECT doc_id, dsir_lw FROM ({_DSIR_WEIGHTS_ORACLE})) d USING (doc_id)
 """
 
 
@@ -466,6 +503,11 @@ QUERIES = [
         "dsir_resampled_streaming",
         dsir_resampled_streaming,
         _DSIR_RESAMPLED_STREAMING_ORACLE,
+    ),
+    QuerySpec(
+        "quality_signals_docs",
+        quality_signals_docs,
+        _quality_signals_oracle(),
     ),
     QuerySpec("dsir_weights_incremental", dsir_weights_incremental, _DSIR_WEIGHTS_ORACLE),
     QuerySpec("dsir_weights_streaming", dsir_weights_streaming, _DSIR_WEIGHTS_ORACLE),
