@@ -70,11 +70,22 @@ def pq_codebooks(
             embeddings, n_centroids=k_codes, id_col=id_col, vec_col=vec_col,
             hash_mode="md5",
         )
+        if len(sample[0]) % m != 0:
+            raise ValueError(
+                f"embedding dim {len(sample[0])} not divisible by m={m}: "
+                "trailing dimensions would be silently dropped from codes "
+                "and ADC scores"
+            )
         d = len(sample[0]) // m
         return [
             [vec[mi * d : (mi + 1) * d] for vec in sample] for mi in range(m)
         ]
     dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by m={m}: trailing "
+            "dimensions would be silently dropped from codes and ADC scores"
+        )
     d = dim // m
     books = []
     for mi in range(m):

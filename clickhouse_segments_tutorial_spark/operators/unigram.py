@@ -264,9 +264,13 @@ def unigram_train(
     - ``vocab``: (piece, cnt, lp) after ``rounds`` hard-EM rounds —
       cnt is the LAST round's raw Viterbi count (0 for unused pieces),
       lp its add-one-smoothed log-prob;
-    - ``segmented``: (word, freq, pieces) — each dictionary word's final
-      Viterbi segmentation under the final table, the corpus-wide
-      tokenization lookup (join, never per-occurrence DP).
+    - ``segmented``: (word, freq, pieces) — each dictionary word's
+      LAST E-step segmentation: the round-R Viterbi pass under the
+      round-(R-1) table, from which the returned vocab's counts were
+      re-estimated. Re-segmenting under the returned table itself could
+      differ; the DuckDB oracle replays the same order (seg{R} from
+      lp{R-1}), so both engines agree on this contract. It is the
+      corpus-wide tokenization lookup (join, never per-occurrence DP).
 
     Fully distributed: the vocabulary is never collected (the DP reads
     it through a join-built per-word slot map); the only driver scalar

@@ -890,10 +890,8 @@ class IncrementalMinHashDeduper:
         """Find one wave's new near-dup pairs (id_a, id_b, jaccard) and
         fold the wave into the band/shingle index; result pinned under
         the workdir (lazy reader)."""
-        import os
-
         from ..operators.dedup import banded_minhash_keys, shingled_docs
-        from ..sources.bucketed import resolve_wave_counter, write_bucketed
+        from ..sources.bucketed import resolve_wave_counter
 
         self._wave = resolve_wave_counter(
             self._wave, wave_id, lambda: _max_completed_wave_dir(self.workdir)
@@ -906,6 +904,20 @@ class IncrementalMinHashDeduper:
         wave_keys = banded_minhash_keys(
             wave_sh, k=self.k, bands=self.bands, persist=False
         ).persist()
+        # try/finally: a mid-wave failure (write error, bad batch) must not
+        # leak the two cached frames in this long-lived ingest loop — the
+        # same leak class the DSIR/NB/BPE trainers guard against.
+        try:
+            return self._ingest_body(wave_sh, wave_keys)
+        finally:
+            wave_sh.unpersist()
+            wave_keys.unpersist()
+
+    def _ingest_body(self, wave_sh: DataFrame, wave_keys: DataFrame) -> DataFrame:
+        import os
+
+        from ..sources.bucketed import write_bucketed
+
         state_bands = self._state("mh_bands", "band int, bucket bigint, _id bigint")
         state_sh = self._state("mh_shingles", "_id bigint, _sh array<bigint>")
         # normalized with least/greatest (state ids need not be smaller
@@ -976,8 +988,6 @@ class IncrementalMinHashDeduper:
                 align=True,
             )
             self.spark.catalog.refreshTable(self._tbl(name))
-        wave_sh.unpersist()
-        wave_keys.unpersist()
         return self.spark.read.parquet(res_path)
 
     def compact(self) -> None:

@@ -437,6 +437,21 @@ def test_ivfpq_recall_codes_and_compression(spark, sf_oracle):
     assert all(0 <= c < 32 for r in coded for c in r.pq_codes)
 
 
+def test_pq_codebooks_reject_indivisible_m(spark, sf_oracle):
+    """dim % m != 0 must raise loudly in BOTH codebook branches: the
+    silent alternative drops the trailing dim % m dimensions from every
+    code and ADC score, degrading recall with no error (r11 ADVICE)."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.pq import pq_codebooks
+
+    emb = load_table(spark, sf_oracle, "embeddings")  # dim=64
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, m=7, k_codes=8, portable=True)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, m=7, k_codes=8, portable=False)
+
+
 def test_pq_encode_partitioning_invariant(spark, sf_oracle):
     """Code assignment is per-vector independent and its tie-break fully
     specified (argmin round-6 d2, lowest code index), so the codes must
