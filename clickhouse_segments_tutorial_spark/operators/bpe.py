@@ -46,18 +46,19 @@ the learned merge list is partitioning-invariant and engine-portable —
 a DuckDB oracle replays the whole training loop bit-for-bit
 (plans/bpe_queries.py unrolls the rounds as chained CTEs).
 
-Unicode caveat (ASCII/BMP assumption): the character seeding uses
-Spark's ``split(word, '')``, which walks Java UTF-16 code units, while
-the DuckDB oracle's ``substring()`` walks codepoints — a non-BMP
-character (outside U+0000..U+FFFF, e.g. emoji) would seed as a
-surrogate PAIR on the Spark side and one codepoint on the oracle side.
-Independently, the argmax tie-break compares strings in UTF-16 order on
-Spark vs UTF-8 byte order in DuckDB, which diverge for non-ASCII ties.
-The bit-for-bit engine-portability claim therefore holds for ASCII
-corpora (the registered testdata is verified all-ASCII) and for BMP
-corpora whose tie-breaks never compare across the ASCII/non-ASCII
-boundary; a multilingual production deployment should seed BYTES (the
-GPT-2/tiktoken convention), which sidesteps both collations entirely.
+Unicode portability (MEASURED, pinned in tests/test_pretokenize.py —
+the former "UTF-16 caveat" was stale): Spark 4's ``split(word, '')``
+walks CODEPOINTS (UTF8String semantics — an astral-plane emoji seeds
+as ONE symbol, not a surrogate pair), its ``substring``/``length``
+count codepoints, and its string comparison is UTF-8 byte order — all
+identical to DuckDB. Char-mode training therefore replays bit-for-bit
+on ANY input corpus, non-BMP included
+(test_char_mode_bpe_trains_on_non_bmp_with_oracle trains on emoji and
+matches the oracle exactly); the pinned tests fail loudly if a Spark
+upgrade regresses either property. Byte-level seeding (the
+GPT-2/tiktoken convention) is still the recommended production front
+end for OTHER reasons — a closed 256-symbol alphabet and
+whitespace-aware pre-tokens — via operators/pretokenize.py.
 """
 
 from __future__ import annotations

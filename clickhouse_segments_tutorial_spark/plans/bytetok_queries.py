@@ -1,0 +1,181 @@
+"""Registered queries for BYTE-LEVEL tokenizer training
+(operators/pretokenize.py): GPT-2-style regex pre-tokenization +
+byte-to-unicode encoding feeding the UNCHANGED BPE and unigram train
+loops — the realistic-text front end (r11 verdict item 1).
+
+These twins train on byte-encoded pre-tokens instead of whitespace
+words: leading spaces are part of the token (so ``Ġthe`` and ``the``
+are distinct, the published convention), every symbol is one UTF-8
+byte, and the engine-portability caveats of char-mode training close
+outright (pretokenize module docstring — all symbols are printable BMP
+characters, identical splitting and collation on both engines, for ANY
+input including astral-plane text).
+
+Oracles: full retraining replays, reusing the char-mode round
+machinery — bpe_queries._stage for the merge rounds and
+unigram_queries._train_ctes for the EM rounds — under the byte head
+(pretokenize.BYTE_TOKENS_CTE: the same regex in DuckDB's RE2, the same
+256-entry byte map as a VALUES table). The pre-tokens here reach 9
+bytes at every SF (beyond char-mode's 8-char words); the oracle unroll
+depth is pinned below and handed to the trainer as its word-length cap
+so a corpus outgrowing the oracle fails loudly on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.bpe import bpe_train
+from ..operators.pretokenize import (
+    BYTE_TOKENS_CTE,
+    byte_encode,
+    byte_pretoken_frequencies,
+    pretokens,
+)
+from ..operators.unigram import UNI_ROUNDS, unigram_train
+from ..sources.catalog import load_table
+from .bpe_queries import _merges_df, _stage
+from .registry import QuerySpec
+from .unigram_queries import _train_ctes as _uni_train_ctes
+
+# Merge rounds for the byte-level BPE — char-mode's 32 (bpe_queries
+# rationale); trained at round_batch=1 so the oracle replays exactly.
+N_MERGES_BYTES = 32
+
+# Oracle DP unroll depth == the trainer's per-call word-length cap
+# (unigram_queries.ORACLE_MAX_WORD_LEN pattern). Pre-tokens measure 9
+# encoded bytes max at every SF (leading space + 8-char word); 12 gives
+# headroom while keeping the unrolled chain ~3x72 CTEs.
+BYTES_ORACLE_MAXW = 12
+
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str, *, refresh: bool = False):
+    """One byte-BPE training per (app, corpus); the trainer query always
+    retrains (the bpe_queries._trained contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if refresh or key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(
+            byte_pretoken_frequencies(docs), n_merges=N_MERGES_BYTES
+        )
+    merges, trained = _BPE_CACHE[key]
+    return docs, merges, trained
+
+
+def bpe_merges_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level BPE merge table in learning order: (rank, lhs,
+    rhs, merged, n_occurrences) — symbols are byte-characters (one per
+    UTF-8 byte; pretokenize.byte_decode recovers display text)."""
+    _, merges, _ = _bpe_trained(spark, sf_dir, refresh=True)
+    return _merges_df(spark, merges)
+
+
+def bpe_token_counts_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc pre-token and learned byte-BPE subword counts via the
+    trained dictionary join (the bpe_token_counts shape over byte-
+    encoded pre-tokens). Docs with no pre-tokens keep a zero row; the
+    dictionary covers every pre-token by construction (trained on this
+    corpus), enforced by a loud raise."""
+    docs, _, trained = _bpe_trained(spark, sf_dir)
+    dict_df = trained.select("word", F.size("syms").alias("_n_sub"))
+    toks = docs.select(
+        "doc_id", F.explode(pretokens("text")).alias("rawtok")
+    ).select("doc_id", byte_encode(F.col("rawtok")).alias("word"))
+    joined = toks.join(dict_df, "word", "left").withColumn(
+        "_n_sub",
+        F.when(F.col("_n_sub").isNotNull(), F.col("_n_sub")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pre-token not in byte-BPE dictionary: "),
+                    F.col("word"),
+                )
+            )
+        ),
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_n_pt"),
+        F.sum("_n_sub").cast("int").alias("_n_bpe"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n_pt", F.lit(0)).alias("n_pretokens"),
+            F.coalesce("_n_bpe", F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def unigram_pieces_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level unigram piece table after UNI_ROUNDS hard-EM
+    rounds: (piece, cnt, lp) over byte-character pieces — the unigram
+    twin of bpe_merges_bytes_docs, trained on >8-char dictionary words
+    (pre-tokens reach 9 encoded bytes on this corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = unigram_train(
+        byte_pretoken_frequencies(docs), max_word_len=BYTES_ORACLE_MAXW
+    )
+    return vocab
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Byte-mode BPE retraining chain: the byte head + char-split w1
+    (each char IS one byte after encoding) + the shared per-round
+    stages (bpe_queries._stage, head-independent)."""
+    head = f"""{BYTE_TOKENS_CTE},
+w1 AS MATERIALIZED (
+  SELECT word, freq,
+         [substring(word, CAST(i AS INT), 1) FOR i IN range(1, length(word) + 1)] AS syms
+  FROM wf
+)"""
+    return head + "," + ",".join(_stage(k) for k in range(1, n_merges + 1))
+
+
+_MERGES_BYTES_ORACLE = f"""
+WITH {_bpe_train_ctes(N_MERGES_BYTES)}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS rank, lhs, rhs, lhs || rhs AS merged, cnt AS n_occurrences FROM b{k}"
+      for k in range(1, N_MERGES_BYTES + 1)
+  )}
+)
+"""
+
+_TOKEN_COUNTS_BYTES_ORACLE = f"""
+WITH {_bpe_train_ctes(N_MERGES_BYTES)},
+tok AS (SELECT doc_id, unnest(t) AS word FROM bt),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_pt, CAST(sum(n_sub) AS INT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_pt, 0) AS INT) AS n_pretokens,
+       CAST(coalesce(a.n_bpe, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_UNI_PIECES_BYTES_ORACLE = f"""WITH {
+    _uni_train_ctes(maxw=BYTES_ORACLE_MAXW, head=BYTE_TOKENS_CTE)
+}
+SELECT piece, cnt, lp FROM lp{UNI_ROUNDS}
+"""
+
+QUERIES = [
+    QuerySpec(
+        "bpe_merges_bytes_docs", bpe_merges_bytes_docs, _MERGES_BYTES_ORACLE
+    ),
+    QuerySpec(
+        "bpe_token_counts_bytes_docs",
+        bpe_token_counts_bytes_docs,
+        _TOKEN_COUNTS_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "unigram_pieces_bytes_docs",
+        unigram_pieces_bytes_docs,
+        _UNI_PIECES_BYTES_ORACLE,
+    ),
+]

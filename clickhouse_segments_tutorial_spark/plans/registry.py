@@ -63,6 +63,8 @@ def _query_modules() -> tuple:
     exists to prevent)."""
     from . import (
         bpe_queries,
+        bytetok_queries,
+        corpus_stats_twins,
         curation,
         dsir_queries,
         incremental,
@@ -78,7 +80,7 @@ def _query_modules() -> tuple:
     return (
         segmentation_queries, relational, llm, scale, pipeline, incremental,
         curation, bpe_queries, quality_nb_queries, unigram_queries,
-        dsir_queries,
+        dsir_queries, bytetok_queries, corpus_stats_twins,
     )
 
 

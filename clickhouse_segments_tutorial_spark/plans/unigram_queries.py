@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.unigram import (
     UNI_MAX_PIECE_LEN,
-    UNI_MAX_WORD_LEN,
     UNI_ROUNDS,
     UNI_VOCAB_EXTRA,
     unigram_token_counts,
@@ -33,6 +32,17 @@ from ..operators.bpe import word_frequencies
 from ..sources.catalog import load_table
 from .curation import _TOKENS_CTE
 from .registry import QuerySpec
+
+# The UNROLL DEPTH of this module's DuckDB oracles, passed to
+# unigram_train as its per-call max_word_len so the two stay locked: a
+# corpus word longer than this raises LOUDLY on the Spark side instead
+# of silently outrunning the oracle's CTE chain. 8 covers the testdata's
+# whitespace dictionary at every SF (its words are <= 8 chars); the
+# ENGINE's own ceiling is the independent UNI_MAX_WORD_LEN=32, and the
+# DP sizes itself to the dictionary's actual max either way
+# (operators/unigram.py). The byte-mode twin pins its own depth
+# (plans/bytetok_queries.py).
+ORACLE_MAX_WORD_LEN = 8
 
 # One training per (Spark app, corpus) — the bpe_queries._TRAIN_CACHE
 # contract: the trainer query always retrains (bench times real runs);
@@ -44,7 +54,9 @@ def _trained(spark: SparkSession, sf_dir: str, *, refresh: bool = False):
     docs = load_table(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir)
     if refresh or key not in _TRAIN_CACHE:
-        _TRAIN_CACHE[key] = unigram_train(word_frequencies(docs))
+        _TRAIN_CACHE[key] = unigram_train(
+            word_frequencies(docs), max_word_len=ORACLE_MAX_WORD_LEN
+        )
     vocab, seg = _TRAIN_CACHE[key]
     return docs, vocab, seg
 
@@ -95,10 +107,11 @@ def unigram_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _viterbi_round(r: int) -> str:
+def _viterbi_round(r: int, *, maxw: int = ORACLE_MAX_WORD_LEN) -> str:
     """Round ``r`` CTEs: mp{r} (piece -> lp map), f{r}_i forward DP
-    positions, b{r}_t backtrack steps, seg{r}, raw{r}, v{r}, lp{r}."""
-    L, MAXW = UNI_MAX_PIECE_LEN, UNI_MAX_WORD_LEN
+    positions, b{r}_t backtrack steps, seg{r}, raw{r}, v{r}, lp{r}.
+    ``maxw`` is the DP unroll depth — the caller's word-length cap."""
+    L, MAXW = UNI_MAX_PIECE_LEN, maxw
     ctes = [
         f"mp{r} AS MATERIALIZED (SELECT map(list(piece), list(lp)) AS m FROM lp{r - 1})",
         f"f{r}_0 AS MATERIALIZED (SELECT word, freq, m, 0.0 AS s0 FROM wf, mp{r})",
@@ -152,13 +165,19 @@ lp{r} AS MATERIALIZED (
 )"""
 
 
-def _train_ctes() -> str:
+def _train_ctes(*, maxw: int = ORACLE_MAX_WORD_LEN, head: str | None = None) -> str:
+    """The full retraining chain. ``head`` must produce a ``wf`` (word,
+    freq) CTE; defaults to the whitespace-token head over `documents`.
+    The byte-mode twin passes pretokenize.BYTE_TOKENS_CTE and its own
+    ``maxw`` (plans/bytetok_queries.py)."""
     L, V = UNI_MAX_PIECE_LEN, UNI_VOCAB_EXTRA
-    head = f"""{_TOKENS_CTE},
+    if head is None:
+        head = f"""{_TOKENS_CTE},
 wf AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(t) AS word FROM base) GROUP BY word
-),
+)"""
+    head = head + f""",
 sub AS MATERIALIZED (
   SELECT freq, unnest(flatten(
     [[substring(word, CAST(p AS INT), CAST(l AS INT))
@@ -180,7 +199,7 @@ lp0 AS MATERIALIZED (
   FROM v0
 )"""
     return head + "," + ",".join(
-        _viterbi_round(r) for r in range(1, UNI_ROUNDS + 1)
+        _viterbi_round(r, maxw=maxw) for r in range(1, UNI_ROUNDS + 1)
     )
 
 
