@@ -111,6 +111,12 @@ def main() -> None:
     # cell without a same-session attribution; it shares the signature
     # (sub-second explode+agg+window whose samples ride JIT tier-up), so
     # it gets the same median-of-5/double-warmup treatment.
+    # funnel_view_click_purchase joined in r12 (r11 verdict item 4):
+    # +21% r10->r11 on untouched code; a same-session 12-sample probe at
+    # sf0.1 measured monotone drift 1.18 -> 0.56 s after the cold run
+    # (BASELINE.md r12) — JIT tier-up outlasting one warmup, the exact
+    # knn/session_stats signature, so a single-warmup median-of-3 lands
+    # wherever on that slope the 3-sample window falls.
     extra_sample_queries = {
         "segment_microbatch_members",
         "segment_eventtime_members",
@@ -119,6 +125,7 @@ def main() -> None:
         "session_stats_per_user",
         "q3_top_revenue_orders",
         "tfidf_top_terms_docs",
+        "funnel_view_click_purchase",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -58,9 +58,17 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 UNI_MAX_PIECE_LEN = 4
-# DP unroll depth == max supported word length; guarded LOUDLY in
-# unigram_train (a longer word would silently truncate the DP).
-UNI_MAX_WORD_LEN = 8
+# COST ceiling on supported word length, guarded LOUDLY in unigram_train.
+# The DP itself is sized to the dictionary's ACTUAL max word length (one
+# collected scalar — r11 verdict item 1), so this cap no longer prices
+# every corpus at its worst case: it only rejects pathological "words"
+# (a 10k-char unbroken blob would cost a 10k-iteration fold per row).
+# 32 covers realistic natural-language dictionaries, including
+# byte-encoded pre-tokens (operators/pretokenize.py) where one char is
+# one UTF-8 byte. Registered queries pass a TIGHTER per-call cap matched
+# to their DuckDB oracle's unroll depth (plans/unigram_queries.py) so a
+# corpus outgrowing the oracle still fails loudly, never silently.
+UNI_MAX_WORD_LEN = 32
 UNI_VOCAB_EXTRA = 256  # multi-char piece budget on top of the alphabet
 UNI_ROUNDS = 3
 
@@ -162,6 +170,7 @@ def viterbi_segmented(
     *,
     max_word_len: int = UNI_MAX_WORD_LEN,
     max_piece_len: int = UNI_MAX_PIECE_LEN,
+    dp_len: int | None = None,
 ) -> DataFrame:
     """(word, freq, pieces): each dictionary word's best unigram
     segmentation under the (piece, lp) ``vocab`` table — pure Catalyst,
@@ -186,7 +195,14 @@ def viterbi_segmented(
     step, so the inlined chain re-expands ~3^max_word_len times
     (measured: 150 s codegen at max_word_len=8, analysis OOM beyond).
     A fold's lambda is ONE constant-size expression iterated at
-    runtime — the plan stays a few hundred nodes at any word length."""
+    runtime — the plan stays a few hundred nodes at any word length.
+
+    ``dp_len`` — the fold ITERATION count, defaulting to
+    ``max_word_len``. Positions past a word's end contribute nothing
+    (NULL-guarded), so any ``dp_len`` >= the longest word is exact;
+    ``unigram_train`` passes the dictionary's collected actual max so
+    short-word corpora never pay the ceiling's iterations."""
+    steps = max_word_len if dp_len is None else dp_len
     df = _word_lp_lookup(
         words, vocab, max_word_len=max_word_len, max_piece_len=max_piece_len
     )
@@ -215,39 +231,50 @@ def viterbi_segmented(
             F.concat(acc["js"], F.array(F.when(i <= n, jb).cast("int"))).alias("js"),
         )
 
-    fwd = F.aggregate(
-        F.sequence(F.lit(1), F.lit(max_word_len)),
+    # The backtrack lives in the forward fold's FINISH lambda, where
+    # acc["js"] is a BOUND accumulator value (O(1) field access per
+    # backtrack step). Referencing the forward fold as an outer
+    # expression instead — `chosen = fwd["js"]` in a second fold — makes
+    # interpreted HOF evaluation re-run the ENTIRE forward fold once per
+    # backtrack iteration: O(dp_len^2) fold work per word, measured 66 s
+    # vs 3.2 s for one pass over 9.6k words at dp_len=32 (r12; both
+    # forms value-identical). CASE branches evaluate lazily, so
+    # element_at never sees position 0.
+    def finish(acc):
+        chosen = acc["js"]
+
+        def bt_step(a, _):
+            j = F.element_at(chosen, a["pos"])
+            return F.when(
+                a["pos"] > 0,
+                F.struct(
+                    (a["pos"] - j).cast("int").alias("pos"),
+                    F.concat(
+                        a["ps"], F.array(w.substr(a["pos"] - j + 1, j))
+                    ).alias("ps"),
+                ),
+            ).otherwise(a)
+
+        bt = F.aggregate(
+            F.sequence(F.lit(1), F.lit(steps)),
+            F.struct(
+                n.cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            bt_step,
+        )
+        return F.reverse(bt["ps"])
+
+    seg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(steps)),
         F.struct(
             F.array(F.lit(0.0)).alias("ss"),
             F.array().cast("array<int>").alias("js"),
         ),
         fwd_step,
+        finish,
     )
-    chosen = fwd["js"]
-
-    # backtrack fold from position n (CASE branches evaluate lazily, so
-    # element_at never sees position 0)
-    def bt_step(acc, _):
-        j = F.element_at(chosen, acc["pos"])
-        return F.when(
-            acc["pos"] > 0,
-            F.struct(
-                (acc["pos"] - j).cast("int").alias("pos"),
-                F.concat(
-                    acc["ps"], F.array(w.substr(acc["pos"] - j + 1, j))
-                ).alias("ps"),
-            ),
-        ).otherwise(acc)
-
-    bt = F.aggregate(
-        F.sequence(F.lit(1), F.lit(max_word_len)),
-        F.struct(
-            n.cast("int").alias("pos"),
-            F.array().cast("array<string>").alias("ps"),
-        ),
-        bt_step,
-    )
-    return df.select("word", "freq", F.reverse(bt["ps"]).alias("pieces"))
+    return df.select("word", "freq", seg.alias("pieces"))
 
 
 def unigram_train(
@@ -283,10 +310,16 @@ def unigram_train(
     ).collect()[0]["m"]  # bounded: one scalar
     if too_long is not None and too_long > max_word_len:
         raise ValueError(
-            f"dictionary word of length {too_long} exceeds the DP unroll "
-            f"depth max_word_len={max_word_len}; raise it (both the "
-            f"operator and the oracle unroll this constant)"
+            f"dictionary word of length {too_long} exceeds "
+            f"max_word_len={max_word_len}; raise it (the DP cost grows "
+            f"linearly; a paired DuckDB oracle must unroll at least as "
+            f"many CTE steps)"
         )
+    # size the DP to the dictionary, not the ceiling: the guard already
+    # collected the actual max, so a 6-char-word corpus runs 6-iteration
+    # folds regardless of the 32-char cap (positions past a word's end
+    # are NULL no-ops, so any dp_len >= the max is exact)
+    dp = max(1, min(int(too_long or 1), max_word_len))
     vocab = _logged(seed_vocab(
         words, max_piece_len=max_piece_len, vocab_extra=vocab_extra
     ))
@@ -298,6 +331,7 @@ def unigram_train(
             vocab,
             max_word_len=max_word_len,
             max_piece_len=max_piece_len,
+            dp_len=dp,
         )
         raw = (
             seg.select("freq", F.explode("pieces").alias("piece"))

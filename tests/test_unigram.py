@@ -90,9 +90,18 @@ def test_train_partitioning_invariant(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
-def test_word_longer_than_unroll_fails_loudly(spark):
-    with pytest.raises(ValueError, match="exceeds the DP unroll"):
-        unigram_train(_wf(spark, [("abcdefghi", 1)]))  # 9 > UNI_MAX_WORD_LEN
+def test_word_longer_than_cap_fails_loudly(spark):
+    """The raised ceiling (r11 verdict item 1): 9-char words — beyond
+    the old 8-char cap — now train (the DP sizes itself to the
+    dictionary); only words past UNI_MAX_WORD_LEN=32 raise, and a
+    TIGHTER per-call cap still raises for oracle-locked callers."""
+    vocab, seg = unigram_train(_wf(spark, [("abcdefghi", 2), ("ab", 1)]))
+    got = {r.word: list(r.pieces) for r in seg.collect()}
+    assert "".join(got["abcdefghi"]) == "abcdefghi"
+    with pytest.raises(ValueError, match="exceeds max_word_len"):
+        unigram_train(_wf(spark, [("a" * 33, 1)]))  # 33 > UNI_MAX_WORD_LEN
+    with pytest.raises(ValueError, match="exceeds max_word_len"):
+        unigram_train(_wf(spark, [("abcdefghi", 1)]), max_word_len=8)
 
 
 def test_token_counts_keep_empty_docs(spark):
