@@ -99,9 +99,31 @@ def tfidf_top_terms(
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return tfidf_from_stats(docs, df_, n_docs, k=k, text_col=text_col, id_col=id_col)
+
+
+def tfidf_from_stats(
+    docs: DataFrame,
+    df_table: DataFrame,
+    n_docs: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``docs`` against a PRE-BUILT corpus model — ``df_table``
+    (term, df) and ``n_docs`` (one row, ``_n``) — the ONE definition
+    site of the TF-IDF math (:func:`tfidf_top_terms` derives the model
+    from the docs themselves; the incremental twin rebuilds it from
+    wave-count state — plans/corpus_stats_twins.py — and both paths
+    produce bit-identical scores because this function is shared).
+    tf is always recomputed from the docs being scored (it is per-doc,
+    not corpus state)."""
+    terms = doc_terms(docs, text_col, id_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = (
-        tf.join(df_, "term")
+        tf.join(df_table, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("_score", F.round(F.col("tf") * idf, 6))
     )
@@ -140,17 +162,46 @@ def bigram_nll(
     per-doc mean independent of partitioning.
     """
     terms = doc_terms(docs, text_col, id_col)
+    bigrams = doc_bigrams(docs, text_col, id_col)
+    big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = terms.agg(F.count_distinct("term").alias("_v"))
+    return bigram_nll_from_counts(docs, big_c, vocab, text_col=text_col, id_col=id_col)
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w1, w2): each document's adjacent-term transitions, in
+    order — the shared stream of :func:`bigram_nll` and its incremental
+    twin's per-wave count pass."""
+    terms = doc_terms(docs, text_col, id_col)
     nxt = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
+    return (
         terms.withColumn("w2", F.lead("term").over(nxt))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.col("term").alias("w1"), "w2")
     )
-    big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+
+def bigram_nll_from_counts(
+    docs: DataFrame,
+    big_c: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``docs`` against a PRE-BUILT bigram model — ``big_c``
+    (w1, w2, c12) and ``vocab`` (one row, ``_v`` = |vocab|) — the ONE
+    definition site of the smoothed-NLL math (:func:`bigram_nll`
+    derives the counts from the docs themselves; the incremental twin
+    rebuilds them from wave-count state and both paths share this
+    scorer bit-for-bit). C(w1, .) always folds out of the bigram counts
+    (vocab-sized agg, never a second corpus pass)."""
+    bigrams = doc_bigrams(docs, text_col, id_col)
     # C(w1,.) folds out of the bigram counts — a vocab-sized aggregation —
     # instead of a second corpus-wide explode + shuffle over the raw stream.
     uni_c = big_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = terms.agg(F.count_distinct("term").alias("_v"))
     # per-bigram ln rounded to 12 decimals BEFORE the sum: the summands are
     # then identical doubles in both engines (libm ulp noise removed), and
     # the decimal-exact accumulation makes the sum order-independent.

@@ -1,0 +1,310 @@
+"""Incremental + streaming twins for the last count-model operators —
+TF-IDF and the bigram-LM NLL (r11 verdict item 2) — closing the
+batch / incremental / streaming triangle for EVERY learned signal in
+quality_signals_docs (novelty, semantic dedup, curation, quota, NB,
+BPE, DSIR, MinHash already have theirs).
+
+Both models' corpus-level inputs are associative integer counts, so the
+shared operators.wave_counts.WaveCountState chassis applies directly
+(storage, replay collapse, compaction, crash healing, resume
+numbering), the accumulated state reproduces the batch statistics
+EXACTLY under ANY disjoint wave split, and the rebuilt models score
+bit-identically to the batch operators — so all four twins SHARE the
+batch queries' DuckDB retraining oracles (plans/llm.py):
+
+- **TF-IDF**: the corpus model is (term -> document frequency) plus the
+  total document count N. Waves partition the corpus, so per-wave df
+  deltas sum to the exact corpus df. Per-doc tf is NOT state — it is
+  recomputed from the docs being scored (operators.corpus_stats.
+  tfidf_from_stats, the one definition site of the scoring math).
+- **Bigram NLL**: the model is C(w1, w2) plus |vocab|. Bigrams never
+  span documents, so per-wave bigram counts are associative; C(w1, .)
+  folds out of the accumulated bigram counts exactly as in batch.
+  |vocab| is a distinct-count (NOT a sum), so state also carries one
+  presence row per distinct term per wave — distinctness across waves
+  is a set union, which the rebuild's count(DISTINCT key) computes
+  exactly. Both statistics share ONE state table: bigram rows under
+  key "w1 w2" (terms are pure alnum, so the space separator cannot
+  alias) and term-presence rows under the bare term key.
+
+100 TB design: state is vocabulary-sized x waves (Heaps' law — the
+bigram table is the largest at O(distinct bigrams), still orders of
+magnitude under the corpus); each wave pays one wave-sized explode +
+hash-agg; model rebuild reads ONLY the state. The nightly-refresh
+pattern: yesterday's corpus is never re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.corpus_stats import (
+    bigram_nll_from_counts,
+    doc_bigrams,
+    doc_terms,
+    tfidf_from_stats,
+)
+from ..sources.catalog import load_table
+from .registry import QuerySpec
+
+
+class IncrementalTfidfTrainer:
+    """Wave-state twin of ``tfidf_top_terms``: state accumulates
+    (term, df) deltas plus a sentinel doc-count row; scoring rebuilds
+    the (df, N) model and reuses the batch scorer. The sentinel key is
+    the empty string — kept terms match ^[a-z0-9]+$, so no real term
+    can collide with it."""
+
+    def __init__(self, spark: SparkSession, workdir: str, *, state_buckets: int = 32):
+        from ..operators.wave_counts import WaveCountState
+
+        self.spark = spark
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="tfidfstate",
+            key_col="term",
+            key_type="string",
+            value_cols=["df", "nd"],
+            state_buckets=state_buckets,
+        )
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's df deltas + doc count into state; returns the
+        wave's audit row (wave, n_terms, n_docs), pinned under the
+        workdir."""
+        wave = self._st.resolve_wave(wave_id)
+        per_term = (
+            doc_terms(docs)
+            .select("doc_id", "term")
+            .distinct()
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.lit(0).cast("long").alias("nd"),
+            )
+        )
+        doc_row = docs.agg(
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        delta = per_term.unionByName(doc_row).persist()
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.sum(F.when(F.col("term") != "", 1).otherwise(0)).alias("n_terms"),
+                F.sum("nd").alias("n_docs"),
+            )
+            # pin the audit BEFORE the state append (read-your-writes rule)
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def model(self) -> tuple[DataFrame, DataFrame]:
+        """(df_table, n_docs) rebuilt from state — identical to the
+        batch statistics over the concatenation of every wave."""
+        s = self._st.read()
+        df_table = (
+            s.filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        n_docs = s.agg(F.sum("nd").alias("_n"))
+        return df_table, n_docs
+
+    def score(self, docs: DataFrame, *, k: int = 5) -> DataFrame:
+        df_table, n_docs = self.model()
+        return tfidf_from_stats(docs, df_table, n_docs, k=k)
+
+    def compact(self) -> None:
+        self._st.compact(self._st._wave)
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def drop_state(self) -> None:
+        self._st.drop()
+
+
+class IncrementalBigramNLLTrainer:
+    """Wave-state twin of ``bigram_nll``: one state table holds both
+    statistics — bigram rows keyed "w1 w2" with the wave's c12 delta,
+    and zero-count term-presence rows keyed by the bare term (class
+    docstring). Scoring rebuilds (C(w1,w2), |vocab|) and reuses the
+    batch scorer."""
+
+    def __init__(self, spark: SparkSession, workdir: str, *, state_buckets: int = 32):
+        from ..operators.wave_counts import WaveCountState
+
+        self.spark = spark
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="bigramstate",
+            key_col="gram",
+            key_type="string",
+            value_cols=["c12"],
+            state_buckets=state_buckets,
+        )
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's bigram counts + term presences into state;
+        returns the wave's audit row (wave, n_bigrams, n_terms)."""
+        wave = self._st.resolve_wave(wave_id)
+        big = doc_bigrams(docs).groupBy(
+            F.concat_ws(" ", "w1", "w2").alias("gram")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        pres = (
+            doc_terms(docs)
+            .select(F.col("term").alias("gram"))
+            .distinct()
+            .withColumn("c12", F.lit(0).cast("long"))
+        )
+        delta = big.unionByName(pres).persist()
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.sum("c12").alias("n_bigrams"),
+                F.sum(F.when(F.col("c12") == 0, 1).otherwise(0)).alias("n_terms"),
+            )
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def model(self) -> tuple[DataFrame, DataFrame]:
+        """(big_c, vocab) rebuilt from state. Bigram keys split back on
+        the single space; |vocab| counts DISTINCT bare-term keys (the
+        set-union across waves)."""
+        s = self._st.read()
+        grams = s.groupBy("gram").agg(F.sum("c12").alias("c12"))
+        is_bigram = F.col("gram").contains(" ")
+        big_c = grams.filter(is_bigram).select(
+            F.split_part("gram", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("gram", F.lit(" "), F.lit(2)).alias("w2"),
+            "c12",
+        )
+        vocab = grams.filter(~is_bigram).agg(
+            F.count(F.lit(1)).alias("_v")
+        )
+        return big_c, vocab
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        big_c, vocab = self.model()
+        return bigram_nll_from_counts(docs, big_c, vocab)
+
+    def compact(self) -> None:
+        self._st.compact(self._st._wave)
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def drop_state(self) -> None:
+        self._st.drop()
+
+
+def _two_waves(spark: SparkSession, sf_dir: str, trainer) -> DataFrame:
+    """Reset, ingest `documents` as two doc_id-median waves, score the
+    full corpus — the shared incremental-query choreography (no
+    wave-order contract: counts are associative)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    trainer.reset()
+    trainer.ingest(docs.filter(F.col("doc_id") < mid))
+    trainer.ingest(docs.filter(F.col("doc_id") >= mid))
+    return trainer.score(docs)
+
+
+def _streamed(spark: SparkSession, sf_dir: str, trainer, workdir: str) -> DataFrame:
+    """The trainer driven by the generic streaming wave gate
+    (streaming/stream_curation.py) — checkpointed file stream, two wave
+    files, foreachBatch ingest — then the rebuilt model scores the
+    corpus. Shares the batch retraining oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=trainer)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    return trainer.score(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_top_terms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF trained INCREMENTALLY over two waves with bucketed
+    (term, df) state between them; the rebuilt (df, N) model scores the
+    full corpus bit-identically to batch, sharing tfidf_top_terms_docs'
+    oracle."""
+    from .curation import _stream_scratch
+
+    return _two_waves(
+        spark, sf_dir, IncrementalTfidfTrainer(spark, _stream_scratch("tfidf_incr"))
+    )
+
+
+def bigram_lm_nll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM NLL trained INCREMENTALLY over two waves with bucketed
+    bigram-count state; shares bigram_lm_nll_docs' oracle."""
+    from .curation import _stream_scratch
+
+    return _two_waves(
+        spark, sf_dir,
+        IncrementalBigramNLLTrainer(spark, _stream_scratch("bigram_incr")),
+    )
+
+
+def tfidf_top_terms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF trainer behind the streaming wave gate."""
+    from .curation import _stream_scratch
+
+    workdir = _stream_scratch("tfidf_streaming")
+    return _streamed(
+        spark, sf_dir,
+        IncrementalTfidfTrainer(spark, f"{workdir}/state"), workdir,
+    )
+
+
+def bigram_lm_nll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram-NLL trainer behind the streaming wave gate."""
+    from .curation import _stream_scratch
+
+    workdir = _stream_scratch("bigram_streaming")
+    return _streamed(
+        spark, sf_dir,
+        IncrementalBigramNLLTrainer(spark, f"{workdir}/state"), workdir,
+    )
+
+
+def _oracles():
+    from .llm import _BIGRAM_NLL_ORACLE, _TFIDF_ORACLE
+
+    return _TFIDF_ORACLE, _BIGRAM_NLL_ORACLE
+
+
+_TFIDF_ORACLE, _BIGRAM_NLL_ORACLE = _oracles()
+
+QUERIES = [
+    QuerySpec(
+        "tfidf_top_terms_incremental", tfidf_top_terms_incremental, _TFIDF_ORACLE
+    ),
+    QuerySpec(
+        "bigram_lm_nll_incremental", bigram_lm_nll_incremental, _BIGRAM_NLL_ORACLE
+    ),
+    QuerySpec(
+        "tfidf_top_terms_streaming", tfidf_top_terms_streaming, _TFIDF_ORACLE
+    ),
+    QuerySpec(
+        "bigram_lm_nll_streaming", bigram_lm_nll_streaming, _BIGRAM_NLL_ORACLE
+    ),
+]

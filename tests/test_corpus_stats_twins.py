@@ -1,0 +1,119 @@
+"""Unit tests for the TF-IDF / bigram-NLL incremental trainers
+(plans/corpus_stats_twins.py) — the wave-state twins closing the
+batch/incremental/streaming triangle for the last count-model signals
+(r11 verdict item 2). Mirrors the IncrementalNBTrainer test contract:
+batch-equality under ANY split, and replay/compact safety."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+    bigram_nll,
+    tfidf_top_terms,
+)
+from clickhouse_segments_tutorial_spark.plans.corpus_stats_twins import (
+    IncrementalBigramNLLTrainer,
+    IncrementalTfidfTrainer,
+)
+from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tfidf_incremental_equals_batch_any_split(spark, tmp_path):
+    """(term, df) deltas + the doc count are a sufficient statistic:
+    any disjoint wave split reproduces the batch top-k bit-for-bit
+    (the scorer is the shared tfidf_from_stats)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = _rows(tfidf_top_terms(docs, k=5))
+    tr = IncrementalTfidfTrainer(spark, str(tmp_path / "tfidf"))
+    tr.reset()
+    # interleaved split — no wave-order contract
+    for k in range(3):
+        tr.ingest(docs.filter(F.col("doc_id") % 3 == k))
+    assert _rows(tr.score(docs, k=5)) == batch
+    tr.drop_state()
+
+
+def test_bigram_incremental_equals_batch_any_split(spark, tmp_path):
+    """Bigram counts never span documents and |vocab| is the set union
+    of per-wave term presences, so any disjoint split reproduces the
+    batch NLL bit-for-bit (shared bigram_nll_from_counts scorer)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = _rows(bigram_nll(docs))
+    tr = IncrementalBigramNLLTrainer(spark, str(tmp_path / "bigram"))
+    tr.reset()
+    for k in range(3):
+        tr.ingest(docs.filter(F.col("doc_id") % 3 == k))
+    assert _rows(tr.score(docs)) == batch
+    tr.drop_state()
+
+
+def test_tfidf_replay_and_compact_safe(spark, tmp_path):
+    """The WaveCountState crash contract: a wave re-ingested under its
+    original wave_id (crash replay) appends duplicate wave-tagged rows
+    the max()-collapse read must ignore, including after compact()."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 200
+    )
+    batch = _rows(tfidf_top_terms(docs, k=5))
+    tr = IncrementalTfidfTrainer(spark, str(tmp_path / "tfidf"))
+    tr.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tr.ingest(w1, wave_id=1)
+    tr.ingest(w2, wave_id=2)
+    tr.ingest(w2, wave_id=2)  # crash-replay of wave 2
+    assert _rows(tr.score(docs, k=5)) == batch
+    tr.compact()
+    assert _rows(tr.score(docs, k=5)) == batch
+    tr.ingest(w1, wave_id=1)  # replay of an already-compacted wave
+    assert _rows(tr.score(docs, k=5)) == batch
+    tr.drop_state()
+
+
+def test_bigram_replay_and_compact_safe(spark, tmp_path):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 200
+    )
+    batch = _rows(bigram_nll(docs))
+    tr = IncrementalBigramNLLTrainer(spark, str(tmp_path / "bigram"))
+    tr.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tr.ingest(w1, wave_id=1)
+    tr.ingest(w2, wave_id=2)
+    tr.ingest(w2, wave_id=2)
+    assert _rows(tr.score(docs)) == batch
+    tr.compact()
+    assert _rows(tr.score(docs)) == batch
+    tr.ingest(w1, wave_id=1)
+    assert _rows(tr.score(docs)) == batch
+    tr.drop_state()
+
+
+def test_bigram_state_key_cannot_alias(spark, tmp_path):
+    """The single state table mixes bigram keys ("w1 w2") with bare-term
+    presence keys; kept terms are pure alnum so the space separator
+    cannot alias — pinned by scoring a corpus whose raw text TRIES to
+    collide (a token containing a space is impossible post-tokenization,
+    and punctuation-bearing tokens normalize or drop)."""
+    docs = spark.createDataFrame(
+        [(1, "ab cd ab"), (2, "ab-cd ef!"), (3, "x")],
+        "doc_id long, text string",
+    )
+    batch = _rows(bigram_nll(docs))
+    tr = IncrementalBigramNLLTrainer(spark, str(tmp_path / "bg"))
+    tr.reset()
+    tr.ingest(docs.filter(F.col("doc_id") <= 1))
+    tr.ingest(docs.filter(F.col("doc_id") > 1))
+    assert _rows(tr.score(docs)) == batch
+    big_c, vocab = tr.model()
+    # kept terms: ab, cd, ef, x ("ab-cd" drops on interior punctuation,
+    # "ef!" normalizes to ef) — |vocab| = 4, bigrams only from doc 1
+    assert vocab.collect()[0][0] == 4
+    assert {(r.w1, r.w2) for r in big_c.collect()} == {("ab", "cd"), ("cd", "ab")}
+    tr.drop_state()
