@@ -45,7 +45,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import cosine, ivf_assign, ivf_centroids, ivf_probe_lists, ivf_train
+from .similarity import (
+    cosine,
+    ivf_assign,
+    ivf_centroids,
+    ivf_probe_lists,
+    ivf_train,
+    ivf_train_portable,
+)
 
 
 def pq_codebooks(
@@ -171,6 +178,156 @@ def pq_adc_scores(
         exploded.join(F.broadcast(lut), ["m", "j"])
         .groupBy(id_col)
         .agg(F.sum("part").cast("double").alias("adc_score"))
+    )
+
+
+def _centroid_df(spark, cents: list[list[float]]):
+    """(ivf_list, _cvec) as a broadcastable frame — the join side of
+    residual computation."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "ivf_list int, _cvec array<double>",
+    )
+
+
+def pq_residual_codebooks(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Residual-space codebooks for IVFADC (Jegou et al. 2011 §IV):
+    the md5-ordered first ``k_codes`` vectors, each residualized to its
+    PRIMARY coarse list under ``cents`` (v - c_rank1), sliced per
+    subspace — the portable-sample construction of :func:`pq_codebooks`
+    moved to residual space. Elementwise float64 subtraction is
+    IEEE-exact, so the books replay bit-for-bit in SQL."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    if len(cents[0]) % m != 0:
+        raise ValueError(
+            f"embedding dim {len(cents[0])} not divisible by m={m}: "
+            "trailing dimensions would be silently dropped from codes "
+            "and ADC scores"
+        )
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    samp = embeddings.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k_codes
+    )
+    prim = ivf_assign(samp, cents, vec_col=vec_col, portable=True, spill=1)
+    res = (
+        prim.join(F.broadcast(_centroid_df(spark, cents)), "ivf_list")
+        .withColumn(
+            "_resid",
+            F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b),
+        )
+        .orderBy("_rk")
+        .select("_resid")
+        .collect()
+    )
+    sample = [list(r._resid) for r in res]
+    d = len(sample[0]) // m
+    return [[v[mi * d : (mi + 1) * d] for v in sample] for mi in range(m)]
+
+
+def ivfadc_residual_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 128,
+    n_probe: int = 24,
+    spill: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    k_cand: int = 40,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding over a PORTABLE-LLOYD coarse
+    quantizer — the full Jegou composition, engine-portable end to end:
+
+    - coarse quantizer: ``ivf_train_portable`` (md5 seed + round-6
+      decimal-exact Lloyd means; similarity.py) — the piece that makes
+      residuals pay: sampled centroids leave ~89% of vector energy in
+      the residual and residual recall DROPS below raw PQ (measured,
+      BASELINE.md r12), while two trained iterations concentrate the
+      lists and lift recall past both;
+    - candidates: spill-``spill`` entries of the ``n_probe`` probed
+      lists (the ann_ivf/ann_ivfpq machinery);
+    - encoding: each candidate's residual to its PRIMARY list,
+      quantized with residual-space sample codebooks
+      (:func:`pq_residual_codebooks`) by the portable round-6 argmin;
+    - ADC: score = round(q·c_primary, 6) + Σ_m LUT[m, code], both terms
+      exact decimals (the IVFADC inner-product identity
+      q·v ≈ q·c + q·r̂) — the coarse term re-ranks ACROSS lists, which
+      raw-PQ ADC cannot do;
+    - exact cosine re-rank of the top-``k_cand`` shortlist.
+
+    Scale: identical movement pattern to :func:`ivfpq_topk` — codes
+    resident, one m x k_codes LUT + one n_centroids q·c table broadcast
+    per probe, float vectors touched only for the shortlist."""
+    cents = ivf_train_portable(
+        embeddings, n_centroids=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if cents and len(probe) != len(cents[0]):
+        raise ValueError(f"probe dim {len(probe)} != embedding dim {len(cents[0])}")
+    spark = embeddings.sparkSession
+    plists = ivf_probe_lists(cents, probe, n_probe, portable=True)
+    assigned = ivf_assign(
+        embeddings, cents, vec_col=vec_col, portable=True, spill=spill
+    )
+    cand_ids = assigned.filter(F.col("ivf_list").isin(plists)).select(id_col).distinct()
+    if exclude_id is not None:
+        cand_ids = cand_ids.filter(F.col(id_col) != exclude_id)
+    # every candidate encodes its residual to its PRIMARY list (the
+    # build-time artifact), whichever probed list discovered it
+    prim = ivf_assign(embeddings, cents, vec_col=vec_col, portable=True, spill=1)
+    cand = prim.join(cand_ids, id_col, "left_semi")
+    cand_res = cand.join(F.broadcast(_centroid_df(spark, cents)), "ivf_list").withColumn(
+        "_resid", F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b)
+    )
+    books = pq_residual_codebooks(
+        embeddings, cents, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    coded = pq_encode(cand_res, books, id_col=id_col, vec_col="_resid")
+    lut = spark.createDataFrame(
+        pq_adc_lut(books, probe), "m int, j int, part double"
+    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
+    qp = np.asarray(probe, dtype=np.float64)
+    qc = spark.createDataFrame(
+        [
+            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
+            for i, c in enumerate(cents)
+        ],
+        "ivf_list int, qc double",
+    ).select("ivf_list", F.col("qc").cast("decimal(18,6)").alias("qc"))
+    shortlist = (
+        coded.select(id_col, "ivf_list", F.posexplode("pq_codes").alias("m", "j"))
+        .join(F.broadcast(lut), ["m", "j"])
+        .groupBy(id_col, "ivf_list")
+        .agg(F.sum("part").alias("_r"))
+        .join(F.broadcast(qc), "ivf_list")
+        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k_cand)
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )
 
 

@@ -424,6 +424,59 @@ def ivf_train(
     return cents
 
 
+def ivf_train_portable(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 32,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """ENGINE-PORTABLE Lloyd refinement: the :func:`ivf_train` loop with
+    every float mean replaced by the engine's decimal-exact rule —
+    per-(list, slot) mean = round(cast(SUM(decimal(round(val, 6))) as
+    double) / count, 6). Summands are round-6 exact decimals (order-
+    independent), the one double division is IEEE-exact, and the final
+    round-6 strips ulps — so the refined centroids are bit-identical
+    across engines and partitionings, and a DuckDB oracle can unroll
+    the iterations as CTEs (plans/llm.py's IVFADC replay). Assignment
+    uses the portable round-6 cosine rank (ivf_assign portable=True);
+    seeding is the md5-ordered sample; empty lists keep their previous
+    centroid. Trained coarse quantizers are what make IVFADC residual
+    encoding pay off (BASELINE.md r12: sampled centroids leave ~89% of
+    vector energy in the residual and recall DROPS; two portable Lloyd
+    iterations lift residual recall past both the sampled-residual and
+    the raw-PQ operating points). Driver holds n_centroids x dim
+    round-6 doubles per iteration — the same bounded footprint as
+    ivf_train."""
+    cents = ivf_centroids(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        hash_mode="md5",
+    )
+    for _ in range(refine_iters):
+        assigned = ivf_assign(embeddings, cents, vec_col=vec_col, portable=True)
+        rows = (
+            assigned.select("ivf_list", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("ivf_list", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("val").cast("double"), 6).cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("ivf_list")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("arr"))
+            .select("ivf_list", F.transform("arr", lambda s: s.m).alias("c"))
+            .collect()
+        )
+        refined = {r.ivf_list: list(map(float, r.c)) for r in rows}
+        # empty lists keep their previous centroid
+        cents = [refined.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe: list[float],

@@ -945,6 +945,185 @@ LIMIT 10
 """
 
 
+def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVFADC with RESIDUAL encoding over a
+    PORTABLE-LLOYD coarse quantizer (r11 verdict item 6 — the Jegou
+    composition completed): two decimal-exact Lloyd iterations refine
+    the 128 md5-sampled centroids (similarity.ivf_train_portable), each
+    candidate encodes its residual to its primary list with
+    residual-space sample codebooks, and ADC scores
+    round(q·c_primary, 6) + Σ LUT[m, code] — the coarse term re-ranks
+    across lists, which raw-PQ ADC cannot. Same operating point as
+    ann_ivfpq_topk (m=16 x 32 codes, 24/128 lists, spill 2, top-80
+    shortlist): measured mean top-10 recall **0.880** over 10 probes at
+    sf0.01 vs raw-PQ's 0.770 and IVF-only's 0.755 (pinned >= 0.80 in
+    tests). The residual gain REQUIRES the trained quantizer: over the
+    raw md5-sampled centroids residual recall measures 0.560 — sampled
+    centroids leave ~89% of vector energy in the residual and sample
+    codebooks quantize that unstructured space 3.3x worse (BASELINE.md
+    r12). Every stage is round-6/decimal deterministic, so the oracle
+    replays Lloyd refinement, residual encoding, ADC, and re-rank
+    bit-for-bit."""
+    from ..operators.pq import ivfadc_residual_topk
+
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_residual_topk(
+        _t(spark, sf_dir, "embeddings"), list(probe), k=10, n_centroids=128,
+        n_probe=24, spill=2, m=16, k_codes=32, k_cand=80, refine_iters=2,
+        exclude_id=0,
+    )
+
+
+def _lloyd_iter_ctes(t: int) -> str:
+    """One portable-Lloyd iteration: rank-1 assignment under
+    cents{t-1}, per-(list, slot) decimal-exact round-6 mean, array
+    rebuild, empty-list carryover — replaying
+    similarity.ivf_train_portable exactly."""
+    return f"""
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.cvec), 6) DESC,
+                      c.cidx ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents{t - 1} c
+  ) WHERE rk = 1
+),
+mn{t} AS MATERIALIZED (
+  SELECT cidx, pos,
+         round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM (
+    SELECT a.cidx,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS val,
+           CAST(unnest(range(1, len(e.embedding) + 1)) AS INT) AS pos
+    FROM asg{t} a JOIN embeddings e USING (vec_id)
+  ) GROUP BY cidx, pos
+),
+newc{t} AS MATERIALIZED (
+  SELECT cidx, list(m ORDER BY pos) AS cvec FROM mn{t} GROUP BY cidx
+),
+cents{t} AS MATERIALIZED (
+  SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec
+  FROM cents{t - 1} p LEFT JOIN newc{t} n USING (cidx)
+)"""
+
+
+# ann_ivfadc_residual_topk replay: cents0 is the md5 sample; two unrolled
+# portable-Lloyd iterations (decimal-exact round-6 means, the
+# ivf_train_portable rule); spill-2 candidate discovery under the refined
+# centroids; every candidate residualized to its RANK-1 list; books = the
+# first 32 md5-ordered vectors' primary residuals; enc_d2/codes replay
+# pq_encode's portable argmin over residuals; adc adds the round-6
+# q·c_primary coarse term to the LUT sum as exact decimals.
+_ANN_IVFADC_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
+),{_lloyd_iter_ctes(1)},{_lloyd_iter_ctes(2)},
+probe_vec AS (SELECT CAST(embedding AS DOUBLE[]) AS pvec FROM embeddings WHERE vec_id = 0),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents2 c
+),
+probe_rank AS (
+  SELECT c.cidx,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(p.pvec, c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM cents2 c CROSS JOIN probe_vec p
+),
+probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= 24),
+cand AS MATERIALIZED (
+  SELECT DISTINCT v.vec_id
+  FROM (SELECT vec_id, cidx FROM assign WHERE rk <= 2) v
+  JOIN probe_lists pl USING (cidx)
+  WHERE v.vec_id != 0
+),
+prim AS (SELECT vec_id, cidx FROM assign WHERE rk <= 1),
+resid AS MATERIALIZED (
+  SELECT e.vec_id, p.cidx,
+         [CAST(e.embedding AS DOUBLE[])[i] - c.cvec[i]
+          FOR i IN range(1, len(e.embedding) + 1)] AS rvec
+  FROM embeddings e
+  JOIN cand USING (vec_id)
+  JOIN prim p USING (vec_id)
+  JOIN cents2 c ON p.cidx = c.cidx
+),
+book_rows AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1 AS code_j,
+         [CAST(e.embedding AS DOUBLE[])[i] - c.cvec[i]
+          FOR i IN range(1, len(e.embedding) + 1)] AS bvec
+  FROM embeddings e
+  JOIN prim p USING (vec_id)
+  JOIN cents2 c ON p.cidx = c.cidx
+  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id
+  LIMIT 32
+),
+subs AS (SELECT CAST(mi AS INTEGER) AS mi FROM range(16) t(mi)),
+enc_d2 AS MATERIALIZED (
+  SELECT r.vec_id, s.mi, b.code_j,
+         round(
+           list_inner_product(list_slice(r.rvec, s.mi*4+1, s.mi*4+4),
+                              list_slice(r.rvec, s.mi*4+1, s.mi*4+4))
+           - 2 * list_inner_product(list_slice(r.rvec, s.mi*4+1, s.mi*4+4),
+                                    list_slice(b.bvec, s.mi*4+1, s.mi*4+4))
+           + list_inner_product(list_slice(b.bvec, s.mi*4+1, s.mi*4+4),
+                                list_slice(b.bvec, s.mi*4+1, s.mi*4+4)), 6) AS d2
+  FROM resid r CROSS JOIN subs s CROSS JOIN book_rows b
+),
+codes AS (
+  SELECT vec_id, mi, code_j FROM (
+    SELECT vec_id, mi, code_j,
+           row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code_j ASC) AS rk
+    FROM enc_d2
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT s.mi, b.code_j,
+         CAST(round(list_inner_product(list_slice(p.pvec, s.mi*4+1, s.mi*4+4),
+                                       list_slice(b.bvec, s.mi*4+1, s.mi*4+4)), 6)
+              AS DECIMAL(18,6)) AS part
+  FROM subs s CROSS JOIN book_rows b CROSS JOIN probe_vec p
+),
+qc AS (
+  SELECT c.cidx,
+         CAST(round(list_inner_product(p.pvec, c.cvec), 6) AS DECIMAL(18,6)) AS qcpart
+  FROM cents2 c CROSS JOIN probe_vec p
+),
+adc AS (
+  SELECT c.vec_id,
+         CAST(sum(l.part) + any_value(q.qcpart) AS DOUBLE) AS adc_score
+  FROM codes c
+  JOIN lut l USING (mi, code_j)
+  JOIN resid r ON c.vec_id = r.vec_id
+  JOIN qc q ON r.cidx = q.cidx
+  GROUP BY c.vec_id
+),
+shortlist AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 80)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec), 6) AS cos_sim
+FROM embeddings e
+JOIN shortlist USING (vec_id)
+CROSS JOIN probe_vec p
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= SEM_NEAR_DUP_THRESHOLD (exact O(n^2) —
     the oracle baseline for the bucketed path; allow_quadratic
@@ -2132,6 +2311,9 @@ QUERIES = [
     QuerySpec("ann_srp_topk", ann_srp_topk, _ANN_SRP_ORACLE),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE),
     QuerySpec("ann_ivfpq_topk", ann_ivfpq_topk, _ANN_IVFPQ_ORACLE),
+    QuerySpec(
+        "ann_ivfadc_residual_topk", ann_ivfadc_residual_topk, _ANN_IVFADC_ORACLE
+    ),
     QuerySpec(
         "cluster_balanced_embeddings",
         cluster_balanced_embeddings,

@@ -437,6 +437,61 @@ def test_ivfpq_recall_codes_and_compression(spark, sf_oracle):
     assert all(0 <= c < 32 for r in coded for c in r.pq_codes)
 
 
+def test_ivfadc_residual_recall_beats_raw_pq(spark, sf_oracle):
+    """IVFADC residual encoding over the PORTABLE-LLOYD coarse
+    quantizer (r11 verdict item 6): at the ann_ivfpq_topk operating
+    point (m=16, 32 codes, 24/128 lists, spill 2, top-80 shortlist) the
+    measured mean top-10 recall is 0.880 over these 10 probes — above
+    raw-PQ's 0.770 and IVF-only's 0.755; pinned >= 0.80. The trained
+    quantizer is what makes residuals pay: over raw md5-sampled
+    centroids residual recall measures 0.560 (BASELINE.md r12)."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.pq import (
+        ivfadc_residual_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    recalls = []
+    for pid in range(10):
+        j = int(np.where(ids == pid)[0][0])
+        sims = np.round(Vn @ Vn[j], 6)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact = [int(ids[i]) for i in order if ids[i] != pid][:10]
+        approx = [
+            r.vec_id
+            for r in ivfadc_residual_topk(
+                emb, list(V[j]), k=10, m=16, k_codes=32, k_cand=80,
+                exclude_id=pid,
+            ).collect()
+        ]
+        assert len(approx) == len(set(approx))
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.80, f"ivfadc residual recall {mean}: {recalls}"
+
+
+def test_ivf_train_portable_partitioning_invariant(spark, sf_oracle):
+    """The decimal-exact Lloyd means are order-independent by
+    construction: refined centroids must be byte-identical whether the
+    corpus arrives in 1 partition or 16 (F.avg-based ivf_train makes no
+    such promise — this is what lets the IVFADC oracle replay
+    refinement in SQL)."""
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        ivf_train_portable,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    one = ivf_train_portable(emb.coalesce(1), n_centroids=16, refine_iters=2)
+    many = ivf_train_portable(emb.repartition(16), n_centroids=16, refine_iters=2)
+    assert one == many
+
+
 def test_pq_codebooks_reject_indivisible_m(spark, sf_oracle):
     """dim % m != 0 must raise loudly in BOTH codebook branches: the
     silent alternative drops the trailing dim % m dimensions from every
