@@ -175,3 +175,238 @@ class StreamingWaveGate:
         if not parts:
             raise RuntimeError("no batches processed yet")
         return self.spark.read.parquet(*parts)
+
+
+class ContinuousWaveGate(StreamingWaveGate):
+    """CONTINUOUS-TRIGGER operation of the wave gate with wave-id
+    watermarking (r11 verdict item 3; README's "once a real ordered
+    source replaces the file-manifest stand-in" note): a processingTime
+    stream where wave files may be DISCOVERED OUT OF ORDER, while the
+    incremental operators' contract still requires strictly ascending
+    admission. ``availableNow`` via :class:`StreamingWaveGate` remains
+    the oracle-checked mode for every registered query; this gate is
+    the long-running-producer form, its semantics pinned by the e2e
+    test (tests/test_streaming.py).
+
+    Waves are identified by a mandatory ``_wave`` LONG column (one wave
+    per file + ``maxFilesPerTrigger=1``, so each micro-batch is one
+    wave). The ADMISSION CONTRACT, in place of event-time watermarks
+    (which Spark applies to stateful aggregations, not foreachBatch
+    sinks — the ordering layer is necessarily the gate's own):
+
+    1. a cursor tracks the highest ADMITTED wave (persisted under the
+       workdir, restart-safe);
+    2. the in-order wave (cursor + 1) is admitted immediately, then the
+       buffered ready prefix drains in the same micro-batch;
+    3. an EARLY wave (> cursor + 1) is buffered on disk, at most
+       ``max_ahead`` distinct waves — the out-of-orderness bound;
+    4. a LATE wave (<= cursor) is QUARANTINED with an audit row, never
+       ingested (admitting it would violate the ascending contract).
+       This also covers the crash-replay window: a batch replayed after
+       its sink completed but before the checkpoint commit finds its
+       wave already <= cursor — safe, because the prior completion
+       already materialized its results and state;
+    5. WATERMARK EXPIRY: if a gap wave fails to arrive while
+       ``lateness_batches`` further batches land beyond it, the gap is
+       declared LOST (audit row), the cursor advances past it, and the
+       buffer drains — bounding buffer memory and end-to-end latency
+       under producer loss, exactly what an event-time watermark bounds
+       for a windowed aggregation. A lost wave that shows up later is
+       late by rule 4.
+
+    Audit rows (quarantine/) carry (wave, reason, n_rows); buffered
+    waves live under buffered/ until admitted or expired."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        schema,
+        ingestor,
+        select_cols: list[str] | None = None,
+        compact_every: int | None = None,
+        max_ahead: int = 8,
+        lateness_batches: int = 3,
+    ):
+        super().__init__(
+            spark, workdir, schema=schema, ingestor=ingestor,
+            select_cols=select_cols, compact_every=compact_every,
+        )
+        self.max_ahead = max_ahead
+        self.lateness_batches = lateness_batches
+        self.buffer_dir = os.path.join(workdir, "buffered")
+        self.quarantine_dir = os.path.join(workdir, "quarantine")
+        self._cursor_path = os.path.join(workdir, "cursor.json")
+        os.makedirs(self.buffer_dir, exist_ok=True)
+        os.makedirs(self.quarantine_dir, exist_ok=True)
+
+    # --- tiny driver-side persistence (foreachBatch runs on the driver) ---
+
+    def _load_cursor(self) -> dict:
+        import json
+
+        if os.path.exists(self._cursor_path):
+            with open(self._cursor_path) as f:
+                return json.load(f)
+        return {"cursor": 0, "waiting": {}}
+
+    def _save_cursor(self, st: dict) -> None:
+        import json
+
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._cursor_path)
+
+    def _buffered_waves(self) -> list[int]:
+        return sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(self.buffer_dir)
+            if d.startswith("wave_")
+            and os.path.exists(os.path.join(self.buffer_dir, d, "_SUCCESS"))
+        )
+
+    def _quarantine(self, wave: int, df: DataFrame, reason: str) -> None:
+        # path keyed by (wave, reason): a gap-expired marker and a later
+        # REAL late arrival of the same wave are distinct audit events;
+        # a re-quarantine of the same (wave, reason) overwrites itself
+        # (idempotent under crash replay)
+        path = os.path.join(self.quarantine_dir, f"wave_{wave}_{reason}")
+        df.write.mode("overwrite").parquet(path)
+        import json
+
+        with open(os.path.join(path, "audit.json"), "w") as f:
+            json.dump({"wave": wave, "reason": reason, "n_rows": df.count()}, f)
+
+    def quarantined(self) -> list[dict]:
+        """The quarantine audit rows, oldest wave first."""
+        import json
+
+        out = []
+        for d in sorted(os.listdir(self.quarantine_dir)):
+            p = os.path.join(self.quarantine_dir, d, "audit.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda a: a["wave"])
+
+    def _admit(self, wave: int, df: DataFrame) -> None:
+        """Hand one wave to the ingestor and pin its output under its
+        WAVE id (not the micro-batch id — buffered waves are admitted
+        in a later batch than the one that received them, and wave ids
+        are the stable, contract-bearing key here)."""
+        out = (
+            self.ingestor.ingest(df, wave_id=wave)
+            if self._pass_wave_id
+            else self.ingestor.ingest(df)
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.results_dir, f"batch_{wave - 1}")
+        )
+        compact = getattr(self.ingestor, "compact", None)
+        if self.compact_every and compact is not None and wave % self.compact_every == 0:
+            compact()
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.select_cols:
+            batch_df = batch_df.select(*self.select_cols, "_wave")
+        waves = [r["_wave"] for r in batch_df.select("_wave").distinct().collect()]
+        if not waves:
+            return  # idle/empty micro-batch
+        if len(waves) != 1:
+            raise ValueError(
+                f"one wave per file is the gate's contract; batch {batch_id} "
+                f"carries waves {sorted(waves)}"
+            )
+        wid = int(waves[0])
+        data = batch_df.drop("_wave")
+        st = self._load_cursor()
+        cursor = st["cursor"]
+        if wid <= cursor:
+            self._quarantine(wid, data, "late-or-duplicate")
+            self._save_cursor(st)
+            return
+        if wid > cursor + 1:
+            buffered = self._buffered_waves()
+            if wid not in buffered and len(buffered) >= self.max_ahead:
+                self._quarantine(wid, data, "buffer-full")
+                self._save_cursor(st)
+                return
+            data.write.mode("overwrite").parquet(
+                os.path.join(self.buffer_dir, f"wave_{wid}")
+            )
+            # watermark bookkeeping: the gap (cursor+1) has now seen one
+            # more batch land beyond it
+            gap = str(cursor + 1)
+            st["waiting"][gap] = st["waiting"].get(gap, 0) + 1
+            if st["waiting"][gap] >= self.lateness_batches:
+                self._quarantine(
+                    cursor + 1,
+                    self.spark.createDataFrame([], data.schema),
+                    "gap-expired",
+                )
+                st["cursor"] = cursor + 1
+                st["waiting"] = {}
+                self._drain_buffer(st)
+            self._save_cursor(st)
+            return
+        # wid == cursor + 1: admit, then drain the ready buffered prefix
+        self._admit(wid, data)
+        st["cursor"] = wid
+        st["waiting"] = {}
+        self._drain_buffer(st)
+        self._save_cursor(st)
+
+    def _drain_buffer(self, st: dict) -> None:
+        import shutil
+
+        while True:
+            nxt = st["cursor"] + 1
+            path = os.path.join(self.buffer_dir, f"wave_{nxt}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                return
+            self._admit(nxt, self.spark.read.parquet(path))
+            shutil.rmtree(path, ignore_errors=True)
+            st["cursor"] = nxt
+            st["waiting"] = {}
+
+    def start_processing_time(self, interval: str = "500 milliseconds"):
+        """Start the continuous gate; returns the StreamingQuery (the
+        caller owns stop())."""
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.in_dir)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(self._sink)
+            .trigger(processingTime=interval)
+            .start()
+        )
+
+    def run_until_drained(self, *, timeout_s: float = 120.0) -> None:
+        """Drive the processingTime stream until it reports two
+        consecutive IDLE ticks (no input rows), then stop — the e2e
+        test loop. Idle-tick detection is restart-agnostic: a resumed
+        checkpoint skips already-committed files, so counting in_dir
+        entries would never converge after a restart. A production
+        deployment would just leave start_processing_time() running."""
+        import time
+
+        q = self.start_processing_time()
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                rp = q.recentProgress
+                if len(rp) >= 2 and all(
+                    p.get("numInputRows", 1) == 0 for p in rp[-2:]
+                ):
+                    return
+                time.sleep(0.3)
+            raise TimeoutError(
+                f"continuous gate still processing after {timeout_s}s"
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()

@@ -553,3 +553,133 @@ def test_streaming_ingest_feeds_corpus_pipeline(spark, tmp_path):
     # every surviving chunk traces back to a gate-accepted doc
     accepted_ids = {r.doc_id for r in accepted.collect()}
     assert {r.doc_id for r in rows} <= accepted_ids
+
+
+# --- ContinuousWaveGate: processingTime trigger + wave-id watermarking ---------
+
+
+def _cont_gate(spark, workdir, **kw):
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+    from clickhouse_segments_tutorial_spark.streaming.stream_curation import (
+        ContinuousWaveGate,
+    )
+
+    schema = spark.createDataFrame(
+        [], "doc_id long, text string, _wave long"
+    ).schema
+    return ContinuousWaveGate(
+        spark,
+        workdir,
+        schema=schema,
+        ingestor=IncrementalNoveltyScorer(spark, f"{workdir}/state"),
+        **kw,
+    )
+
+
+def _write_wave(spark, gate, rows, wid, order_ts):
+    """One wave file stamped with `_wave` and a CONTROLLED mtime —
+    the file source processes oldest-first, so order_ts IS the
+    out-of-order arrival sequence the test scripts."""
+    import pyspark.sql.functions as F
+
+    before = set(os.listdir(gate.in_dir))
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("_wave", F.lit(wid).cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(gate.in_dir)
+    )
+    for f in set(os.listdir(gate.in_dir)) - before:
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            os.utime(os.path.join(gate.in_dir, f), (order_ts, order_ts))
+
+
+def _wave_rows(lo, hi):
+    return [
+        (i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} common common")
+        for i in range(lo, hi)
+    ]
+
+
+def test_continuous_gate_reorders_early_and_quarantines_late(spark, tmp_path):
+    """The continuous-trigger contract, end to end: waves ARRIVE out of
+    order (1, 3, 2, duplicate-2) under a processingTime trigger; the
+    gate buffers the early wave, admits strictly in order once the gap
+    fills, quarantines the late duplicate — and the union of admitted
+    outputs equals the BATCH novelty operator over the full corpus,
+    i.e. out-of-order delivery + the gate restores the ascending wave
+    contract exactly."""
+    import time
+
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        ngram_novelty,
+    )
+
+    gate = _cont_gate(spark, str(tmp_path / "g1"), lateness_batches=10)
+    gate.reset_state()
+    t0 = time.time() - 100
+    _write_wave(spark, gate, _wave_rows(0, 12), 1, t0)
+    _write_wave(spark, gate, _wave_rows(22, 30), 3, t0 + 5)
+    _write_wave(spark, gate, _wave_rows(12, 22), 2, t0 + 10)
+    _write_wave(spark, gate, _wave_rows(12, 22), 2, t0 + 15)  # late duplicate
+    try:
+        gate.run_until_drained(timeout_s=180)
+        docs = spark.createDataFrame(
+            _wave_rows(0, 30), "doc_id long, text string"
+        )
+        a = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        b = sorted(map(tuple, gate.results().collect()))
+        assert a == b
+        # all three waves admitted (results pinned under wave-stable ids)
+        got = sorted(
+            d for d in os.listdir(gate.results_dir) if d.startswith("batch_")
+        )
+        assert got == ["batch_0", "batch_1", "batch_2"]
+        assert gate.quarantined() == [
+            {"wave": 2, "reason": "late-or-duplicate", "n_rows": 10}
+        ]
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_continuous_gate_watermark_expires_lost_gap(spark, tmp_path):
+    """Watermark expiry: wave 2 never arrives; after `lateness_batches`
+    further batches land beyond the gap, the gate declares it lost
+    (audit row), advances the cursor, and drains the buffer — and a
+    straggler wave 2 arriving AFTER expiry is late by rule, quarantined,
+    never ingested. Admitted output equals the batch operator over the
+    waves that were actually admitted (1, 3, 4 — still ascending)."""
+    import time
+
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        ngram_novelty,
+    )
+
+    gate = _cont_gate(spark, str(tmp_path / "g2"), lateness_batches=2)
+    gate.reset_state()
+    t0 = time.time() - 100
+    _write_wave(spark, gate, _wave_rows(0, 10), 1, t0)
+    _write_wave(spark, gate, _wave_rows(20, 28), 3, t0 + 5)
+    _write_wave(spark, gate, _wave_rows(28, 36), 4, t0 + 10)
+    _write_wave(spark, gate, _wave_rows(10, 20), 2, t0 + 15)  # post-expiry straggler
+    try:
+        gate.run_until_drained(timeout_s=180)
+        admitted = spark.createDataFrame(
+            _wave_rows(0, 10) + _wave_rows(20, 36), "doc_id long, text string"
+        )
+        a = sorted(map(tuple, ngram_novelty(admitted, n=3).collect()))
+        b = sorted(map(tuple, gate.results().collect()))
+        assert a == b
+        got = sorted(
+            d for d in os.listdir(gate.results_dir) if d.startswith("batch_")
+        )
+        assert got == ["batch_0", "batch_2", "batch_3"]  # no batch_1: wave 2 lost
+        assert gate.quarantined() == [
+            {"wave": 2, "reason": "gap-expired", "n_rows": 0},
+            {"wave": 2, "reason": "late-or-duplicate", "n_rows": 10},
+        ]
+    finally:
+        gate.ingestor.drop_state()
