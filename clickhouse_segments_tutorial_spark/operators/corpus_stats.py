@@ -118,12 +118,21 @@ def tfidf_from_stats(
     wave-count state — plans/corpus_stats_twins.py — and both paths
     produce bit-identical scores because this function is shared).
     tf is always recomputed from the docs being scored (it is per-doc,
-    not corpus state)."""
+    not corpus state).
+
+    Terms ABSENT from the model score with df = 0 (left join +
+    coalesce): the smoothed idf ln((N+1)/(0+1)) + 1 is exactly what the
+    formula defines for an unseen term, so scoring docs OUTSIDE the
+    training corpus is well-defined — an inner join would silently drop
+    unseen terms from the top-k (r12 review finding 3). Same-corpus
+    scoring (every registered query) never takes the coalesce branch,
+    so batch results are unchanged."""
     terms = doc_terms(docs, text_col, id_col)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = (
-        tf.join(df_table, "term")
+        tf.join(df_table, "term", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("_score", F.round(F.col("tf") * idf, 6))
     )
@@ -197,7 +206,16 @@ def bigram_nll_from_counts(
     derives the counts from the docs themselves; the incremental twin
     rebuilds them from wave-count state and both paths share this
     scorer bit-for-bit). C(w1, .) always folds out of the bigram counts
-    (vocab-sized agg, never a second corpus pass)."""
+    (vocab-sized agg, never a second corpus pass).
+
+    Transitions ABSENT from the model score with c12 = 0 and an unseen
+    context with c1 = 0 (left joins + coalesce): add-one smoothing
+    p = (0+1)/(0+V) is exactly what the estimator defines for them, so
+    scoring docs OUTSIDE the training corpus is well-defined — an inner
+    join would silently drop unseen transitions from n_bigrams and the
+    mean (r12 review finding 3). Same-corpus scoring (every registered
+    query) never takes a coalesce branch, so batch results are
+    unchanged."""
     bigrams = doc_bigrams(docs, text_col, id_col)
     # C(w1,.) folds out of the bigram counts — a vocab-sized aggregation —
     # instead of a second corpus-wide explode + shuffle over the raw stream.
@@ -209,8 +227,10 @@ def bigram_nll_from_counts(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("_v"))), 12
     )
     scored = (
-        bigrams.join(big_c, ["w1", "w2"])
-        .join(uni_c, "w1")
+        bigrams.join(big_c, ["w1", "w2"], "left")
+        .withColumn("c12", F.coalesce("c12", F.lit(0)))
+        .join(uni_c, "w1", "left")
+        .withColumn("c1", F.coalesce("c1", F.lit(0)))
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -281,15 +281,25 @@ def ivfadc_residual_topk(
         raise ValueError(f"probe dim {len(probe)} != embedding dim {len(cents[0])}")
     spark = embeddings.sparkSession
     plists = ivf_probe_lists(cents, probe, n_probe, portable=True)
+    # ONE ranked assignment pass serves both roles (the corpus-sized
+    # matmul is the dominant cost — r12 review finding 6): any-rank
+    # rows in probed lists discover candidates; rank-0 rows are the
+    # spill=1 primary assignment (stable-argsort prefix property).
+    # localCheckpoint: both consumers sit in the returned lazy plan, so
+    # without a barrier the matmul would still run twice at collect
+    # time (an index BUILD at scale persists this to storage instead).
     assigned = ivf_assign(
-        embeddings, cents, vec_col=vec_col, portable=True, spill=spill
+        embeddings, cents, vec_col=vec_col, portable=True, spill=spill,
+        rank_col="_ivf_rank",
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        assigned.filter(F.col("ivf_list").isin(plists)).select(id_col).distinct()
     )
-    cand_ids = assigned.filter(F.col("ivf_list").isin(plists)).select(id_col).distinct()
     if exclude_id is not None:
         cand_ids = cand_ids.filter(F.col(id_col) != exclude_id)
     # every candidate encodes its residual to its PRIMARY list (the
     # build-time artifact), whichever probed list discovered it
-    prim = ivf_assign(embeddings, cents, vec_col=vec_col, portable=True, spill=1)
+    prim = assigned.filter(F.col("_ivf_rank") == 0).drop("_ivf_rank")
     cand = prim.join(cand_ids, id_col, "left_semi")
     cand_res = cand.join(F.broadcast(_centroid_df(spark, cents)), "ivf_list").withColumn(
         "_resid", F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b)

@@ -13,18 +13,18 @@ module provides exactly that front end; the train loops are unchanged
 (README "byte-init" note) because after :func:`byte_encode` each
 CHARACTER of the dictionary word IS one byte of the original text.
 
-Why the byte-character remap closes the engine-portability caveats
-(operators/bpe.py module docstring): every encoded character lies in
-U+0021..U+0143 — printable, and strictly inside the BMP — so
-
-- Spark's ``split(word, '')`` (UTF-16 code units) and DuckDB's
-  ``substring`` (codepoints) walk the SAME units — no surrogate pairs
-  can exist in an encoded word, even when the RAW text contains
-  astral-plane characters (an emoji becomes its four byte-characters);
-- UTF-16 code-unit comparison (Spark) and UTF-8 byte comparison
-  (DuckDB) both equal codepoint order for BMP-only strings, so the
-  BPE argmax tie-break and the unigram piece ordering replay
-  bit-for-bit on ANY input corpus, not just ASCII.
+Why the byte-character remap (beyond matching the published
+convention): it gives the tokenizers a CLOSED 256-symbol alphabet
+(every future corpus is segmentable with no out-of-alphabet seeding)
+and whitespace-aware pre-tokens (``Ġthe`` vs ``the``), and it makes
+engine portability INSENSITIVE to string-splitting semantics: every
+encoded character lies in U+0021..U+0143 — printable, strictly BMP —
+where codepoint, UTF-16 code-unit, and UTF-8 byte-order views all
+coincide, on any engine version. (Char-mode itself was MEASURED
+portable on this Spark/DuckDB pair, non-BMP included — Spark 4 splits
+and collates by codepoint/UTF-8 order; see the rewritten
+operators/bpe.py caveat and tests/test_pretokenize.py — so the remap
+is belt-and-braces there, not a bug fix.)
 
 Pre-tokenizer pattern: the GPT-2 regex with ONE documented deviation —
 the published pattern's trailing-whitespace lookahead ``\\s+(?!\\S)``

@@ -295,9 +295,17 @@ def ivf_assign(
     list_col: str = "ivf_list",
     portable: bool = False,
     spill: int = 1,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its ``spill`` nearest centroids (max cosine)
     — the IVF index build.
+
+    ``rank_col``: when set (spill > 1), each (vector, list) row also
+    carries its 0-based assignment rank — rank 0 IS the spill=1
+    primary assignment (same stable argsort, prefix property), so one
+    pass serves both candidate discovery and primary-residual lookup
+    (ivfadc_residual_topk) instead of running the corpus-sized matmul
+    twice.
 
     This is the one genuinely numeric-dense step, so it is an Arrow-batched
     pandas UDF doing a single B x d @ d x C matmul per batch (~100x a
@@ -355,7 +363,12 @@ def ivf_assign(
 
     assigned = nearest_centroids(F.col(vec_col))
     if spill == 1:
-        return embeddings.withColumn(list_col, F.element_at(assigned, 1))
+        out = embeddings.withColumn(list_col, F.element_at(assigned, 1))
+        return out.withColumn(rank_col, F.lit(0)) if rank_col else out
+    if rank_col:
+        return embeddings.select(
+            "*", F.posexplode(assigned).alias(rank_col, list_col)
+        )
     return embeddings.withColumn(list_col, F.explode(assigned))
 
 

@@ -331,32 +331,63 @@ class ContinuousWaveGate(StreamingWaveGate):
             buffered = self._buffered_waves()
             if wid not in buffered and len(buffered) >= self.max_ahead:
                 self._quarantine(wid, data, "buffer-full")
-                self._save_cursor(st)
-                return
-            data.write.mode("overwrite").parquet(
-                os.path.join(self.buffer_dir, f"wave_{wid}")
-            )
-            # watermark bookkeeping: the gap (cursor+1) has now seen one
-            # more batch land beyond it
-            gap = str(cursor + 1)
-            st["waiting"][gap] = st["waiting"].get(gap, 0) + 1
-            if st["waiting"][gap] >= self.lateness_batches:
-                self._quarantine(
-                    cursor + 1,
-                    self.spark.createDataFrame([], data.schema),
-                    "gap-expired",
+            else:
+                data.write.mode("overwrite").parquet(
+                    os.path.join(self.buffer_dir, f"wave_{wid}")
                 )
-                st["cursor"] = cursor + 1
-                st["waiting"] = {}
-                self._drain_buffer(st)
+            # watermark bookkeeping: EVERY wave landing beyond the gap
+            # counts toward its expiry — buffered or buffer-full-
+            # quarantined alike (otherwise a full buffer with
+            # lateness_batches > max_ahead deadlocks: the counter can
+            # never reach the threshold and the cursor never advances —
+            # r12 review finding 1). The count is a SET of contributing
+            # wave ids, not an integer, so a crash-REPLAYED early wave
+            # re-adds its own id and cannot double-count toward expiry
+            # (r12 review finding 2).
+            gap = str(cursor + 1)
+            seen = set(st["waiting"].get(gap, []))
+            seen.add(wid)
+            st["waiting"][gap] = sorted(seen)
+            if len(seen) >= self.lateness_batches:
+                self._expire_gap(st, data.schema)
             self._save_cursor(st)
             return
         # wid == cursor + 1: admit, then drain the ready buffered prefix
         self._admit(wid, data)
         st["cursor"] = wid
         st["waiting"] = {}
-        self._drain_buffer(st)
         self._save_cursor(st)
+        self._drain_buffer(st)
+
+    def _expire_gap(self, st: dict, schema) -> None:
+        """Declare the current gap (cursor + 1) LOST: audit row, cursor
+        advance, buffer drain. One gap expires per lateness window — a
+        chain of lost waves expires one per threshold's worth of
+        subsequent arrivals (or all at once via expire_stalled_gaps)."""
+        self._quarantine(
+            st["cursor"] + 1, self.spark.createDataFrame([], schema), "gap-expired"
+        )
+        st["cursor"] = st["cursor"] + 1
+        st["waiting"] = {}
+        self._save_cursor(st)
+        self._drain_buffer(st)
+
+    def expire_stalled_gaps(self) -> None:
+        """OPERATOR CONTROL for a stalled producer: declare every gap
+        below the highest buffered wave lost and drain the buffer —
+        the manual watermark advance for end-of-stream, where the
+        arrival-driven expiry can never fire again because no further
+        batches arrive (r12 review finding 5). Call after the stream is
+        stopped (or idle); each expiry writes its audit row."""
+        from pyspark.sql.types import StructType
+
+        st = self._load_cursor()
+        schema = StructType([f for f in self.schema.fields if f.name != "_wave"])
+        while True:
+            buffered = self._buffered_waves()
+            if not buffered or buffered[-1] <= st["cursor"]:
+                return
+            self._expire_gap(st, schema)
 
     def _drain_buffer(self, st: dict) -> None:
         import shutil
@@ -367,9 +398,15 @@ class ContinuousWaveGate(StreamingWaveGate):
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 return
             self._admit(nxt, self.spark.read.parquet(path))
-            shutil.rmtree(path, ignore_errors=True)
+            # persist the cursor BEFORE deleting the buffered files: a
+            # crash between rmtree and a later save would otherwise
+            # leave an admitted wave looking like a gap — expired with a
+            # false audit row and its redelivery quarantined as a
+            # duplicate (r12 review finding 4)
             st["cursor"] = nxt
             st["waiting"] = {}
+            self._save_cursor(st)
+            shutil.rmtree(path, ignore_errors=True)
 
     def start_processing_time(self, interval: str = "500 milliseconds"):
         """Start the continuous gate; returns the StreamingQuery (the
@@ -385,13 +422,22 @@ class ContinuousWaveGate(StreamingWaveGate):
             .start()
         )
 
-    def run_until_drained(self, *, timeout_s: float = 120.0) -> None:
+    def run_until_drained(
+        self, *, timeout_s: float = 120.0, allow_buffered: bool = False
+    ) -> None:
         """Drive the processingTime stream until it reports two
         consecutive IDLE ticks (no input rows), then stop — the e2e
         test loop. Idle-tick detection is restart-agnostic: a resumed
         checkpoint skips already-committed files, so counting in_dir
         entries would never converge after a restart. A production
-        deployment would just leave start_processing_time() running."""
+        deployment would just leave start_processing_time() running.
+
+        By default raises if buffered waves remain after the stream
+        idles — "drained" must not silently mean "data is sitting in
+        the buffer behind a gap that can no longer expire" (r12 review
+        finding 5); pass ``allow_buffered=True`` for a deliberate
+        mid-stream pause, or call :meth:`expire_stalled_gaps` to
+        declare the gaps lost and flush."""
         import time
 
         q = self.start_processing_time()
@@ -402,11 +448,19 @@ class ContinuousWaveGate(StreamingWaveGate):
                 if len(rp) >= 2 and all(
                     p.get("numInputRows", 1) == 0 for p in rp[-2:]
                 ):
-                    return
+                    break
                 time.sleep(0.3)
-            raise TimeoutError(
-                f"continuous gate still processing after {timeout_s}s"
-            )
+            else:
+                raise TimeoutError(
+                    f"continuous gate still processing after {timeout_s}s"
+                )
         finally:
             q.stop()
             q.awaitTermination()
+        stranded = self._buffered_waves()
+        if stranded and not allow_buffered:
+            raise RuntimeError(
+                f"stream idled with waves {stranded} stranded in the buffer "
+                f"behind gap {self._load_cursor()['cursor'] + 1}; redeliver "
+                "the gap, or call expire_stalled_gaps() to declare it lost"
+            )

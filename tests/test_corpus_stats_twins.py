@@ -117,3 +117,38 @@ def test_bigram_state_key_cannot_alias(spark, tmp_path):
     assert vocab.collect()[0][0] == 4
     assert {(r.w1, r.w2) for r in big_c.collect()} == {("ab", "cd"), ("cd", "ab")}
     tr.drop_state()
+
+
+def test_scoring_out_of_corpus_docs_is_smoothed_not_dropped(spark, tmp_path):
+    """The from-stats scorers' nightly-refresh contract (r12 review
+    finding 3): a NEW doc scored against an accumulated model must keep
+    its unseen terms/transitions under the formulas' own smoothing —
+    df = 0 in the idf, (0+1)/(0+V) for an unseen bigram — not silently
+    drop them through an inner join."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "ab cd ab"), (2, "ab ef")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(9, "zz qq zz")], "doc_id long, text string"
+    )
+
+    tf_tr = IncrementalTfidfTrainer(spark, str(tmp_path / "t"))
+    tf_tr.reset()
+    tf_tr.ingest(train)
+    got = {r.term: r for r in tf_tr.score(new, k=5).collect()}
+    # both unseen terms survive with df = 0 and the smoothed idf
+    assert set(got) == {"zz", "qq"}
+    assert got["zz"].df == 0 and got["zz"].tf == 2
+    assert got["zz"].tfidf == round(2 * (math.log(3.0 / 1.0) + 1.0), 6)
+    tf_tr.drop_state()
+
+    bg_tr = IncrementalBigramNLLTrainer(spark, str(tmp_path / "b"))
+    bg_tr.reset()
+    bg_tr.ingest(train)
+    row = bg_tr.score(new).filter(F.col("doc_id") == 9).collect()[0]
+    # two transitions, both unseen: p = (0+1)/(0+V), V = 3 (ab, cd, ef)
+    assert row.n_bigrams == 2
+    assert row.avg_nll == round(-round(math.log(1.0 / 3.0), 12), 6)
+    bg_tr.drop_state()

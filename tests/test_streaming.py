@@ -683,3 +683,77 @@ def test_continuous_gate_watermark_expires_lost_gap(spark, tmp_path):
         ]
     finally:
         gate.ingestor.drop_state()
+
+
+def test_continuous_gate_stranded_buffer_raises_and_manual_expiry(spark, tmp_path):
+    """End-of-stream strandedness (r12 review finding 5): waves 1 and 3
+    arrive and the producer stops — the gap cannot expire because no
+    further batches land, so run_until_drained must REFUSE to report a
+    clean drain; expire_stalled_gaps() then declares the gap lost
+    (audit row) and flushes the buffered wave."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        ngram_novelty,
+    )
+    import time
+
+    gate = _cont_gate(spark, str(tmp_path / "g3"), lateness_batches=5)
+    gate.reset_state()
+    t0 = time.time() - 100
+    _write_wave(spark, gate, _wave_rows(0, 8), 1, t0)
+    _write_wave(spark, gate, _wave_rows(16, 24), 3, t0 + 5)
+    try:
+        with _pytest.raises(RuntimeError, match="stranded in the buffer"):
+            gate.run_until_drained(timeout_s=180)
+        assert gate._buffered_waves() == [3]
+        gate.expire_stalled_gaps()
+        assert gate._buffered_waves() == []
+        admitted = spark.createDataFrame(
+            _wave_rows(0, 8) + _wave_rows(16, 24), "doc_id long, text string"
+        )
+        a = sorted(map(tuple, ngram_novelty(admitted, n=3).collect()))
+        b = sorted(map(tuple, gate.results().collect()))
+        assert a == b
+        assert gate.quarantined() == [
+            {"wave": 2, "reason": "gap-expired", "n_rows": 0}
+        ]
+    finally:
+        gate.ingestor.drop_state()
+
+
+def test_continuous_gate_full_buffer_still_expires_gap(spark, tmp_path):
+    """The deadlock fix (r12 review finding 1): with max_ahead smaller
+    than lateness_batches, buffer-full quarantined waves must STILL
+    count toward gap expiry — otherwise the counter can never reach the
+    threshold and the gate stalls forever. Waves 2..5 land while wave 1
+    is lost (buffer holds 2 of them, 2 overflow); the 4th arrival
+    crosses lateness_batches=4, wave 1 expires, and the buffered prefix
+    drains."""
+    import time
+
+    gate = _cont_gate(
+        spark, str(tmp_path / "g4"), max_ahead=2, lateness_batches=4
+    )
+    gate.reset_state()
+    t0 = time.time() - 100
+    for i, wid in enumerate((2, 3, 4, 5)):  # wave 1 never arrives
+        _write_wave(
+            spark, gate, _wave_rows(10 * wid, 10 * wid + 5), wid, t0 + 5 * i
+        )
+    try:
+        gate.run_until_drained(timeout_s=180)
+        # waves 2 and 3 were buffered and drained after the expiry;
+        # 4 and 5 overflowed the 2-wave buffer into quarantine
+        got = sorted(
+            d for d in os.listdir(gate.results_dir) if d.startswith("batch_")
+        )
+        assert got == ["batch_1", "batch_2"]
+        reasons = [(a["wave"], a["reason"]) for a in gate.quarantined()]
+        assert reasons == [
+            (1, "gap-expired"),
+            (4, "buffer-full"),
+            (5, "buffer-full"),
+        ]
+    finally:
+        gate.ingestor.drop_state()
