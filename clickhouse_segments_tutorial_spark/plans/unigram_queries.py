@@ -107,6 +107,57 @@ def unigram_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_pieces_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram training run INCREMENTALLY over two waves — closing the
+    batch/incremental/streaming triangle for the SECOND learned
+    tokenizer (BPE got its twins in r11). The tokenizer's only
+    corpus-sized input is the word-frequency dictionary and word counts
+    are associative, so the wave state IS bpe_queries'
+    IncrementalBPETrainer state (the identical sufficient statistic —
+    one chassis, two tokenizers reading the rebuilt dictionary);
+    unigram_train over the accumulated counts is bit-identical to batch
+    training, sharing unigram_pieces_docs' retraining oracle. Waves
+    ingested newest-first on purpose: no wave-order contract."""
+    from .bpe_queries import IncrementalBPETrainer
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    tr = IncrementalBPETrainer(spark, _stream_scratch("uni_incremental"))
+    tr.reset()
+    tr.ingest(docs.filter(F.col("doc_id") >= mid))
+    tr.ingest(docs.filter(F.col("doc_id") < mid))
+    vocab, _ = unigram_train(tr.dictionary(), max_word_len=ORACLE_MAX_WORD_LEN)
+    return vocab
+
+
+def unigram_pieces_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram trainer behind the generic streaming wave gate: the
+    checkpointed stream drains wave files into the shared word-count
+    state, then the piece table is retrained from the gate-accumulated
+    dictionary. Shares the batch retraining oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .bpe_queries import IncrementalBPETrainer
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    workdir = _stream_scratch("uni_streaming")
+    tr = IncrementalBPETrainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
+        gate.in_dir
+    )
+    gate.run_available_now()
+    vocab, _ = unigram_train(tr.dictionary(), max_word_len=ORACLE_MAX_WORD_LEN)
+    return vocab
+
+
 def _viterbi_round(r: int, *, maxw: int = ORACLE_MAX_WORD_LEN) -> str:
     """Round ``r`` CTEs: mp{r} (piece -> lp map), f{r}_i forward DP
     positions, b{r}_t backtrack steps, seg{r}, raw{r}, v{r}, lp{r}.
@@ -252,5 +303,11 @@ QUERIES = [
     ),
     QuerySpec(
         "unigram_fertility_lang", unigram_fertility_lang, _FERTILITY_ORACLE
+    ),
+    QuerySpec(
+        "unigram_pieces_incremental", unigram_pieces_incremental, _PIECES_ORACLE
+    ),
+    QuerySpec(
+        "unigram_pieces_streaming", unigram_pieces_streaming, _PIECES_ORACLE
     ),
 ]
