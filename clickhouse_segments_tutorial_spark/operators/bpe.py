@@ -417,16 +417,20 @@ def _placed_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_missing: str = "error",
+    tokens_fn=tokens,
 ) -> DataFrame:
     """Each corpus token with its doc position, dictionary subword count,
     and the per-doc prefix sum of subwords BEFORE it — the shared
     placement frame of budget_chunks and encode_docs (one dictionary
-    join + one per-doc window)."""
+    join + one per-doc window). ``tokens_fn`` maps the text column to
+    its token ARRAY — whitespace ``tokens`` by default; the byte-mode
+    queries pass GPT-2 pre-tokenization + byte encoding
+    (plans/bytetok_queries.py)."""
     from pyspark.sql import Window
 
     dict_df = trained_words.select("word", F.size("syms").alias("_n_sub"))
     toks = docs.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "word")
+        F.col(id_col), F.posexplode(tokens_fn(text_col)).alias("_pos", "word")
     )
     w = (
         Window.partitionBy(id_col)
@@ -460,6 +464,7 @@ def encode_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_missing: str = "error",
+    tokens_fn=tokens,
 ) -> DataFrame:
     """The tokenizer's end artifact: every document as its learned
     subword token-id sequence — one row per (doc, subword position):
@@ -474,7 +479,7 @@ def encode_docs(
     output is subword-count-sized, the size a dataloader manifest IS."""
     placed = _placed_tokens(
         docs, trained_words, text_col=text_col, id_col=id_col,
-        on_missing=on_missing,
+        on_missing=on_missing, tokens_fn=tokens_fn,
     )
     vocab = symbol_vocab(trained_words)
     exploded = (

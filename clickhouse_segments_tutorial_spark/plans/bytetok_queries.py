@@ -109,6 +109,23 @@ def bpe_token_counts_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document as its byte-level learned subword token-id
+    sequence — the tokenizer's END ARTIFACT in byte mode, one row per
+    (doc_id, pos, token_id) with the deterministic sorted-symbol vocab
+    ids (operators.bpe.encode_docs under the pre-tokenize+byte-encode
+    tokens_fn). Completes the byte-mode surface: what a dataloader
+    manifest of this corpus under the byte tokenizer IS."""
+    from ..operators.bpe import encode_docs
+
+    docs, _, trained = _bpe_trained(spark, sf_dir)
+    return encode_docs(
+        docs,
+        trained,
+        tokens_fn=lambda c: F.transform(pretokens(c), byte_encode),
+    )
+
+
 def unigram_pieces_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-level unigram piece table after UNI_ROUNDS hard-EM
     rounds: (piece, cnt, lp) over byte-character pieces — the unigram
@@ -158,6 +175,34 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+_ENCODE_BYTES_ORACLE = f"""
+WITH {{ctes}},
+vocab AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS token_id
+  FROM (SELECT DISTINCT unnest(syms) AS sym FROM w{N_MERGES_BYTES + 1})
+),
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS wpos
+  FROM bt
+),
+dictn AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+placed AS (
+  SELECT doc_id, word, wpos,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY wpos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dictn USING (word)
+),
+enc AS (
+  SELECT doc_id, CAST(bef + i AS INT) AS pos, sym FROM (
+    SELECT p.doc_id, p.bef, unnest(w.syms) AS sym,
+           unnest(range(1, len(w.syms) + 1)) AS i
+    FROM placed p JOIN w{N_MERGES_BYTES + 1} w USING (word)
+  )
+)
+SELECT doc_id, pos, token_id FROM enc JOIN vocab USING (sym)
+""".format(ctes=_bpe_train_ctes(N_MERGES_BYTES))
+
 _UNI_PIECES_BYTES_ORACLE = f"""WITH {
     _uni_train_ctes(maxw=BYTES_ORACLE_MAXW, head=BYTE_TOKENS_CTE)
 }
@@ -177,5 +222,8 @@ QUERIES = [
         "unigram_pieces_bytes_docs",
         unigram_pieces_bytes_docs,
         _UNI_PIECES_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "bpe_encode_bytes_docs", bpe_encode_bytes_docs, _ENCODE_BYTES_ORACLE
     ),
 ]
