@@ -126,6 +126,41 @@ def bpe_encode_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_fertility_bytes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (byte-BPE subwords per PRE-TOKEN) and
+    compression (text BYTES per subword) of the byte-level vocabulary —
+    bpe_fertility_lang's metrics restated in byte-mode units so the
+    char- and byte-trained vocabularies are directly comparable on the
+    standard multilingual-tokenizer health axes. Exact integer sums per
+    language, one rounded double division each (NULL on empty)."""
+    docs, _, trained = _bpe_trained(spark, sf_dir)
+    per_doc = bpe_token_counts_bytes_docs(spark, sf_dir).join(
+        docs.select(
+            "doc_id", "lang",
+            F.length(F.encode("text", "UTF-8")).alias("_bytes"),
+        ),
+        "doc_id",
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_pretokens").cast("long").alias("n_pretokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_subwords"),
+        F.sum("_bytes").cast("long").alias("_nb"),
+    )
+    return agg.select(
+        "lang",
+        "n_pretokens",
+        "n_subwords",
+        F.when(
+            F.col("n_pretokens") > 0,
+            F.round(F.col("n_subwords").cast("double") / F.col("n_pretokens"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(F.col("_nb").cast("double") / F.col("n_subwords"), 6),
+        ).alias("bytes_per_subword"),
+    )
+
+
 def unigram_pieces_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-level unigram piece table after UNI_ROUNDS hard-EM
     rounds: (piece, cnt, lp) over byte-character pieces — the unigram
@@ -203,6 +238,30 @@ enc AS (
 SELECT doc_id, pos, token_id FROM enc JOIN vocab USING (sym)
 """.format(ctes=_bpe_train_ctes(N_MERGES_BYTES))
 
+_FERTILITY_BYTES_ORACLE = f"""
+WITH {{ctes}},
+tok AS (SELECT doc_id, unnest(t) AS word FROM bt),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pt, CAST(sum(n_sub) AS BIGINT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+),
+perlang AS (
+  SELECT d.lang,
+         CAST(coalesce(sum(a.n_pt), 0) AS BIGINT) AS n_pretokens,
+         CAST(coalesce(sum(a.n_bpe), 0) AS BIGINT) AS n_subwords,
+         CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS nb
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_pretokens, n_subwords,
+       CASE WHEN n_pretokens > 0
+            THEN round(CAST(n_subwords AS DOUBLE) / n_pretokens, 6) END AS fertility,
+       CASE WHEN n_subwords > 0
+            THEN round(CAST(nb AS DOUBLE) / n_subwords, 6) END AS bytes_per_subword
+FROM perlang
+""".format(ctes=_bpe_train_ctes(N_MERGES_BYTES))
+
 _UNI_PIECES_BYTES_ORACLE = f"""WITH {
     _uni_train_ctes(maxw=BYTES_ORACLE_MAXW, head=BYTE_TOKENS_CTE)
 }
@@ -225,5 +284,10 @@ QUERIES = [
     ),
     QuerySpec(
         "bpe_encode_bytes_docs", bpe_encode_bytes_docs, _ENCODE_BYTES_ORACLE
+    ),
+    QuerySpec(
+        "bpe_fertility_bytes_lang",
+        bpe_fertility_bytes_lang,
+        _FERTILITY_BYTES_ORACLE,
     ),
 ]
