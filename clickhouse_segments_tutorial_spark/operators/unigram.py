@@ -360,6 +360,108 @@ def unigram_train(
     return vocab, seg.localCheckpoint(eager=True)
 
 
+def prune_schedule(
+    start_extra: int, target_extra: int, shrink: float = 0.5
+) -> list[int]:
+    """The deterministic multi-char-piece budgets of the pruning stages:
+    start_extra shrunk geometrically and floored at target_extra —
+    STATIC arithmetic (no data dependence), so the DuckDB oracle embeds
+    the same literals. [] when start <= target (nothing to prune)."""
+    import math
+
+    if not 0 < shrink < 1:
+        raise ValueError("shrink must be in (0, 1)")
+    out: list[int] = []
+    k = start_extra
+    while k > target_extra:
+        k = max(target_extra, math.ceil(k * shrink))
+        out.append(k)
+    return out
+
+
+def unigram_train_pruned(
+    words: DataFrame,
+    *,
+    target_extra: int = UNI_VOCAB_EXTRA,
+    start_extra: int | None = None,
+    shrink: float = 0.5,
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+    max_word_len: int = UNI_MAX_WORD_LEN,
+) -> tuple[DataFrame, DataFrame]:
+    """Hard-EM unigram training WITH SentencePiece-style vocabulary
+    pruning (Kudo 2018 §3.2's size control, in the deterministic
+    variant): seed LARGE (``start_extra`` multi-char pieces, default
+    4 x target), then alternate one EM round with one pruning step —
+    keep all single characters plus the top ``schedule[i]`` multi-char
+    pieces by the round's raw Viterbi usage count (cnt desc, piece asc)
+    — until the budget reaches ``target_extra``, then one final EM
+    round at the target size. Usage-count ranking is the hard-EM
+    analogue of the paper's likelihood-loss ranking: with hard counts a
+    piece's removal loss is monotone in its Viterbi usage.
+
+    Returns (vocab, segmented) with the unigram_train contract: vocab
+    is the final round's smoothed table over the PRUNED set; segmented
+    is the last E-step's segmentation. Deterministic end to end
+    (integer counts, static prune schedule — :func:`prune_schedule`),
+    so the DuckDB oracle retrains the whole shrinking chain
+    (plans/unigram_queries.py's pruned rounds).
+
+    Scale: each stage costs exactly one unigram_train round (the prune
+    is a vocab-sized TakeOrderedAndProject); the seed pass is the same
+    one substring explode regardless of start_extra."""
+    if start_extra is None:
+        start_extra = 4 * target_extra
+    if start_extra < target_extra:
+        raise ValueError("start_extra must be >= target_extra")
+    too_long = words.agg(F.max(F.length("word")).alias("m")).collect()[0]["m"]
+    if too_long is not None and too_long > max_word_len:
+        raise ValueError(
+            f"dictionary word of length {too_long} exceeds "
+            f"max_word_len={max_word_len}; raise it (the DP cost grows "
+            f"linearly; a paired DuckDB oracle must unroll at least as "
+            f"many CTE steps)"
+        )
+    dp = max(1, min(int(too_long or 1), max_word_len))
+    vocab = _logged(seed_vocab(
+        words, max_piece_len=max_piece_len, vocab_extra=start_extra
+    ))
+    seg = None
+    budgets = prune_schedule(start_extra, target_extra, shrink) + [None]
+    for keep in budgets:
+        seg = viterbi_segmented(
+            words, vocab,
+            max_word_len=max_word_len, max_piece_len=max_piece_len, dp_len=dp,
+        )
+        raw = (
+            seg.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("raw"))
+        )
+        counted = vocab.select("piece").join(raw, "piece", "left").select(
+            "piece", F.coalesce("raw", F.lit(0)).alias("cnt")
+        )
+        if keep is not None:
+            chars = counted.filter(F.length("piece") == 1)
+            multi = (
+                counted.filter(F.length("piece") > 1)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(keep)
+            )
+            counted = chars.unionByName(multi)
+        smoothed = counted.withColumn("_c1", F.col("cnt") + 1)
+        c = smoothed.agg(F.sum("_c1").alias("_ct"))
+        vocab = (
+            smoothed.crossJoin(F.broadcast(c))
+            .select(
+                "piece",
+                "cnt",
+                F.round(F.log("_c1") - F.log("_ct"), 12).alias("lp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return vocab, seg.localCheckpoint(eager=True)
+
+
 def unigram_token_counts(
     docs: DataFrame,
     segmented: DataFrame,

@@ -107,6 +107,35 @@ def unigram_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pruning-chain operating point for the registered query: seed 256
+# multi-char pieces (this corpus has ~200 distinct, so the seed holds
+# them all), shrink by half per stage to a 64-piece budget —
+# prune_schedule(256, 64) = [128, 64], i.e. two EM+prune stages and the
+# final EM round. STATIC arithmetic shared with the oracle f-string.
+PRUNE_START_EXTRA = 256
+PRUNE_TARGET_EXTRA = 64
+
+
+def unigram_pieces_pruned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram piece table trained WITH vocabulary pruning
+    (operators.unigram.unigram_train_pruned — Kudo 2018's size control
+    in the deterministic hard-EM variant): seeded at
+    PRUNE_START_EXTRA multi-char pieces and pruned by Viterbi usage
+    down to PRUNE_TARGET_EXTRA, so the final vocabulary is
+    budget-controlled instead of seed-sized. Output (piece, cnt, lp)
+    over alphabet + target pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.unigram import unigram_train_pruned
+
+    vocab, _ = unigram_train_pruned(
+        word_frequencies(docs),
+        target_extra=PRUNE_TARGET_EXTRA,
+        start_extra=PRUNE_START_EXTRA,
+        max_word_len=ORACLE_MAX_WORD_LEN,
+    )
+    return vocab
+
+
 def unigram_pieces_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram training run INCREMENTALLY over two waves — closing the
     batch/incremental/streaming triangle for the SECOND learned
@@ -158,10 +187,31 @@ def unigram_pieces_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
-def _viterbi_round(r: int, *, maxw: int = ORACLE_MAX_WORD_LEN) -> str:
+def _viterbi_round(
+    r: int,
+    *,
+    maxw: int = ORACLE_MAX_WORD_LEN,
+    vocab_base: str = "lp0",
+    prune_to: int | None = None,
+) -> str:
     """Round ``r`` CTEs: mp{r} (piece -> lp map), f{r}_i forward DP
     positions, b{r}_t backtrack steps, seg{r}, raw{r}, v{r}, lp{r}.
-    ``maxw`` is the DP unroll depth — the caller's word-length cap."""
+    ``maxw`` is the DP unroll depth — the caller's word-length cap.
+    ``vocab_base``: the CTE whose pieces the recount smooths over (lp0
+    for the fixed-vocabulary trainer, lp{r-1} for the pruning chain,
+    where the set shrinks round over round). ``prune_to``: keep all
+    single chars + the top N multi-char pieces by (cnt desc, piece asc)
+    — the unigram_train_pruned stage rule."""
+    def _prune_sql(rr: int, keep: int | None) -> str:
+        if keep is None:
+            return f"SELECT piece, cnt FROM cnt{rr}"
+        return (
+            f"SELECT piece, cnt FROM cnt{rr} WHERE length(piece) = 1 "
+            f"UNION ALL SELECT piece, cnt FROM ("
+            f"SELECT piece, cnt FROM cnt{rr} WHERE length(piece) > 1 "
+            f"ORDER BY cnt DESC, piece LIMIT {keep})"
+        )
+
     L, MAXW = UNI_MAX_PIECE_LEN, maxw
     ctes = [
         f"mp{r} AS MATERIALIZED (SELECT map(list(piece), list(lp)) AS m FROM lp{r - 1})",
@@ -205,10 +255,11 @@ raw{r} AS MATERIALIZED (
   SELECT piece, CAST(sum(freq) AS BIGINT) AS raw
   FROM (SELECT freq, unnest(pieces) AS piece FROM seg{r}) GROUP BY piece
 ),
-v{r} AS MATERIALIZED (
+cnt{r} AS MATERIALIZED (
   SELECT v.piece, coalesce(raw{r}.raw, 0) AS cnt
-  FROM (SELECT piece FROM lp0) v LEFT JOIN raw{r} USING (piece)
+  FROM (SELECT piece FROM {vocab_base}) v LEFT JOIN raw{r} USING (piece)
 ),
+v{r} AS MATERIALIZED ({_prune_sql(r, prune_to)}),
 lp{r} AS MATERIALIZED (
   SELECT piece, cnt,
          round(ln(cnt + 1) - ln((SELECT CAST(sum(cnt + 1) AS BIGINT) FROM v{r})), 12) AS lp
@@ -216,12 +267,22 @@ lp{r} AS MATERIALIZED (
 )"""
 
 
-def _train_ctes(*, maxw: int = ORACLE_MAX_WORD_LEN, head: str | None = None) -> str:
+def _train_ctes(
+    *,
+    maxw: int = ORACLE_MAX_WORD_LEN,
+    head: str | None = None,
+    vocab_extra: int = UNI_VOCAB_EXTRA,
+    prune_budgets: list[int] | None = None,
+) -> str:
     """The full retraining chain. ``head`` must produce a ``wf`` (word,
     freq) CTE; defaults to the whitespace-token head over `documents`.
     The byte-mode twin passes pretokenize.BYTE_TOKENS_CTE and its own
-    ``maxw`` (plans/bytetok_queries.py)."""
-    L, V = UNI_MAX_PIECE_LEN, UNI_VOCAB_EXTRA
+    ``maxw`` (plans/bytetok_queries.py). ``prune_budgets`` switches to
+    the PRUNING chain (unigram_train_pruned): ``vocab_extra`` seeds the
+    large start vocabulary, each budget prunes one round's recount, and
+    one final unpruned round follows — the recount base shrinks round
+    over round (lp{r-1}) instead of staying lp0."""
+    L, V = UNI_MAX_PIECE_LEN, vocab_extra
     if head is None:
         head = f"""{_TOKENS_CTE},
 wf AS MATERIALIZED (
@@ -249,10 +310,30 @@ lp0 AS MATERIALIZED (
          round(ln(cnt) - ln((SELECT CAST(sum(cnt) AS BIGINT) FROM v0)), 12) AS lp
   FROM v0
 )"""
+    if prune_budgets is None:
+        return head + "," + ",".join(
+            _viterbi_round(r, maxw=maxw) for r in range(1, UNI_ROUNDS + 1)
+        )
+    keeps: list[int | None] = list(prune_budgets) + [None]
     return head + "," + ",".join(
-        _viterbi_round(r, maxw=maxw) for r in range(1, UNI_ROUNDS + 1)
+        _viterbi_round(
+            r, maxw=maxw, vocab_base=f"lp{r - 1}", prune_to=keep
+        )
+        for r, keep in enumerate(keeps, start=1)
     )
 
+
+def _pruned_budgets() -> list[int]:
+    from ..operators.unigram import prune_schedule
+
+    return prune_schedule(PRUNE_START_EXTRA, PRUNE_TARGET_EXTRA)
+
+
+_PRUNED_PIECES_ORACLE = f"""WITH {_train_ctes(
+    vocab_extra=PRUNE_START_EXTRA, prune_budgets=_pruned_budgets()
+)}
+SELECT piece, cnt, lp FROM lp{len(_pruned_budgets()) + 1}
+"""
 
 _PIECES_ORACLE = f"""WITH {_train_ctes()}
 SELECT piece, cnt, lp FROM lp{UNI_ROUNDS}
@@ -303,6 +384,11 @@ QUERIES = [
     ),
     QuerySpec(
         "unigram_fertility_lang", unigram_fertility_lang, _FERTILITY_ORACLE
+    ),
+    QuerySpec(
+        "unigram_pieces_pruned_docs",
+        unigram_pieces_pruned_docs,
+        _PRUNED_PIECES_ORACLE,
     ),
     QuerySpec(
         "unigram_pieces_incremental", unigram_pieces_incremental, _PIECES_ORACLE

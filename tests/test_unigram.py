@@ -116,3 +116,34 @@ def test_token_counts_keep_empty_docs(spark):
     assert rows[2]["n_ws_tokens"] == 0 and rows[2]["n_unigram_tokens"] == 0
     assert rows[1]["n_ws_tokens"] == 3
     assert rows[1]["n_unigram_tokens"] >= 3
+
+
+def test_unigram_train_pruned_reaches_target_budget(spark):
+    """Vocabulary pruning (Kudo 2018 size control, hard-EM variant):
+    the final vocabulary is alphabet + target_extra when the seed holds
+    more; the schedule is static arithmetic; every word still
+    segments (single chars are never pruned)."""
+    from clickhouse_segments_tutorial_spark.operators.unigram import (
+        prune_schedule,
+        unigram_train_pruned,
+    )
+
+    assert prune_schedule(256, 64) == [128, 64]
+    assert prune_schedule(64, 64) == []
+    assert prune_schedule(100, 30, shrink=0.5) == [50, 30]
+
+    rows = list(
+        {f"w{i % 7}x{(i * 3) % 11}ab": 1 + i % 5 for i in range(60)}.items()
+    )
+    words = _wf(spark, rows)
+    vocab, seg = unigram_train_pruned(
+        words, target_extra=16, start_extra=64
+    )
+    multi = vocab.filter(F.length("piece") > 1).count()
+    assert multi == 16
+    assert seg.filter(F.concat_ws("", "pieces") != F.col("word")).count() == 0
+    # pruning is real: unpruned training at the same seed keeps more
+    from clickhouse_segments_tutorial_spark.operators.unigram import unigram_train
+
+    full, _ = unigram_train(words, vocab_extra=64, rounds=1)
+    assert full.filter(F.length("piece") > 1).count() > 16
