@@ -305,9 +305,27 @@ def unigram_train(
     + map + hash-agg, with the DP barrier checkpoint in between."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    too_long = words.agg(
-        F.max(F.length("word")).alias("m")
-    ).collect()[0]["m"]  # bounded: one scalar
+    dp = _guarded_dp(words, max_word_len)
+    vocab = _logged(seed_vocab(
+        words, max_piece_len=max_piece_len, vocab_extra=vocab_extra
+    ))
+    seg = None
+    for _ in range(rounds):
+        vocab, seg = _em_round(
+            words, vocab,
+            dp=dp, max_word_len=max_word_len, max_piece_len=max_piece_len,
+        )
+    # dictionary-sized: consumer queries join this repeatedly
+    return vocab, seg.localCheckpoint(eager=True)
+
+
+def _guarded_dp(words: DataFrame, max_word_len: int) -> int:
+    """Collect the dictionary's max word length (one bounded scalar),
+    raise past the cap, and return the adaptive DP length: a
+    6-char-word corpus runs 6-iteration folds regardless of the 32-char
+    ceiling (positions past a word's end are NULL no-ops, so any dp_len
+    >= the max is exact). Shared by both trainers."""
+    too_long = words.agg(F.max(F.length("word")).alias("m")).collect()[0]["m"]
     if too_long is not None and too_long > max_word_len:
         raise ValueError(
             f"dictionary word of length {too_long} exceeds "
@@ -315,49 +333,60 @@ def unigram_train(
             f"linearly; a paired DuckDB oracle must unroll at least as "
             f"many CTE steps)"
         )
-    # size the DP to the dictionary, not the ceiling: the guard already
-    # collected the actual max, so a 6-char-word corpus runs 6-iteration
-    # folds regardless of the 32-char cap (positions past a word's end
-    # are NULL no-ops, so any dp_len >= the max is exact)
-    dp = max(1, min(int(too_long or 1), max_word_len))
-    vocab = _logged(seed_vocab(
-        words, max_piece_len=max_piece_len, vocab_extra=vocab_extra
-    ))
-    full = vocab.select("piece")  # fixed vocabulary across rounds
-    seg = None
-    for _ in range(rounds):
-        seg = viterbi_segmented(
-            words,
-            vocab,
-            max_word_len=max_word_len,
-            max_piece_len=max_piece_len,
-            dp_len=dp,
+    return max(1, min(int(too_long or 1), max_word_len))
+
+
+def _em_round(
+    words: DataFrame,
+    vocab: DataFrame,
+    *,
+    dp: int,
+    max_word_len: int,
+    max_piece_len: int,
+    keep: int | None = None,
+):
+    """ONE hard-EM round — the definition site BOTH trainers share (a
+    drifted copy would silently desynchronize the fixed-vocabulary and
+    pruning trainers from their common oracle math — r12 review finding
+    2): E-step Viterbi under ``vocab``, recount over its pieces,
+    optional prune (all single chars + top-``keep`` multi by (cnt desc,
+    piece asc)), add-one smooth + round-12 relog, round-boundary
+    localCheckpoint (the bpe_train rule: without it the next round's
+    lookup join re-analyzes this round's backtrack plan). Returns
+    (next vocab, this round's segmentation)."""
+    seg = viterbi_segmented(
+        words, vocab,
+        max_word_len=max_word_len, max_piece_len=max_piece_len, dp_len=dp,
+    )
+    raw = (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("raw"))
+    )
+    counted = vocab.select("piece").join(raw, "piece", "left").select(
+        "piece",
+        F.coalesce("raw", F.lit(0)).alias("cnt"),
+    )
+    if keep is not None:
+        chars = counted.filter(F.length("piece") == 1)
+        multi = (
+            counted.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(keep)
         )
-        raw = (
-            seg.select("freq", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("raw"))
-        )
-        smoothed = full.join(raw, "piece", "left").select(
+        counted = chars.unionByName(multi)
+    smoothed = counted.withColumn("_c1", F.col("cnt") + 1)
+    c = smoothed.agg(F.sum("_c1").alias("_ct"))
+    nxt = (
+        smoothed.crossJoin(F.broadcast(c))
+        .select(
             "piece",
-            F.coalesce("raw", F.lit(0)).alias("cnt"),
+            "cnt",
+            F.round(F.log("_c1") - F.log("_ct"), 12).alias("lp"),
         )
-        vocab = smoothed.withColumn("_c1", F.col("cnt") + 1)
-        c = vocab.agg(F.sum("_c1").alias("_ct"))
-        # round-boundary barrier (vocab-sized): without it the next
-        # round's lookup join re-analyzes this round's backtrack plan —
-        # the bpe_train per-round localCheckpoint rule
-        vocab = (
-            vocab.crossJoin(F.broadcast(c))
-            .select(
-                "piece",
-                "cnt",
-                F.round(F.log("_c1") - F.log("_ct"), 12).alias("lp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    # dictionary-sized: consumer queries join this repeatedly
-    return vocab, seg.localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
+    return nxt, seg
 
 
 def prune_schedule(
@@ -374,7 +403,10 @@ def prune_schedule(
     out: list[int] = []
     k = start_extra
     while k > target_extra:
-        k = max(target_extra, math.ceil(k * shrink))
+        # min(k - 1, ...) guarantees strict decrease: ceil(k * shrink)
+        # equals k whenever shrink >= (k - 1) / k (e.g. shrink=0.9 stalls
+        # at k=9), which would loop forever (r12 review finding 1)
+        k = max(target_extra, min(k - 1, math.ceil(k * shrink)))
         out.append(k)
     return out
 
@@ -413,51 +445,16 @@ def unigram_train_pruned(
         start_extra = 4 * target_extra
     if start_extra < target_extra:
         raise ValueError("start_extra must be >= target_extra")
-    too_long = words.agg(F.max(F.length("word")).alias("m")).collect()[0]["m"]
-    if too_long is not None and too_long > max_word_len:
-        raise ValueError(
-            f"dictionary word of length {too_long} exceeds "
-            f"max_word_len={max_word_len}; raise it (the DP cost grows "
-            f"linearly; a paired DuckDB oracle must unroll at least as "
-            f"many CTE steps)"
-        )
-    dp = max(1, min(int(too_long or 1), max_word_len))
+    dp = _guarded_dp(words, max_word_len)
     vocab = _logged(seed_vocab(
         words, max_piece_len=max_piece_len, vocab_extra=start_extra
     ))
     seg = None
-    budgets = prune_schedule(start_extra, target_extra, shrink) + [None]
-    for keep in budgets:
-        seg = viterbi_segmented(
+    for keep in prune_schedule(start_extra, target_extra, shrink) + [None]:
+        vocab, seg = _em_round(
             words, vocab,
-            max_word_len=max_word_len, max_piece_len=max_piece_len, dp_len=dp,
-        )
-        raw = (
-            seg.select("freq", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("raw"))
-        )
-        counted = vocab.select("piece").join(raw, "piece", "left").select(
-            "piece", F.coalesce("raw", F.lit(0)).alias("cnt")
-        )
-        if keep is not None:
-            chars = counted.filter(F.length("piece") == 1)
-            multi = (
-                counted.filter(F.length("piece") > 1)
-                .orderBy(F.desc("cnt"), F.asc("piece"))
-                .limit(keep)
-            )
-            counted = chars.unionByName(multi)
-        smoothed = counted.withColumn("_c1", F.col("cnt") + 1)
-        c = smoothed.agg(F.sum("_c1").alias("_ct"))
-        vocab = (
-            smoothed.crossJoin(F.broadcast(c))
-            .select(
-                "piece",
-                "cnt",
-                F.round(F.log("_c1") - F.log("_ct"), 12).alias("lp"),
-            )
-            .localCheckpoint(eager=True)
+            dp=dp, max_word_len=max_word_len, max_piece_len=max_piece_len,
+            keep=keep,
         )
     return vocab, seg.localCheckpoint(eager=True)
 

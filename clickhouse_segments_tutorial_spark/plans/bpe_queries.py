@@ -386,38 +386,40 @@ class IncrementalBPETrainer:
         self._st.drop()
 
 
-def bpe_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE training run INCREMENTALLY over two waves of documents with
-    bucketed word-count state between them (IncrementalBPETrainer); the
-    retrained merge table SHARES bpe_merges_docs' unrolled-rounds
-    retraining oracle. The waves are ingested newest-first on purpose:
-    word counts are associative, so unlike the novelty/curation twins
-    there is no ascending-id wave contract to honor."""
+def word_state_two_waves(
+    spark: SparkSession, sf_dir: str, scratch_name: str
+) -> IncrementalBPETrainer:
+    """Ingest `documents` into a fresh word-count state as two
+    doc_id-median waves (newest-first on purpose — word counts are
+    associative, no wave-order contract) and return the drained
+    trainer. The ONE two-wave harness shared by the BPE and unigram
+    incremental twins (r12 review finding 3): both tokenizers train
+    from this same accumulated dictionary."""
     from .curation import _stream_scratch
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-    tr = IncrementalBPETrainer(spark, _stream_scratch("bpe_incremental"))
+    tr = IncrementalBPETrainer(spark, _stream_scratch(scratch_name))
     tr.reset()
     tr.ingest(docs.filter(F.col("doc_id") >= mid))
     tr.ingest(docs.filter(F.col("doc_id") < mid))
-    merges, _ = tr.train()
-    return _merges_df(spark, merges)
+    return tr
 
 
-def bpe_merges_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE trainer driven by the generic streaming wave gate
+def word_state_streamed(
+    spark: SparkSession, sf_dir: str, scratch_name: str
+) -> IncrementalBPETrainer:
+    """The word-count state fed through the generic streaming wave gate
     (streaming/stream_curation.py): a checkpointed file stream drains
-    wave files into IncrementalBPETrainer via foreachBatch (per-batch
-    audit rows in results/), then the merge table is retrained from the
-    gate-accumulated word-count state. Shares the batch retraining
-    oracle."""
+    two wave files into the trainer via foreachBatch (per-batch audit
+    rows in results/); returns the trainer for model rebuild. Shared by
+    the BPE and unigram streaming twins."""
     from ..streaming.stream_curation import StreamingWaveGate
     from .curation import _stream_scratch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-    workdir = _stream_scratch("bpe_streaming")
+    workdir = _stream_scratch(scratch_name)
     tr = IncrementalBPETrainer(spark, f"{workdir}/state")
     gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
     gate.reset_state()
@@ -429,7 +431,24 @@ def bpe_merges_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate.in_dir
     )
     gate.run_available_now()
-    merges, _ = tr.train()
+    return tr
+
+
+def bpe_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training run INCREMENTALLY over two waves of documents with
+    bucketed word-count state between them (word_state_two_waves); the
+    retrained merge table SHARES bpe_merges_docs' unrolled-rounds
+    retraining oracle."""
+    merges, _ = word_state_two_waves(spark, sf_dir, "bpe_incremental").train()
+    return _merges_df(spark, merges)
+
+
+def bpe_merges_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer behind the streaming wave gate
+    (word_state_streamed); the merge table retrained from the
+    gate-accumulated word-count state shares the batch retraining
+    oracle."""
+    merges, _ = word_state_streamed(spark, sf_dir, "bpe_streaming").train()
     return _merges_df(spark, merges)
 
 

@@ -133,7 +133,7 @@ def bpe_fertility_bytes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     char- and byte-trained vocabularies are directly comparable on the
     standard multilingual-tokenizer health axes. Exact integer sums per
     language, one rounded double division each (NULL on empty)."""
-    docs, _, trained = _bpe_trained(spark, sf_dir)
+    docs, _, _ = _bpe_trained(spark, sf_dir)
     per_doc = bpe_token_counts_bytes_docs(spark, sf_dir).join(
         docs.select(
             "doc_id", "lang",
@@ -210,8 +210,10 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+_BYTE_CTES = _bpe_train_ctes(N_MERGES_BYTES)
+
 _ENCODE_BYTES_ORACLE = f"""
-WITH {{ctes}},
+WITH {_BYTE_CTES},
 vocab AS (
   SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS token_id
   FROM (SELECT DISTINCT unnest(syms) AS sym FROM w{N_MERGES_BYTES + 1})
@@ -236,10 +238,10 @@ enc AS (
   )
 )
 SELECT doc_id, pos, token_id FROM enc JOIN vocab USING (sym)
-""".format(ctes=_bpe_train_ctes(N_MERGES_BYTES))
+"""
 
 _FERTILITY_BYTES_ORACLE = f"""
-WITH {{ctes}},
+WITH {_BYTE_CTES},
 tok AS (SELECT doc_id, unnest(t) AS word FROM bt),
 dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
 agg AS (
@@ -260,7 +262,7 @@ SELECT lang, n_pretokens, n_subwords,
        CASE WHEN n_subwords > 0
             THEN round(CAST(nb AS DOUBLE) / n_subwords, 6) END AS bytes_per_subword
 FROM perlang
-""".format(ctes=_bpe_train_ctes(N_MERGES_BYTES))
+"""
 
 _UNI_PIECES_BYTES_ORACLE = f"""WITH {
     _uni_train_ctes(maxw=BYTES_ORACLE_MAXW, head=BYTE_TOKENS_CTE)

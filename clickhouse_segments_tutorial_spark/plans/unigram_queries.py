@@ -141,48 +141,27 @@ def unigram_pieces_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch/incremental/streaming triangle for the SECOND learned
     tokenizer (BPE got its twins in r11). The tokenizer's only
     corpus-sized input is the word-frequency dictionary and word counts
-    are associative, so the wave state IS bpe_queries'
-    IncrementalBPETrainer state (the identical sufficient statistic —
-    one chassis, two tokenizers reading the rebuilt dictionary);
+    are associative, so the wave state IS bpe_queries' word-count state
+    (the identical sufficient statistic — one chassis and one shared
+    two-wave harness, two tokenizers reading the rebuilt dictionary);
     unigram_train over the accumulated counts is bit-identical to batch
-    training, sharing unigram_pieces_docs' retraining oracle. Waves
-    ingested newest-first on purpose: no wave-order contract."""
-    from .bpe_queries import IncrementalBPETrainer
-    from .curation import _stream_scratch
+    training, sharing unigram_pieces_docs' retraining oracle."""
+    from .bpe_queries import word_state_two_waves
 
-    docs = load_table(spark, sf_dir, "documents")
-    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-    tr = IncrementalBPETrainer(spark, _stream_scratch("uni_incremental"))
-    tr.reset()
-    tr.ingest(docs.filter(F.col("doc_id") >= mid))
-    tr.ingest(docs.filter(F.col("doc_id") < mid))
+    tr = word_state_two_waves(spark, sf_dir, "uni_incremental")
     vocab, _ = unigram_train(tr.dictionary(), max_word_len=ORACLE_MAX_WORD_LEN)
     return vocab
 
 
 def unigram_pieces_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unigram trainer behind the generic streaming wave gate: the
-    checkpointed stream drains wave files into the shared word-count
-    state, then the piece table is retrained from the gate-accumulated
-    dictionary. Shares the batch retraining oracle."""
-    from ..streaming.stream_curation import StreamingWaveGate
-    from .bpe_queries import IncrementalBPETrainer
-    from .curation import _stream_scratch
+    """The unigram trainer behind the generic streaming wave gate
+    (bpe_queries.word_state_streamed): the checkpointed stream drains
+    wave files into the shared word-count state, then the piece table
+    is retrained from the gate-accumulated dictionary. Shares the batch
+    retraining oracle."""
+    from .bpe_queries import word_state_streamed
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-    workdir = _stream_scratch("uni_streaming")
-    tr = IncrementalBPETrainer(spark, f"{workdir}/state")
-    gate = StreamingWaveGate(spark, workdir, schema=docs.schema, ingestor=tr)
-    gate.reset_state()
-    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(
-        gate.in_dir
-    )
-    gate.run_available_now()
-    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(
-        gate.in_dir
-    )
-    gate.run_available_now()
+    tr = word_state_streamed(spark, sf_dir, "uni_streaming")
     vocab, _ = unigram_train(tr.dictionary(), max_word_len=ORACLE_MAX_WORD_LEN)
     return vocab
 
