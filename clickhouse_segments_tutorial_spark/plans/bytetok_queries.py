@@ -173,6 +173,30 @@ def unigram_pieces_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
+def unigram_pieces_bytes_pruned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-pruned unigram training ON the byte-level corpus view
+    — the round's two tokenizer features composed: GPT-2 pre-tokens +
+    byte encoding feed unigram_train_pruned, which shrinks the seeded
+    piece budget down to BYTES_PRUNE_TARGET by Viterbi usage. Output
+    (piece, cnt, lp) over the 256-ish byte alphabet + target pieces."""
+    from ..operators.unigram import unigram_train_pruned
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = unigram_train_pruned(
+        byte_pretoken_frequencies(docs),
+        target_extra=BYTES_PRUNE_TARGET,
+        start_extra=BYTES_PRUNE_START,
+        max_word_len=BYTES_ORACLE_MAXW,
+    )
+    return vocab
+
+
+# Pruning operating point for the byte-mode twin: same shape as the
+# char-mode unigram_pieces_pruned_docs (256 -> 128 -> 64).
+BYTES_PRUNE_START = 256
+BYTES_PRUNE_TARGET = 64
+
+
 def _bpe_train_ctes(n_merges: int) -> str:
     """Byte-mode BPE retraining chain: the byte head + char-split w1
     (each char IS one byte after encoding) + the shared per-round
@@ -270,6 +294,24 @@ _UNI_PIECES_BYTES_ORACLE = f"""WITH {
 SELECT piece, cnt, lp FROM lp{UNI_ROUNDS}
 """
 
+
+def _bytes_prune_budgets() -> list[int]:
+    from ..operators.unigram import prune_schedule
+
+    return prune_schedule(BYTES_PRUNE_START, BYTES_PRUNE_TARGET)
+
+
+_UNI_PRUNED_BYTES_ORACLE = f"""WITH {
+    _uni_train_ctes(
+        maxw=BYTES_ORACLE_MAXW,
+        head=BYTE_TOKENS_CTE,
+        vocab_extra=BYTES_PRUNE_START,
+        prune_budgets=_bytes_prune_budgets(),
+    )
+}
+SELECT piece, cnt, lp FROM lp{len(_bytes_prune_budgets()) + 1}
+"""
+
 QUERIES = [
     QuerySpec(
         "bpe_merges_bytes_docs", bpe_merges_bytes_docs, _MERGES_BYTES_ORACLE
@@ -291,5 +333,10 @@ QUERIES = [
         "bpe_fertility_bytes_lang",
         bpe_fertility_bytes_lang,
         _FERTILITY_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "unigram_pieces_bytes_pruned_docs",
+        unigram_pieces_bytes_pruned_docs,
+        _UNI_PRUNED_BYTES_ORACLE,
     ),
 ]
