@@ -131,8 +131,12 @@ def byte_decode(s: str | Column) -> Column:
     hexes = F.array_join(
         F.transform(chars, lambda ch: F.element_at(dec, ch)), ""
     )
+    # binary -> string cast reinterprets the bytes without validation;
+    # make_valid_utf8 then substitutes U+FFFD for invalid sequences —
+    # the replacement-character contract (a strict decode() would RAISE
+    # on a merge fragment that splits a multi-byte character)
     return F.when(F.length(col) == 0, F.lit("")).otherwise(
-        F.decode(F.unhex(hexes), "UTF-8")
+        F.make_valid_utf8(F.unhex(hexes).cast("string"))
     )
 
 

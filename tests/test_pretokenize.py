@@ -4,6 +4,8 @@ closes (r11 verdict items 1 and 5)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -215,3 +217,65 @@ def test_byte_pretoken_frequencies(spark):
     assert wf[g + "the"] == 1
     assert wf[g + "cat"] == 1 and wf[g + "dog"] == 1
     assert sum(wf.values()) == 5  # 3 + 2 pre-tokens
+
+
+def test_byte_tokenizers_train_multilingual_end_to_end(spark, tmp_path):
+    """The byte lane on NON-ASCII text, end to end with cross-engine
+    value parity: the registered testdata is all-ASCII, so this pins
+    what the byte mode exists for — a multilingual corpus (CJK, emoji,
+    accents, contractions) trained through BOTH byte-mode trainers with
+    their registered DuckDB oracles replaying bit-for-bit on the same
+    parquet."""
+    from clickhouse_segments_tutorial_spark.plans.bytetok_queries import (
+        _MERGES_BYTES_ORACLE,
+        _UNI_PIECES_BYTES_ORACLE,
+        bpe_merges_bytes_docs,
+        unigram_pieces_bytes_docs,
+    )
+
+    rows = [
+        (1, "the cat sat, didn't it? 世界 你好"),
+        (2, "café naïve \U0001f600 déjà vu"),
+        (3, "hello 世界 hello world \U0001f680"),
+        (4, "l'état, c'est moi — naïve café"),
+        (5, "数据 管道 tokenizer 训练 数据"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "web", "multi") for i, t in rows],
+        "doc_id long, text string, source string, lang string",
+    )
+    sf = str(tmp_path / "ml")
+    os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for fn, sql in (
+        (bpe_merges_bytes_docs, _MERGES_BYTES_ORACLE),
+        (unigram_pieces_bytes_docs, _UNI_PIECES_BYTES_ORACLE),
+    ):
+        df = fn(spark, sf)
+        cols = sorted(df.columns)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        want = con.execute(f"SELECT * FROM ({sql})").fetch_arrow_table().to_pylist()
+        assert got == sorted(tuple(w[c] for c in cols) for w in want), fn.__name__
+    # the trained byte vocabulary decodes back to real multilingual text
+    from clickhouse_segments_tutorial_spark.operators.pretokenize import (
+        byte_decode,
+    )
+    from clickhouse_segments_tutorial_spark.plans.bytetok_queries import (
+        _bpe_trained,
+    )
+
+    _, merges, trained = _bpe_trained(spark, sf)
+    dec = (
+        spark.createDataFrame([(m.merged,) for m in merges], "s string")
+        .select(byte_decode(F.col("s")).alias("d"))
+        .collect()
+    )
+    decoded = {r.d for r in dec}
+    # at least one learned merge decodes to a multi-byte fragment
+    assert any(len(d.encode("utf-8")) > len(d) for d in decoded), decoded
