@@ -270,7 +270,7 @@ def test_byte_tokenizers_train_multilingual_end_to_end(spark, tmp_path):
         _bpe_trained,
     )
 
-    _, merges, trained = _bpe_trained(spark, sf)
+    _, merges, _ = _bpe_trained(spark, sf)
     dec = (
         spark.createDataFrame([(m.merged,) for m in merges], "s string")
         .select(byte_decode(F.col("s")).alias("d"))
