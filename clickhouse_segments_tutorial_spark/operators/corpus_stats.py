@@ -99,7 +99,12 @@ def tfidf_top_terms(
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
-    return tfidf_from_stats(docs, df_, n_docs, k=k, text_col=text_col, id_col=id_col)
+    # pass the tf frame through: df_ already derives from it, and
+    # letting tfidf_from_stats re-derive terms/tf would put the
+    # corpus-sized explode+agg in the plan TWICE (r12 ADVICE)
+    return tfidf_from_stats(
+        docs, df_, n_docs, k=k, text_col=text_col, id_col=id_col, tf=tf
+    )
 
 
 def tfidf_from_stats(
@@ -110,6 +115,7 @@ def tfidf_from_stats(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a PRE-BUILT corpus model — ``df_table``
     (term, df) and ``n_docs`` (one row, ``_n``) — the ONE definition
@@ -126,9 +132,15 @@ def tfidf_from_stats(
     training corpus is well-defined — an inner join would silently drop
     unseen terms from the top-k (r12 review finding 3). Same-corpus
     scoring (every registered query) never takes the coalesce branch,
-    so batch results are unchanged."""
-    terms = doc_terms(docs, text_col, id_col)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    so batch results are unchanged.
+
+    ``tf`` optionally supplies the per-(doc, term) counts when the
+    caller already built them (tfidf_top_terms derives df FROM tf, so
+    re-deriving here would duplicate the corpus-sized explode+agg in
+    one plan — r12 ADVICE); when None it is derived from ``docs``."""
+    if tf is None:
+        terms = doc_terms(docs, text_col, id_col)
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = (
         tf.join(df_table, "term", "left")

@@ -128,8 +128,16 @@ def byte_decode(s: str | Column) -> Column:
         kv += [F.lit(chr(c)), F.lit(f"{b:02X}")]
     dec = F.create_map(*kv)
     chars = F.filter(F.split(col, ""), lambda ch: ch != F.lit(""))
+    # a character OUTSIDE the byte-character image (arbitrary input, not
+    # a byte_encode product) maps to NULL, which array_join would DROP —
+    # silently vanishing bytes instead of the documented replacement
+    # character. Coalesce it to U+FFFD's UTF-8 bytes so decode stays
+    # total: every input char yields a visible output char (r12 ADVICE).
     hexes = F.array_join(
-        F.transform(chars, lambda ch: F.element_at(dec, ch)), ""
+        F.transform(
+            chars, lambda ch: F.coalesce(F.element_at(dec, ch), F.lit("EFBFBD"))
+        ),
+        "",
     )
     # binary -> string cast reinterprets the bytes without validation;
     # make_valid_utf8 then substitutes U+FFFD for invalid sequences —

@@ -127,6 +127,7 @@ def _touched_module_paths() -> set[str]:
             by_change = _touched.touched_modules_by_change()
             qmods = _query_module_paths()
             out: set[str] = set()
+            hub_edits: list[str] = []
             for change, closure in by_change.items():
                 if qmods - closure:  # not a span-everything hub edit
                     out |= closure
@@ -135,18 +136,26 @@ def _touched_module_paths() -> set[str]:
                     # dropped from pinning BY POLICY, but silently
                     # dropping it recreates — for hub files only — the
                     # ships-unchecked gap the derivation closes (r10
-                    # ADVICE item 5). Make the exclusion visible so the
-                    # author either accepts the rotation+pytest coverage
-                    # or pins specific queries via ROUND_TOUCHED_OVERRIDE.
-                    import warnings
+                    # ADVICE item 5). Collected and warned ONCE below —
+                    # a warning per change per import flooded driver
+                    # logs and pytest workers (r12 verdict).
+                    hub_edits.append(change)
+            if hub_edits:
+                import math
+                import warnings
 
-                    warnings.warn(
-                        f"round-touched: hub edit {change} reaches every "
-                        "query module and is NOT pinned; rely on the "
-                        "staleness rotation + full pytest parity, or add "
-                        "specific names to ROUND_TOUCHED_OVERRIDE",
-                        stacklevel=2,
-                    )
+                n_queries = sum(len(m.QUERIES) for m in _query_modules())
+                window = _driver_window()
+                rounds = math.ceil(n_queries / window) if window else 0
+                warnings.warn(
+                    f"round-touched: hub edit(s) {sorted(hub_edits)} reach "
+                    "every query module and are NOT pinned; the staleness "
+                    f"rotation covers all {n_queries} registered queries "
+                    f"within {rounds} round(s) at the driver's {window}-row "
+                    "window (plus full pytest parity each round) — or pin "
+                    "specific names via ROUND_TOUCHED_OVERRIDE",
+                    stacklevel=2,
+                )
             _TOUCHED_CACHE = out
         except Exception:
             # degrade for THIS call only — caching a transient failure

@@ -199,7 +199,12 @@ class ContinuousWaveGate(StreamingWaveGate):
     2. the in-order wave (cursor + 1) is admitted immediately, then the
        buffered ready prefix drains in the same micro-batch;
     3. an EARLY wave (> cursor + 1) is buffered on disk, at most
-       ``max_ahead`` distinct waves — the out-of-orderness bound;
+       ``max_ahead`` distinct waves — the out-of-orderness bound; a
+       wave OVERFLOWING the bound is parked in quarantine with a
+       ``buffer-full`` audit row but is NOT lost: its committed rows
+       re-enter the stream the moment it becomes the next in-order
+       wave (drain checks quarantine/wave_{next}_buffer-full after the
+       buffer proper — r12 ADVICE item 1);
     4. a LATE wave (<= cursor) is QUARANTINED with an audit row, never
        ingested (admitting it would violate the ascending contract).
        This also covers the crash-replay window: a batch replayed after
@@ -240,6 +245,19 @@ class ContinuousWaveGate(StreamingWaveGate):
         self._cursor_path = os.path.join(workdir, "cursor.json")
         os.makedirs(self.buffer_dir, exist_ok=True)
         os.makedirs(self.quarantine_dir, exist_ok=True)
+        # crash-mid-drain recovery: a crash between _admit and the
+        # buffered-dir rmtree leaves an ALREADY-ADMITTED wave's dir at or
+        # below the cursor, where drain (which starts at cursor + 1)
+        # would never reap it — stranding it forever and making
+        # run_until_drained raise on a healthy state (r12 ADVICE item 2)
+        import shutil
+
+        cursor = self._load_cursor()["cursor"]
+        for w in self._buffered_waves():
+            if w <= cursor:
+                shutil.rmtree(
+                    os.path.join(self.buffer_dir, f"wave_{w}"), ignore_errors=True
+                )
 
     # --- tiny driver-side persistence (foreachBatch runs on the driver) ---
 
@@ -276,7 +294,9 @@ class ContinuousWaveGate(StreamingWaveGate):
         df.write.mode("overwrite").parquet(path)
         import json
 
-        with open(os.path.join(path, "audit.json"), "w") as f:
+        # "_"-prefixed so a later spark.read.parquet of the directory
+        # (buffer-full re-admission) ignores the sidecar
+        with open(os.path.join(path, "_audit.json"), "w") as f:
             json.dump({"wave": wave, "reason": reason, "n_rows": df.count()}, f)
 
     def quarantined(self) -> list[dict]:
@@ -285,7 +305,7 @@ class ContinuousWaveGate(StreamingWaveGate):
 
         out = []
         for d in sorted(os.listdir(self.quarantine_dir)):
-            p = os.path.join(self.quarantine_dir, d, "audit.json")
+            p = os.path.join(self.quarantine_dir, d, "_audit.json")
             if os.path.exists(p):
                 with open(p) as f:
                     out.append(json.load(f))
@@ -322,6 +342,16 @@ class ContinuousWaveGate(StreamingWaveGate):
         wid = int(waves[0])
         data = batch_df.drop("_wave")
         st = self._load_cursor()
+        # drain BEFORE classifying the incoming wave: a crash between a
+        # drained wave's _admit and its _save_cursor (or a foreachBatch
+        # replay mid-drain) leaves the ingested wave's buffered dir as
+        # the apparent gap — counting subsequent arrivals toward a FALSE
+        # expiry of data that is already in state. Draining first
+        # re-admits it (ingest is idempotent per wave id, the same
+        # contract crash-replayed micro-batches rely on), advances the
+        # cursor, and only then classifies the new wave (r12 ADVICE
+        # item 2).
+        self._drain_buffer(st)
         cursor = st["cursor"]
         if wid <= cursor:
             self._quarantine(wid, data, "late-or-duplicate")
@@ -384,10 +414,26 @@ class ContinuousWaveGate(StreamingWaveGate):
         st = self._load_cursor()
         schema = StructType([f for f in self.schema.fields if f.name != "_wave"])
         while True:
-            buffered = self._buffered_waves()
-            if not buffered or buffered[-1] <= st["cursor"]:
+            pending = self._buffered_waves() + self._overflow_waves(st["cursor"])
+            if not pending or max(pending) <= st["cursor"]:
                 return
             self._expire_gap(st, schema)
+
+    def _overflow_waves(self, cursor: int) -> list[int]:
+        """Buffer-full-quarantined waves still AHEAD of the cursor:
+        their rows are committed on disk and they re-enter the stream
+        when they become next-in-order (``_drain_buffer``) — unlike
+        late/gap-expired quarantine rows, which are terminal."""
+        out = []
+        for d in os.listdir(self.quarantine_dir):
+            if not (d.startswith("wave_") and d.endswith("_buffer-full")):
+                continue
+            w = int(d.split("_")[1])
+            if w > cursor and os.path.exists(
+                os.path.join(self.quarantine_dir, d, "_SUCCESS")
+            ):
+                out.append(w)
+        return sorted(out)
 
     def _drain_buffer(self, st: dict) -> None:
         import shutil
@@ -396,7 +442,17 @@ class ContinuousWaveGate(StreamingWaveGate):
             nxt = st["cursor"] + 1
             path = os.path.join(self.buffer_dir, f"wave_{nxt}")
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                return
+                # a wave quarantined as buffer-full is NOT lost: its rows
+                # are committed on disk, and once the gap before it fills
+                # (or expires) it is the next in-order wave — re-admit it
+                # rather than leaving valid data silently excluded behind
+                # a clean drain (r12 ADVICE item 1)
+                qpath = os.path.join(
+                    self.quarantine_dir, f"wave_{nxt}_buffer-full"
+                )
+                if not os.path.exists(os.path.join(qpath, "_SUCCESS")):
+                    return
+                path = qpath
             self._admit(nxt, self.spark.read.parquet(path))
             # persist the cursor BEFORE deleting the buffered files: a
             # crash between rmtree and a later save would otherwise
@@ -457,10 +513,13 @@ class ContinuousWaveGate(StreamingWaveGate):
         finally:
             q.stop()
             q.awaitTermination()
-        stranded = self._buffered_waves()
+        cursor = self._load_cursor()["cursor"]
+        stranded = sorted(
+            set(self._buffered_waves()) | set(self._overflow_waves(cursor))
+        )
         if stranded and not allow_buffered:
             raise RuntimeError(
-                f"stream idled with waves {stranded} stranded in the buffer "
-                f"behind gap {self._load_cursor()['cursor'] + 1}; redeliver "
+                f"stream idled with waves {stranded} stranded (buffered or "
+                f"buffer-full-quarantined) behind gap {cursor + 1}; redeliver "
                 "the gap, or call expire_stalled_gaps() to declare it lost"
             )

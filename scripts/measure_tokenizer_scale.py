@@ -17,8 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
+from clickhouse_segments_tutorial_spark.operators.synth import synth_dictionary
 from clickhouse_segments_tutorial_spark.session import get_spark
-from tests.test_tokenizer_scale import synth_dictionary
 
 
 def main() -> None:

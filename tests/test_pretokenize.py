@@ -108,6 +108,26 @@ def test_byte_encode_decode_roundtrip(spark):
     assert emoji.startswith("emoji" + "Ġ")
 
 
+def test_byte_decode_total_on_arbitrary_input(spark):
+    """byte_decode is TOTAL: a character outside the byte-character
+    image (arbitrary input, not a byte_encode product) decodes to a
+    visible U+FFFD instead of silently vanishing — element_at returns
+    NULL for the unmapped char and array_join would drop it (r12
+    ADVICE item 3)."""
+    cases = [
+        ("\u4e2d", "\ufffd"),  # CJK char, never in the 256-entry image
+        ("a\u4e2db", "a\ufffdb"),  # mapped chars survive around it
+        ("\U0001f600", "\ufffd"),  # astral: split() is per-CODEPOINT in Spark 4
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, t string"
+    )
+    rows = df.select("i", byte_decode(F.col("t")).alias("d")).collect()
+    for r in rows:
+        want = cases[r.i][1]
+        assert r.d == want, f"case {r.i}: {r.d!r} != {want!r}"
+
+
 def test_byte_encode_cross_engine_parity_non_bmp(spark):
     """The Spark byte-encoder and the DuckDB oracle fragment
     (bmap_values_sql) agree byte-for-byte on every case INCLUDING the

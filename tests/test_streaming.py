@@ -704,7 +704,7 @@ def test_continuous_gate_stranded_buffer_raises_and_manual_expiry(spark, tmp_pat
     _write_wave(spark, gate, _wave_rows(0, 8), 1, t0)
     _write_wave(spark, gate, _wave_rows(16, 24), 3, t0 + 5)
     try:
-        with _pytest.raises(RuntimeError, match="stranded in the buffer"):
+        with _pytest.raises(RuntimeError, match="stranded"):
             gate.run_until_drained(timeout_s=180)
         assert gate._buffered_waves() == [3]
         gate.expire_stalled_gaps()
@@ -723,13 +723,17 @@ def test_continuous_gate_stranded_buffer_raises_and_manual_expiry(spark, tmp_pat
 
 
 def test_continuous_gate_full_buffer_still_expires_gap(spark, tmp_path):
-    """The deadlock fix (r12 review finding 1): with max_ahead smaller
-    than lateness_batches, buffer-full quarantined waves must STILL
-    count toward gap expiry — otherwise the counter can never reach the
-    threshold and the gate stalls forever. Waves 2..5 land while wave 1
-    is lost (buffer holds 2 of them, 2 overflow); the 4th arrival
-    crosses lateness_batches=4, wave 1 expires, and the buffered prefix
-    drains."""
+    """The deadlock fix (r12 review finding 1) composed with buffer-full
+    RE-ADMISSION (r12 ADVICE item 1): with max_ahead smaller than
+    lateness_batches, buffer-full quarantined waves still count toward
+    gap expiry — otherwise the counter can never reach the threshold and
+    the gate stalls forever. Waves 2..5 land while wave 1 is lost
+    (buffer holds 2 of them, 2 overflow into buffer-full quarantine);
+    the 4th arrival crosses lateness_batches=4, wave 1 expires, the
+    buffered prefix drains — and the overflowed waves 4 and 5, whose
+    rows never left disk, are re-admitted the moment each becomes the
+    next in-order wave instead of staying silently excluded behind a
+    clean drain. Only the genuinely lost wave leaves an audit row."""
     import time
 
     gate = _cont_gate(
@@ -743,17 +747,26 @@ def test_continuous_gate_full_buffer_still_expires_gap(spark, tmp_path):
         )
     try:
         gate.run_until_drained(timeout_s=180)
-        # waves 2 and 3 were buffered and drained after the expiry;
-        # 4 and 5 overflowed the 2-wave buffer into quarantine
+        # waves 2 and 3 were buffered and drained after the expiry; 4
+        # and 5 overflowed the 2-wave buffer into quarantine and were
+        # re-admitted in order during the same drain
         got = sorted(
             d for d in os.listdir(gate.results_dir) if d.startswith("batch_")
         )
-        assert got == ["batch_1", "batch_2"]
+        assert got == ["batch_1", "batch_2", "batch_3", "batch_4"]
         reasons = [(a["wave"], a["reason"]) for a in gate.quarantined()]
-        assert reasons == [
-            (1, "gap-expired"),
-            (4, "buffer-full"),
-            (5, "buffer-full"),
-        ]
+        assert reasons == [(1, "gap-expired")]
+        # the admitted union equals the batch operator over waves 2..5
+        from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+            ngram_novelty,
+        )
+
+        admitted = spark.createDataFrame(
+            [r for wid in (2, 3, 4, 5) for r in _wave_rows(10 * wid, 10 * wid + 5)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, ngram_novelty(admitted, n=3).collect()))
+        b = sorted(map(tuple, gate.results().collect()))
+        assert a == b
     finally:
         gate.ingestor.drop_state()

@@ -7,30 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-
-def synth_dictionary(spark, n: int, max_len: int = 32):
-    """Deterministic (word, freq) dictionary: word i is base-26 letters
-    of hash(i, position), length (i % max_len) + 1, freq Zipf-ish from
-    hash(i). Pure expressions over spark.range — no driver-side data,
-    partitioning-invariant (Murmur3 on bound values)."""
-    return (
-        spark.range(n)
-        .select(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sequence(F.lit(1), (F.col("id") % max_len + 1).cast("int")),
-                    lambda j: F.char(
-                        F.lit(97) + F.pmod(F.hash(F.col("id"), j), F.lit(26))
-                    ),
-                ),
-            ).alias("word"),
-            (F.pmod(F.hash("id"), F.lit(1000)) + 1).cast("long").alias("freq"),
-        )
-        .groupBy("word")
-        .agg(F.sum("freq").alias("freq"))
-        .localCheckpoint(eager=True)
-    )
+from clickhouse_segments_tutorial_spark.operators.synth import synth_dictionary
 
 
 def test_unigram_trains_realistic_dictionary(spark):
