@@ -126,6 +126,16 @@ def main() -> None:
         "q3_top_revenue_orders",
         "tfidf_top_terms_docs",
         "funnel_view_click_purchase",
+        # the shingle/small-cell family: five sub-2.5s cells that swung
+        # >25% between two same-code sessions in r11→r12 (the documented
+        # per-family session mode) — median-of-5 + double warmup is the
+        # standing promotion remedy (q3/knn/funnel precedent; r12
+        # verdict item 2)
+        "ann_quantized_topk",
+        "gopher_quality_docs",
+        "minhash_near_dup_pairs",
+        "jaccard_near_dup_pairs",
+        "dedup_paragraphs_docs",
     }
     raw: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -1,0 +1,263 @@
+"""Persisted IVFADC index lifecycle: build once, probe many, extend
+incrementally (r12 verdict item 1).
+
+Every inline ANN query retrains the coarse quantizer and re-encodes the
+corpus PER CALL; the r12 build-vs-probe split (BASELINE.md) measured
+the +2.1 s of ``ann_ivfadc_residual_topk`` as Lloyd training an index
+build pays once. At 100 TB nobody trains per query — the index is a
+catalog artifact with three parts:
+
+- **meta** (``meta.json``): the portable-Lloyd coarse centroids, the
+  residual-space PQ codebooks, and the build parameters — a few KB of
+  round-6 doubles, DRIVER-RESIDENT by construction (n_centroids x dim
+  + m x k_codes x dim/m floats);
+- **codes** (``codes/`` parquet, partitioned by ``ivf_list``): one row
+  per (vector, spill replica) carrying (vec_id, primary_list,
+  pq_codes) — m small ints per vector instead of the float vector, the
+  memory hierarchy of Jegou et al. 2011 (codes resident, vectors
+  fetched only for the re-rank shortlist);
+- the **vectors** stay in their source table — the probe touches them
+  only for the final ``k_cand``-row exact re-rank.
+
+Layout choice — PARTITIONED by list id, not hash-bucketed: the probe's
+access pattern is ``ivf_list IN (<n_probe driver-computed ids>)``,
+which partition pruning turns into reading n_probe/n_centroids of the
+codes directory (verify: PartitionFilters in .explain). A bucketed
+table (sources/bucketed.py) optimizes key-equality JOINS by removing
+their Exchange; the probe never joins on ivf_list, so bucketing buys
+nothing here while directory layout buys the whole scan reduction —
+same reasoning as ivf_build_index (similarity.py).
+
+Incremental extension (the WaveCountState pattern applied to vectors):
+new-vector waves are encoded with the FROZEN centroids + codebooks (a
+few KB read from meta) and APPENDED to the codes partitions — a
+map-only pass over the new wave, one matmul per Arrow batch, zero
+shuffles, never re-reading history. Quantizer drift under distribution
+shift is a REBUILD decision (compare per-list residual energy), not an
+append-time one, exactly as published IVF systems operate.
+
+Every stage reuses the engine-portable rules (round-6 cosine rank,
+round-6 argmin codes, decimal-exact ADC), so a DuckDB oracle replays
+build + extend + probe bit-for-bit (plans/llm.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pq import (
+    _centroid_df,
+    pq_adc_lut,
+    pq_encode,
+    pq_residual_codebooks,
+)
+from .similarity import (
+    cosine,
+    ivf_assign,
+    ivf_probe_lists,
+    ivf_train_portable,
+)
+
+_META = "meta.json"
+_CODES = "codes"
+
+
+def _meta_path(workdir: str) -> str:
+    return os.path.join(workdir, _META)
+
+
+def codes_path(workdir: str) -> str:
+    return os.path.join(workdir, _CODES)
+
+
+def load_meta(workdir: str) -> dict:
+    with open(_meta_path(workdir)) as f:
+        return json.load(f)
+
+
+def _save_meta(workdir: str, meta: dict) -> None:
+    # tmp + rename: a crash mid-write must not leave a torn meta that a
+    # later get-or-build would read as a valid (wrong) index
+    tmp = _meta_path(workdir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(workdir))
+
+
+def _encode_codes(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    spill: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, primary_list, pq_codes, ivf_list) rows for ``vectors``
+    under FROZEN index artifacts — the shared encode pass of build and
+    extend. One matmul per Arrow batch for the spill assignment (as an
+    ARRAY, so the primary list and the replicas come from the same
+    pass), a broadcast join for the primary centroid, elementwise
+    residual, one matmul per subspace for the codes, then an
+    in-expression explode into the spill replicas. Map-only: ZERO
+    shuffles before the partitioned write."""
+    spark = vectors.sparkSession
+    assigned = ivf_assign(
+        vectors, cents, vec_col=vec_col, portable=True, spill=spill,
+        list_array_col="_lists",
+    ).withColumn("primary_list", F.element_at("_lists", 1))
+    prim_cents = F.broadcast(
+        _centroid_df(spark, cents).withColumnRenamed("ivf_list", "primary_list")
+    )
+    res = assigned.join(prim_cents, "primary_list").withColumn(
+        "_resid", F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b)
+    )
+    coded = pq_encode(res, books, id_col=id_col, vec_col="_resid")
+    return coded.select(
+        id_col, "primary_list", "pq_codes", F.explode("_lists").alias("ivf_list")
+    )
+
+
+def ivfadc_build_index(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    train_df: DataFrame | None = None,
+    n_centroids: int = 128,
+    refine_iters: int = 2,
+    m: int = 16,
+    k_codes: int = 32,
+    spill: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and persist the IVFADC index for ``embeddings`` under
+    ``workdir`` (module docstring). ``train_df`` optionally restricts
+    quantizer/codebook TRAINING to a subset (the incremental twin
+    trains on its first wave and encodes everything ever appended with
+    those frozen artifacts); encoding always covers ``embeddings``.
+    Returns the meta dict."""
+    train = train_df if train_df is not None else embeddings
+    cents = ivf_train_portable(
+        train, n_centroids=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    books = pq_residual_codebooks(
+        train, cents, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    os.makedirs(workdir, exist_ok=True)
+    rows = _encode_codes(embeddings, cents, books, spill, id_col, vec_col)
+    rows.write.mode("overwrite").partitionBy("ivf_list").parquet(
+        codes_path(workdir)
+    )
+    meta = {
+        "cents": cents,
+        "books": books,
+        "params": {
+            "n_centroids": n_centroids,
+            "refine_iters": refine_iters,
+            "m": m,
+            "k_codes": k_codes,
+            "spill": spill,
+        },
+        # cheap staleness fingerprint for get-or-build callers: a probe
+        # against an index built from a different corpus is a silent
+        # wrong answer, not a crash
+        "n_vectors": embeddings.count(),
+    }
+    _save_meta(workdir, meta)
+    return meta
+
+
+def ivfadc_extend_index(
+    new_vectors: DataFrame,
+    workdir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a wave of NEW vectors into the persisted index: encode them
+    under the frozen centroids + codebooks and APPEND to the codes
+    partitions — a map-only pass over the wave, no history re-read
+    (module docstring). Caller owns id uniqueness across waves (the
+    usual ingest contract). Returns the updated meta."""
+    meta = load_meta(workdir)
+    p = meta["params"]
+    rows = _encode_codes(
+        new_vectors, meta["cents"], meta["books"], p["spill"], id_col, vec_col
+    )
+    rows.write.mode("append").partitionBy("ivf_list").parquet(codes_path(workdir))
+    meta["n_vectors"] = meta["n_vectors"] + new_vectors.count()
+    _save_meta(workdir, meta)
+    return meta
+
+
+def ivfadc_probe_index(
+    embeddings: DataFrame,
+    workdir: str,
+    probe: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 24,
+    k_cand: int = 80,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over the persisted index — the pay-per-query half. Probe
+    lists are picked driver-side from the meta centroids; the codes
+    scan reads ONLY the probed partitions (directory pruning); ADC is
+    one broadcast LUT join + a decimal hash-agg over codes plus the
+    round-6 q·c_primary coarse term; only the ``k_cand`` shortlist
+    touches float vectors for the exact cosine re-rank. Identical
+    math to operators.pq.ivfadc_residual_topk, so the same value
+    oracle replays both."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    meta = load_meta(workdir)
+    cents, books = meta["cents"], meta["books"]
+    if cents and len(probe) != len(cents[0]):
+        raise ValueError(f"probe dim {len(probe)} != index dim {len(cents[0])}")
+    plists = ivf_probe_lists(cents, probe, n_probe, portable=True)
+    cand = (
+        spark.read.parquet(codes_path(workdir))
+        .filter(F.col("ivf_list").isin(plists))
+        # spill replicas carry identical (primary_list, pq_codes)
+        .dropDuplicates([id_col])
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    lut = spark.createDataFrame(
+        pq_adc_lut(books, probe), "m int, j int, part double"
+    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
+    qp = np.asarray(probe, dtype=np.float64)
+    qc = spark.createDataFrame(
+        [
+            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
+            for i, c in enumerate(cents)
+        ],
+        "primary_list int, qc double",
+    ).select("primary_list", F.col("qc").cast("decimal(18,6)").alias("qc"))
+    shortlist = (
+        cand.select(id_col, "primary_list", F.posexplode("pq_codes").alias("m", "j"))
+        .join(F.broadcast(lut), ["m", "j"])
+        .groupBy(id_col, "primary_list")
+        .agg(F.sum("part").alias("_r"))
+        .join(F.broadcast(qc), "primary_list")
+        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k_cand)
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -296,6 +296,7 @@ def ivf_assign(
     portable: bool = False,
     spill: int = 1,
     rank_col: str | None = None,
+    list_array_col: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its ``spill`` nearest centroids (max cosine)
     — the IVF index build.
@@ -362,6 +363,14 @@ def ivf_assign(
             return pd.Series(list(top))
 
     assigned = nearest_centroids(F.col(vec_col))
+    if list_array_col:
+        # UNEXPLODED form: the top-``spill`` lists as one array column,
+        # rank = array position. Lets an index BUILD derive the primary
+        # list (element 1) and the spill replicas from ONE matmul pass
+        # with no self-join back onto the exploded rows
+        # (operators/ann_index.py) — the exploded forms below stay the
+        # probe/candidate-discovery shape.
+        return embeddings.withColumn(list_array_col, assigned)
     if spill == 1:
         out = embeddings.withColumn(list_col, F.element_at(assigned, 1))
         return out.withColumn(rank_col, F.lit(0)) if rank_col else out

@@ -974,11 +974,100 @@ def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_iter_ctes(t: int) -> str:
+# --- persisted IVFADC index lifecycle (r12 verdict item 1) -----------------------
+
+# get-or-build cache: one persisted index per (sf_dir, n_vectors) per
+# process, living in a session scratch dir (atexit-cleaned). The bench's
+# warmup run pays the build; every measured run and every later call is
+# probe-only — the production shape, where the index is a long-lived
+# catalog artifact and queries never train.
+_IVFADC_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _ivfadc_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.ann_index import ivfadc_build_index, load_meta
+    from ..session import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), emb.count())
+    workdir = _IVFADC_INDEX_CACHE.get(key)
+    if workdir is not None:
+        try:
+            if load_meta(workdir)["n_vectors"] == key[1]:
+                return workdir
+        except (OSError, ValueError, KeyError):
+            pass  # torn/absent meta: rebuild below
+    workdir = scratch_dir("ivfadc_index")
+    ivfadc_build_index(
+        emb, workdir, n_centroids=128, refine_iters=2, m=16, k_codes=32,
+        spill=2,
+    )
+    _IVFADC_INDEX_CACHE[key] = workdir
+    return workdir
+
+
+def ann_ivfadc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE-ONLY approximate top-10 over the persisted IVFADC index —
+    the pay-per-query half of the lifecycle split (r12 verdict item 1;
+    the build half is operators.ann_index.ivfadc_build_index, paid once
+    per corpus by the get-or-build cache). Identical operating point
+    and math to ann_ivfadc_residual_topk (128 lists / 24 probed /
+    spill 2 / m=16 x 32 codes / top-80 shortlist, recall 0.880), so the
+    SAME value oracle replays both — what differs is the movement
+    pattern: the probe reads 24/128 code partitions (directory-pruned),
+    joins one broadcast LUT, and touches 80 float vectors, with zero
+    training work in the query path."""
+    from ..operators.ann_index import ivfadc_probe_index
+
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_probe_index(
+        _t(spark, sf_dir, "embeddings"),
+        _ivfadc_index_for(spark, sf_dir),
+        list(probe),
+        k=10, n_probe=24, k_cand=80, exclude_id=0,
+    )
+
+
+def ann_ivfadc_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's INCREMENTAL twin: build on wave 1 (even
+    vec_ids — train the coarse quantizer and residual codebooks there,
+    encode the wave), EXTEND with wave 2 (odd vec_ids encoded under the
+    FROZEN artifacts, appended to the code partitions — a map-only pass
+    over the new wave, no history re-read: the WaveCountState pattern
+    applied to vectors), then probe the merged index. The oracle
+    replays the same contract: training CTEs restricted to the even
+    wave, assignment/encoding/ADC over the full corpus. Runs the full
+    build+extend per call ON PURPOSE — this query IS the lifecycle
+    proof; the latency row is ann_ivfadc_probe."""
+    from ..operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_extend_index,
+        ivfadc_probe_index,
+    )
+    from ..session import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 != 0)
+    workdir = scratch_dir("ivfadc_incr")
+    ivfadc_build_index(
+        wave1, workdir, train_df=wave1,
+        n_centroids=128, refine_iters=2, m=16, k_codes=32, spill=2,
+    )
+    ivfadc_extend_index(wave2, workdir)
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_probe_index(
+        emb, workdir, list(probe), k=10, n_probe=24, k_cand=80, exclude_id=0
+    )
+
+
+def _lloyd_iter_ctes(t: int, train_where: str = "") -> str:
     """One portable-Lloyd iteration: rank-1 assignment under
     cents{t-1}, per-(list, slot) decimal-exact round-6 mean, array
     rebuild, empty-list carryover — replaying
-    similarity.ivf_train_portable exactly."""
+    similarity.ivf_train_portable exactly. ``train_where`` restricts
+    the TRAINING set (the persisted-index incremental twin trains on
+    its first wave only)."""
     return f"""
 asg{t} AS MATERIALIZED (
   SELECT vec_id, cidx FROM (
@@ -989,7 +1078,7 @@ asg{t} AS MATERIALIZED (
                                                    c.cvec), 6) DESC,
                       c.cidx ASC
            ) AS rk
-    FROM embeddings e CROSS JOIN cents{t - 1} c
+    FROM embeddings e CROSS JOIN cents{t - 1} c {train_where}
   ) WHERE rk = 1
 ),
 mn{t} AS MATERIALIZED (
@@ -1019,14 +1108,26 @@ cents{t} AS MATERIALIZED (
 # first 32 md5-ordered vectors' primary residuals; enc_d2/codes replay
 # pq_encode's portable argmin over residuals; adc adds the round-6
 # q·c_primary coarse term to the LUT sum as exact decimals.
-_ANN_IVFADC_ORACLE = f"""
+def _ivfadc_oracle(train_where: str = "") -> str:
+    """The IVFADC replay, parameterized by a TRAINING-set predicate:
+    empty = train on the full corpus (ann_ivfadc_residual_topk and the
+    persisted-index ann_ivfadc_probe, whose build/probe split computes
+    the identical math); a predicate = the persisted-index incremental
+    twin, which trains centroids + codebooks on its FIRST wave only and
+    encodes every later wave with those frozen artifacts — so the
+    oracle restricts cents0 / the Lloyd iterations / book_rows to the
+    training wave while assignment, encoding, ADC, and the re-rank
+    still cover the whole corpus."""
+    tw = f"WHERE {train_where}" if train_where else ""
+    twe = f"WHERE e.{train_where}" if train_where else ""
+    return f"""
 WITH cents0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
          CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings
+  FROM embeddings {tw}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT 128
-),{_lloyd_iter_ctes(1)},{_lloyd_iter_ctes(2)},
+),{_lloyd_iter_ctes(1, twe)},{_lloyd_iter_ctes(2, twe)},
 probe_vec AS (SELECT CAST(embedding AS DOUBLE[]) AS pvec FROM embeddings WHERE vec_id = 0),
 assign AS MATERIALIZED (
   SELECT e.vec_id, c.cidx,
@@ -1070,6 +1171,7 @@ book_rows AS (
   FROM embeddings e
   JOIN prim p USING (vec_id)
   JOIN cents2 c ON p.cidx = c.cidx
+  {twe}
   ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id
   LIMIT 32
 ),
@@ -1122,6 +1224,9 @@ CROSS JOIN probe_vec p
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 10
 """
+
+
+_ANN_IVFADC_ORACLE = _ivfadc_oracle()
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2313,6 +2418,14 @@ QUERIES = [
     QuerySpec("ann_ivfpq_topk", ann_ivfpq_topk, _ANN_IVFPQ_ORACLE),
     QuerySpec(
         "ann_ivfadc_residual_topk", ann_ivfadc_residual_topk, _ANN_IVFADC_ORACLE
+    ),
+    QuerySpec(
+        "ann_ivfadc_probe", ann_ivfadc_probe, _ANN_IVFADC_ORACLE, headline=True
+    ),
+    QuerySpec(
+        "ann_ivfadc_probe_incremental",
+        ann_ivfadc_probe_incremental,
+        _ivfadc_oracle("vec_id % 2 = 0"),
     ),
     QuerySpec(
         "cluster_balanced_embeddings",

@@ -349,6 +349,79 @@ def test_ivf_persisted_index_prunes_and_matches(spark, sf_oracle, tmp_path):
     assert "ivf_list" in partition_filters
 
 
+def test_ivfadc_persisted_index_matches_inline_and_prunes(spark, sf_oracle, tmp_path):
+    """The persisted IVFADC lifecycle (r12 verdict item 1): build +
+    probe must return exactly the inline ann_ivfadc composition at the
+    same operating point, the probe scan must read ONLY the probed code
+    partitions (directory pruning), and the probe plan must be
+    Python-free (all training/encoding Python lives in the build)."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_probe_index,
+    )
+    from clickhouse_segments_tutorial_spark.operators.pq import (
+        ivfadc_residual_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "ivfadc_index")
+    ivfadc_build_index(
+        emb, idx, n_centroids=128, refine_iters=2, m=16, k_codes=32, spill=2
+    )
+    indexed = ivfadc_probe_index(
+        emb, idx, probe, k=10, n_probe=24, k_cand=80, exclude_id=0
+    )
+    inline = ivfadc_residual_topk(
+        emb, probe, k=10, n_centroids=128, n_probe=24, spill=2, m=16,
+        k_codes=32, k_cand=80, refine_iters=2, exclude_id=0,
+    )
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the CODES scan (not the embeddings re-rank scan) must carry the
+    # probed-list filter as PartitionFilters — directory pruning
+    pfs = [seg.split("]", 1)[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("ivf_list" in pf for pf in pfs), pfs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfadc_extend_matches_full_build(spark, sf_oracle, tmp_path):
+    """Incremental extension under FROZEN artifacts: building on wave 1
+    then extending with wave 2 must yield bit-identical probe results to
+    one build that trains on wave 1 and encodes both waves at once —
+    per-vector encoding is independent, so appended codes cannot differ
+    from batch-encoded ones."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_extend_index,
+        ivfadc_probe_index,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 != 0)
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+
+    inc = str(tmp_path / "inc")
+    ivfadc_build_index(
+        wave1, inc, train_df=wave1, n_centroids=64, refine_iters=1, m=16,
+        k_codes=32, spill=2,
+    )
+    ivfadc_extend_index(wave2, inc)
+    full = str(tmp_path / "full")
+    ivfadc_build_index(
+        emb, full, train_df=wave1, n_centroids=64, refine_iters=1, m=16,
+        k_codes=32, spill=2,
+    )
+    assert load_meta(inc)["n_vectors"] == load_meta(full)["n_vectors"]
+    a = ivfadc_probe_index(emb, inc, probe, k=10, n_probe=16, exclude_id=0)
+    b = ivfadc_probe_index(emb, full, probe, k=10, n_probe=16, exclude_id=0)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
 def test_ivf_portable_spill_recall(spark, sf_oracle, tmp_path):
     """The portable IVF configuration the oracle replays (128 md5-sampled
     centroids, spill=2 multi-assignment, 24 probes) must hold mean top-10
