@@ -198,13 +198,27 @@ def pq_residual_codebooks(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Residual-space codebooks for IVFADC (Jegou et al. 2011 §IV):
     the md5-ordered first ``k_codes`` vectors, each residualized to its
     PRIMARY coarse list under ``cents`` (v - c_rank1), sliced per
     subspace — the portable-sample construction of :func:`pq_codebooks`
     moved to residual space. Elementwise float64 subtraction is
-    IEEE-exact, so the books replay bit-for-bit in SQL."""
+    IEEE-exact, so the books replay bit-for-bit in SQL.
+
+    ``refine_iters > 0`` runs PER-SUBSPACE PORTABLE LLOYD on the seed
+    (r12 verdict item 5 — the r12 diagnosis measured sample codebooks
+    quantizing residual space 3.3x worse than raw space, so training
+    them is the recall lever the trained coarse quantizer was): the
+    assignment step IS :func:`pq_encode` under the current books (the
+    portable round-6 argmin), run over EVERY corpus vector's primary
+    residual in one pass covering all m subspaces at once, and the
+    update is the decimal-exact round-6 mean per (subspace, code, slot)
+    — ivf_train_portable's rule, so the refined books stay bit-portable
+    and a SQL oracle unrolls the iterations. Empty codes keep their
+    previous entry. Driver holds m x k_codes x (dim/m) round-6 doubles
+    per iteration — dim floats total, same footprint as the seed."""
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
@@ -231,7 +245,62 @@ def pq_residual_codebooks(
     )
     sample = [list(r._resid) for r in res]
     d = len(sample[0]) // m
-    return [[v[mi * d : (mi + 1) * d] for v in sample] for mi in range(m)]
+    books = [[v[mi * d : (mi + 1) * d] for v in sample] for mi in range(m)]
+    if refine_iters == 0:
+        return books
+    # training residuals: EVERY vector to its primary list, one pass,
+    # kept lazily (re-evaluated per iteration's single job — at index-
+    # build scale a real deployment persists this frame once)
+    res_all = (
+        ivf_assign(embeddings, cents, vec_col=vec_col, portable=True, spill=1)
+        .join(F.broadcast(_centroid_df(spark, cents)), "ivf_list")
+        .withColumn(
+            "_resid",
+            F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b),
+        )
+        .select(id_col, "_resid")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(refine_iters):
+        coded = pq_encode(res_all, books, id_col=id_col, vec_col="_resid")
+        rows = (
+            coded.select(F.posexplode("pq_codes").alias("mi", "j"), "_resid")
+            .select(
+                "mi",
+                "j",
+                F.posexplode(
+                    F.slice(
+                        F.col("_resid"), F.col("mi") * d + 1, d
+                    )
+                ).alias("pos", "val"),
+            )
+            .groupBy("mi", "j", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("val").cast("double"), 6).cast(
+                            "decimal(28,12)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .collect()
+        )
+        refined: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            refined.setdefault((r.mi, r.j), {})[r.pos] = float(r.m)
+        books = [
+            [
+                [refined[(mi, j)][p] for p in range(d)]
+                if (mi, j) in refined
+                else books[mi][j]
+                for j in range(k_codes)
+            ]
+            for mi in range(m)
+        ]
+    return books
 
 
 def ivfadc_residual_topk(
@@ -246,6 +315,7 @@ def ivfadc_residual_topk(
     k_codes: int = 16,
     k_cand: int = 40,
     refine_iters: int = 2,
+    book_refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
@@ -305,7 +375,8 @@ def ivfadc_residual_topk(
         "_resid", F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b)
     )
     books = pq_residual_codebooks(
-        embeddings, cents, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+        embeddings, cents, m=m, k_codes=k_codes, id_col=id_col,
+        vec_col=vec_col, refine_iters=book_refine_iters,
     )
     coded = pq_encode(cand_res, books, id_col=id_col, vec_col="_resid")
     lut = spark.createDataFrame(

@@ -549,6 +549,67 @@ def test_ivfadc_residual_recall_beats_raw_pq(spark, sf_oracle):
     assert mean >= 0.80, f"ivfadc residual recall {mean}: {recalls}"
 
 
+def test_ivfadc_trained_books_recall_hits_candidate_ceiling(spark, sf_oracle):
+    """Per-subspace portable-Lloyd sub-codebooks (r12 verdict item 5):
+    at the registered operating point, two book iterations lift mean
+    top-10 recall 0.880 -> 0.890 over these 10 probes — and 0.890 IS
+    the coarse-stage candidate ceiling (the fraction of true top-10
+    whose spill-2 lists intersect the 24 probed lists), so the trained
+    ADC stage is LOSSLESS: every true neighbor that reaches the
+    candidate set survives the shortlist and re-rank. Both facts are
+    pinned; the remaining loss belongs to n_probe/spill."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.pq import (
+        ivfadc_residual_topk,
+    )
+    from clickhouse_segments_tutorial_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_lists,
+        ivf_train_portable,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    cents = ivf_train_portable(emb, n_centroids=128, refine_iters=2)
+    asg = ivf_assign(emb, cents, portable=True, spill=2).select(
+        "vec_id", "ivf_list"
+    ).collect()
+    vec_lists: dict[int, set] = {}
+    for r in asg:
+        vec_lists.setdefault(r.vec_id, set()).add(r.ivf_list)
+
+    recalls, ceilings = [], []
+    for pid in range(10):
+        j = int(np.where(ids == pid)[0][0])
+        sims = np.round(Vn @ Vn[j], 6)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact = [int(ids[i]) for i in order if ids[i] != pid][:10]
+        plists = set(ivf_probe_lists(cents, list(V[j]), 24, portable=True))
+        ceilings.append(
+            len([e for e in exact if vec_lists[e] & plists]) / 10
+        )
+        approx = [
+            r.vec_id
+            for r in ivfadc_residual_topk(
+                emb, list(V[j]), k=10, m=16, k_codes=32, k_cand=80,
+                book_refine_iters=2, exclude_id=pid,
+            ).collect()
+        ]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    mean = sum(recalls) / len(recalls)
+    ceiling = sum(ceilings) / len(ceilings)
+    assert mean >= 0.88, f"trained-books recall {mean}: {recalls}"
+    assert mean == ceiling, (
+        f"trained ADC should be lossless given candidates: "
+        f"recall {mean} vs candidate ceiling {ceiling}"
+    )
+
+
 def test_ivf_train_portable_partitioning_invariant(spark, sf_oracle):
     """The decimal-exact Lloyd means are order-independent by
     construction: refined centroids must be byte-identical whether the
