@@ -341,6 +341,7 @@ def budget_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_missing: str = "error",
+    tokens_fn=tokens,
 ) -> DataFrame:
     """Chunk boundaries budgeted in LEARNED subwords — the
     context-window chunker upgraded from whitespace proxies
@@ -365,7 +366,7 @@ def budget_chunks(
         raise ValueError("budget must be >= 1")
     placed = _placed_tokens(
         docs, trained_words, text_col=text_col, id_col=id_col,
-        on_missing=on_missing,
+        on_missing=on_missing, tokens_fn=tokens_fn,
     )
     placed = placed.withColumn(
         "chunk_idx", F.floor(F.col("_before") / budget).cast("int")

@@ -161,6 +161,107 @@ def bpe_fertility_bytes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _byte_tokens_fn(c):
+    """Text column -> byte-encoded pre-token array — the tokens_fn hook
+    that retargets every whitespace-word consumer to the byte head."""
+    return F.transform(pretokens(c), byte_encode)
+
+
+def bpe_budget_chunks_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_queries.bpe_budget_chunks under the BYTE head (r12 verdict
+    item 3 — the downstream subword consumers wired to the byte-mode
+    tokenizer): chunk boundaries from a per-doc prefix sum of byte-BPE
+    subword counts over GPT-2 pre-tokens. Same start-boundary window
+    math, same budget; only tokens_fn changes — the consumer machinery
+    is head-independent by construction. Output (doc_id, chunk_idx,
+    n_words, n_subwords) where n_words counts PRE-TOKENS."""
+    from ..operators.bpe import budget_chunks
+
+    docs, _, trained = _bpe_trained(spark, sf_dir)
+    return budget_chunks(
+        docs, trained, budget=BYTES_CHUNK_BUDGET, tokens_fn=_byte_tokens_fn
+    )
+
+
+def mixed_corpus_bpe_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_queries.mixed_corpus_bpe_docs under the BYTE head: the
+    temperature mixture weights computed over each language's total
+    byte-BPE token count — the multilingual rebalancing rule measured
+    in the units a REAL multilingual budget uses (byte-level subwords
+    are the published convention precisely because whitespace words
+    under-count CJK). Weight math unchanged
+    (operators.sampling.temperature_weights, the one definition site);
+    one bounded collect (#languages rows) then the map-only
+    sequence+explode."""
+    from ..operators.sampling import mix_corpus, temperature_weights
+
+    docs, _, _ = _bpe_trained(spark, sf_dir)
+    weights = temperature_weights(
+        bpe_token_counts_bytes_docs(spark, sf_dir).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        ),
+        strata_col="lang",
+        alpha=BYTES_MIX_ALPHA,
+        quantum=BYTES_MIX_QUANTUM,
+        weight_col="n_bpe_tokens",
+    )
+    return mix_corpus(
+        docs, weights, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "epoch")
+
+
+def packed_chunks_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_queries.packed_chunks_bpe under the BYTE head: the
+    byte-budgeted chunks of bpe_budget_chunks_bytes greedily packed
+    into BYTES_PACK_CAPACITY-subword training sequences — the same
+    sharded applyInPandas recurrence and recursive-CTE oracle; the
+    oracle retrains the byte tokenizer from scratch first."""
+    from ..operators.bpe import budget_chunks
+    from ..operators.packing import pack_chunks
+
+    docs, _, trained = _bpe_trained(spark, sf_dir)
+    chunks = budget_chunks(
+        docs, trained, budget=BYTES_CHUNK_BUDGET, tokens_fn=_byte_tokens_fn
+    )
+    return pack_chunks(
+        chunks, capacity=BYTES_PACK_CAPACITY, tokens_col="n_subwords", shards=8
+    ).select("doc_id", "chunk_idx", "n_subwords", "shard", "seq_id")
+
+
+def quality_signals_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir_queries.quality_signals_docs EXTENDED with the byte-mode
+    tokenizer health signal: per-document byte-BPE FERTILITY (learned
+    subwords per pre-token — over-fragmented documents are the ones a
+    shared vocabulary serves worst, a curation signal the char-mode
+    composite lacked). Same four signals + (n_pretokens, fertility);
+    one extra equi-join on doc_id against the token-count frame; NULL
+    fertility for a document with no pre-tokens."""
+    from .dsir_queries import quality_signals_docs
+
+    base = quality_signals_docs(spark, sf_dir)
+    counts = bpe_token_counts_bytes_docs(spark, sf_dir).select(
+        "doc_id",
+        "n_pretokens",
+        F.when(
+            F.col("n_pretokens") > 0,
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_pretokens"), 6
+            ),
+        ).alias("bpe_fertility"),
+    )
+    return base.join(counts, "doc_id")
+
+
+# Consumer operating points under the byte head — the char-mode
+# constants restated (bpe_queries rationale): byte-BPE subword counts
+# run slightly above char-mode's (punctuation and spaces are tokens),
+# so the same budgets still cut mid-stream at every SF.
+BYTES_CHUNK_BUDGET = 64
+BYTES_PACK_CAPACITY = 256
+BYTES_MIX_ALPHA = 0.5
+BYTES_MIX_QUANTUM = 10**9
+
+
 def unigram_pieces_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-level unigram piece table after UNI_ROUNDS hard-EM
     rounds: (piece, cnt, lp) over byte-character pieces — the unigram
@@ -312,6 +413,124 @@ _UNI_PRUNED_BYTES_ORACLE = f"""WITH {
 SELECT piece, cnt, lp FROM lp{len(_bytes_prune_budgets()) + 1}
 """
 
+# --- byte-head consumer oracles: the char-mode consumer replays with the
+# byte training chain (_BYTE_CTES) and its token frame (bt) swapped in —
+# the consumer SQL itself is head-independent, like the Spark side.
+
+_BUDGET_CHUNKS_BYTES_ORACLE = f"""
+WITH {_BYTE_CTES},
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos
+  FROM bt
+),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+placed AS (
+  SELECT doc_id, pos, n_sub,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dict USING (word)
+)
+SELECT doc_id, CAST(floor(bef / {BYTES_CHUNK_BUDGET}) AS INT) AS chunk_idx,
+       CAST(count(*) AS INT) AS n_words, CAST(sum(n_sub) AS INT) AS n_subwords
+FROM placed GROUP BY doc_id, chunk_idx
+"""
+
+_MIX_BPE_BYTES_ORACLE = f"""
+WITH {_BYTE_CTES},
+tok AS (SELECT doc_id, unnest(t) AS word FROM bt),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+agg AS (
+  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe
+  FROM tok JOIN dict USING (word) GROUP BY doc_id
+),
+langtok AS (
+  SELECT d.lang AS s, CAST(sum(coalesce(a.n_bpe, 0)) AS BIGINT) AS n_l
+  FROM documents d LEFT JOIN agg a USING (doc_id) GROUP BY d.lang
+),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS t FROM langtok),
+wts AS (
+  SELECT s,
+         CAST(floor(sqrt(CAST(n_l AS DOUBLE) / CAST(t AS DOUBLE))
+                    * {BYTES_MIX_QUANTUM}.0 + 0.5) AS BIGINT) AS wt
+  FROM langtok, tot
+),
+wsum AS (SELECT CAST(sum(wt) AS BIGINT) AS ws FROM wts),
+counts AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang),
+ntot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nt FROM counts JOIN wts USING (s)),
+rates AS (
+  SELECT w.s, ((n.nt * w.wt) / m.ws) / c.n_s AS rate
+  FROM wts w JOIN counts c USING (s), wsum m, ntot n
+),
+expanded AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), 1, 8)
+                     < lpad(lower(hex(CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r ON d.lang = r.s
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+FROM expanded WHERE n_copies >= 1
+"""
+
+_PACKED_BPE_BYTES_ORACLE = f"""
+WITH RECURSIVE {_BYTE_CTES},
+tokp AS (
+  SELECT doc_id, unnest(t) AS word,
+         CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos
+  FROM bt
+),
+dict AS (SELECT word, len(syms) AS n_sub FROM w{N_MERGES_BYTES + 1}),
+placed AS (
+  SELECT doc_id, pos, n_sub,
+         coalesce(sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM tokp JOIN dict USING (word)
+),
+chunks AS (
+  SELECT doc_id, CAST(floor(bef / {BYTES_CHUNK_BUDGET}) AS INT) AS chunk_idx,
+         CAST(sum(n_sub) AS INT) AS n_subwords,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM placed GROUP BY doc_id, chunk_idx
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+pack(shard, rn, doc_id, chunk_idx, n_subwords, seq_id, fill) AS (
+  SELECT shard, rn, doc_id, chunk_idx, n_subwords, 0, n_subwords
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_subwords,
+         CASE WHEN p.fill + c.n_subwords > {BYTES_PACK_CAPACITY}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + c.n_subwords > {BYTES_PACK_CAPACITY}
+              THEN c.n_subwords ELSE p.fill + c.n_subwords END
+  FROM pack p JOIN ordered c ON c.shard = p.shard AND c.rn = p.rn + 1
+)
+SELECT doc_id, chunk_idx, n_subwords, shard, CAST(seq_id AS INTEGER) AS seq_id
+FROM pack
+"""
+
+
+def _quality_signals_bytes_oracle() -> str:
+    from .dsir_queries import _quality_signals_oracle
+
+    return f"""
+SELECT doc_id, quality, gopher_keep, nb_llr, dsir_lw, n_pretokens, bpe_fertility
+FROM ({_quality_signals_oracle()}) qs
+JOIN (
+  SELECT doc_id, n_pretokens,
+         CASE WHEN n_pretokens > 0
+              THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_pretokens, 6)
+         END AS bpe_fertility
+  FROM ({_TOKEN_COUNTS_BYTES_ORACLE})
+) f USING (doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec(
         "bpe_merges_bytes_docs", bpe_merges_bytes_docs, _MERGES_BYTES_ORACLE
@@ -338,5 +557,25 @@ QUERIES = [
         "unigram_pieces_bytes_pruned_docs",
         unigram_pieces_bytes_pruned_docs,
         _UNI_PRUNED_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "bpe_budget_chunks_bytes",
+        bpe_budget_chunks_bytes,
+        _BUDGET_CHUNKS_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "mixed_corpus_bpe_bytes_docs",
+        mixed_corpus_bpe_bytes_docs,
+        _MIX_BPE_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "packed_chunks_bpe_bytes",
+        packed_chunks_bpe_bytes,
+        _PACKED_BPE_BYTES_ORACLE,
+    ),
+    QuerySpec(
+        "quality_signals_bytes_docs",
+        quality_signals_bytes_docs,
+        _quality_signals_bytes_oracle(),
     ),
 ]
