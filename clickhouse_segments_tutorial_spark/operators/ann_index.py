@@ -194,6 +194,82 @@ def ivfadc_extend_index(
     return meta
 
 
+def ivfadc_index_health(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-list health of the persisted index — the REBUILD-DECISION
+    surface (module docstring: quantizer drift under distribution shift
+    is detected by monitoring, not guessed at append time). One row per
+    inverted list: ``n_vectors`` (primary assignments) and
+    ``resid_energy`` — the fraction of vector energy the coarse
+    quantizer leaves in the residual, Σ round(r·r, 6) / Σ round(v·v, 6)
+    as a ratio of decimal-exact sums (the r12 diagnosis metric: ~89%
+    residual energy under sampled centroids is what made residual
+    encoding HURT; a drifting corpus pushes this ratio up, and a
+    sustained rise is the rebuild trigger). Reads the codes artifact
+    for the primary assignment (no re-assignment pass) and joins the
+    vectors once; per-vector energies square ROUND-6 components in
+    exact decimal arithmetic (see the inline note — both a whole-vector
+    float fold and rounded double products measurably diverge by one
+    ulp between engines on this data), so the oracle replays the
+    report bit-for-bit."""
+    spark = embeddings.sparkSession
+    meta = load_meta(workdir)
+    prim = (
+        spark.read.parquet(codes_path(workdir))
+        .filter(F.col("ivf_list") == F.col("primary_list"))
+        .select(id_col, "primary_list")
+    )
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(meta["cents"])],
+            "primary_list int, _cvec array<double>",
+        )
+    )
+    # energies are computed over ROUND-6 components squared in DECIMAL
+    # arithmetic: round(x, 6) casts to an exact decimal(18,6) (the
+    # established portable rule) and decimal x decimal is EXACT — no
+    # double product ever rounds. Squaring the double first
+    # (round(x*x, 6)) measurably diverged by one ulp on a few lists:
+    # components here are near-6-decimal values, so their squares land
+    # ON the 7th-decimal rounding tie, which the two engines' round
+    # implementations resolve differently. The merge re-cast keeps the
+    # accumulator type fixed (decimal + widens precision by one);
+    # 64 summands stay far inside the integer digits.
+    def energy(a):
+        d6 = lambda x: F.round(x, 6).cast("decimal(18,6)")
+        return F.aggregate(
+            F.transform(a, lambda x: (d6(x) * d6(x)).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, x: (acc + x).cast("decimal(28,12)"),
+        )
+    res = (
+        embeddings.join(prim, id_col)
+        .join(cents_df, "primary_list")
+        .withColumn(
+            "_r", F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a - b)
+        )
+        .select(
+            "primary_list",
+            energy(F.col("_r")).alias("_rr"),
+            energy(F.col(vec_col)).alias("_vv"),
+        )
+    )
+    return (
+        res.groupBy(F.col("primary_list").alias("ivf_list"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum("_rr").cast("double") / F.sum("_vv").cast("double"), 6
+            ).alias("resid_energy"),
+        )
+    )
+
+
 def ivfadc_probe_index(
     embeddings: DataFrame,
     workdir: str,

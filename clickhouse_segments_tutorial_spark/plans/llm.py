@@ -1108,6 +1108,22 @@ cents{t} AS MATERIALIZED (
 # first 32 md5-ordered vectors' primary residuals; enc_d2/codes replay
 # pq_encode's portable argmin over residuals; adc adds the round-6
 # q·c_primary coarse term to the LUT sum as exact decimals.
+def ann_ivfadc_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list rebuild-decision report over the persisted IVFADC index
+    (operators.ann_index.ivfadc_index_health): (ivf_list, n_vectors,
+    resid_energy) where resid_energy is the fraction of vector energy
+    the coarse quantizer leaves in the residual — the r12 diagnosis
+    metric made a standing operational surface: a drifting corpus
+    pushes the ratio up, and a sustained rise (not an append) is what
+    triggers a rebuild. Reads the codes artifact for the primary
+    assignment; no re-assignment pass."""
+    from ..operators.ann_index import ivfadc_index_health
+
+    return ivfadc_index_health(
+        _t(spark, sf_dir, "embeddings"), _ivfadc_index_for(spark, sf_dir)
+    )
+
+
 def ann_ivfadc_books_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC with TRAINED residual sub-codebooks (r12 verdict item 5):
     the md5-sample seed refined by two per-subspace portable-Lloyd
@@ -1305,6 +1321,50 @@ LIMIT 10
 
 
 _ANN_IVFADC_ORACLE = _ivfadc_oracle()
+
+
+# ann_ivfadc_index_health replay: the same trained coarse quantizer
+# (cents0 + two Lloyd iterations), rank-1 primary assignment, per-vector
+# round-6 energy folds, decimal-exact per-list sums, one rounded double
+# division — the ratio the Spark report computes from the codes artifact.
+_ANN_HEALTH_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
+),{_lloyd_iter_ctes(1)},{_lloyd_iter_ctes(2)},
+assign AS MATERIALIZED (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents2 c
+),
+energies AS (
+  SELECT p.cidx,
+         list_sum([CAST(CAST(round(x, 6) AS DECIMAL(18,6))
+                        * CAST(round(x, 6) AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                   FOR x IN r.rvec]) AS rr,
+         list_sum([CAST(CAST(round(x, 6) AS DECIMAL(18,6))
+                        * CAST(round(x, 6) AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                   FOR x IN CAST(e.embedding AS DOUBLE[])]) AS vv
+  FROM embeddings e
+  JOIN (SELECT vec_id, cidx FROM assign WHERE rk <= 1) p USING (vec_id)
+  JOIN LATERAL (
+    SELECT [CAST(e.embedding AS DOUBLE[])[i] - c.cvec[i]
+            FOR i IN range(1, len(e.embedding) + 1)] AS rvec
+    FROM cents2 c WHERE c.cidx = p.cidx
+  ) r ON true
+)
+SELECT cidx AS ivf_list, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(rr) AS DOUBLE) / CAST(sum(vv) AS DOUBLE), 6) AS resid_energy
+FROM energies GROUP BY cidx
+"""
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,6 +2569,9 @@ QUERIES = [
         "ann_ivfadc_books_trained_topk",
         ann_ivfadc_books_trained_topk,
         _ivfadc_oracle(book_iters=2),
+    ),
+    QuerySpec(
+        "ann_ivfadc_index_health", ann_ivfadc_index_health, _ANN_HEALTH_ORACLE
     ),
     QuerySpec(
         "cluster_balanced_embeddings",
