@@ -130,6 +130,7 @@ def ivfadc_build_index(
     m: int = 16,
     k_codes: int = 32,
     spill: int = 2,
+    book_refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
@@ -138,14 +139,18 @@ def ivfadc_build_index(
     quantizer/codebook TRAINING to a subset (the incremental twin
     trains on its first wave and encodes everything ever appended with
     those frozen artifacts); encoding always covers ``embeddings``.
-    Returns the meta dict."""
+    ``book_refine_iters`` trains the residual sub-codebooks with
+    per-subspace portable Lloyd (pq_residual_codebooks) — at 2 the
+    measured recall hits the coarse-stage candidate ceiling
+    (BASELINE.md r13). Returns the meta dict."""
     train = train_df if train_df is not None else embeddings
     cents = ivf_train_portable(
         train, n_centroids=n_centroids, refine_iters=refine_iters,
         id_col=id_col, vec_col=vec_col,
     )
     books = pq_residual_codebooks(
-        train, cents, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+        train, cents, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+        refine_iters=book_refine_iters,
     )
     os.makedirs(workdir, exist_ok=True)
     rows = _encode_codes(embeddings, cents, books, spill, id_col, vec_col)
@@ -161,6 +166,7 @@ def ivfadc_build_index(
             "m": m,
             "k_codes": k_codes,
             "spill": spill,
+            "book_refine_iters": book_refine_iters,
         },
         # cheap staleness fingerprint for get-or-build callers: a probe
         # against an index built from a different corpus is a silent
