@@ -30,9 +30,11 @@ same reasoning as ivf_build_index (similarity.py).
 
 Incremental extension (the WaveCountState pattern applied to vectors):
 new-vector waves are encoded with the FROZEN centroids + codebooks (a
-few KB read from meta) and APPENDED to the codes partitions — a
-map-only pass over the new wave, one matmul per Arrow batch, zero
-shuffles, never re-reading history. Quantizer drift under distribution
+few KB read from meta) and committed as their own codes directory in
+the meta manifest (write-then-commit — crash-safe and retry-idempotent,
+see codes_path) — a map-only pass over the new wave, one matmul per
+Arrow batch, zero shuffles, never re-reading history. Quantizer drift
+under distribution
 shift is a REBUILD decision (compare per-list residual energy), not an
 append-time one, exactly as published IVF systems operate.
 
@@ -50,12 +52,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .pq import (
     _centroid_df,
-    pq_adc_lut,
     pq_encode,
     pq_residual_codebooks,
 )
 from .similarity import (
-    cosine,
     ivf_assign,
     ivf_probe_lists,
     ivf_train_portable,
@@ -69,8 +69,28 @@ def _meta_path(workdir: str) -> str:
     return os.path.join(workdir, _META)
 
 
-def codes_path(workdir: str) -> str:
-    return os.path.join(workdir, _CODES)
+def codes_path(workdir: str, wave: int = 0) -> str:
+    """One codes directory PER WAVE (``wave=0`` = the build,
+    ``wave=<k>`` = extensions — partition-style naming so the union
+    read discovers a consistent ``(wave, ivf_list)`` layout under one
+    basePath), each partitioned by ``ivf_list``. The meta manifest
+    lists the COMMITTED waves, and readers union exactly those paths —
+    so an extension is write-dir-then-commit-meta: a crash between the
+    two leaves an orphan directory no reader sees, and a retried
+    extension overwrites its own wave instead of double-appending
+    (review finding: a bare mode-append extend replayed after a crash
+    duplicated the wave's codes in the health report)."""
+    return os.path.join(workdir, _CODES, f"wave={wave}")
+
+
+def _read_codes(spark: SparkSession, workdir: str, meta: dict) -> DataFrame:
+    """Union of the manifest's committed wave directories (partition
+    pruning on ivf_list rides the shared basePath discovery; orphan
+    uncommitted wave dirs are excluded by passing explicit paths)."""
+    paths = [codes_path(workdir, int(k)) for k in sorted(meta["waves"], key=int)]
+    return spark.read.option("basePath", os.path.join(workdir, _CODES)).parquet(
+        *paths
+    )
 
 
 def load_meta(workdir: str) -> dict:
@@ -133,6 +153,7 @@ def ivfadc_build_index(
     book_refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> dict:
     """Build and persist the IVFADC index for ``embeddings`` under
     ``workdir`` (module docstring). ``train_df`` optionally restricts
@@ -155,8 +176,13 @@ def ivfadc_build_index(
     os.makedirs(workdir, exist_ok=True)
     rows = _encode_codes(embeddings, cents, books, spill, id_col, vec_col)
     rows.write.mode("overwrite").partitionBy("ivf_list").parquet(
-        codes_path(workdir)
+        codes_path(workdir, 0)
     )
+    # staleness fingerprint for get-or-build callers: a probe against an
+    # index built from a different corpus is a silent wrong answer, not
+    # a crash. Callers that already counted pass it in (avoids a second
+    # corpus-wide action — review finding).
+    n = n_vectors if n_vectors is not None else embeddings.count()
     meta = {
         "cents": cents,
         "books": books,
@@ -168,10 +194,8 @@ def ivfadc_build_index(
             "spill": spill,
             "book_refine_iters": book_refine_iters,
         },
-        # cheap staleness fingerprint for get-or-build callers: a probe
-        # against an index built from a different corpus is a silent
-        # wrong answer, not a crash
-        "n_vectors": embeddings.count(),
+        "waves": {"0": n},
+        "n_vectors": n,
     }
     _save_meta(workdir, meta)
     return meta
@@ -181,21 +205,33 @@ def ivfadc_extend_index(
     new_vectors: DataFrame,
     workdir: str,
     *,
+    wave_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Fold a wave of NEW vectors into the persisted index: encode them
-    under the frozen centroids + codebooks and APPEND to the codes
-    partitions — a map-only pass over the wave, no history re-read
-    (module docstring). Caller owns id uniqueness across waves (the
-    usual ingest contract). Returns the updated meta."""
+    under the frozen centroids + codebooks and write the wave's own
+    codes directory, then commit it to the meta manifest — a map-only
+    pass over the wave, no history re-read (module docstring; see
+    codes_path for why write-then-commit makes a crashed or retried
+    extend safe). ``wave_id`` defaults to the next manifest slot;
+    passing an explicit id makes a redelivered wave overwrite itself
+    (the streaming gates' replay contract). Caller owns id uniqueness
+    across waves (the usual ingest contract). Returns the updated
+    meta."""
     meta = load_meta(workdir)
     p = meta["params"]
+    wave = int(wave_id) if wave_id is not None else max(map(int, meta["waves"])) + 1
+    if wave == 0:
+        raise ValueError("wave 0 is the build; extensions start at 1")
     rows = _encode_codes(
         new_vectors, meta["cents"], meta["books"], p["spill"], id_col, vec_col
     )
-    rows.write.mode("append").partitionBy("ivf_list").parquet(codes_path(workdir))
-    meta["n_vectors"] = meta["n_vectors"] + new_vectors.count()
+    rows.write.mode("overwrite").partitionBy("ivf_list").parquet(
+        codes_path(workdir, wave)
+    )
+    meta["waves"][str(wave)] = new_vectors.count()
+    meta["n_vectors"] = sum(meta["waves"].values())
     _save_meta(workdir, meta)
     return meta
 
@@ -226,14 +262,13 @@ def ivfadc_index_health(
     spark = embeddings.sparkSession
     meta = load_meta(workdir)
     prim = (
-        spark.read.parquet(codes_path(workdir))
+        _read_codes(spark, workdir, meta)
         .filter(F.col("ivf_list") == F.col("primary_list"))
         .select(id_col, "primary_list")
     )
     cents_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(meta["cents"])],
-            "primary_list int, _cvec array<double>",
+        _centroid_df(spark, meta["cents"]).withColumnRenamed(
+            "ivf_list", "primary_list"
         )
     )
     # energies are computed over ROUND-6 components squared in DECIMAL
@@ -247,7 +282,12 @@ def ivfadc_index_health(
     # accumulator type fixed (decimal + widens precision by one);
     # 64 summands stay far inside the integer digits.
     def energy(a):
-        d6 = lambda x: F.round(x, 6).cast("decimal(18,6)")
+        # widen to double BEFORE rounding: Spark's Round on a FLOAT
+        # rounds the float's shortest decimal repr, while the oracle
+        # rounds the double-widened binary value — they can disagree at
+        # the 7th-decimal tie (review finding; _r is already double via
+        # zip_with, the raw embedding column is not)
+        d6 = lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)")
         return F.aggregate(
             F.transform(a, lambda x: (d6(x) * d6(x)).cast("decimal(28,12)")),
             F.lit(0).cast("decimal(28,12)"),
@@ -293,10 +333,10 @@ def ivfadc_probe_index(
     scan reads ONLY the probed partitions (directory pruning); ADC is
     one broadcast LUT join + a decimal hash-agg over codes plus the
     round-6 q·c_primary coarse term; only the ``k_cand`` shortlist
-    touches float vectors for the exact cosine re-rank. Identical
-    math to operators.pq.ivfadc_residual_topk, so the same value
-    oracle replays both."""
-    import numpy as np
+    touches float vectors for the exact cosine re-rank. The scoring
+    tail IS operators.pq.adc_rerank — the inline query's, one
+    definition site — so the same value oracle replays both."""
+    from .pq import adc_rerank
 
     spark = embeddings.sparkSession
     meta = load_meta(workdir)
@@ -305,41 +345,14 @@ def ivfadc_probe_index(
         raise ValueError(f"probe dim {len(probe)} != index dim {len(cents[0])}")
     plists = ivf_probe_lists(cents, probe, n_probe, portable=True)
     cand = (
-        spark.read.parquet(codes_path(workdir))
+        _read_codes(spark, workdir, meta)
         .filter(F.col("ivf_list").isin(plists))
         # spill replicas carry identical (primary_list, pq_codes)
         .dropDuplicates([id_col])
     )
     if exclude_id is not None:
         cand = cand.filter(F.col(id_col) != exclude_id)
-    lut = spark.createDataFrame(
-        pq_adc_lut(books, probe), "m int, j int, part double"
-    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
-    qp = np.asarray(probe, dtype=np.float64)
-    qc = spark.createDataFrame(
-        [
-            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
-            for i, c in enumerate(cents)
-        ],
-        "primary_list int, qc double",
-    ).select("primary_list", F.col("qc").cast("decimal(18,6)").alias("qc"))
-    shortlist = (
-        cand.select(id_col, "primary_list", F.posexplode("pq_codes").alias("m", "j"))
-        .join(F.broadcast(lut), ["m", "j"])
-        .groupBy(id_col, "primary_list")
-        .agg(F.sum("part").alias("_r"))
-        .join(F.broadcast(qc), "primary_list")
-        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
-        .limit(k_cand)
-    )
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    return (
-        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
-        .select(
-            id_col,
-            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return adc_rerank(
+        embeddings, cand, books, cents, probe, k=k, k_cand=k_cand,
+        id_col=id_col, vec_col=vec_col, list_col="primary_list",
     )

@@ -303,6 +303,62 @@ def pq_residual_codebooks(
     return books
 
 
+def adc_rerank(
+    embeddings: DataFrame,
+    coded: DataFrame,
+    books: list[list[list[float]]],
+    cents: list[list[float]],
+    probe: list[float],
+    *,
+    k: int,
+    k_cand: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """IVFADC scoring tail, ONE definition site (r13 review finding —
+    the inline query and the persisted-index probe previously carried
+    verbatim copies whose portable rules could silently drift): ADC =
+    Σ LUT[m, code] + round(q·c_primary, 6) over ``coded`` (rows with
+    ``pq_codes`` and their primary list in ``list_col``), both terms
+    exact decimals; top-``k_cand`` shortlist; exact cosine re-rank of
+    the shortlist rows against ``embeddings``."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(
+        pq_adc_lut(books, probe), "m int, j int, part double"
+    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
+    qp = np.asarray(probe, dtype=np.float64)
+    qc = spark.createDataFrame(
+        [
+            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
+            for i, c in enumerate(cents)
+        ],
+        f"{list_col} int, qc double",
+    ).select(list_col, F.col("qc").cast("decimal(18,6)").alias("qc"))
+    shortlist = (
+        coded.select(id_col, list_col, F.posexplode("pq_codes").alias("m", "j"))
+        .join(F.broadcast(lut), ["m", "j"])
+        .groupBy(id_col, list_col)
+        .agg(F.sum("part").alias("_r"))
+        .join(F.broadcast(qc), list_col)
+        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k_cand)
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfadc_residual_topk(
     embeddings: DataFrame,
     probe: list[float],
@@ -379,36 +435,9 @@ def ivfadc_residual_topk(
         vec_col=vec_col, refine_iters=book_refine_iters,
     )
     coded = pq_encode(cand_res, books, id_col=id_col, vec_col="_resid")
-    lut = spark.createDataFrame(
-        pq_adc_lut(books, probe), "m int, j int, part double"
-    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
-    qp = np.asarray(probe, dtype=np.float64)
-    qc = spark.createDataFrame(
-        [
-            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
-            for i, c in enumerate(cents)
-        ],
-        "ivf_list int, qc double",
-    ).select("ivf_list", F.col("qc").cast("decimal(18,6)").alias("qc"))
-    shortlist = (
-        coded.select(id_col, "ivf_list", F.posexplode("pq_codes").alias("m", "j"))
-        .join(F.broadcast(lut), ["m", "j"])
-        .groupBy(id_col, "ivf_list")
-        .agg(F.sum("part").alias("_r"))
-        .join(F.broadcast(qc), "ivf_list")
-        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
-        .limit(k_cand)
-    )
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    return (
-        embeddings.join(shortlist.select(id_col), id_col, "left_semi")
-        .select(
-            id_col,
-            F.round(cosine(F.col(vec_col), probe_col), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return adc_rerank(
+        embeddings, coded, books, cents, probe, k=k, k_cand=k_cand,
+        id_col=id_col, vec_col=vec_col, list_col="ivf_list",
     )
 
 

@@ -989,18 +989,22 @@ def _ivfadc_index_for(spark: SparkSession, sf_dir: str) -> str:
     from ..session import scratch_dir
 
     emb = _t(spark, sf_dir, "embeddings")
-    key = (os.path.abspath(sf_dir), emb.count())
+    # the one corpus count per call IS the staleness fingerprint
+    # (parquet footer metadata, no data scan); the build reuses it
+    # instead of counting a second time (r13 review finding)
+    n = emb.count()
+    key = (os.path.abspath(sf_dir), n)
     workdir = _IVFADC_INDEX_CACHE.get(key)
     if workdir is not None:
         try:
-            if load_meta(workdir)["n_vectors"] == key[1]:
+            if load_meta(workdir)["n_vectors"] == n:
                 return workdir
         except (OSError, ValueError, KeyError):
             pass  # torn/absent meta: rebuild below
     workdir = scratch_dir("ivfadc_index")
     ivfadc_build_index(
         emb, workdir, n_centroids=128, refine_iters=2, m=16, k_codes=32,
-        spill=2,
+        spill=2, n_vectors=n,
     )
     _IVFADC_INDEX_CACHE[key] = workdir
     return workdir
@@ -1210,6 +1214,23 @@ def _ivfadc_oracle(train_where: str = "", book_iters: int = 0) -> str:
     twe = f"WHERE e.{train_where}" if train_where else ""
     biters = "".join("," + _book_iter_ctes(t) for t in range(1, book_iters + 1))
     bfinal = f"books{book_iters}"
+    # the full-corpus residual table exists ONLY to train sub-codebooks;
+    # without book iterations the candidates' resid computes directly
+    # (materializing corpus-wide residuals for every book_iters=0 parity
+    # run was pure oracle cost — r13 review finding)
+    resid_all_cte = (
+        """
+resid_all AS MATERIALIZED (
+  SELECT e.vec_id, p.cidx,
+         [CAST(e.embedding AS DOUBLE[])[i] - c.cvec[i]
+          FOR i IN range(1, len(e.embedding) + 1)] AS rvec
+  FROM embeddings e
+  JOIN prim p USING (vec_id)
+  JOIN cents2 c ON p.cidx = c.cidx
+),"""
+        if book_iters > 0
+        else ""
+    )
     return f"""
 WITH cents0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
@@ -1244,17 +1265,15 @@ cand AS MATERIALIZED (
   JOIN probe_lists pl USING (cidx)
   WHERE v.vec_id != 0
 ),
-prim AS (SELECT vec_id, cidx FROM assign WHERE rk <= 1),
-resid_all AS MATERIALIZED (
+prim AS (SELECT vec_id, cidx FROM assign WHERE rk <= 1),{resid_all_cte}
+resid AS MATERIALIZED (
   SELECT e.vec_id, p.cidx,
          [CAST(e.embedding AS DOUBLE[])[i] - c.cvec[i]
           FOR i IN range(1, len(e.embedding) + 1)] AS rvec
   FROM embeddings e
+  JOIN cand USING (vec_id)
   JOIN prim p USING (vec_id)
   JOIN cents2 c ON p.cidx = c.cidx
-),
-resid AS MATERIALIZED (
-  SELECT r.vec_id, r.cidx, r.rvec FROM resid_all r JOIN cand USING (vec_id)
 ),
 book_rows AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1 AS code_j,

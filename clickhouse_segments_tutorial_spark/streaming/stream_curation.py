@@ -246,10 +246,11 @@ class ContinuousWaveGate(StreamingWaveGate):
         os.makedirs(self.buffer_dir, exist_ok=True)
         os.makedirs(self.quarantine_dir, exist_ok=True)
         # crash-mid-drain recovery: a crash between _admit and the
-        # buffered-dir rmtree leaves an ALREADY-ADMITTED wave's dir at or
-        # below the cursor, where drain (which starts at cursor + 1)
-        # would never reap it — stranding it forever and making
-        # run_until_drained raise on a healthy state (r12 ADVICE item 2)
+        # dir rmtree leaves an ALREADY-ADMITTED wave's buffered (or
+        # buffer-full-quarantined) dir at or below the cursor, where
+        # drain (which starts at cursor + 1) would never reap it —
+        # stranding it forever / leaving a false buffer-full audit row
+        # for ingested data (r12 ADVICE item 2; r13 review finding)
         import shutil
 
         cursor = self._load_cursor()["cursor"]
@@ -257,6 +258,21 @@ class ContinuousWaveGate(StreamingWaveGate):
             if w <= cursor:
                 shutil.rmtree(
                     os.path.join(self.buffer_dir, f"wave_{w}"), ignore_errors=True
+                )
+        for d in os.listdir(self.quarantine_dir):
+            if d.startswith("wave_") and d.endswith("_buffer-full"):
+                if int(d.split("_")[1]) <= cursor:
+                    shutil.rmtree(
+                        os.path.join(self.quarantine_dir, d), ignore_errors=True
+                    )
+            # legacy sidecar migration: pre-r13 audit rows were named
+            # audit.json, which (a) quarantined() no longer reads and
+            # (b) breaks a buffer-full re-admission's parquet read —
+            # rename in place on attach
+            legacy = os.path.join(self.quarantine_dir, d, "audit.json")
+            if os.path.exists(legacy):
+                os.replace(
+                    legacy, os.path.join(self.quarantine_dir, d, "_audit.json")
                 )
 
     # --- tiny driver-side persistence (foreachBatch runs on the driver) ---
@@ -469,7 +485,17 @@ class ContinuousWaveGate(StreamingWaveGate):
             st["cursor"] = nxt
             st["waiting"] = {}
             self._save_cursor(st)
-            shutil.rmtree(path, ignore_errors=True)
+            # reap BOTH homes of the admitted wave: a wave can sit in
+            # the buffer AND in buffer-full quarantine at once (e.g. a
+            # crash-replay redelivered it into a buffer with room after
+            # an earlier copy overflowed) — reaping only the admitted
+            # copy would leave a permanent false 'buffer-full' audit
+            # row for ingested data (r13 review finding)
+            for stale in (
+                os.path.join(self.buffer_dir, f"wave_{nxt}"),
+                os.path.join(self.quarantine_dir, f"wave_{nxt}_buffer-full"),
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
 
     def start_processing_time(self, interval: str = "500 milliseconds"):
         """Start the continuous gate; returns the StreamingQuery (the
@@ -554,25 +580,28 @@ class ContinuousWaveGate(StreamingWaveGate):
         arrival — and they are processed in EVENT order (the rate
         ``value``), each through the same per-wave admission contract
         (:meth:`_ingest_wave`), exercising the buffered-reorder path
-        under multi-wave batches. Events beyond ``n_events`` are
-        ignored; the stream stops once every event has been processed
-        (progress is cursor/buffer/quarantine state, restart-safe the
-        same way the file path is: a replayed event's wave is late ->
-        quarantined, buffered -> overwritten idempotently)."""
+        under multi-wave batches. Events beyond ``n_events`` carry no
+        wave; the stream stops once the HIGH-WATER event value reaches
+        n_events - 1 — restart-safe, unlike a this-run event counter: a
+        resumed checkpoint skips committed batches, so a counter could
+        never reach n_events on a healthy re-run, while the monotone
+        rate value proves every earlier event was processed either by a
+        prior run (committed) or by this one (r13 review finding).
+        Crash-replayed events redeliver their wave: late -> quarantined,
+        buffered -> overwritten idempotently, like the file path."""
         import time
 
-        done = {"n": 0}
+        seen = {"max": -1}
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            events = sorted(
-                r.value
-                for r in batch_df.select("value").collect()
-                if r.value < n_events
-            )
-            for v in events:
+            values = sorted(r.value for r in batch_df.select("value").collect())
+            for v in values:
+                if v >= n_events:
+                    continue
                 wid = int(wave_of_event(int(v)))
                 self._ingest_wave(wid, data_of_wave(wid))
-            done["n"] += len(events)
+            if values:
+                seen["max"] = max(seen["max"], int(values[-1]))
 
         q = (
             self.spark.readStream.format("rate")
@@ -587,13 +616,13 @@ class ContinuousWaveGate(StreamingWaveGate):
         try:
             deadline = time.time() + timeout_s
             while time.time() < deadline:
-                if done["n"] >= n_events:
+                if seen["max"] >= n_events - 1:
                     break
                 time.sleep(0.3)
             else:
                 raise TimeoutError(
-                    f"rate-source gate delivered {done['n']}/{n_events} "
-                    f"events after {timeout_s}s"
+                    f"rate-source gate high-water event {seen['max']} < "
+                    f"{n_events - 1} after {timeout_s}s"
                 )
         finally:
             q.stop()

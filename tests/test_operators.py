@@ -422,6 +422,47 @@ def test_ivfadc_extend_matches_full_build(spark, sf_oracle, tmp_path):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+def test_ivfadc_extend_retry_is_idempotent(spark, sf_oracle, tmp_path):
+    """A crash-retried extension must not double-count (r13 review
+    finding: a bare append would have): re-running extend with the same
+    wave id overwrites the wave's codes directory and re-commits the
+    same manifest entry, so the health report and probe results are
+    unchanged — and an uncommitted orphan wave directory (crash between
+    write and meta commit) is invisible to readers."""
+    import os as _os
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        codes_path,
+        ivfadc_build_index,
+        ivfadc_extend_index,
+        ivfadc_index_health,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 != 0)
+    idx = str(tmp_path / "retry")
+    ivfadc_build_index(
+        wave1, idx, train_df=wave1, n_centroids=64, refine_iters=1, m=16,
+        k_codes=32, spill=2,
+    )
+    ivfadc_extend_index(wave2, idx, wave_id=1)
+    h1 = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+    # the retry: same wave id, same rows
+    ivfadc_extend_index(wave2, idx, wave_id=1)
+    h2 = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+    assert h1 == h2
+    assert load_meta(idx)["n_vectors"] == emb.count()
+    # an orphan wave dir without a manifest entry is invisible
+    meta = load_meta(idx)
+    orphan = codes_path(idx, 7)
+    _os.makedirs(orphan, exist_ok=True)
+    assert "7" not in meta["waves"]
+    h3 = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+    assert h1 == h3
+
+
 def test_ivf_portable_spill_recall(spark, sf_oracle, tmp_path):
     """The portable IVF configuration the oracle replays (128 md5-sampled
     centroids, spill=2 multi-assignment, 24 probes) must hold mean top-10
