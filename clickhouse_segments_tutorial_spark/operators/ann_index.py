@@ -236,6 +236,62 @@ def ivfadc_extend_index(
     return meta
 
 
+class IncrementalAnnIndexer:
+    """Wave-gate ingestor for the persisted IVFADC index — the
+    batch / incremental / STREAMING triangle closed for similarity
+    search, on the same gate protocol as the curation scorers
+    (streaming/stream_curation.py): ``ingest(df, wave_id)`` builds the
+    index on the FIRST wave (training the coarse quantizer + residual
+    codebooks there — the frozen-artifact contract the incremental twin
+    already oracles) and extends it with every later wave (map-only
+    encode + manifest commit), returning the wave's committed code rows
+    as the batch output. Replay story: the gate's ascending-wave
+    contract means a crash-replayed wave re-runs before any later wave;
+    a replayed build re-trains on identical rows (deterministic) and a
+    replayed extension overwrites its own manifest slot (codes_path) —
+    both idempotent."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        n_centroids: int = 128,
+        refine_iters: int = 2,
+        m: int = 16,
+        k_codes: int = 32,
+        spill: int = 2,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.params = dict(
+            n_centroids=n_centroids, refine_iters=refine_iters, m=m,
+            k_codes=k_codes, spill=spill,
+        )
+
+    def ingest(self, df: DataFrame, wave_id: int | None = None) -> DataFrame:
+        built = os.path.exists(_meta_path(self.workdir))
+        # wave 1 builds — including a crash-REPLAYED wave 1 that finds
+        # the meta already committed (sink completed, checkpoint didn't):
+        # the rebuild re-trains on identical rows, deterministically
+        if not built or (wave_id is not None and int(wave_id) == 1):
+            ivfadc_build_index(df, self.workdir, train_df=df, **self.params)
+            slot = 0
+        else:
+            slot = (int(wave_id) - 1) if wave_id is not None else None
+            meta = ivfadc_extend_index(df, self.workdir, wave_id=slot)
+            slot = max(map(int, meta["waves"])) if slot is None else slot
+        return self.spark.read.parquet(codes_path(self.workdir, slot))
+
+    def probe(self, embeddings: DataFrame, probe: list[float], **kw) -> DataFrame:
+        return ivfadc_probe_index(embeddings, self.workdir, probe, **kw)
+
+    def reset(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+
 def ivfadc_index_health(
     embeddings: DataFrame,
     workdir: str,

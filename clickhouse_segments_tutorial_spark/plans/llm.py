@@ -1112,6 +1112,42 @@ cents{t} AS MATERIALIZED (
 # first 32 md5-ordered vectors' primary residuals; enc_d2/codes replay
 # pq_encode's portable argmin over residuals; adc adds the round-6
 # q·c_primary coarse term to the LUT sum as exact decimals.
+def ann_ivfadc_probe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's STREAMING twin — the batch / incremental /
+    streaming triangle closed for similarity search: two waves of
+    vectors (even then odd vec_ids, the incremental twin's split)
+    arrive through an ACTUAL Structured Streaming wave gate
+    (StreamingWaveGate + operators.ann_index.IncrementalAnnIndexer),
+    the first wave building the index and the second extending it under
+    the frozen artifacts; the probe over the drained index SHARES
+    ann_ivfadc_probe_incremental's oracle (training CTEs restricted to
+    the even wave), so the stream is value-checked end to end."""
+    from ..operators.ann_index import IncrementalAnnIndexer
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    workdir = _stream_scratch("ann_index_streaming")
+    indexer = IncrementalAnnIndexer(
+        spark, os.path.join(workdir, "index"), n_centroids=128,
+        refine_iters=2, m=16, k_codes=32, spill=2,
+    )
+    gate = StreamingWaveGate(
+        spark, workdir, schema=emb.schema, ingestor=indexer
+    )
+    gate.reset_state()
+    for wave in (
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 != 0),
+    ):
+        wave.coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return indexer.probe(
+        emb, list(probe), k=10, n_probe=24, k_cand=80, exclude_id=0
+    )
+
+
 def ann_ivfadc_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-list rebuild-decision report over the persisted IVFADC index
     (operators.ann_index.ivfadc_index_health): (ivf_list, n_vectors,
@@ -2591,6 +2627,11 @@ QUERIES = [
     ),
     QuerySpec(
         "ann_ivfadc_index_health", ann_ivfadc_index_health, _ANN_HEALTH_ORACLE
+    ),
+    QuerySpec(
+        "ann_ivfadc_probe_streaming",
+        ann_ivfadc_probe_streaming,
+        _ivfadc_oracle("vec_id % 2 = 0"),
     ),
     QuerySpec(
         "cluster_balanced_embeddings",
