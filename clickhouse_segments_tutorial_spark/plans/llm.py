@@ -984,7 +984,9 @@ def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFADC_INDEX_CACHE: dict[tuple, str] = {}
 
 
-def _ivfadc_index_for(spark: SparkSession, sf_dir: str) -> str:
+def _ivfadc_index_for(
+    spark: SparkSession, sf_dir: str, *, book_refine_iters: int = 0
+) -> str:
     from ..operators.ann_index import ivfadc_build_index, load_meta
     from ..session import scratch_dir
 
@@ -993,7 +995,7 @@ def _ivfadc_index_for(spark: SparkSession, sf_dir: str) -> str:
     # (parquet footer metadata, no data scan); the build reuses it
     # instead of counting a second time (r13 review finding)
     n = emb.count()
-    key = (os.path.abspath(sf_dir), n)
+    key = (os.path.abspath(sf_dir), n, book_refine_iters)
     workdir = _IVFADC_INDEX_CACHE.get(key)
     if workdir is not None:
         try:
@@ -1004,7 +1006,7 @@ def _ivfadc_index_for(spark: SparkSession, sf_dir: str) -> str:
     workdir = scratch_dir("ivfadc_index")
     ivfadc_build_index(
         emb, workdir, n_centroids=128, refine_iters=2, m=16, k_codes=32,
-        spill=2, n_vectors=n,
+        spill=2, book_refine_iters=book_refine_iters, n_vectors=n,
     )
     _IVFADC_INDEX_CACHE[key] = workdir
     return workdir
@@ -1112,6 +1114,26 @@ cents{t} AS MATERIALIZED (
 # first 32 md5-ordered vectors' primary residuals; enc_d2/codes replay
 # pq_encode's portable argmin over residuals; adc adds the round-6
 # q·c_primary coarse term to the LUT sum as exact decimals.
+def ann_ivfadc_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only over the TRAINED-BOOKS persisted index — the full
+    production configuration: both lifecycle (build once, probe many)
+    AND the r13 recall lever (per-subspace portable-Lloyd sub-codebooks,
+    recall 0.890 = the candidate ceiling) in one registered query. The
+    probe-side cost is identical to ann_ivfadc_probe — better books
+    change WHAT the LUT contains, not how much work the probe does; the
+    extra training is paid once in the cached build. Oracle = the
+    trained-books replay (book iterations unrolled)."""
+    from ..operators.ann_index import ivfadc_probe_index
+
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_probe_index(
+        _t(spark, sf_dir, "embeddings"),
+        _ivfadc_index_for(spark, sf_dir, book_refine_iters=2),
+        list(probe),
+        k=10, n_probe=24, k_cand=80, exclude_id=0,
+    )
+
+
 def ann_ivfadc_probe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted index's STREAMING twin — the batch / incremental /
     streaming triangle closed for similarity search: two waves of
@@ -1146,6 +1168,119 @@ def ann_ivfadc_probe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexer.probe(
         emb, list(probe), k=10, n_probe=24, k_cand=80, exclude_id=0
     )
+
+
+def ann_ivfadc_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe TUNING surface for the persisted IVFADC index: one
+    row per probe budget (n_probe, ceiling) where ceiling is the
+    candidate-recall ceiling — the fraction of the probe's exact top-10
+    whose spill lists intersect the first n_probe probed lists. The r13
+    decomposition showed the trained encoder is LOSSLESS given its
+    candidates (recall == this ceiling at n_probe=24), so the ceiling
+    curve IS the recall curve and an operator picks the cheapest budget
+    meeting a target straight off this table — the ivf_recall_curve /
+    choose_n_probe pattern, recast over the index artifact: the lists
+    come from the persisted codes (all spill replicas), the centroids
+    from meta; one k-row top-k plus a bounded (10 x n_centroids) curve
+    expansion, no full re-scan per budget."""
+    from ..operators.ann_index import _read_codes, load_meta
+    from ..operators.similarity import cosine, ivf_probe_lists
+
+    workdir = _ivfadc_index_for(spark, sf_dir)
+    meta = load_meta(workdir)
+    cents = meta["cents"]
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    order = ivf_probe_lists(cents, list(probe), len(cents), portable=True)
+    rank_map = F.create_map(
+        *[x for i, l in enumerate(order) for x in (F.lit(l), F.lit(i + 1))]
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    top10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(cosine(F.col("embedding"), probe_col), 6).alias("_c")
+        )
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    minrk = (
+        _read_codes(spark, workdir, meta)
+        .join(top10, "vec_id", "left_semi")
+        .select("vec_id", F.element_at(rank_map, F.col("ivf_list")).alias("_rk"))
+        .groupBy("vec_id")
+        .agg(F.min("_rk").alias("_mr"))
+    )
+    budgets = spark.range(1, len(cents) + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    return (
+        budgets.crossJoin(minrk)
+        .groupBy("n_probe")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("_mr") <= F.col("n_probe"), 1).otherwise(0)
+                )
+                / F.lit(10.0),
+                6,
+            ).alias("ceiling")
+        )
+    )
+
+
+# tune_nprobe replay: trained centroids, spill-2 assignment, the probe's
+# full list ranking, the exact top-10, each neighbor's MIN probed rank
+# over its spill lists, then the cumulative curve over every budget.
+_ANN_TUNE_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
+),{_lloyd_iter_ctes(1)},{_lloyd_iter_ctes(2)},
+probe_vec AS (SELECT CAST(embedding AS DOUBLE[]) AS pvec FROM embeddings WHERE vec_id = 0),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents2 c
+),
+probe_rank AS (
+  SELECT c.cidx,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(p.pvec, c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS prk
+  FROM cents2 c CROSS JOIN probe_vec p
+),
+exact10 AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN probe_vec p
+  WHERE e.vec_id != 0
+  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+minrk AS (
+  SELECT a.vec_id, min(pr.prk) AS mr
+  FROM assign a
+  JOIN exact10 USING (vec_id)
+  JOIN probe_rank pr USING (cidx)
+  WHERE a.rk <= 2
+  GROUP BY a.vec_id
+)
+SELECT CAST(n AS INT) AS n_probe,
+       round(sum(CASE WHEN mr <= n THEN 1 ELSE 0 END) / 10.0, 6) AS ceiling
+FROM range(1, 129) t(n) CROSS JOIN minrk
+GROUP BY n
+"""
 
 
 def ann_ivfadc_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,6 +2767,14 @@ QUERIES = [
         "ann_ivfadc_probe_streaming",
         ann_ivfadc_probe_streaming,
         _ivfadc_oracle("vec_id % 2 = 0"),
+    ),
+    QuerySpec(
+        "ann_ivfadc_probe_trained",
+        ann_ivfadc_probe_trained,
+        _ivfadc_oracle(book_iters=2),
+    ),
+    QuerySpec(
+        "ann_ivfadc_tune_nprobe", ann_ivfadc_tune_nprobe, _ANN_TUNE_ORACLE
     ),
     QuerySpec(
         "cluster_balanced_embeddings",
