@@ -1215,18 +1215,25 @@ def ann_ivfadc_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = spark.range(1, len(cents) + 1).select(
         F.col("id").cast("int").alias("n_probe")
     )
-    return (
-        budgets.crossJoin(minrk)
-        .groupBy("n_probe")
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("_mr") <= F.col("n_probe"), 1).otherwise(0)
-                )
-                / F.lit(10.0),
-                6,
-            ).alias("ceiling")
+    # a neighbor with min probed rank mr is a candidate at every budget
+    # n >= mr: explode its contribution range and equi-join the budget
+    # axis (a cross join would be a nested-loop node — the plan-hygiene
+    # suite bans those outside documented quadratic oracles, and the
+    # equi shape is no larger: <= 10 x n_centroids rows either way)
+    contrib = (
+        minrk.select(
+            F.explode(
+                F.sequence(F.col("_mr").cast("int"), F.lit(len(cents)))
+            ).alias("n_probe")
         )
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    return budgets.join(contrib, "n_probe", "left").select(
+        "n_probe",
+        F.round(F.coalesce(F.col("_k"), F.lit(0)) / F.lit(10.0), 6).alias(
+            "ceiling"
+        ),
     )
 
 
