@@ -463,6 +463,39 @@ def test_ivfadc_extend_retry_is_idempotent(spark, sf_oracle, tmp_path):
     assert h1 == h3
 
 
+def test_incremental_ann_indexer_replay_safe(spark, sf_oracle, tmp_path):
+    """The wave-gate ANN ingestor's replay contract: a crash-replayed
+    wave 1 REBUILDS (deterministically, on identical rows) instead of
+    erroring into the build slot; a replayed wave 2 overwrites its own
+    manifest slot; and the drained index probes identically to the
+    incremental build+extend path."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        IncrementalAnnIndexer,
+        ivfadc_build_index,
+        ivfadc_extend_index,
+        ivfadc_probe_index,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 != 0)
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    kw = dict(n_centroids=64, refine_iters=1, m=16, k_codes=32, spill=2)
+
+    ix = IncrementalAnnIndexer(spark, str(tmp_path / "ix"), **kw)
+    ix.ingest(wave1, wave_id=1)
+    ix.ingest(wave1, wave_id=1)  # crash-replayed build
+    ix.ingest(wave2, wave_id=2)
+    ix.ingest(wave2, wave_id=2)  # crash-replayed extension
+    a = ix.probe(emb, probe, k=10, n_probe=16, exclude_id=0).collect()
+
+    ref = str(tmp_path / "ref")
+    ivfadc_build_index(wave1, ref, train_df=wave1, **kw)
+    ivfadc_extend_index(wave2, ref, wave_id=1)
+    b = ivfadc_probe_index(emb, ref, probe, k=10, n_probe=16, exclude_id=0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_ivf_portable_spill_recall(spark, sf_oracle, tmp_path):
     """The portable IVF configuration the oracle replays (128 md5-sampled
     centroids, spill=2 multi-assignment, 24 probes) must hold mean top-10
