@@ -224,6 +224,17 @@ def ivfadc_extend_index(
     wave = int(wave_id) if wave_id is not None else max(map(int, meta["waves"])) + 1
     if wave == 0:
         raise ValueError("wave 0 is the build; extensions start at 1")
+    if str(wave) not in meta["waves"] and wave < max(map(int, meta["waves"])):
+        # a NEW slot below the manifest head is a stale writer — e.g. a
+        # gate still numbering from before an offline compaction moved
+        # the head — and silently absorbing it would let the next
+        # compaction renumber over it; a replay of a COMMITTED slot
+        # (idempotent overwrite) remains allowed
+        raise ValueError(
+            f"extension wave {wave} is below the manifest head "
+            f"{max(map(int, meta['waves']))} and not a committed-slot "
+            "replay; renumber the writer or rebuild the index"
+        )
     rows = _encode_codes(
         new_vectors, meta["cents"], meta["books"], p["spill"], id_col, vec_col
     )
@@ -233,6 +244,39 @@ def ivfadc_extend_index(
     meta["waves"][str(wave)] = new_vectors.count()
     meta["n_vectors"] = sum(meta["waves"].values())
     _save_meta(workdir, meta)
+    return meta
+
+
+def ivfadc_compact_index(spark: SparkSession, workdir: str) -> dict:
+    """Fold every committed wave into ONE codes directory — the
+    bucketed-state compaction story applied to the index: each
+    extension adds a root path (and its file-listing/footer overhead)
+    to every probe, so after many waves the manifest is folded. The
+    fold writes the union to a FRESH slot (never overwriting a
+    directory the manifest still references — rewriting w0 in place
+    would give readers a torn directory for the whole rewrite window),
+    commits a one-entry manifest (readers switch atomically at the meta
+    rename), then reaps the old dirs; a crash at any step leaves either
+    the old manifest over intact dirs or the new one over the compacted
+    dir, never a partial read. Result-identical by construction: codes
+    rows are per-vector facts, and probe/health read the manifest union
+    either way (tested). Run it OFFLINE relative to a gate that pins
+    explicit wave ids — extensions below the compacted slot are refused
+    loudly (ivfadc_extend_index), not silently absorbed."""
+    import shutil
+
+    meta = load_meta(workdir)
+    if len(meta["waves"]) == 1:
+        return meta  # already compact
+    old_waves = [int(k) for k in meta["waves"]]
+    slot = max(old_waves) + 1
+    _read_codes(spark, workdir, meta).write.mode("overwrite").partitionBy(
+        "ivf_list"
+    ).parquet(codes_path(workdir, slot))
+    meta["waves"] = {str(slot): meta["n_vectors"]}
+    _save_meta(workdir, meta)
+    for w in old_waves:
+        shutil.rmtree(codes_path(workdir, w), ignore_errors=True)
     return meta
 
 

@@ -463,6 +463,57 @@ def test_ivfadc_extend_retry_is_idempotent(spark, sf_oracle, tmp_path):
     assert h1 == h3
 
 
+def test_ivfadc_compact_index_result_identical(spark, sf_oracle, tmp_path):
+    """Manifest compaction folds the wave directories into one with
+    identical probe and health results, reaps the old dirs, and the
+    post-compaction guard refuses a stale writer's new slot below the
+    manifest head while still allowing fresh extensions above it."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        codes_path,
+        ivfadc_build_index,
+        ivfadc_compact_index,
+        ivfadc_extend_index,
+        ivfadc_index_health,
+        ivfadc_probe_index,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    w1 = emb.filter(F.col("vec_id") % 3 == 0)
+    w2 = emb.filter(F.col("vec_id") % 3 == 1)
+    w3 = emb.filter(F.col("vec_id") % 3 == 2)
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "cpt")
+    ivfadc_build_index(
+        w1, idx, train_df=w1, n_centroids=64, refine_iters=1, m=16,
+        k_codes=32, spill=2,
+    )
+    ivfadc_extend_index(w2, idx, wave_id=1)
+    ivfadc_extend_index(w3, idx, wave_id=2)
+    before_p = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0).collect()
+    before_h = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+
+    meta = ivfadc_compact_index(spark, idx)
+    assert list(meta["waves"]) == ["3"] and meta["n_vectors"] == emb.count()
+    assert not _os.path.exists(codes_path(idx, 0))
+    after_p = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0).collect()
+    after_h = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+    assert [tuple(r) for r in before_p] == [tuple(r) for r in after_p]
+    assert before_h == after_h
+    # idempotent on compacted state
+    assert ivfadc_compact_index(spark, idx)["waves"] == meta["waves"]
+    # stale writer below the manifest head is refused loudly...
+    with _pytest.raises(ValueError, match="below the manifest head"):
+        ivfadc_extend_index(w2.limit(1), idx, wave_id=1)
+    # ...while a fresh extension above it still lands
+    assert "4" in ivfadc_extend_index(w2.limit(1), idx, wave_id=4)["waves"]
+    assert load_meta(idx)["n_vectors"] == emb.count() + 1
+
+
 def test_incremental_ann_indexer_replay_safe(spark, sf_oracle, tmp_path):
     """The wave-gate ANN ingestor's replay contract: a crash-replayed
     wave 1 REBUILDS (deterministically, on identical rows) instead of
