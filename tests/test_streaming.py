@@ -770,6 +770,51 @@ def test_continuous_gate_rate_source_unordered_arrival(spark, tmp_path):
         gate.ingestor.drop_state()
 
 
+def test_continuous_gate_rate_source_restart_completes(spark, tmp_path):
+    """Restart-safety of the rate-source driver's stop condition (r13
+    review finding): a re-run on the SAME checkpoint sees none of the
+    already-committed events in its sink — a this-run event counter
+    could never reach n_events and would raise TimeoutError on a
+    healthy, fully-ingested stream. The high-water condition (the
+    monotone rate value) completes cleanly, and the redelivered state
+    is untouched: same results, same audit surface."""
+    from clickhouse_segments_tutorial_spark.operators.corpus_stats import (
+        ngram_novelty,
+    )
+
+    PERM = [2, 1, 4, 3]
+    gate = _cont_gate(
+        spark, str(tmp_path / "g6"), max_ahead=8, lateness_batches=10
+    )
+    gate.reset_state()
+
+    def data_of_wave(wid):
+        return spark.createDataFrame(
+            _wave_rows(10 * (wid - 1), 10 * wid), "doc_id long, text string"
+        )
+
+    try:
+        gate.run_rate_source(
+            lambda v: PERM[v], data_of_wave, len(PERM), timeout_s=180
+        )
+        before = sorted(map(tuple, gate.results().collect()))
+        # the restart: same workdir, same checkpoint — committed batches
+        # are skipped, so the sink ingests nothing new
+        gate.run_rate_source(
+            lambda v: PERM[v], data_of_wave, len(PERM), timeout_s=180
+        )
+        after = sorted(map(tuple, gate.results().collect()))
+        assert before == after
+        docs = spark.createDataFrame(
+            _wave_rows(0, 10 * len(PERM)), "doc_id long, text string"
+        )
+        want = sorted(map(tuple, ngram_novelty(docs, n=3).collect()))
+        assert after == want
+        assert gate.quarantined() == []
+    finally:
+        gate.ingestor.drop_state()
+
+
 def test_continuous_gate_full_buffer_still_expires_gap(spark, tmp_path):
     """The deadlock fix (r12 review finding 1) composed with buffer-full
     RE-ADMISSION (r12 ADVICE item 1): with max_ahead smaller than
