@@ -248,9 +248,15 @@ def pq_residual_codebooks(
     books = [[v[mi * d : (mi + 1) * d] for v in sample] for mi in range(m)]
     if refine_iters == 0:
         return books
-    # training residuals: EVERY vector to its primary list, one pass,
-    # kept lazily (re-evaluated per iteration's single job — at index-
-    # build scale a real deployment persists this frame once)
+    # training residuals: EVERY vector to its primary list, computed
+    # once and pinned with localCheckpoint(eager) so each refinement
+    # iteration re-reads materialized rows instead of re-running the
+    # assignment. localCheckpoint is NOT fault-tolerant (an executor
+    # loss loses the blocks and the refinement job with them) — an
+    # acceptable trade for an offline index BUILD, which simply
+    # retries; a pipeline that must survive executor churn would
+    # persist(StorageLevel.MEMORY_AND_DISK) or reliable-checkpoint
+    # this frame instead
     res_all = (
         ivf_assign(embeddings, cents, vec_col=vec_col, portable=True, spill=1)
         .join(F.broadcast(_centroid_df(spark, cents)), "ivf_list")

@@ -1067,6 +1067,40 @@ def ann_ivfadc_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's DELETION lane (r13 verdict item 1): build
+    the index over the full corpus, commit a TOMBSTONE wave retracting
+    every vec_id % 7 == 3 (a takedown batch — the ReplacingMergeTree
+    supersedence idea applied to index state, see
+    operators.ann_index.ivfadc_delete_ids), then probe: the deleted ids
+    must neither surface in the top-k nor consume a shortlist slot,
+    at the cost of ONE broadcast anti-join on the candidate set — no
+    rebuild, no re-encode. The oracle replays the same contract:
+    training / assignment / codes over the full corpus (the codes rows
+    remain on disk until compaction physically reaps them —
+    pytest-covered), candidates excluding the tombstoned ids. Runs the
+    full build+delete per call ON PURPOSE — this query IS the takedown
+    proof; the latency row is ann_ivfadc_probe."""
+    from ..operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_delete_ids,
+        ivfadc_probe_index,
+    )
+    from ..session import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    workdir = scratch_dir("ivfadc_deleted")
+    ivfadc_build_index(
+        emb, workdir, n_centroids=128, refine_iters=2, m=16, k_codes=32,
+        spill=2,
+    )
+    ivfadc_delete_ids(emb.filter(F.col("vec_id") % 7 == 3), workdir)
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_probe_index(
+        emb, workdir, list(probe), k=10, n_probe=24, k_cand=80, exclude_id=0
+    )
+
+
 def _lloyd_iter_ctes(t: int, train_where: str = "") -> str:
     """One portable-Lloyd iteration: rank-1 assignment under
     cents{t-1}, per-(list, slot) decimal-exact round-6 mean, array
@@ -1374,7 +1408,9 @@ books{t} AS MATERIALIZED (
 )"""
 
 
-def _ivfadc_oracle(train_where: str = "", book_iters: int = 0) -> str:
+def _ivfadc_oracle(
+    train_where: str = "", book_iters: int = 0, delete_where: str = ""
+) -> str:
     """The IVFADC replay, parameterized by a TRAINING-set predicate and
     a sub-codebook refinement depth. ``train_where`` empty = train on
     the full corpus (ann_ivfadc_residual_topk and the persisted-index
@@ -1387,9 +1423,16 @@ def _ivfadc_oracle(train_where: str = "", book_iters: int = 0) -> str:
     the whole corpus. ``book_iters > 0`` unrolls per-subspace portable
     Lloyd over the residual sub-codebooks (_book_iter_ctes) — the
     trained-books query, whose measured recall hits the coarse-stage
-    candidate ceiling (BASELINE.md r13)."""
+    candidate ceiling (BASELINE.md r13). ``delete_where`` marks ids a
+    TOMBSTONE wave removed AFTER the build: the index (training,
+    assignment, codes) still covers them — the codes rows are on disk
+    until compaction — but the probe's candidate set excludes them, so
+    the predicate lands exactly on the ``cand`` CTE (and the shortlist
+    / re-rank inherit the exclusion), replaying
+    operators.ann_index.ivfadc_delete_ids' broadcast anti-join."""
     tw = f"WHERE {train_where}" if train_where else ""
     twe = f"WHERE e.{train_where}" if train_where else ""
+    dw = f" AND NOT (v.{delete_where})" if delete_where else ""
     biters = "".join("," + _book_iter_ctes(t) for t in range(1, book_iters + 1))
     bfinal = f"books{book_iters}"
     # the full-corpus residual table exists ONLY to train sub-codebooks;
@@ -1441,7 +1484,7 @@ cand AS MATERIALIZED (
   SELECT DISTINCT v.vec_id
   FROM (SELECT vec_id, cidx FROM assign WHERE rk <= 2) v
   JOIN probe_lists pl USING (cidx)
-  WHERE v.vec_id != 0
+  WHERE v.vec_id != 0{dw}
 ),
 prim AS (SELECT vec_id, cidx FROM assign WHERE rk <= 1),{resid_all_cte}
 resid AS MATERIALIZED (
@@ -2761,6 +2804,11 @@ QUERIES = [
         "ann_ivfadc_probe_incremental",
         ann_ivfadc_probe_incremental,
         _ivfadc_oracle("vec_id % 2 = 0"),
+    ),
+    QuerySpec(
+        "ann_ivfadc_probe_deleted",
+        ann_ivfadc_probe_deleted,
+        _ivfadc_oracle(delete_where="vec_id % 7 = 3"),
     ),
     QuerySpec(
         "ann_ivfadc_books_trained_topk",

@@ -506,12 +506,189 @@ def test_ivfadc_compact_index_result_identical(spark, sf_oracle, tmp_path):
     assert before_h == after_h
     # idempotent on compacted state
     assert ivfadc_compact_index(spark, idx)["waves"] == meta["waves"]
-    # stale writer below the manifest head is refused loudly...
-    with _pytest.raises(ValueError, match="below the manifest head"):
+    # a replay of a wave the compaction already folded is refused
+    # loudly (applying it again would double-count its rows)...
+    with _pytest.raises(ValueError, match="folded by an offline compaction"):
         ivfadc_extend_index(w2.limit(1), idx, wave_id=1)
-    # ...while a fresh extension above it still lands
-    assert "4" in ivfadc_extend_index(w2.limit(1), idx, wave_id=4)["waves"]
+    # ...while a FRESH writer wave lands in a never-used allocator slot
+    # (r13 advice, high: the old max(waves)+1 slot mapping made the
+    # post-compaction wave overwrite the whole compacted directory)
+    after = ivfadc_extend_index(w2.limit(1), idx, wave_id=4)
+    assert set(after["waves"]) == {"3", "4"}
     assert load_meta(idx)["n_vectors"] == emb.count() + 1
+    # the compacted files must not carry the stale basePath-discovered
+    # 'wave' partition column as data (r13 advice, low)
+    folded = spark.read.parquet(codes_path(idx, 3))
+    assert "wave" not in folded.columns
+
+
+def test_ivfadc_tombstone_lifecycle(spark, sf_oracle, tmp_path):
+    """The takedown lane (r13 verdict item 1): a tombstone wave makes
+    probe AND health exclude the deleted ids immediately (no rebuild);
+    a retried delete is idempotent; compaction physically reaps the
+    rows (the ids are gone from the folded parquet) with probe/health
+    results identical to the logical-delete view; and a later extension
+    RE-ADDING a deleted id does not resurrect it (terminal until
+    compaction — the licensing-takedown default)."""
+    import os as _os
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_compact_index,
+        ivfadc_delete_ids,
+        ivfadc_extend_index,
+        ivfadc_index_health,
+        ivfadc_probe_index,
+        load_meta,
+        tombstone_path,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "tomb")
+    ivfadc_build_index(
+        emb, idx, n_centroids=64, refine_iters=1, m=16, k_codes=32, spill=2
+    )
+    base = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0)
+    victims = [r.vec_id for r in base.collect()][:3]
+    vic_df = emb.filter(F.col("vec_id").isin(victims)).select("vec_id")
+
+    meta = ivfadc_delete_ids(vic_df, idx)
+    assert meta["tombstones"] == {"0": 3}
+    after = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0)
+    got = [r.vec_id for r in after.collect()]
+    assert not set(victims) & set(got), "tombstoned ids must not surface"
+    assert len(got) == 10, "deleted ids must not consume result slots"
+    h = ivfadc_index_health(emb, idx)
+    assert h.agg(F.sum("n_vectors")).collect()[0][0] == emb.count() - 3
+
+    # retried delete: a duplicate tombstone wave changes no result
+    ivfadc_delete_ids(vic_df, idx)
+    again = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0)
+    assert [tuple(r) for r in after.collect()] == [tuple(r) for r in again.collect()]
+
+    # compaction physically reaps: identical results, ids gone from the
+    # artifact, tombstone manifest cleared and dirs removed
+    h_before = sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+    meta = ivfadc_compact_index(spark, idx)
+    assert meta["tombstones"] == {} and meta["n_vectors"] == emb.count() - 3
+    assert not _os.path.exists(tombstone_path(idx, 0))
+    folded = spark.read.parquet(
+        _os.path.join(idx, "codes", f"wave={list(meta['waves'])[0]}")
+    )
+    assert folded.filter(F.col("vec_id").isin(victims)).count() == 0
+    post = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0)
+    assert [tuple(r) for r in after.collect()] == [tuple(r) for r in post.collect()]
+    assert h_before == sorted(map(tuple, ivfadc_index_health(emb, idx).collect()))
+
+    # terminal-until-compaction: delete an id, then re-ingest it via an
+    # extension wave — it must stay excluded until the next compaction
+    ivfadc_delete_ids(
+        emb.filter(F.col("vec_id") == victims[0]).select("vec_id"), idx
+    )
+    readd = emb.filter(F.col("vec_id") == victims[0])
+    ivfadc_extend_index(readd, idx, wave_id=100)
+    got2 = [
+        r.vec_id
+        for r in ivfadc_probe_index(
+            emb, idx, probe, k=10, n_probe=16, exclude_id=0
+        ).collect()
+    ]
+    assert victims[0] not in got2
+    assert load_meta(idx)["tombstones"] == {"0": 1}
+
+
+def test_incremental_indexer_survives_offline_compaction(spark, sf_oracle, tmp_path):
+    """The r13 high-severity advice scenario end-to-end: a wave gate
+    ingests waves 1..3, an OFFLINE compaction folds the manifest, and
+    the gate's very next pinned wave (4) must APPEND — under the old
+    wave->slot mapping (wave N -> slot N-1) wave 4 targeted exactly the
+    compaction's fold slot and silently overwrote the whole compacted
+    codes directory, collapsing n_vectors to one wave's count."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        IncrementalAnnIndexer,
+        ivfadc_compact_index,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    waves = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    ix = IncrementalAnnIndexer(
+        spark, str(tmp_path / "gate"), n_centroids=64, refine_iters=1,
+        m=16, k_codes=32, spill=2,
+    )
+    for i in range(3):
+        ix.ingest(waves[i], wave_id=i + 1)
+    n3 = sum(w.count() for w in waves[:3])
+    assert load_meta(ix.workdir)["n_vectors"] == n3
+    ivfadc_compact_index(spark, ix.workdir)
+    # the gate resumes with its next wave number
+    ix.ingest(waves[3], wave_id=4)
+    meta = load_meta(ix.workdir)
+    assert meta["n_vectors"] == emb.count(), (
+        "post-compaction wave must append, not replace the fold"
+    )
+    assert len(meta["waves"]) == 2
+
+
+def test_incremental_indexer_refuses_stale_wave1(spark, sf_oracle, tmp_path):
+    """r13 verdict item 2: a wave-1 replay arriving AFTER later waves
+    committed is a stale writer — silently rebuilding would truncate
+    the manifest to that one wave. The ingestor must refuse it while
+    still accepting the legitimate crash-replay (wave 1 is the only
+    committed wave)."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        IncrementalAnnIndexer,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    w1 = emb.filter(F.col("vec_id") % 2 == 0)
+    w2 = emb.filter(F.col("vec_id") % 2 != 0)
+    ix = IncrementalAnnIndexer(
+        spark, str(tmp_path / "stale"), n_centroids=64, refine_iters=1,
+        m=16, k_codes=32, spill=2,
+    )
+    ix.ingest(w1, wave_id=1)
+    ix.ingest(w2, wave_id=2)
+    before = load_meta(ix.workdir)
+    with _pytest.raises(ValueError, match="stale wave-1"):
+        ix.ingest(w1, wave_id=1)
+    assert load_meta(ix.workdir)["waves"] == before["waves"]
+
+
+def test_indexer_rebuild_never_overwrites_live_slot(spark, sf_oracle, tmp_path):
+    """r13 advice (medium): a crash-replayed wave-1 rebuild must build
+    into a FRESH slot and switch readers at the atomic meta commit —
+    rebuilding the live wave-0 directory in place leaves valid meta
+    over a torn directory for the whole rewrite window. Proven by slot
+    identity: the replayed build lands in a new slot and the old slot
+    directory is reaped only after the commit."""
+    import os as _os
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        IncrementalAnnIndexer,
+        codes_path,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    w1 = emb.filter(F.col("vec_id") % 2 == 0)
+    ix = IncrementalAnnIndexer(
+        spark, str(tmp_path / "rb"), n_centroids=64, refine_iters=1,
+        m=16, k_codes=32, spill=2,
+    )
+    ix.ingest(w1, wave_id=1)
+    assert list(load_meta(ix.workdir)["waves"]) == ["0"]
+    ix.ingest(w1, wave_id=1)  # crash-replayed build
+    meta = load_meta(ix.workdir)
+    assert list(meta["waves"]) == ["1"], "rebuild must land in a fresh slot"
+    assert meta["wave_slots"] == {"1": 1}
+    assert not _os.path.exists(codes_path(ix.workdir, 0)), (
+        "superseded slot reaped after the commit"
+    )
 
 
 def test_incremental_ann_indexer_replay_safe(spark, sf_oracle, tmp_path):
