@@ -2,10 +2,13 @@
 with typed metadata (SURVEY.md §2.5).
 
 The Spark-side machinery is real and tested: schema, batch shape,
-partition-friendly mapInPandas pipelines, Arrow transfer. The codec step is
-STUBBED — the image/audio libraries are not in this container — behind
-``decode_stub`` (deterministic fake) and guarded imports, with the UDF
-signatures exactly as a real decoder would need them.
+partition-friendly mapInPandas pipelines, Arrow transfer. The codec step
+is REAL for images (PNG/PPM/PGM/BMP/baseline-JPEG — decode_image_py +
+operators/jpeg.py) and audio (RIFF/PCM WAV — decode_wav_py), all parsed
+dependency-free from the published formats; only VIDEO codecs (libav)
+remain stubbed behind ``decode_stub`` (deterministic fake) and guarded
+imports, with the UDF signatures exactly as a real decoder would need
+them.
 
 Pattern notes for 100 TB of media:
 - binary payloads travel in Arrow record batches; keep
@@ -260,19 +263,92 @@ def decode_image_py(payload: bytes) -> tuple[int, int, list[int]]:
     )
 
 
-def real_decode(payload: bytes, kind: str) -> list[float]:
-    """The genuine codec path: decode the image and pool PIXEL intensities
-    into the same 8-bucket normalized histogram shape as ``decode_stub``
-    pools raw bytes (bucket = value >> 5) — so swapping the stub for the
-    real decoder changes feature VALUES, never schema or batch shape.
+def decode_wav_py(payload: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free RIFF/WAVE PCM decode: (sample_rate, n_channels,
+    interleaved samples) for 16-bit and 8-bit integer PCM — the audio
+    sibling of decode_image_py, parsed exactly from the published RIFF
+    container layout without codec libraries. A real chunk WALK, not a
+    fixed-offset read: optional chunks (LIST/INFO, fact, cue) before
+    ``data`` are skipped with word alignment, so files from editors that
+    front-load metadata parse correctly (the synthetic corpus plants a
+    LIST chunk on some ids to keep this path exercised in CI). 16-bit
+    samples are signed little-endian (-32768..32767); 8-bit WAV is
+    unsigned by spec and is recentred to signed and widened to the
+    16-bit domain ((u - 128) * 256) so both widths share one amplitude
+    contract downstream. Compressed/float formats fall through as
+    NotImplementedError (the PIL-style escape-hatch lane — no audio lib
+    exists in this container)."""
+    import struct
 
-    Decode order: the dependency-free parser (PNG/PPM/PGM/BMP —
-    deterministic everywhere, including this container), then PIL for any
-    other format when installed. NotImplementedError only for formats
-    neither path can read (e.g. JPEG without PIL). Audio/video codecs
-    (libav) stay stubbed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = None
+    while pos + 8 <= end:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            audio_fmt, n_ch, rate, bits = fmt
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    f"only integer PCM 8/16-bit WAV decodes without codec "
+                    f"libraries (fmt={audio_fmt}, bits={bits})"
+                )
+            import numpy as np
+
+            if bits == 16:
+                samples = np.frombuffer(
+                    body, dtype="<i2", count=size // 2
+                ).astype(np.int64)
+            else:
+                samples = (
+                    np.frombuffer(body, dtype=np.uint8, count=size).astype(
+                        np.int64
+                    )
+                    - 128
+                ) * 256
+            return rate, n_ch, samples.tolist()
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV payload has no data chunk")
+
+
+def real_decode(payload: bytes, kind: str) -> list[float]:
+    """The genuine codec path: decode the payload and pool intensities
+    into the same 8-bucket normalized histogram shape as ``decode_stub``
+    pools raw bytes — so swapping the stub for the real decoder changes
+    feature VALUES, never schema or batch shape. Images pool 8-bit luma
+    (bucket = value >> 5); audio pools 16-bit-domain sample amplitude
+    recentred to unsigned (bucket = (s + 32768) >> 13 — decode_wav_py
+    already widens 8-bit samples), the same 8-way equal-width rule.
+
+    Decode order: the dependency-free parsers (PNG/PPM/PGM/BMP/baseline
+    JPEG for images, RIFF/PCM WAV for audio — deterministic everywhere,
+    including this container), then PIL for other image formats when
+    installed. NotImplementedError only for payloads neither path can
+    read (e.g. progressive JPEG without PIL, compressed audio). Video
+    codecs (libav) stay stubbed — the one remaining scope note."""
+    if kind == "audio":
+        _, _, samples = decode_wav_py(payload)
+        if not samples:
+            return [0.0] * 8
+        buckets = [0] * 8
+        for s in samples:
+            buckets[(max(-32768, min(32767, s)) + 32768) >> 13] += 1
+        n = float(len(samples))
+        return [b / n for b in buckets]
     if kind != "image":
-        raise NotImplementedError(f"real decode implemented for images only, got {kind!r}")
+        raise NotImplementedError(
+            f"real decode implemented for image and audio, got {kind!r}"
+        )
     try:
         _, _, pixels = decode_image_py(payload)
     except NotImplementedError:
@@ -509,6 +585,119 @@ def synthetic_image_corpus(documents: DataFrame) -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthesize_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE 16-bit PCM for a doc id: 1–2 channels,
+    one of three sample rates, 50–149 frames, every interleaved sample a
+    pure integer function of (doc_id, position) — so a SQL oracle
+    regenerates the exact sample stream the decoder must produce
+    (RIFF/PCM is byte-exact; the full hash oracle the image lane has).
+    Ids with doc_id % 4 == 1 get a LIST metadata chunk BEFORE data, so
+    the decoder's chunk walk (not a fixed-offset read) stays exercised
+    in CI."""
+    import struct
+
+    import numpy as np  # absolute import: resolvable on any worker
+
+    n_ch = 1 + (doc_id % 2)
+    rate = 8000 + 4000 * (doc_id % 3)
+    n_frames = 50 + ((doc_id * 7) % 100)
+    n = n_frames * n_ch
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 2654435761 + idx * 48271) % 65536 - 32768).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
+    )
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if doc_id % 4 == 1:
+        info = b"INFOICMT" + struct.pack("<I", 5) + b"synth" + b"\x00"
+        chunks.append(b"LIST" + struct.pack("<I", len(info)) + info)
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_audio_corpus(documents: DataFrame) -> DataFrame:
+    """One synthetic PCM WAV per document row (MEDIA_SCHEMA frame) — the
+    audio sibling of synthetic_image_corpus: worker-side mapInPandas
+    synthesis, binary payloads through Arrow, meta_sample_rate left NULL
+    so decode must recover it from the fmt chunk, not the metadata."""
+    _ship_module_by_value()
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": pdf["media_id"].map(
+                        lambda i: synthesize_wav(int(i))
+                    ),
+                    "meta_width": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_height": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_sample_rate": pd.Series(
+                        [None] * len(pdf), dtype="object"
+                    ),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_frames int, "
+    "sum_abs long, peak int, n_loud int, mean_abs double"
+)
+
+
+def audio_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode per payload (the image_decode_stats contract
+    applied to the audio lane): parse the RIFF container via the
+    dependency-free decoder (decode_wav_py — chunk walk, fmt parse,
+    little-endian PCM), recover rate/channels/frames from the CODEC not
+    the metadata, and aggregate integer-exact sample stats: sum_abs /
+    peak (max |s|) / n_loud (|s| >= 16384, the top-half amplitude), plus
+    mean_abs as the one double division, emitted UNROUNDED (two exact
+    integers through one IEEE division — the image lane's half-case
+    rationale). mapInPandas per-partition iterator, no shuffle — decode
+    runs at scan speed."""
+    _ship_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n_ch, samples = decode_wav_py(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                a = np.abs(s)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        n_ch,
+                        len(s) // n_ch,
+                        int(a.sum()),
+                        int(a.max()) if len(a) else 0,
+                        int((a >= 16384).sum()),
+                        float(a.sum()) / len(a) if len(a) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "sum_abs", "peak", "n_loud", "mean_abs",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = (

@@ -145,17 +145,62 @@ class IncrementalNoveltyScorer:
             buckets=self.state_buckets,
         )
 
+    def _tombs(self) -> DataFrame | None:
+        """Distinct RETRACTED doc ids (committed by :meth:`delete`), or
+        None when nothing was deleted (the common case pays zero plan
+        nodes)."""
+        import os
+
+        path = os.path.join(self.workdir, "tombstones")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).distinct()
+
     def _state(self) -> DataFrame:
         self._heal_from_compact_pin()
         if self.spark.catalog.tableExists(self._tbl):
+            rows = self.spark.table(self._tbl)
+            tombs = self._tombs()
+            if tombs is not None:
+                # retraction filter BEFORE the min fold: a gram whose
+                # recorded owner was deleted must vanish from state (so
+                # the next wave that re-sees it becomes its new first),
+                # and a post-delete re-append must not be shadowed by
+                # the tombstoned older row's smaller doc_id. Broadcast
+                # anti-join above the bucketed scan: the streamed side
+                # keeps its bucketing, so downstream joins stay
+                # Exchange-free on the state side.
+                rows = rows.join(
+                    F.broadcast(tombs.withColumnRenamed("doc_id", "_first")),
+                    "_first",
+                    "left_anti",
+                )
             # min() collapses the (harmless) duplicate appends a crashed
             # wave re-run leaves; first-seen is min by construction anyway
-            return (
-                self.spark.table(self._tbl)
-                .groupBy("_g")
-                .agg(F.min("_first").alias("_first"))
-            )
+            return rows.groupBy("_g").agg(F.min("_first").alias("_first"))
         return self.spark.createDataFrame([], "_g string, _first long")
+
+    def delete(self, docs: DataFrame) -> None:
+        """Retract previously ingested documents from the gram state —
+        the takedown lane (r13 verdict item 1), the same
+        logical-tombstone-then-compact-reap protocol as the ANN index
+        (operators/ann_index.py): commit the doc ids to a tombstone
+        directory; every state read drops grams OWNED by a deleted doc
+        (first-seen transfers forward to the next wave that re-sees the
+        gram — the documented approximation: intermediate sightings by
+        surviving docs are not recorded in state, so ownership cannot be
+        reassigned retroactively without a corpus re-scan); compact()
+        physically reaps the rows. Already-emitted wave results are
+        per-wave historical facts — the caller retracts the deleted
+        docs' OUTPUT rows (an anti-join on its curated table), exactly
+        like ReplacingMergeTree supersedence retracts served rows.
+        Retried deletes are idempotent (tombstones are a set). Scale:
+        takedown-size id lists (KB–MB), broadcast into the state reads."""
+        import os
+
+        docs.select("doc_id").distinct().write.mode("append").parquet(
+            os.path.join(self.workdir, "tombstones")
+        )
 
     def _max_persisted_wave(self) -> int:
         """Highest COMPLETED wave recorded in this workdir (wave_<k>
@@ -226,9 +271,13 @@ class IncrementalNoveltyScorer:
         only reports per-bucket sort order with a single file per
         bucket. Run between waves; ingest results are identical
         before/after (tested). Also collapses any duplicate gram rows a
-        crashed re-run appended (the min() _state reads through).
+        crashed re-run appended (the min() _state reads through) and
+        physically REAPS tombstoned grams (_state is already the
+        retraction-filtered view; the tombstone dir is cleared after the
+        fold commits — a crash in between just leaves a no-op filter).
         Successful compaction prunes ALL pins (compact_bucketed)."""
         import os
+        import shutil
 
         from ..sources.bucketed import compact_bucketed
 
@@ -244,6 +293,9 @@ class IncrementalNoveltyScorer:
             key="_g",
             buckets=self.state_buckets,
         )
+        shutil.rmtree(
+            os.path.join(self.workdir, "tombstones"), ignore_errors=True
+        )
 
     def reset(self) -> None:
         """Fresh start on a reused workdir: drop the catalog state table
@@ -258,6 +310,9 @@ class IncrementalNoveltyScorer:
 
         self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
         shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.workdir, "tombstones"), ignore_errors=True
+        )
         self._wave = 0
 
     def drop_state(self) -> None:
@@ -280,6 +335,84 @@ def novelty_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = scorer.ingest(docs.filter(F.col("doc_id") < mid))
     out2 = scorer.ingest(docs.filter(F.col("doc_id") >= mid))
     return out1.unionByName(out2)
+
+
+def novelty_ngram_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty gram-state's DELETION lane (r13 verdict item 1):
+    ingest wave 1 (doc_id < count/2), tombstone-retract every wave-1 doc
+    with doc_id % 5 == 2 (IncrementalNoveltyScorer.delete — grams OWNED
+    by a deleted doc leave the state, so first-seen transfers forward to
+    the next wave that re-sees them), then ingest wave 2. Wave-1 scores
+    stay historical (computed before the delete); the deleted docs' own
+    output rows are retracted by the caller's anti-join. The oracle
+    replays exactly that: wave-1 novelty against all wave-1 firsts,
+    minus the deleted docs; wave-2 novelty against the PRUNED state
+    (first-seen entries owned by deleted docs removed) coalesced with
+    within-wave firsts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.count() // 2
+    scorer = IncrementalNoveltyScorer(spark, _stream_scratch("novelty_deleted"))
+    scorer.reset()
+    out1 = scorer.ingest(docs.filter(F.col("doc_id") < mid))
+    deleted = docs.filter(
+        (F.col("doc_id") % 5 == 2) & (F.col("doc_id") < mid)
+    ).select("doc_id")
+    scorer.delete(deleted)
+    out2 = scorer.ingest(docs.filter(F.col("doc_id") >= mid))
+    return out1.join(deleted, "doc_id", "left_anti").unionByName(out2)
+
+
+_NOVELTY_DELETED_ORACLE = f"""
+WITH {_TOKENS_CTE},
+sh AS (
+  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+    SELECT doc_id,
+           unnest(
+             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+             END
+           ) AS g
+    FROM base)
+),
+k AS (SELECT count(*) // 2 AS mid FROM documents),
+del AS (
+  SELECT doc_id FROM documents, k WHERE doc_id % 5 = 2 AND doc_id < mid
+),
+f1 AS (
+  SELECT g, min(doc_id) AS first FROM sh, k WHERE doc_id < mid GROUP BY g
+),
+-- the post-delete state: first-seen entries OWNED by a deleted doc are
+-- gone (ownership transfers forward; sightings by surviving docs are
+-- not recorded in state, the documented approximation)
+state AS (
+  SELECT g, first FROM f1 WHERE first NOT IN (SELECT doc_id FROM del)
+),
+f2 AS (
+  SELECT g, min(doc_id) AS wf FROM sh, k WHERE doc_id >= mid GROUP BY g
+),
+eff AS (
+  SELECT f2.g, coalesce(state.first, f2.wf) AS first
+  FROM f2 LEFT JOIN state USING (g)
+)
+SELECT s.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS INTEGER) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh s JOIN f1 f USING (g), k
+WHERE s.doc_id < k.mid AND s.doc_id NOT IN (SELECT doc_id FROM del)
+GROUP BY s.doc_id
+UNION ALL
+SELECT s.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS INTEGER) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh s JOIN eff f USING (g), k
+WHERE s.doc_id >= k.mid
+GROUP BY s.doc_id
+"""
 
 
 def novelty_ngram_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,12 +721,58 @@ class IncrementalSemanticDeduper:
         )
 
     _STATE_KEYS = {"sem_bands": ("chunk", "key"), "sem_vecs": ("_id",)}
+    _STATE_SCHEMAS = {
+        "sem_bands": "chunk int, key bigint, _id bigint",
+        "sem_vecs": "_id bigint, embedding array<float>",
+    }
+
+    def _tombs(self) -> DataFrame | None:
+        """Distinct RETRACTED vector ids (committed by :meth:`delete`),
+        or None when nothing was deleted."""
+        import os
+
+        path = os.path.join(self.workdir, "tombstones")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).distinct()
 
     def _state(self, name: str, schema: str) -> DataFrame:
         self._heal_from_compact_pin(name, self._STATE_KEYS[name])
         if self.spark.catalog.tableExists(self._tbl(name)):
-            return self.spark.table(self._tbl(name))
+            rows = self.spark.table(self._tbl(name))
+            tombs = self._tombs()
+            if tombs is not None:
+                # retraction filter: a deleted vector's bands and
+                # embedding leave the dedup state, so a future near-dup
+                # of ONLY deleted content is admitted (nothing left to
+                # be a duplicate of). Broadcast anti-join above the
+                # bucketed scan — the streamed side keeps its bucketing,
+                # so the wave's band/verify joins stay Exchange-free on
+                # the state side.
+                rows = rows.join(F.broadcast(tombs), "_id", "left_anti")
+            return rows
         return self.spark.createDataFrame([], schema)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Retract previously ingested vectors from the dedup state —
+        the takedown lane (r13 verdict item 1), same tombstone-then-
+        compact-reap protocol as the ANN index and the novelty scorer:
+        commit the ids (column ``vec_id`` or ``_id``) to a tombstone
+        directory; every state read excludes their band keys and
+        embeddings; compact() physically reaps the rows. Past wave
+        survivor sets are historical facts — the caller retracts the
+        deleted ids from its OUTPUT table (anti-join), as with any
+        ReplacingMergeTree-style supersedence. Deletion is not
+        retroactive: a wave-mate the deleted vector once rejected stays
+        rejected (first-accepted-wins is never revoked — the module's
+        bridge-doc contract). Idempotent on retry (tombstones are a
+        set); takedown-size lists, broadcast into the state reads."""
+        import os
+
+        col = "vec_id" if "vec_id" in ids.columns else "_id"
+        ids.select(F.col(col).alias("_id")).distinct().write.mode(
+            "append"
+        ).parquet(os.path.join(self.workdir, "tombstones"))
 
     def ingest(self, embeddings: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Dedup one wave; returns the wave's survivors (vec_id, label),
@@ -710,9 +889,13 @@ class IncrementalSemanticDeduper:
     def compact(self) -> None:
         """Fold each state table to one sorted file per bucket (the
         IncrementalCorpusCurator.compact contract); ingest results are
-        identical before/after (tested). Successful compaction prunes
+        identical before/after (tested). Physically REAPS tombstoned
+        rows (the compacted frame is the retraction-filtered _state
+        view; the tombstone dir clears after both tables fold — a crash
+        in between leaves a no-op filter). Successful compaction prunes
         that table's pins (compact_bucketed)."""
         import os
+        import shutil
 
         from ..sources.bucketed import compact_bucketed
 
@@ -722,13 +905,16 @@ class IncrementalSemanticDeduper:
                 continue
             compact_bucketed(
                 self.spark,
-                self.spark.table(self._tbl(name)),
+                self._state(name, self._STATE_SCHEMAS[name]),
                 self._tbl(name),
                 os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}"),
                 os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
                 key=keys,
                 buckets=self.state_buckets,
             )
+        shutil.rmtree(
+            os.path.join(self.workdir, "tombstones"), ignore_errors=True
+        )
 
     def reset(self) -> None:
         import os
@@ -738,6 +924,9 @@ class IncrementalSemanticDeduper:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
         # pins would resurrect dropped state via _heal_from_compact_pin
         shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.workdir, "tombstones"), ignore_errors=True
+        )
         self._wave = 0
 
     def drop_state(self) -> None:
@@ -764,6 +953,64 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = deduper.ingest(emb.filter(F.col("vec_id") < mid))
     out2 = deduper.ingest(emb.filter(F.col("vec_id") >= mid))
     return out1.unionByName(out2)
+
+
+def semantic_dedup_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup state's DELETION lane (r13 verdict item 1):
+    ingest wave 1 (vec_id < count/2 — a split both engines compute
+    identically), tombstone-retract every wave-1 vector with
+    vec_id % 5 == 2 (IncrementalSemanticDeduper.delete), then ingest
+    wave 2. Deletion changes FUTURE admissions — a wave-2 vector whose
+    only near-dups were deleted is now admitted (nothing left to be a
+    duplicate of) — while wave-1 verdicts stay historical
+    (first-accepted-wins is never revoked); the deleted ids themselves
+    are retracted from the output by the caller's anti-join, the
+    ReplacingMergeTree-supersedence move. The oracle replays exactly
+    that: wave-1 keeps from intra-wave-1 pairs minus the deleted set;
+    wave-2 keeps dropping only on pairs whose earlier member survives
+    deletion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.count() // 2
+    deduper = IncrementalSemanticDeduper(
+        spark,
+        _stream_scratch("semantic_dedup_deleted"),
+        threshold=SEM_NEAR_DUP_THRESHOLD,
+    )
+    deduper.reset()
+    out1 = deduper.ingest(emb.filter(F.col("vec_id") < mid))
+    deleted = emb.filter(
+        (F.col("vec_id") % 5 == 2) & (F.col("vec_id") < mid)
+    ).select("vec_id")
+    deduper.delete(deleted)
+    out2 = deduper.ingest(emb.filter(F.col("vec_id") >= mid))
+    return out1.join(deleted, "vec_id", "left_anti").unionByName(out2)
+
+
+# semantic_dedup_deleted replay: the same banded pairs; wave 1 = the batch
+# rule over intra-wave-1 pairs, minus the tombstoned ids; wave 2 drops a
+# vector only for pairs whose EARLIER member survives the deletion (a
+# deleted vector's bands/embedding left the state before wave 2 banded
+# against it).
+_SEMANTIC_DELETED_ORACLE = f"""
+WITH pairs AS ({_COS_PAIRS_LSH_ORACLE}),
+k AS (SELECT count(*) // 2 AS mid FROM embeddings),
+del AS (
+  SELECT vec_id FROM embeddings, k WHERE vec_id % 5 = 2 AND vec_id < mid
+)
+SELECT e.vec_id, e.label
+FROM embeddings e, k
+WHERE e.vec_id < k.mid
+  AND e.vec_id NOT IN (SELECT id_b FROM pairs, k WHERE id_b < mid)
+  AND e.vec_id NOT IN (SELECT vec_id FROM del)
+UNION ALL
+SELECT e.vec_id, e.label
+FROM embeddings e, k
+WHERE e.vec_id >= k.mid
+  AND e.vec_id NOT IN (
+    SELECT id_b FROM pairs, k
+    WHERE id_b >= mid AND id_a NOT IN (SELECT vec_id FROM del)
+  )
+"""
 
 
 def semantic_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,6 +1325,7 @@ QUERIES = [
     # tracked physical shapes (SRP banding, windows) or are streaming.
     QuerySpec("novelty_ngram_docs", novelty_ngram_docs, _NOVELTY_ORACLE, headline=True),
     QuerySpec("novelty_ngram_incremental", novelty_ngram_incremental, _NOVELTY_ORACLE),
+    QuerySpec("novelty_ngram_deleted", novelty_ngram_deleted, _NOVELTY_DELETED_ORACLE),
     QuerySpec("novelty_ngram_streaming", novelty_ngram_streaming, _NOVELTY_ORACLE),
     QuerySpec("source_quota_docs", source_quota_docs, _QUOTA_ORACLE),
     QuerySpec("source_quota_streaming", source_quota_streaming, _QUOTA_ORACLE),
@@ -1085,6 +1333,7 @@ QUERIES = [
     QuerySpec("temperature_mix_docs", temperature_mix_docs, _TEMPERATURE_MIX_ORACLE),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, _SEMANTIC_KEEP_ORACLE),
     QuerySpec("semantic_dedup_incremental", semantic_dedup_incremental, _SEMANTIC_KEEP_ORACLE),
+    QuerySpec("semantic_dedup_deleted", semantic_dedup_deleted, _SEMANTIC_DELETED_ORACLE),
     QuerySpec("semantic_dedup_streaming", semantic_dedup_streaming, _SEMANTIC_KEEP_ORACLE),
     QuerySpec(
         "minhash_near_dup_incremental", minhash_near_dup_incremental, _JACCARD_ORACLE

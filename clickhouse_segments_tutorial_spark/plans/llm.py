@@ -1925,6 +1925,52 @@ FROM luma GROUP BY doc_id, bw, bh
 """
 
 
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled with zero binary fixtures — the
+    audio lane closed the way the image lanes were (r13 verdict item 4):
+    one deterministic RIFF/WAVE PCM file per document
+    (operators/multimodal.py synthesize_wav — every interleaved sample a
+    pure integer function of (doc_id, position); some ids carry a LIST
+    metadata chunk so the decoder's chunk WALK is exercised, not a
+    fixed-offset read), decoded by the dependency-free RIFF parser
+    (decode_wav_py: chunk walk, fmt parse, little-endian 16-bit PCM,
+    rate/channels recovered from the codec not the metadata), aggregated
+    to integer-exact amplitude stats. The oracle regenerates the
+    identical sample stream with modular arithmetic — a header-parse,
+    alignment, or endianness bug anywhere hash-mismatches."""
+    from ..operators.multimodal import (
+        audio_decode_stats,
+        synthetic_audio_corpus,
+    )
+
+    return audio_decode_stats(
+        synthetic_audio_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
+_AUDIO_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + (doc_id % 2) AS n_ch,
+         8000 + 4000 * (doc_id % 3) AS rate,
+         50 + ((doc_id * 7) % 100) AS n_frames
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, n_ch, rate, n_frames,
+         abs((doc_id * 2654435761 + unnest(range(0, n_frames * n_ch)) * 48271) % 65536 - 32768) AS a
+  FROM dims
+)
+SELECT doc_id AS media_id, CAST(rate AS INT) AS sample_rate,
+       CAST(n_ch AS INT) AS n_channels, CAST(n_frames AS INT) AS n_frames,
+       CAST(sum(a) AS BIGINT) AS sum_abs,
+       CAST(max(a) AS INT) AS peak,
+       CAST(count(*) FILTER (a >= 16384) AS INT) AS n_loud,
+       CAST(sum(a) AS DOUBLE) / count(*) AS mean_abs
+FROM samp GROUP BY doc_id, rate, n_ch, n_frames
+"""
+
+
 def packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: the 128-token chunks greedily packed into
     512-token training sequences, sharded mod 8 on doc_id. The stateful
@@ -2858,6 +2904,7 @@ QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats, _MULTIMODAL_ORACLE),
     QuerySpec("multimodal_image_decode", multimodal_image_decode, _IMAGE_DECODE_ORACLE),
     QuerySpec("multimodal_jpeg_decode", multimodal_jpeg_decode, _JPEG_DECODE_ORACLE),
+    QuerySpec("multimodal_audio_decode", multimodal_audio_decode, _AUDIO_DECODE_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(
         "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE

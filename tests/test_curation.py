@@ -389,6 +389,83 @@ def test_incremental_novelty_state_join_colocates(spark, tmp_path):
     scorer.drop_state()
 
 
+def test_novelty_delete_transfers_ownership_and_compact_reaps(spark, tmp_path):
+    """Tombstone retraction (r13 verdict item 1): grams owned by a
+    deleted doc leave the state, so the next wave that re-sees them
+    becomes their new first (novelty 1.0 where it would have been 0.0);
+    compact() physically reaps the tombstoned rows and clears the
+    tombstone dir; a retried delete is a no-op."""
+    import os as _os
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    scorer = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"))
+    scorer.ingest(_docs(spark, [(1, "alpha beta gamma delta epsilon")]))
+    dead = spark.createDataFrame([(1,)], "doc_id long")
+    scorer.delete(dead)
+    scorer.delete(dead)  # retried delete: tombstones are a set
+    out2 = scorer.ingest(_docs(spark, [(10, "alpha beta gamma delta epsilon")]))
+    row = out2.collect()[0]
+    assert row.novelty == 1.0, "ownership must transfer to the re-seeing wave"
+    # compact physically reaps: the raw table keeps only doc 10's grams
+    scorer.compact()
+    assert not _os.path.isdir(str(tmp_path / "nov" / "tombstones"))
+    raw = spark.table(scorer._tbl)
+    assert raw.filter(F.col("_first") == 1).count() == 0
+    assert raw.filter(F.col("_first") == 10).count() > 0
+    # post-compact ingest still sees doc 10 as the owner
+    out3 = scorer.ingest(_docs(spark, [(20, "alpha beta gamma delta epsilon")]))
+    assert out3.collect()[0].novelty == 0.0
+    scorer.drop_state()
+
+
+def test_semantic_delete_admits_future_dup_not_retroactive(spark, tmp_path):
+    """Deleting a vector re-opens its slot for FUTURE content (a wave-2
+    near-dup of only-deleted vectors is admitted) without revoking past
+    verdicts (a wave-1 doc the deleted vector rejected stays rejected);
+    compact() reaps the deleted rows from both state tables."""
+    import math
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalSemanticDeduper,
+    )
+
+    def vec(deg):
+        v = [0.0] * 8
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        return v
+
+    emb = spark.createDataFrame(
+        [(1, vec(0), 0), (2, vec(5), 0), (10, vec(0), 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ded = IncrementalSemanticDeduper(spark, str(tmp_path / "sem"), threshold=0.9)
+    out1 = ded.ingest(emb.filter(F.col("vec_id") < 10))
+    assert sorted(r.vec_id for r in out1.collect()) == [1]  # 2 dropped by 1
+    ded.delete(spark.createDataFrame([(1,)], "vec_id long"))
+    # wave 2: vec 10 is a near-dup ONLY of deleted 1 (2 is at 5 deg:
+    # cos(5) ~ .996 >= .9 too — so delete 2 as well to isolate)
+    ded.delete(spark.createDataFrame([(2,)], "vec_id long"))
+    out2 = ded.ingest(emb.filter(F.col("vec_id") == 10))
+    assert [r.vec_id for r in out2.collect()] == [10], (
+        "near-dup of only-deleted content must be admitted"
+    )
+    # non-retroactive: wave-1 result unchanged (2 stays dropped)
+    assert sorted(r.vec_id for r in out1.collect()) == [1]
+    ded.compact()
+    assert spark.table(ded._tbl("sem_vecs")).filter(
+        F.col("_id").isin([1, 2])
+    ).count() == 0
+    assert spark.table(ded._tbl("sem_bands")).filter(
+        F.col("_id").isin([1, 2])
+    ).count() == 0
+    assert spark.table(ded._tbl("sem_vecs")).filter(F.col("_id") == 10).count() == 1
+    ded.drop_state()
+
+
 # --- perplexity_buckets -------------------------------------------------------
 
 

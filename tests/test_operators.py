@@ -1157,6 +1157,63 @@ def test_real_decode_unsupported_format():
         real_decode(b"bytes", "video")
 
 
+def test_wav_decoder_chunk_walk_and_widths():
+    """The dependency-free RIFF/PCM decoder (r13 verdict item 4):
+    16-bit synthesis round-trips byte-exactly; a LIST metadata chunk
+    before data is walked over (synthesize_wav plants one on
+    doc_id % 4 == 1); odd-size chunks respect the word-alignment pad;
+    8-bit PCM recentres and widens to the 16-bit domain; float PCM
+    falls through as NotImplementedError and a non-RIFF payload fails
+    loud."""
+    import struct
+
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        decode_wav_py,
+        real_decode,
+        synthesize_wav,
+    )
+
+    # 16-bit synthesis round-trip, with and without the LIST chunk
+    for doc_id in (0, 1, 5, 10):
+        rate, n_ch, samples = decode_wav_py(synthesize_wav(doc_id))
+        assert rate == 8000 + 4000 * (doc_id % 3)
+        assert n_ch == 1 + (doc_id % 2)
+        n = (50 + ((doc_id * 7) % 100)) * n_ch
+        assert len(samples) == n
+        assert samples[:3] == [
+            ((doc_id * 2654435761 + i * 48271) % 65536) - 32768
+            for i in range(3)
+        ]
+
+    def wav(fmt_body: bytes, chunks: list[bytes]) -> bytes:
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        body += b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # odd-size chunk before data: the pad byte must be skipped
+    pcm8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    data = b"data" + struct.pack("<I", 3) + bytes([0, 128, 255])
+    rate, n_ch, samples = decode_wav_py(wav(pcm8, [odd, data]))
+    assert (rate, n_ch) == (8000, 1)
+    assert samples == [-32768, 0, 32512]  # (u-128)*256 widening
+
+    # float PCM (fmt 3) is the documented escape hatch
+    f32 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    with pytest.raises(NotImplementedError):
+        decode_wav_py(wav(f32, [b"data" + struct.pack("<I", 4) + b"\x00" * 4]))
+    with pytest.raises(ValueError):
+        decode_wav_py(b"OggS not a riff payload")
+    # data before fmt is a malformed container, not a crash-later
+    bad = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_wav_py(bad)
+
+    # real_decode pools the audio histogram with the image contract
+    hist = real_decode(synthesize_wav(3), "audio")
+    assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-9
+
+
 def test_jpeg_hermetic_roundtrip():
     """The dependency-free baseline JPEG codec (operators/jpeg.py, r11
     verdict item 8: the JPEG lane must run green in the base container,
