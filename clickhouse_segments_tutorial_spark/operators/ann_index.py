@@ -629,6 +629,227 @@ def ivfadc_index_health(
     )
 
 
+def _probe_min_ranks(
+    embeddings: DataFrame,
+    workdir: str,
+    probe: list[float],
+    *,
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """For one probe vector: the exact top-``k`` neighbors' MINIMUM
+    probed-list ranks — neighbor x becomes a candidate at every budget
+    n_probe >= min over x's spill lists of that list's rank in the
+    probe's list ordering. This is the tuning primitive behind the
+    ceiling curve (plans ann_ivfadc_tune_nprobe) and the budget picker:
+    the fraction of ranks <= n IS the candidate-recall ceiling at
+    budget n, and the r13 decomposition showed the trained ADC stage is
+    lossless given its candidates, so the ceiling curve IS the recall
+    curve. Cost: one k-row exact top-k plus one semi-joined codes scan
+    — an offline tuning job, never the probe path. Tombstoned ids are
+    excluded (a deleted neighbor is not a recall target). Returns <= k
+    ints, driver-side."""
+    from .similarity import cosine, ivf_probe_lists
+
+    spark = embeddings.sparkSession
+    meta = load_meta(workdir)
+    cents = meta["cents"]
+    order = ivf_probe_lists(cents, list(probe), len(cents), portable=True)
+    rank_map = F.create_map(
+        *[x for i, l in enumerate(order) for x in (F.lit(l), F.lit(i + 1))]
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    base = _exclude_tombstones(embeddings, workdir, meta)
+    if exclude_id is not None:
+        base = base.filter(F.col(id_col) != exclude_id)
+    topk = (
+        base.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), probe_col), 6).alias("_c"),
+        )
+        .orderBy(F.desc("_c"), F.asc(id_col))
+        .limit(k)
+        .select(id_col)
+    )
+    rows = (
+        _read_codes(spark, workdir, meta)
+        .join(topk, id_col, "left_semi")
+        .select(id_col, F.element_at(rank_map, F.col("ivf_list")).alias("_rk"))
+        .groupBy(id_col)
+        .agg(F.min("_rk").alias("_mr"))
+        .collect()
+    )
+    return [int(r._mr) for r in rows]
+
+
+def ivfadc_pick_n_probe(
+    embeddings: DataFrame,
+    workdir: str,
+    probes: list[list[float]],
+    *,
+    target: float,
+    k: int = 10,
+    exclude_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Pick the CHEAPEST probe budget meeting a recall target, off the
+    priced tuning surface (r13 verdict item 8): the smallest n_probe
+    whose mean candidate ceiling over the sample ``probes`` reaches
+    ``target`` (= mean recall, since the trained ADC stage is lossless
+    given its candidates — BASELINE.md r13). Falls back to all lists
+    when the target is unreachable even exhaustively (the honest
+    answer: the ceiling at n_probe = n_centroids is the spill-coverage
+    limit). Offline tuning cost: len(probes) exact top-k jobs; the
+    chosen budget keeps every future probe in the probe-only cost
+    class — directory-pruned codes scan, KB meta, k_cand re-rank."""
+    meta = load_meta(workdir)
+    n_lists = len(meta["cents"])
+    all_mrs = []
+    for i, p in enumerate(probes):
+        ex = exclude_ids[i] if exclude_ids is not None else None
+        all_mrs.append(
+            _probe_min_ranks(
+                embeddings, workdir, p, k=k, exclude_id=ex,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    for n in range(1, n_lists + 1):
+        mean_ceiling = sum(
+            sum(1 for mr in mrs if mr <= n) / float(k) for mrs in all_mrs
+        ) / len(all_mrs)
+        if mean_ceiling >= target:
+            return n
+    return n_lists
+
+
+def ivfadc_record_baseline(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Record the index's POST-BUILD corpus residual energy (the
+    vector-weighted mean of the health report's per-list resid_energy)
+    in the meta as ``resid_energy0`` — the drift reference
+    ivfadc_choose_rebuild compares against. Stored separately from the
+    build because it costs one health pass over the corpus; run it once
+    after build (ivfadc_auto_rebuild re-records it after every rebuild
+    it performs). Returns the recorded value."""
+    e = _corpus_resid_energy(
+        embeddings, workdir, id_col=id_col, vec_col=vec_col
+    )
+    meta = load_meta(workdir)
+    meta["resid_energy0"] = e
+    _save_meta(workdir, meta)
+    return e
+
+
+def _corpus_resid_energy(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    h = ivfadc_index_health(embeddings, workdir, id_col=id_col, vec_col=vec_col)
+    row = h.agg(
+        (
+            F.sum(F.col("n_vectors") * F.col("resid_energy"))
+            / F.sum("n_vectors")
+        ).alias("_e")
+    ).collect()[0]
+    return round(float(row._e), 6) if row._e is not None else 0.0
+
+
+def ivfadc_choose_rebuild(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    margin: float = 0.05,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The health->rebuild DECISION (r13 verdict item 5): read the
+    per-list health report and decide whether quantizer drift warrants
+    retraining. The metric is the vector-weighted mean of per-list
+    resid_energy — the fraction of corpus energy the frozen coarse
+    quantizer fails to explain. The decision is BASELINE-RELATIVE by
+    default: the healthy level depends on data dimensionality and
+    centroid count (measured 0.75 at sf0.001/64 lists vs the r12
+    untrained-quantizer diagnosis of ~0.89 at sf0.01/128), so an
+    absolute cut is brittle across configs; instead the rule fires when
+    the current energy climbs more than ``margin`` above the
+    post-build reference recorded by ivfadc_record_baseline (a +0.8
+    component shift measured +0.12 — comfortably above the default
+    0.05 margin, while session-to-session noise on a static corpus is
+    ~0). Passing an explicit ``threshold`` (or probing an index with no
+    recorded baseline) falls back to the absolute rule for callers that
+    calibrated one. Driver-side over the health report's n_centroids
+    rows — KB-scale, like every decision input in this module."""
+    energy = _corpus_resid_energy(
+        embeddings, workdir, id_col=id_col, vec_col=vec_col
+    )
+    meta = load_meta(workdir)
+    base = meta.get("resid_energy0")
+    if threshold is not None or base is None:
+        cut = threshold if threshold is not None else 0.89  # r12 untrained level
+        return {
+            "resid_energy": energy,
+            "baseline": base,
+            "threshold": round(cut, 6),
+            "rebuild": energy > cut,
+        }
+    return {
+        "resid_energy": energy,
+        "baseline": base,
+        "threshold": round(base + margin, 6),
+        "rebuild": energy > base + margin,
+    }
+
+
+def ivfadc_auto_rebuild(
+    embeddings: DataFrame,
+    workdir: str,
+    *,
+    margin: float = 0.05,
+    threshold: float | None = None,
+    train_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict, dict]:
+    """Close the monitoring loop (r13 verdict item 5): evaluate
+    ivfadc_choose_rebuild and, when it fires, retrain the index on the
+    CURRENT corpus with the existing build parameters — through
+    ivfadc_build_index's rebuild path, so the new artifacts land in a
+    fresh slot, readers switch at the atomic meta commit, and committed
+    tombstones carry forward — then re-record the drift baseline
+    (ivfadc_record_baseline) so the next decision compares against the
+    retrained quantizer. Returns (decision, meta) — meta is the
+    post-rebuild meta when a rebuild ran, the unchanged one
+    otherwise."""
+    decision = ivfadc_choose_rebuild(
+        embeddings, workdir, margin=margin, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    meta = load_meta(workdir)
+    if decision["rebuild"]:
+        p = meta["params"]
+        meta = ivfadc_build_index(
+            embeddings, workdir, train_df=train_df, id_col=id_col,
+            vec_col=vec_col, **p,
+        )
+        ivfadc_record_baseline(
+            embeddings, workdir, id_col=id_col, vec_col=vec_col
+        )
+        meta = load_meta(workdir)
+    return decision, meta
+
+
 def ivfadc_probe_index(
     embeddings: DataFrame,
     workdir: str,

