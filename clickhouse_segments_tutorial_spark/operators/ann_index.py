@@ -165,7 +165,11 @@ def load_meta(workdir: str) -> dict:
     with open(_meta_path(workdir)) as f:
         meta = json.load(f)
     meta.setdefault("next_slot", max(map(int, meta["waves"])) + 1)
-    meta.setdefault("wave_slots", {})
+    # pre-allocator metas: explicit wave ids WERE slots (the old
+    # ivfadc_extend_index contract), so map each committed slot to
+    # itself — a redelivered wave then overwrites its own slot instead
+    # of double-appending into a fresh one (r14 review finding)
+    meta.setdefault("wave_slots", {k: int(k) for k in meta["waves"]})
     meta.setdefault("tombstones", {})
     meta.setdefault("id_col", "vec_id")
     return meta
@@ -288,9 +292,24 @@ def ivfadc_build_index(
         },
         "id_col": id_col,
         "waves": {str(slot): n},
-        "wave_slots": (
-            {str(int(writer_wave)): slot} if writer_wave is not None else {}
-        ),
+        # prior writer waves are FOLDED into the rebuild (their rows are
+        # re-encoded from the rebuild corpus): keep their ids mapped to
+        # None so a crash-replayed old wave is refused loudly
+        # (ivfadc_extend_index) instead of double-appending — the
+        # compaction rule; dropping the map entirely silently disarmed
+        # the replay protection (r14 review finding)
+        "wave_slots": {
+            **(
+                {w: None for w in old_meta["wave_slots"]}
+                if old_meta is not None
+                else {}
+            ),
+            **(
+                {str(int(writer_wave)): slot}
+                if writer_wave is not None
+                else {}
+            ),
+        },
         "next_slot": slot + 1,
         "tombstones": {} if old_meta is None else old_meta["tombstones"],
         "n_vectors": n,
@@ -384,8 +403,21 @@ def ivfadc_delete_ids(
     idc = meta["id_col"]
     slot = max((int(k) for k in meta["tombstones"]), default=-1) + 1
     ids = deleted.select(idc).distinct()
-    ids.write.mode("overwrite").parquet(tombstone_path(workdir, slot))
-    meta["tombstones"][str(slot)] = ids.count()
+    path = tombstone_path(workdir, slot)
+    ids.write.mode("overwrite").parquet(path)
+    # count the WRITTEN artifact (explicit schema: an all-empty write
+    # leaves no part files and schema inference would fail): one
+    # evaluation of `deleted`, and the committed count always describes
+    # the committed file (r14 review findings). An EMPTY wave is not
+    # committed at all — a zero-row dir in the manifest would poison
+    # every later _read_tombstones inference.
+    import shutil
+
+    n = deleted.sparkSession.read.schema(ids.schema).parquet(path).count()
+    if n == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        return meta
+    meta["tombstones"][str(slot)] = n
     _save_meta(workdir, meta)
     return meta
 
@@ -502,13 +534,27 @@ class IncrementalAnnIndexer:
             # item 2 — the extend path has the mirror guard).
             if built:
                 meta = load_meta(self.workdir)
-                if len(meta["waves"]) > 1 or any(
-                    int(w) != 1 for w in meta["wave_slots"]
-                ):
+                # legitimate ONLY when wave 1 is provably the sole
+                # content of the index: its slot is live and is the
+                # single manifest entry. Anything else — later writer
+                # waves, anonymous extensions (extra manifest slots),
+                # or a compaction fold (wave 1's slot mapped to None) —
+                # means a rebuild from wave-1 rows would truncate
+                # committed data (r14 review finding: the earlier
+                # keys-only check passed the post-compaction case).
+                slot1 = meta["wave_slots"].get("1")
+                sole = (
+                    list(meta["wave_slots"]) == ["1"]
+                    and slot1 is not None
+                    and list(meta["waves"]) == [str(slot1)]
+                )
+                if not sole:
                     raise ValueError(
-                        "stale wave-1 replay: later waves are already "
-                        "committed; rebuilding would truncate the manifest "
-                        "— renumber the writer or rebuild explicitly"
+                        "stale wave-1 replay: the index holds more than "
+                        "wave 1 (later waves, anonymous extensions, or a "
+                        "compaction fold); rebuilding would truncate the "
+                        "manifest — renumber the writer or rebuild "
+                        "explicitly"
                     )
             meta = ivfadc_build_index(
                 df, self.workdir, train_df=df, writer_wave=wave_id or 1,
@@ -705,6 +751,8 @@ def ivfadc_pick_n_probe(
     limit). Offline tuning cost: len(probes) exact top-k jobs; the
     chosen budget keeps every future probe in the probe-only cost
     class — directory-pruned codes scan, KB meta, k_cand re-rank."""
+    if not probes:
+        raise ValueError("probes must be non-empty to price a budget")
     meta = load_meta(workdir)
     n_lists = len(meta["cents"])
     all_mrs = []

@@ -412,11 +412,14 @@ def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
         _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode(payload) -> list[float]:
+        def decode(payload, kind) -> list[float]:
             if payload is None or len(payload) == 0:
                 return [0.0] * 8
             if not use_stub:
-                return real_decode(bytes(payload), "image")
+                # dispatch on the ROW's kind: audio payloads take the
+                # WAV lane (r14 review finding — a hard-coded 'image'
+                # made the real audio decoder unreachable from here)
+                return real_decode(bytes(payload), str(kind))
             buckets = [0] * 8
             for byte in payload:
                 buckets[byte >> 5] += 1
@@ -429,7 +432,10 @@ def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
-                    "feature": pdf["payload"].map(decode),
+                    "feature": [
+                        decode(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
                 }
             )
 

@@ -148,13 +148,12 @@ class IncrementalNoveltyScorer:
     def _tombs(self) -> DataFrame | None:
         """Distinct RETRACTED doc ids (committed by :meth:`delete`), or
         None when nothing was deleted (the common case pays zero plan
-        nodes)."""
-        import os
+        nodes). Schema-pinned read: an empty or crash-interrupted
+        tombstone append reads as zero rows, never a schema-inference
+        failure (sources.bucketed.read_tombstones)."""
+        from ..sources.bucketed import read_tombstones
 
-        path = os.path.join(self.workdir, "tombstones")
-        if not os.path.isdir(path):
-            return None
-        return self.spark.read.parquet(path).distinct()
+        return read_tombstones(self.spark, self.workdir, "doc_id long")
 
     def _state(self) -> DataFrame:
         self._heal_from_compact_pin()
@@ -196,11 +195,9 @@ class IncrementalNoveltyScorer:
         like ReplacingMergeTree supersedence retracts served rows.
         Retried deletes are idempotent (tombstones are a set). Scale:
         takedown-size id lists (KB–MB), broadcast into the state reads."""
-        import os
+        from ..sources.bucketed import append_tombstones
 
-        docs.select("doc_id").distinct().write.mode("append").parquet(
-            os.path.join(self.workdir, "tombstones")
-        )
+        append_tombstones(docs.select("doc_id"), self.workdir)
 
     def _max_persisted_wave(self) -> int:
         """Highest COMPLETED wave recorded in this workdir (wave_<k>
@@ -277,9 +274,8 @@ class IncrementalNoveltyScorer:
         fold commits — a crash in between just leaves a no-op filter).
         Successful compaction prunes ALL pins (compact_bucketed)."""
         import os
-        import shutil
 
-        from ..sources.bucketed import compact_bucketed
+        from ..sources.bucketed import clear_tombstones, compact_bucketed
 
         self._heal_from_compact_pin()
         if not self.spark.catalog.tableExists(self._tbl):
@@ -293,9 +289,7 @@ class IncrementalNoveltyScorer:
             key="_g",
             buckets=self.state_buckets,
         )
-        shutil.rmtree(
-            os.path.join(self.workdir, "tombstones"), ignore_errors=True
-        )
+        clear_tombstones(self.workdir)
 
     def reset(self) -> None:
         """Fresh start on a reused workdir: drop the catalog state table
@@ -308,11 +302,11 @@ class IncrementalNoveltyScorer:
         import os
         import shutil
 
+        from ..sources.bucketed import clear_tombstones
+
         self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl}")
         shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(self.workdir, "tombstones"), ignore_errors=True
-        )
+        clear_tombstones(self.workdir)
         self._wave = 0
 
     def drop_state(self) -> None:
@@ -728,13 +722,11 @@ class IncrementalSemanticDeduper:
 
     def _tombs(self) -> DataFrame | None:
         """Distinct RETRACTED vector ids (committed by :meth:`delete`),
-        or None when nothing was deleted."""
-        import os
+        or None when nothing was deleted. Schema-pinned read — see
+        sources.bucketed.read_tombstones."""
+        from ..sources.bucketed import read_tombstones
 
-        path = os.path.join(self.workdir, "tombstones")
-        if not os.path.isdir(path):
-            return None
-        return self.spark.read.parquet(path).distinct()
+        return read_tombstones(self.spark, self.workdir, "_id bigint")
 
     def _state(self, name: str, schema: str) -> DataFrame:
         self._heal_from_compact_pin(name, self._STATE_KEYS[name])
@@ -767,12 +759,12 @@ class IncrementalSemanticDeduper:
         rejected (first-accepted-wins is never revoked — the module's
         bridge-doc contract). Idempotent on retry (tombstones are a
         set); takedown-size lists, broadcast into the state reads."""
-        import os
+        from ..sources.bucketed import append_tombstones
 
         col = "vec_id" if "vec_id" in ids.columns else "_id"
-        ids.select(F.col(col).alias("_id")).distinct().write.mode(
-            "append"
-        ).parquet(os.path.join(self.workdir, "tombstones"))
+        append_tombstones(
+            ids.select(F.col(col).alias("_id")), self.workdir
+        )
 
     def ingest(self, embeddings: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Dedup one wave; returns the wave's survivors (vec_id, label),
@@ -802,8 +794,8 @@ class IncrementalSemanticDeduper:
         wave_keys = srp_banded_keys(
             embeddings, dim=dim, n_planes=self.n_planes, max_hamming=self.max_hamming
         )
-        state_bands = self._state("sem_bands", "chunk int, key bigint, _id bigint")
-        state_vecs = self._state("sem_vecs", "_id bigint, embedding array<float>")
+        state_bands = self._state("sem_bands", self._STATE_SCHEMAS["sem_bands"])
+        state_vecs = self._state("sem_vecs", self._STATE_SCHEMAS["sem_vecs"])
         wave_vecs = embeddings.select(
             F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
         )
@@ -895,9 +887,8 @@ class IncrementalSemanticDeduper:
         in between leaves a no-op filter). Successful compaction prunes
         that table's pins (compact_bucketed)."""
         import os
-        import shutil
 
-        from ..sources.bucketed import compact_bucketed
+        from ..sources.bucketed import clear_tombstones, compact_bucketed
 
         for name, keys in (("sem_bands", ("chunk", "key")), ("sem_vecs", ("_id",))):
             self._heal_from_compact_pin(name, keys)
@@ -912,9 +903,7 @@ class IncrementalSemanticDeduper:
                 key=keys,
                 buckets=self.state_buckets,
             )
-        shutil.rmtree(
-            os.path.join(self.workdir, "tombstones"), ignore_errors=True
-        )
+        clear_tombstones(self.workdir)
 
     def reset(self) -> None:
         import os
@@ -922,11 +911,11 @@ class IncrementalSemanticDeduper:
 
         for name in ("sem_bands", "sem_vecs"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+        from ..sources.bucketed import clear_tombstones
+
         # pins would resurrect dropped state via _heal_from_compact_pin
         shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(self.workdir, "tombstones"), ignore_errors=True
-        )
+        clear_tombstones(self.workdir)
         self._wave = 0
 
     def drop_state(self) -> None:

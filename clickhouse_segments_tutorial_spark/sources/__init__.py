@@ -1,6 +1,9 @@
 from .bucketed import (
+    append_tombstones,
+    clear_tombstones,
     compact_bucketed,
     heal_bucketed_from_pins,
+    read_tombstones,
     newest_valid_pin,
     read_table,
     resolve_wave_counter,
@@ -14,8 +17,11 @@ from .json_ingest import read_json_rows
 __all__ = [
     "Catalog",
     "SegmentDatabase",
+    "append_tombstones",
+    "clear_tombstones",
     "compact_bucketed",
     "heal_bucketed_from_pins",
+    "read_tombstones",
     "load_table",
     "newest_valid_pin",
     "read_json_rows",

@@ -206,3 +206,46 @@ def resolve_wave_counter(current, wave_id, probe):
     if wave < 1:
         raise ValueError(f"wave_id must be >= 1, got {wave}")
     return wave
+
+
+def append_tombstones(ids, workdir: str) -> None:
+    """Commit retracted ids to ``<workdir>/tombstones`` — the shared
+    write half of the logical-tombstone-then-compact-reap protocol the
+    wave-state classes use (IncrementalNoveltyScorer /
+    IncrementalSemanticDeduper; the ANN index runs its own
+    manifest-committed variant). ``ids`` is a one-column frame, already
+    named for the state's id column; the distinct set appends as its
+    own parquet files. Idempotent on retry — tombstones are a set, and
+    the reader distincts. One definition site (r14 review finding: the
+    two classes had copy-pasted lanes that had to be patched in
+    lockstep)."""
+    import os
+
+    ids.distinct().write.mode("append").parquet(
+        os.path.join(workdir, "tombstones")
+    )
+
+
+def read_tombstones(spark: SparkSession, workdir: str, schema: str):
+    """Distinct retracted ids from ``<workdir>/tombstones``, or None
+    when the directory does not exist. Reads with the EXPLICIT id
+    schema: an all-empty or crash-interrupted append can leave a
+    directory with no readable part files, where schema inference would
+    raise and poison every later state read — with the schema pinned,
+    such a directory just reads as zero rows and the retraction filter
+    is a no-op (r14 review finding)."""
+    import os
+
+    path = os.path.join(workdir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.schema(schema).parquet(path).distinct()
+
+
+def clear_tombstones(workdir: str) -> None:
+    """Remove the tombstone directory — called after a compaction folds
+    the retraction-filtered state (physical reap) and by reset paths."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(workdir, "tombstones"), ignore_errors=True)

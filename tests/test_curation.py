@@ -466,6 +466,30 @@ def test_semantic_delete_admits_future_dup_not_retroactive(spark, tmp_path):
     ded.drop_state()
 
 
+def test_state_delete_empty_and_crash_safe_reads(spark, tmp_path):
+    """r14 review finding: an empty delete (or a crash leaving a
+    tombstones dir with no readable part files) must not poison later
+    state reads — the schema-pinned read treats it as zero rows."""
+    import os as _os
+
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalNoveltyScorer,
+    )
+
+    scorer = IncrementalNoveltyScorer(spark, str(tmp_path / "nov"))
+    scorer.ingest(_docs(spark, [(1, "one two three four five")]))
+    # empty delete: append writes nothing readable
+    scorer.delete(spark.createDataFrame([], "doc_id long"))
+    # crash simulation: a bare tombstones dir with no files at all
+    _os.makedirs(_os.path.join(str(tmp_path / "nov"), "tombstones"), exist_ok=True)
+    out = scorer.ingest(_docs(spark, [(10, "one two three four five")]))
+    assert out.collect()[0].novelty == 0.0  # state intact, filter a no-op
+    scorer.compact()  # reaps nothing, clears the dir, stays readable
+    out2 = scorer.ingest(_docs(spark, [(20, "six seven eight nine ten")]))
+    assert out2.collect()[0].novelty == 1.0
+    scorer.drop_state()
+
+
 # --- perplexity_buckets -------------------------------------------------------
 
 

@@ -722,6 +722,88 @@ def test_ivfadc_pick_n_probe_hits_recall_target(spark, sf_smoke, tmp_path):
     assert tot / len(plist) >= 0.92, (budget, tot / len(plist))
 
 
+def test_ivfadc_review_hardening(spark, sf_oracle, tmp_path):
+    """r14 review findings, pinned: (1) an EMPTY tombstone wave is not
+    committed — readers keep working (a zero-row dir in the manifest
+    would fail schema inference for every later read); (2) a rebuild
+    preserves replay protection — prior writer waves map to None, so a
+    crash-replayed old wave is refused loudly instead of
+    double-appending, and a stale wave-1 is refused instead of
+    truncating; (3) the wave-1 guard also refuses after a compaction
+    that folded ANONYMOUS extensions (no wave_slots entry); (4)
+    pre-allocator metas normalize wave ids as slots, so an upgraded
+    index's redelivered wave overwrites instead of double-appending."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        IncrementalAnnIndexer,
+        ivfadc_auto_rebuild,
+        ivfadc_build_index,
+        ivfadc_compact_index,
+        ivfadc_delete_ids,
+        ivfadc_extend_index,
+        ivfadc_probe_index,
+        ivfadc_record_baseline,
+        load_meta,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    kw = dict(n_centroids=64, refine_iters=1, m=16, k_codes=32, spill=2)
+
+    # (1) empty tombstone wave
+    idx = str(tmp_path / "empty_tomb")
+    ivfadc_build_index(emb, idx, train_df=emb, **kw)
+    meta = ivfadc_delete_ids(emb.filter(F.col("vec_id") < 0).select("vec_id"), idx)
+    assert meta["tombstones"] == {}
+    assert not _os.path.exists(_os.path.join(idx, "tombstones", "tomb=0"))
+    assert len(ivfadc_probe_index(emb, idx, probe, k=5, n_probe=8).collect()) == 5
+
+    # (2) rebuild keeps replay protection
+    gate = IncrementalAnnIndexer(spark, str(tmp_path / "rbgate"), **kw)
+    waves = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i in range(3):
+        gate.ingest(waves[i], wave_id=i + 1)
+    ivfadc_record_baseline(emb, gate.workdir)
+    # force a rebuild decision via the absolute rule
+    dec, meta = ivfadc_auto_rebuild(emb, gate.workdir, threshold=0.0, train_df=emb)
+    assert dec["rebuild"]
+    assert set(meta["wave_slots"]) == {"1", "2", "3"}
+    assert all(v is None for v in meta["wave_slots"].values())
+    with _pytest.raises(ValueError, match="folded"):
+        ivfadc_extend_index(waves[2].limit(1), gate.workdir, wave_id=3)
+    with _pytest.raises(ValueError, match="stale wave-1"):
+        gate.ingest(waves[0], wave_id=1)
+    n_before = load_meta(gate.workdir)["n_vectors"]
+    gate.ingest(waves[0].limit(1), wave_id=4)  # fresh wave still lands
+    assert load_meta(gate.workdir)["n_vectors"] == n_before + 1
+
+    # (3) anonymous extension + compaction: wave-1 replay refused
+    anon = str(tmp_path / "anon")
+    gate2 = IncrementalAnnIndexer(spark, anon, **kw)
+    gate2.ingest(waves[0], wave_id=1)
+    ivfadc_extend_index(waves[1], anon)  # anonymous, no wave_slots entry
+    ivfadc_compact_index(spark, anon)
+    with _pytest.raises(ValueError, match="stale wave-1"):
+        gate2.ingest(waves[0], wave_id=1)
+
+    # (4) pre-allocator meta normalization: wave ids WERE slots
+    old = str(tmp_path / "oldmeta")
+    ivfadc_build_index(waves[0], old, train_df=waves[0], **kw)
+    ivfadc_extend_index(waves[1], old, wave_id=1)
+    mp = _os.path.join(old, "meta.json")
+    m = _json.load(open(mp))
+    for k in ("wave_slots", "next_slot", "tombstones", "id_col"):
+        m.pop(k, None)
+    _json.dump(m, open(mp, "w"))
+    n0 = load_meta(old)["n_vectors"]
+    ivfadc_extend_index(waves[1], old, wave_id=1)  # redelivery
+    assert load_meta(old)["n_vectors"] == n0, "replay must overwrite, not append"
+
+
 def test_incremental_indexer_survives_offline_compaction(spark, sf_oracle, tmp_path):
     """The r13 high-severity advice scenario end-to-end: a wave gate
     ingests waves 1..3, an OFFLINE compaction folds the manifest, and
@@ -1263,6 +1345,27 @@ def test_multimodal_plumbing(spark, sf_smoke):
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-9  # normalized histogram
         assert r.n_bytes > 0
+
+
+def test_extract_features_dispatches_on_row_kind(spark, sf_smoke):
+    """r14 review finding: the real-decode path must route each row by
+    its OWN kind column — an audio corpus through
+    extract_features(use_stub=False) takes the WAV lane (a hard-coded
+    'image' made the real audio decoder unreachable here)."""
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        synthetic_audio_corpus,
+        synthetic_image_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(6)
+    media = synthetic_audio_corpus(docs).unionByName(
+        synthetic_image_corpus(docs)
+    )
+    rows = extract_features(media, use_stub=False).collect()
+    assert len(rows) == 12 and {r.kind for r in rows} == {"audio", "image"}
+    for r in rows:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9
 
 
 def test_real_decode_unsupported_format():
