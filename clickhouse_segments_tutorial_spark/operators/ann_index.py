@@ -803,14 +803,24 @@ def _corpus_resid_energy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> float:
+    """Vector-weighted mean of the health report's per-list
+    resid_energy, in the engine-portable decimal form: each round-6
+    per-list ratio is an exact DECIMAL(18,6), the n-weighted numerator
+    sums exactly, and ONE double division + HALF_UP round(6) at the end
+    — so a DuckDB oracle replays the decision metric bit-for-bit (a
+    double-accumulated weighted mean would depend on summation order)."""
     h = ivfadc_index_health(embeddings, workdir, id_col=id_col, vec_col=vec_col)
     row = h.agg(
-        (
-            F.sum(F.col("n_vectors") * F.col("resid_energy"))
-            / F.sum("n_vectors")
+        F.round(
+            F.sum(
+                F.col("resid_energy").cast("decimal(18,6)")
+                * F.col("n_vectors")
+            ).cast("double")
+            / F.sum("n_vectors").cast("double"),
+            6,
         ).alias("_e")
     ).collect()[0]
-    return round(float(row._e), 6) if row._e is not None else 0.0
+    return float(row._e) if row._e is not None else 0.0
 
 
 def ivfadc_choose_rebuild(

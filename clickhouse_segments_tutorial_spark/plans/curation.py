@@ -1102,6 +1102,10 @@ class IncrementalMinHashDeduper:
         return f"{self._prefix}_{name}"
 
     _STATE_KEYS = {"mh_bands": ("band", "bucket"), "mh_shingles": ("_id",)}
+    _STATE_SCHEMAS = {
+        "mh_bands": "band int, bucket bigint, _id bigint",
+        "mh_shingles": "_id bigint, _sh array<bigint>",
+    }
 
     def _heal_from_compact_pin(self, name: str) -> None:
         import os
@@ -1116,11 +1120,39 @@ class IncrementalMinHashDeduper:
             buckets=self.state_buckets,
         )
 
+    def _tombs(self) -> DataFrame | None:
+        """Distinct RETRACTED doc ids — schema-pinned read, see
+        sources.bucketed.read_tombstones."""
+        from ..sources.bucketed import read_tombstones
+
+        return read_tombstones(self.spark, self.workdir, "_id bigint")
+
     def _state(self, name: str, schema: str) -> DataFrame:
         self._heal_from_compact_pin(name)
         if self.spark.catalog.tableExists(self._tbl(name)):
-            return self.spark.table(self._tbl(name))
+            rows = self.spark.table(self._tbl(name))
+            tombs = self._tombs()
+            if tombs is not None:
+                # retraction filter: a deleted doc's band keys and
+                # shingle set leave the index, so a future doc
+                # duplicating ONLY deleted content reports no pair —
+                # already-emitted pairs are historical facts the
+                # caller's output table supersedes
+                rows = rows.join(F.broadcast(tombs), "_id", "left_anti")
+            return rows
         return self.spark.createDataFrame([], schema)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Retract previously ingested docs from the near-dup index —
+        the shared tombstone-then-compact-reap lane (column ``doc_id``
+        or ``_id``; see IncrementalSemanticDeduper.delete for the
+        contract)."""
+        from ..sources.bucketed import append_tombstones
+
+        col = "doc_id" if "doc_id" in ids.columns else "_id"
+        append_tombstones(
+            ids.select(F.col(col).alias("_id")), self.workdir
+        )
 
     def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Find one wave's new near-dup pairs (id_a, id_b, jaccard) and
@@ -1154,8 +1186,8 @@ class IncrementalMinHashDeduper:
 
         from ..sources.bucketed import write_bucketed
 
-        state_bands = self._state("mh_bands", "band int, bucket bigint, _id bigint")
-        state_sh = self._state("mh_shingles", "_id bigint, _sh array<bigint>")
+        state_bands = self._state("mh_bands", self._STATE_SCHEMAS["mh_bands"])
+        state_sh = self._state("mh_shingles", self._STATE_SCHEMAS["mh_shingles"])
         # normalized with least/greatest (state ids need not be smaller
         # than wave ids — no wave-order contract); self-matches from a
         # replayed wave's own state rows die on id_a < id_b
@@ -1229,7 +1261,7 @@ class IncrementalMinHashDeduper:
     def compact(self) -> None:
         import os
 
-        from ..sources.bucketed import compact_bucketed
+        from ..sources.bucketed import clear_tombstones, compact_bucketed
 
         for name in ("mh_bands", "mh_shingles"):
             self._heal_from_compact_pin(name)
@@ -1237,21 +1269,25 @@ class IncrementalMinHashDeduper:
                 continue
             compact_bucketed(
                 self.spark,
-                self.spark.table(self._tbl(name)).distinct(),
+                self._state(name, self._STATE_SCHEMAS[name]).distinct(),
                 self._tbl(name),
                 os.path.join(self.workdir, "tmp", f"compact_{name}_w{self._wave}"),
                 os.path.join(self.workdir, "tmp", f"compact_{name}_w*"),
                 key=self._STATE_KEYS[name],
                 buckets=self.state_buckets,
             )
+        clear_tombstones(self.workdir)
 
     def reset(self) -> None:
         import os
         import shutil
 
+        from ..sources.bucketed import clear_tombstones
+
         for name in ("mh_bands", "mh_shingles"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
         shutil.rmtree(os.path.join(self.workdir, "tmp"), ignore_errors=True)
+        clear_tombstones(self.workdir)
         self._wave = 0
 
     def drop_state(self) -> None:
@@ -1277,6 +1313,54 @@ def minhash_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = deduper.ingest(docs.filter(F.col("doc_id") >= mid))
     out2 = deduper.ingest(docs.filter(F.col("doc_id") < mid))
     return out1.unionByName(out2)
+
+
+def minhash_near_dup_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash index's DELETION lane, completing the tombstone
+    protocol across every wave-state class: ingest wave 1
+    (doc_id < count/2), tombstone-retract every wave-1 doc with
+    doc_id % 5 == 2 (IncrementalMinHashDeduper.delete — the doc's band
+    keys and shingle set leave the index), ingest wave 2, and retract
+    the deleted docs' pairs from the emitted output (the caller-side
+    supersedence the class documents). Net semantics, which the oracle
+    replays off the batch pair set: a wave-1 pair survives iff neither
+    member was deleted; a wave-2-discovered pair survives iff its
+    earlier member was not deleted (a wave-2 doc duplicating ONLY
+    deleted content reports no pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.count() // 2
+    deduper = IncrementalMinHashDeduper(
+        spark, _stream_scratch("minhash_deleted")
+    )
+    deduper.reset()
+    out1 = deduper.ingest(docs.filter(F.col("doc_id") < mid))
+    deleted = docs.filter(
+        (F.col("doc_id") % 5 == 2) & (F.col("doc_id") < mid)
+    ).select("doc_id")
+    deduper.delete(deleted)
+    out2 = deduper.ingest(docs.filter(F.col("doc_id") >= mid))
+    dead = deleted.withColumnRenamed("doc_id", "_dead")
+    out1 = (
+        out1.join(dead, out1["id_a"] == dead["_dead"], "left_anti")
+        .join(dead, F.col("id_b") == dead["_dead"], "left_anti")
+    )
+    return out1.unionByName(out2)
+
+
+_MINHASH_DELETED_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+k AS (SELECT count(*) // 2 AS mid FROM documents),
+del AS (
+  SELECT doc_id FROM documents, k WHERE doc_id % 5 = 2 AND doc_id < mid
+)
+SELECT id_a, id_b, jaccard
+FROM pairs, k
+WHERE (id_b < mid
+       AND id_a NOT IN (SELECT doc_id FROM del)
+       AND id_b NOT IN (SELECT doc_id FROM del))
+   OR (id_b >= mid
+       AND (id_a >= mid OR id_a NOT IN (SELECT doc_id FROM del)))
+"""
 
 
 def minhash_near_dup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1326,6 +1410,9 @@ QUERIES = [
     QuerySpec("semantic_dedup_streaming", semantic_dedup_streaming, _SEMANTIC_KEEP_ORACLE),
     QuerySpec(
         "minhash_near_dup_incremental", minhash_near_dup_incremental, _JACCARD_ORACLE
+    ),
+    QuerySpec(
+        "minhash_near_dup_deleted", minhash_near_dup_deleted, _MINHASH_DELETED_ORACLE
     ),
     QuerySpec(
         "minhash_near_dup_streaming", minhash_near_dup_streaming, _JACCARD_ORACLE

@@ -1340,6 +1340,123 @@ def ann_ivfadc_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The health->rebuild loop's DECISION, driver-value-checked (r13
+    verdict item 5 made a registered row): build the index on the
+    corpus, record the post-build drift baseline
+    (operators.ann_index.ivfadc_record_baseline), extend with a
+    deterministic DRIFTED wave (every component +0.8, ids offset — the
+    same synthetic shift the e2e pytest measures), then evaluate
+    ivfadc_choose_rebuild: one row (baseline, resid_energy, threshold,
+    rebuild) where the energies are the vector-weighted means of the
+    per-list health ratios in exact decimal arithmetic (one double
+    division + HALF_UP round each — engine-portable by construction)
+    and the decision fires when the current energy exceeds
+    baseline + 0.05. The oracle replays the whole chain: trained
+    centroids on the ORIGINAL corpus, rank-1 assignment over original +
+    drifted vectors, per-list decimal energies, both weighted means,
+    the margin rule. Runs the full build per call ON PURPOSE (the
+    lifecycle-proof convention; the latency row is ann_ivfadc_probe)."""
+    from ..operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_choose_rebuild,
+        ivfadc_extend_index,
+        ivfadc_record_baseline,
+    )
+    from ..session import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    drift = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.8)).alias("embedding"),
+        "label",
+    )
+    workdir = scratch_dir("ivfadc_rebuild_decision")
+    ivfadc_build_index(
+        emb, workdir, train_df=emb, n_centroids=128, refine_iters=2, m=16,
+        k_codes=32, spill=2,
+    )
+    base = ivfadc_record_baseline(emb, workdir)
+    ivfadc_extend_index(drift, workdir)
+    d = ivfadc_choose_rebuild(emb.unionByName(drift), workdir)
+    return spark.createDataFrame(
+        [(base, d["resid_energy"], d["threshold"], bool(d["rebuild"]))],
+        "baseline double, resid_energy double, threshold double, rebuild boolean",
+    )
+
+
+# rebuild-decision replay: centroids trained on the ORIGINAL corpus
+# (cents0 + two Lloyd iterations over `embeddings` — the build
+# happened before the drift), rank-1 assignment over original + the
+# +0.8-shifted drifted twin, per-vector decimal energies, per-list
+# round-6 ratios, then the two vector-weighted means (baseline over the
+# original vectors' lists, current over all) in exact decimals with one
+# double division each, and the margin rule.
+_ANN_REBUILD_DECISION_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
+),{_lloyd_iter_ctes(1)},{_lloyd_iter_ctes(2)},
+all_vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, 0 AS is_drift FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, [x + 0.8 FOR x IN CAST(embedding AS DOUBLE[])], 1
+  FROM embeddings
+),
+assign AS MATERIALIZED (
+  SELECT a.vec_id, a.is_drift, c.cidx,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.v, c.cvec), 6) DESC,
+                    c.cidx ASC
+         ) AS rk
+  FROM all_vecs a CROSS JOIN cents2 c
+),
+energies AS (
+  SELECT p.cidx, p.is_drift,
+         list_sum([CAST(CAST(round(x, 6) AS DECIMAL(18,6))
+                        * CAST(round(x, 6) AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                   FOR x IN r.rvec]) AS rr,
+         list_sum([CAST(CAST(round(x, 6) AS DECIMAL(18,6))
+                        * CAST(round(x, 6) AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                   FOR x IN a.v]) AS vv
+  FROM all_vecs a
+  JOIN (SELECT vec_id, is_drift, cidx FROM assign WHERE rk <= 1) p USING (vec_id, is_drift)
+  JOIN LATERAL (
+    SELECT [a.v[i] - c.cvec[i] FOR i IN range(1, len(a.v) + 1)] AS rvec
+    FROM cents2 c WHERE c.cidx = p.cidx
+  ) r ON true
+),
+base_lists AS (
+  SELECT cidx, count(*) AS n,
+         round(CAST(sum(rr) AS DOUBLE) / CAST(sum(vv) AS DOUBLE), 6) AS e
+  FROM energies WHERE is_drift = 0 GROUP BY cidx
+),
+cur_lists AS (
+  SELECT cidx, count(*) AS n,
+         round(CAST(sum(rr) AS DOUBLE) / CAST(sum(vv) AS DOUBLE), 6) AS e
+  FROM energies GROUP BY cidx
+),
+base_e AS (
+  SELECT round(CAST(sum(CAST(e AS DECIMAL(18,6)) * n) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE), 6) AS baseline
+  FROM base_lists
+),
+cur_e AS (
+  SELECT round(CAST(sum(CAST(e AS DECIMAL(18,6)) * n) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE), 6) AS resid_energy
+  FROM cur_lists
+)
+SELECT b.baseline, c.resid_energy,
+       round(b.baseline + 0.05, 6) AS threshold,
+       c.resid_energy > round(b.baseline + 0.05, 6) AS rebuild
+FROM base_e b CROSS JOIN cur_e c
+"""
+
+
 def ann_ivfadc_books_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC with TRAINED residual sub-codebooks (r12 verdict item 5):
     the md5-sample seed refined by two per-subspace portable-Lloyd
@@ -2863,6 +2980,11 @@ QUERIES = [
     ),
     QuerySpec(
         "ann_ivfadc_index_health", ann_ivfadc_index_health, _ANN_HEALTH_ORACLE
+    ),
+    QuerySpec(
+        "ann_ivfadc_rebuild_decision",
+        ann_ivfadc_rebuild_decision,
+        _ANN_REBUILD_DECISION_ORACLE,
     ),
     QuerySpec(
         "ann_ivfadc_probe_streaming",

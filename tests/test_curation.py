@@ -466,6 +466,35 @@ def test_semantic_delete_admits_future_dup_not_retroactive(spark, tmp_path):
     ded.drop_state()
 
 
+def test_minhash_delete_suppresses_future_pairs_and_reaps(spark, tmp_path):
+    """Tombstone lane on the MinHash index: after deleting a wave-1
+    doc, a wave-2 near-identical doc reports NO pair against it (its
+    band keys and shingles left the index) while pairs against
+    surviving docs still report; compact() physically reaps the rows."""
+    from clickhouse_segments_tutorial_spark.plans.curation import (
+        IncrementalMinHashDeduper,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [(1, base), (2, "totally different words here now")])
+    ded = IncrementalMinHashDeduper(spark, str(tmp_path / "mh"))
+    out1 = ded.ingest(docs)
+    assert out1.count() == 0
+    ded.delete(spark.createDataFrame([(1,)], "doc_id long"))
+    # wave 2: doc 10 duplicates ONLY the deleted doc 1 -> no pair
+    out2 = ded.ingest(_docs(spark, [(10, base)]))
+    assert out2.count() == 0
+    # but a doc duplicating the SURVIVING doc 10 still pairs
+    out3 = ded.ingest(_docs(spark, [(20, base)]))
+    pairs = {(r.id_a, r.id_b) for r in out3.collect()}
+    assert (10, 20) in pairs and (1, 20) not in pairs
+    ded.compact()
+    assert spark.table(ded._tbl("mh_shingles")).filter(
+        F.col("_id") == 1
+    ).count() == 0
+    ded.drop_state()
+
+
 def test_state_delete_empty_and_crash_safe_reads(spark, tmp_path):
     """r14 review finding: an empty delete (or a crash leaving a
     tombstones dir with no readable part files) must not poison later
