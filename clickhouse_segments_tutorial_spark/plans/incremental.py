@@ -529,12 +529,47 @@ class IncrementalCorpusCurator:
         accepted.write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path)
 
+    def delete(self, docs: DataFrame) -> None:
+        """Retract docs from the CURATED OUTPUT — the takedown
+        obligation (r13 verdict item 1's protocol, applied to the
+        pipeline's serving table): commit the ids as tombstones;
+        curated() (and the builder's packed(), at whole-sequence
+        granularity) excludes them from every read. Deliberately
+        OUTPUT-ONLY: the dedup state here is content-keyed aggregates
+        (paragraph-hash -> min wave, fingerprint sets, LSH bands)
+        without per-doc attribution, so a deleted doc's CLAIMS cannot
+        be safely released — a hash shared with a surviving doc must
+        stay claimed, and the mapping isn't stored. That is also the
+        correct takedown reading: content removed for licensing must
+        not re-enter via a later re-ingest of identical text (the
+        first-accepted-wins claim now acts as the tombstone the
+        ReplacingMergeTree design uses). A pipeline that needs claims
+        RELEASED re-curates from the filtered source — the documented
+        rebuild boundary, same as the ANN index's."""
+        from ..sources.bucketed import append_tombstones
+
+        append_tombstones(docs.select("doc_id"), self.workdir)
+
+    def _tombs(self) -> DataFrame | None:
+        from ..sources.bucketed import read_tombstones
+
+        return read_tombstones(self.spark, self.workdir, "doc_id long")
+
     def curated(self) -> DataFrame:
         base = self._path("curated")
         if not os.path.exists(base):
             return self.spark.createDataFrame([], _STATE_SCHEMAS["curated"])
         # per-wave subdirectories (see ingest's replay note)
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(base)
+        out = self.spark.read.option("recursiveFileLookup", "true").parquet(base)
+        tombs = self._tombs()
+        if tombs is not None:
+            # takedown filter (see delete): broadcast anti-join, zero
+            # plan nodes when nothing was deleted; re-select the
+            # original order (USING joins move keys to the front)
+            out = out.join(F.broadcast(tombs), "doc_id", "left_anti").select(
+                *out.columns
+            )
+        return out
 
 
 class IncrementalCorpusBuilder(IncrementalCorpusCurator):
@@ -714,7 +749,27 @@ class IncrementalCorpusBuilder(IncrementalCorpusCurator):
         self._append(packed_abs, "packed")
 
     def packed(self) -> DataFrame:
-        return self._read("packed")
+        """Packed training sequences, takedown-filtered at WHOLE-SEQUENCE
+        granularity: a sequence containing any deleted doc's chunks is
+        dropped entirely (a training sequence is the serving unit — a
+        hole where removed content sat is not a valid sequence), the
+        standard takedown treatment for packed corpora. One broadcast
+        semi-join to find the affected (shard, seq_id) pairs, one
+        anti-join to drop them; zero plan nodes with no deletions."""
+        out = self._read("packed")
+        tombs = self._tombs()
+        if tombs is None:
+            return out
+        hit = (
+            out.join(F.broadcast(tombs), "doc_id", "left_semi")
+            .select("shard", "seq_id")
+            .distinct()
+        )
+        # re-select the original order: the USING-style anti join moves
+        # its keys to the front, and packed() is a sealed-schema surface
+        return out.join(
+            F.broadcast(hit), ["shard", "seq_id"], "left_anti"
+        ).select(*out.columns)
 
 
 def eval_grams_from_docs(
@@ -761,6 +816,33 @@ def corpus_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the replay is one-shot: free the (corpus-sized) dedup state now;
     # curated/ stays on disk until the warehouse atexit cleanup so the
     # returned plan stays valid for the caller's whole session
+    cur.drop_dedup_state()
+    return cur.curated().select(
+        "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
+    )
+
+
+def corpus_curated_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus's TAKEDOWN lane: the two-wave incremental
+    curation of corpus_curated_incremental, then a tombstone retraction
+    of every doc_id % 7 == 1 (IncrementalCorpusCurator.delete) — the
+    curated() read excludes the retracted docs via one broadcast
+    anti-join. Deliberately OUTPUT-ONLY semantics (see delete's
+    docstring): the deleted docs' dedup claims persist — removed
+    content must not re-enter via a later identical re-ingest — so the
+    oracle is the incremental replay minus the retracted ids, exactly
+    what a takedown obligation requires of the serving table."""
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "19999999"
+    evals = docs.filter(is_eval)
+    feed = docs.filter(~is_eval).select("doc_id", "lang", "text")
+    workdir = scratch_dir("inc-curator-deleted")
+    cur = IncrementalCorpusCurator(spark, workdir, eval_grams_from_docs(evals))
+    cur.ingest(feed.filter(F.col("doc_id") % 2 == 0))
+    cur.ingest(feed.filter(F.col("doc_id") % 2 == 1))
+    cur.delete(docs.filter(F.col("doc_id") % 7 == 1).select("doc_id"))
     cur.drop_dedup_state()
     return cur.curated().select(
         "doc_id", "lang", F.md5("text").alias("text_fp"), "n_tokens"
@@ -1095,6 +1177,15 @@ def corpus_curated_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec(
         "corpus_curated_incremental", corpus_curated_incremental, _incremental_oracle()
+    ),
+    QuerySpec(
+        "corpus_curated_deleted",
+        corpus_curated_deleted,
+        _incremental_ctes()
+        + """
+SELECT doc_id, lang, md5(text) AS text_fp, n_tokens FROM acc
+WHERE doc_id % 7 != 1
+""",
     ),
     QuerySpec(
         "corpus_packed_incremental",

@@ -207,6 +207,40 @@ def test_builder_seq_ids_monotone_and_capacity_respected(spark, tmp_path):
     assert all(v <= 32 for v in fill.values()), fill
 
 
+def test_takedown_filters_curated_and_whole_sequences(spark, tmp_path):
+    """The curator/builder takedown lane (r14): delete() retracts a doc
+    from curated() and drops every packed sequence CONTAINING its
+    chunks at whole-sequence granularity (a sequence with a hole where
+    removed content sat is not a valid training sequence), while
+    sequences without the doc survive byte-identically; re-offering the
+    deleted doc's identical text later stays deduped (claims persist —
+    removed content must not re-enter)."""
+    from pyspark.sql import functions as F
+
+    bld = _builder(spark, tmp_path)
+    bld.ingest(spark.createDataFrame([(1, "en", BASE), (2, "de", OTHER)], SCHEMA))
+    bld.ingest(spark.createDataFrame([(3, "en", THIRD)], SCHEMA))
+    before = bld.packed().collect()
+    assert {r.doc_id for r in before} >= {1, 3}
+    dead_seqs = {(r.shard, r.seq_id) for r in before if r.doc_id == 1}
+    assert dead_seqs
+
+    bld.delete(spark.createDataFrame([(1,)], "doc_id long"))
+    assert bld.curated().filter(F.col("doc_id") == 1).count() == 0
+    assert bld.curated().filter(F.col("doc_id") == 3).count() == 1
+    after = bld.packed().collect()
+    assert all(r.doc_id != 1 for r in after)
+    # whole-sequence drop: nothing from the affected sequences survives
+    assert all((r.shard, r.seq_id) not in dead_seqs for r in after)
+    # untouched sequences are byte-identical
+    keep = {tuple(r) for r in before if (r.shard, r.seq_id) not in dead_seqs}
+    assert {tuple(r) for r in after} == keep
+    # re-ingesting the deleted doc's identical text stays deduped
+    out = bld.ingest(spark.createDataFrame([(7, "en", BASE)], SCHEMA))
+    assert out.filter(F.col("doc_id") == 7).count() == 0
+    bld.drop_state() if hasattr(bld, "drop_state") else None
+
+
 def test_builder_mixture_rates_use_cumulative_counts(spark, tmp_path):
     """Rate-at-acceptance: a language's copy count in wave 2 reflects the
     wave-1 + wave-2 composition, not wave 2 alone. With weights en=0.9 /
