@@ -722,6 +722,34 @@ def test_ivfadc_pick_n_probe_hits_recall_target(spark, sf_smoke, tmp_path):
     assert tot / len(plist) >= 0.92, (budget, tot / len(plist))
 
 
+def test_ivfadc_tombstoned_probe_plan_shape(spark, sf_oracle, tmp_path):
+    """The takedown filter must not degrade the probe's physical plan:
+    with tombstones committed, the codes scan STILL carries the
+    probed-list PartitionFilters (directory pruning survives), the
+    exclusion is a BROADCAST anti-join (no shuffle added — the
+    documented takedown cost), and the plan stays Python-free."""
+    from clickhouse_segments_tutorial_spark.operators.ann_index import (
+        ivfadc_build_index,
+        ivfadc_delete_ids,
+        ivfadc_probe_index,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    idx = str(tmp_path / "planshape")
+    ivfadc_build_index(
+        emb, idx, train_df=emb, n_centroids=64, refine_iters=1, m=16,
+        k_codes=32, spill=2,
+    )
+    ivfadc_delete_ids(emb.filter(F.col("vec_id") % 11 == 5).select("vec_id"), idx)
+    df = ivfadc_probe_index(emb, idx, probe, k=10, n_probe=16, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pfs = [seg.split("]", 1)[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("ivf_list" in pf for pf in pfs), pfs
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivfadc_review_hardening(spark, sf_oracle, tmp_path):
     """r14 review findings, pinned: (1) an EMPTY tombstone wave is not
     committed — readers keep working (a zero-row dir in the manifest
