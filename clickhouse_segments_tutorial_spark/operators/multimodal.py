@@ -4,11 +4,13 @@ with typed metadata (SURVEY.md §2.5).
 The Spark-side machinery is real and tested: schema, batch shape,
 partition-friendly mapInPandas pipelines, Arrow transfer. The codec step
 is REAL for images (PNG/PPM/PGM/BMP/baseline-JPEG — decode_image_py +
-operators/jpeg.py) and audio (RIFF/PCM WAV — decode_wav_py), all parsed
-dependency-free from the published formats; only VIDEO codecs (libav)
-remain stubbed behind ``decode_stub`` (deterministic fake) and guarded
-imports, with the UDF signatures exactly as a real decoder would need
-them.
+operators/jpeg.py), audio (RIFF/PCM WAV — decode_wav_py), and video
+(YUV4MPEG2/Y4M raw planar streams — decode_y4m_py, ffmpeg's uncompressed
+interchange format), all parsed dependency-free from the published
+formats. The one remaining scope note is COMPRESSED video (H.264/VP9 via
+libav), which stays behind ``decode_stub`` (deterministic fake) and
+guarded imports, with the UDF signatures exactly as a real decoder would
+need them.
 
 Pattern notes for 100 TB of media:
 - binary payloads travel in Arrow record batches; keep
@@ -321,6 +323,88 @@ def decode_wav_py(payload: bytes) -> tuple[int, int, list[int]]:
     raise ValueError("WAV payload has no data chunk")
 
 
+def decode_y4m_py(payload: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Dependency-free YUV4MPEG2 (Y4M) demux+decode: (width, height,
+    chroma tag, list of raw planar frame payloads) — the video sibling
+    of decode_image_py/decode_wav_py, parsed exactly from the published
+    Y4M layout (the uncompressed interchange format ffmpeg/mjpegtools
+    pipe between stages: one ASCII stream header, then FRAME-delimited
+    raw planar YUV). A real TAG walk, not a fixed-offset read: the
+    stream header's space-separated parameters (W/H/F/I/A/C plus
+    vendor X tags) parse in any order with unknown tags skipped, and
+    FRAME markers may carry their own space-prefixed parameters — the
+    synthetic corpus plants both so the walk stays exercised in CI.
+
+    Frame geometry comes from the CODEC, not metadata: 4:2:0 families
+    (420jpeg/420mpeg2/420paldv — identical plane layout, differing only
+    in chroma siting, which sums/stats don't see) carry
+    w*h + 2*(w/2)*(h/2) bytes per frame, 4:2:2 w*h*2, 4:4:4 w*h*3,
+    mono w*h. Truncated frames and missing FRAME markers are hard
+    ValueErrors (a demuxer must never emit a short frame as data);
+    other samplings (444alpha, 411) fall through as NotImplementedError
+    — the PIL-style escape-hatch lane. COMPRESSED video (H.264/VP9)
+    stays out of scope: that genuinely needs libav, which this
+    container doesn't have."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M stream header has no terminator")
+    width = height = 0
+    chroma = "420jpeg"  # the spec's default when the C tag is absent
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            chroma = val.decode("ascii")
+        # F (rate) / I (interlace) / A (aspect) / X (vendor) carry no
+        # layout information for the demux: skipped, never rejected.
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M stream header missing W/H tags")
+    if chroma.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 Y4M requires even dimensions")
+        frame_size = width * height + 2 * ((width // 2) * (height // 2))
+    elif chroma.startswith("422"):
+        if width % 2:
+            raise ValueError("4:2:2 Y4M requires even width")
+        frame_size = width * height * 2
+    elif chroma == "444":
+        frame_size = width * height * 3
+    elif chroma == "mono":
+        frame_size = width * height
+    else:
+        raise NotImplementedError(
+            f"Y4M chroma sampling C{chroma} not supported by the "
+            "dependency-free demuxer (420*/422/444/mono decode exactly)"
+        )
+    frames: list[bytes] = []
+    pos, end = nl + 1, len(payload)
+    while pos < end:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("FRAME header has no terminator")
+        params = payload[pos + 5 : fnl]
+        if params and not params.startswith(b" "):
+            raise ValueError("FRAME parameters must be space-prefixed")
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) != frame_size:
+            raise ValueError(
+                f"truncated Y4M frame {len(frames)}: got {len(body)} of "
+                f"{frame_size} bytes"
+            )
+        frames.append(bytes(body))
+        pos = fnl + 1 + frame_size
+    return width, height, chroma, frames
+
+
 def real_decode(payload: bytes, kind: str) -> list[float]:
     """The genuine codec path: decode the payload and pool intensities
     into the same 8-bucket normalized histogram shape as ``decode_stub``
@@ -331,11 +415,25 @@ def real_decode(payload: bytes, kind: str) -> list[float]:
     already widens 8-bit samples), the same 8-way equal-width rule.
 
     Decode order: the dependency-free parsers (PNG/PPM/PGM/BMP/baseline
-    JPEG for images, RIFF/PCM WAV for audio — deterministic everywhere,
-    including this container), then PIL for other image formats when
-    installed. NotImplementedError only for payloads neither path can
-    read (e.g. progressive JPEG without PIL, compressed audio). Video
-    codecs (libav) stay stubbed — the one remaining scope note."""
+    JPEG for images, RIFF/PCM WAV for audio, Y4M raw planar YUV for
+    video — deterministic everywhere, including this container), then
+    PIL for other image formats when installed. NotImplementedError only
+    for payloads neither path can read (e.g. progressive JPEG without
+    PIL, compressed audio). COMPRESSED video (libav) stays stubbed — the
+    one remaining scope note; video here pools the decoded Y (luma)
+    planes across every frame with the image bucket rule, so the
+    histogram is the time-average of the per-frame luma histograms."""
+    if kind == "video":
+        w, h, _, frames = decode_y4m_py(payload)
+        if not frames:
+            return [0.0] * 8
+        buckets = [0] * 8
+        y_size = w * h
+        for frame in frames:
+            for v in frame[:y_size]:
+                buckets[v >> 5] += 1
+        n = float(y_size * len(frames))
+        return [b / n for b in buckets]
     if kind == "audio":
         _, _, samples = decode_wav_py(payload)
         if not samples:
@@ -347,7 +445,8 @@ def real_decode(payload: bytes, kind: str) -> list[float]:
         return [b / n for b in buckets]
     if kind != "image":
         raise NotImplementedError(
-            f"real decode implemented for image and audio, got {kind!r}"
+            f"real decode implemented for image, audio, and video, "
+            f"got {kind!r}"
         )
     try:
         _, _, pixels = decode_image_py(payload)
@@ -653,6 +752,139 @@ def synthetic_audio_corpus(documents: DataFrame) -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthesize_y4m(doc_id: int) -> bytes:
+    """Deterministic YUV4MPEG2 stream for a doc id: even dims 8..16 x
+    8..14 (4:2:0 requires both even), 3–7 frames, every planar byte
+    (Y, then Cb, then Cr) a pure integer function of (doc_id, frame,
+    position) — so a SQL oracle regenerates the exact plane stream the
+    demuxer must produce (raw Y4M is byte-exact; the full hash oracle
+    the image and audio lanes have). Ids with doc_id % 4 == 1 carry a
+    vendor X tag in the stream header and ids with doc_id % 3 == 2
+    carry FRAME parameters, so the decoder's tag WALK (not a
+    fixed-offset read) stays exercised in CI."""
+    import numpy as np  # absolute import: resolvable on any worker
+
+    w = 8 + 2 * (doc_id % 5)
+    h = 8 + 2 * ((doc_id * 3) % 4)
+    n_frames = 3 + (doc_id % 5)
+    frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg" % (w, h)
+    if doc_id % 4 == 1:
+        header += b" XSYNTH"  # vendor tag: the parser must skip, not choke
+    marker = b"FRAME Xq\n" if doc_id % 3 == 2 else b"FRAME\n"
+    idx = np.arange(frame_size, dtype=np.int64)
+    parts = [header + b"\n"]
+    for f in range(n_frames):
+        parts.append(marker)
+        parts.append(
+            ((doc_id * 2654435761 + f * 69069 + idx * 40503) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    return b"".join(parts)
+
+
+def synthetic_video_corpus(documents: DataFrame) -> DataFrame:
+    """One synthetic Y4M stream per document row (MEDIA_SCHEMA frame) —
+    the video sibling of synthetic_image_corpus/synthetic_audio_corpus:
+    worker-side mapInPandas synthesis, binary payloads through Arrow,
+    meta dims left NULL so decode must recover geometry from the stream
+    header, not the metadata."""
+    _ship_module_by_value()
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": pdf["media_id"].map(
+                        lambda i: synthesize_y4m(int(i))
+                    ),
+                    "meta_width": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_height": pd.Series([None] * len(pdf), dtype="object"),
+                    "meta_sample_rate": pd.Series(
+                        [None] * len(pdf), dtype="object"
+                    ),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, n_frames int, "
+    "sum_luma long, n_dark int, n_bright int, sum_cb long, sum_cr long, "
+    "mean_luma double"
+)
+
+
+def video_decode_stats(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL video demux+decode per payload, one row per SAMPLED frame —
+    the sample_frames one-to-many shape with a real demuxer in place of
+    the fixed-size stub: parse the Y4M container (decode_y4m_py — tag
+    walk, geometry from the codec not the metadata), keep every
+    ``every_n``-th frame (the frame-sampling op a training pipeline
+    actually runs: decoding every frame of 100 TB of video to embed 1/N
+    of them is wasted decode), split the planar payload into Y/Cb/Cr,
+    and aggregate integer-exact per-frame stats: sum_luma / n_dark
+    (luma < 64) / n_bright (luma >= 192) over the Y plane, sum_cb /
+    sum_cr over the chroma planes (pinning the plane OFFSETS — a
+    de-interleave bug mismatches chroma sums even when luma survives),
+    plus mean_luma as the one double division, emitted UNROUNDED (the
+    image lane's half-case rationale). Row explosion happens inside the
+    Arrow batch — mapInPandas per-partition iterator, no shuffle; demux
+    runs at scan speed and skipped frames are never materialized as
+    rows."""
+    _ship_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, frames = decode_y4m_py(bytes(payload))
+                y_size = w * h
+                for fi in range(0, len(frames), every_n):
+                    fr = np.frombuffer(frames[fi], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    # two equal chroma planes follow Y in every planar
+                    # layout the demuxer admits (mono: zero-length)
+                    c_size = (len(fr) - y_size) // 2
+                    y = fr[:y_size]
+                    cb = fr[y_size : y_size + c_size]
+                    cr = fr[y_size + c_size :]
+                    s = int(y.sum())
+                    rows.append(
+                        (
+                            mid,
+                            fi,
+                            w,
+                            h,
+                            len(frames),
+                            s,
+                            int((y < 64).sum()),
+                            int((y >= 192).sum()),
+                            int(cb.sum()),
+                            int(cr.sum()),
+                            float(s) / y_size,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "n_frames",
+                    "sum_luma", "n_dark", "n_bright", "sum_cb", "sum_cr",
+                    "mean_luma",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = (

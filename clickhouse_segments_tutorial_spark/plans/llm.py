@@ -2088,6 +2088,68 @@ FROM samp GROUP BY doc_id, rate, n_ch, n_frames
 """
 
 
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux+decode, value-oracled with zero binary fixtures —
+    the video lane closed the way image and audio were, leaving only
+    COMPRESSED codecs (libav) as a scope note: one deterministic
+    YUV4MPEG2 stream per document (operators/multimodal.py
+    synthesize_y4m — every planar byte a pure integer function of
+    (doc_id, frame, position); some ids carry vendor X tags and FRAME
+    parameters so the demuxer's tag WALK is exercised, not a
+    fixed-offset read), demuxed+decoded by the dependency-free Y4M
+    parser (decode_y4m_py: stream-header tag walk, geometry recovered
+    from the codec not the metadata, FRAME-delimited raw planar 4:2:0),
+    frame-SAMPLED (every 2nd frame — the decode-only-what-you-embed
+    shape a 100 TB video pipeline runs), and aggregated to integer-exact
+    per-frame plane stats. Chroma sums pin the Y/Cb/Cr plane offsets: a
+    demux bug that survives the luma check mismatches the chroma
+    columns. The oracle regenerates the identical plane stream with
+    modular arithmetic — a header-parse, frame-boundary, or
+    plane-offset bug anywhere hash-mismatches."""
+    from ..operators.multimodal import (
+        synthetic_video_corpus,
+        video_decode_stats,
+    )
+
+    return video_decode_stats(
+        synthetic_video_corpus(_t(spark, sf_dir, "documents")), every_n=2
+    )
+
+
+_VIDEO_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + 2 * (doc_id % 5) AS w,
+         8 + 2 * ((doc_id * 3) % 4) AS h,
+         3 + (doc_id % 5) AS nf
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims
+),
+vals AS (
+  SELECT doc_id, w, h, nf, f,
+         unnest(range(0, w * h + 2 * ((w // 2) * (h // 2)))) AS p
+  FROM frames WHERE f % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h, nf, f, p,
+         (doc_id * 2654435761 + f * 69069 + p * 40503) % 256 AS v
+  FROM vals
+)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(sum(v) FILTER (p < w * h) AS BIGINT) AS sum_luma,
+       CAST(count(*) FILTER (p < w * h AND v < 64) AS INT) AS n_dark,
+       CAST(count(*) FILTER (p < w * h AND v >= 192) AS INT) AS n_bright,
+       CAST(sum(v) FILTER (p >= w * h AND p < w * h + (w // 2) * (h // 2)) AS BIGINT) AS sum_cb,
+       CAST(sum(v) FILTER (p >= w * h + (w // 2) * (h // 2)) AS BIGINT) AS sum_cr,
+       CAST(sum(v) FILTER (p < w * h) AS DOUBLE) / (w * h) AS mean_luma
+FROM px GROUP BY doc_id, f, w, h, nf
+"""
+
+
 def packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: the 128-token chunks greedily packed into
     512-token training sequences, sharded mod 8 on doc_id. The stateful
@@ -3027,6 +3089,7 @@ QUERIES = [
     QuerySpec("multimodal_image_decode", multimodal_image_decode, _IMAGE_DECODE_ORACLE),
     QuerySpec("multimodal_jpeg_decode", multimodal_jpeg_decode, _JPEG_DECODE_ORACLE),
     QuerySpec("multimodal_audio_decode", multimodal_audio_decode, _AUDIO_DECODE_ORACLE),
+    QuerySpec("multimodal_video_decode", multimodal_video_decode, _VIDEO_DECODE_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(
         "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE

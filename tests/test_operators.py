@@ -1469,6 +1469,103 @@ def test_wav_decoder_chunk_walk_and_widths():
     assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-9
 
 
+def test_y4m_decoder_tag_walk_and_layouts():
+    """The dependency-free YUV4MPEG2 demuxer (the video sibling of
+    test_wav_decoder_chunk_walk_and_widths): synthesis round-trips
+    byte-exactly including the planted vendor X tag (doc_id % 4 == 1)
+    and FRAME parameters (doc_id % 3 == 2); header tags parse in any
+    order with unknown tags skipped; 422/444/mono frame geometry is
+    exact; truncated frames, missing FRAME markers, unterminated
+    headers, and odd 4:2:0 dims all fail loud; unsupported chroma
+    sampling falls through as NotImplementedError."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        decode_y4m_py,
+        real_decode,
+        synthesize_y4m,
+    )
+
+    # synthesis round-trip across header/frame-param variants
+    for doc_id in (0, 1, 2, 5, 13):
+        w, h, chroma, frames = decode_y4m_py(synthesize_y4m(doc_id))
+        assert (w, h) == (8 + 2 * (doc_id % 5), 8 + 2 * ((doc_id * 3) % 4))
+        assert chroma == "420jpeg"
+        assert len(frames) == 3 + (doc_id % 5)
+        fs = w * h + 2 * ((w // 2) * (h // 2))
+        for f, frame in enumerate(frames):
+            idx = np.arange(fs, dtype=np.int64)
+            exp = ((doc_id * 2654435761 + f * 69069 + idx * 40503) % 256)
+            assert frame == exp.astype(np.uint8).tobytes()
+
+    # tags in any order, C absent -> spec default 420jpeg
+    p = b"YUV4MPEG2 H2 Xvendor W4\nFRAME\n" + bytes(12)
+    assert decode_y4m_py(p)[:3] == (4, 2, "420jpeg")
+    # 422 / 444 / mono geometry
+    assert len(decode_y4m_py(
+        b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + bytes(8))[3][0]) == 8
+    assert len(decode_y4m_py(
+        b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))[3][0]) == 12
+    assert len(decode_y4m_py(
+        b"YUV4MPEG2 W3 H3 Cmono\nFRAME\n" + bytes(9))[3][0]) == 9
+
+    with pytest.raises(ValueError):
+        decode_y4m_py(b"RIFF not a y4m stream")
+    with pytest.raises(ValueError):
+        decode_y4m_py(b"YUV4MPEG2 W4 H2 C420jpeg no terminator")
+    with pytest.raises(ValueError):  # odd dims under 4:2:0
+        decode_y4m_py(b"YUV4MPEG2 W3 H2 C420jpeg\nFRAME\n" + bytes(9))
+    with pytest.raises(ValueError):  # truncated final frame
+        decode_y4m_py(synthesize_y4m(7)[:-3])
+    with pytest.raises(ValueError):  # data where a FRAME marker belongs
+        decode_y4m_py(b"YUV4MPEG2 W2 H2 C444\nXXXXX\n" + bytes(12))
+    with pytest.raises(ValueError):  # params must be space-prefixed
+        decode_y4m_py(b"YUV4MPEG2 W2 H2 C444\nFRAMEZ\n" + bytes(12))
+    with pytest.raises(NotImplementedError):  # 4:1:1 is out of scope
+        decode_y4m_py(b"YUV4MPEG2 W4 H2 C411\nFRAME\n" + bytes(12))
+
+    # real_decode pools the per-frame Y planes with the image contract
+    hist = real_decode(synthesize_y4m(3), "video")
+    assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-9
+
+
+def test_video_decode_stats_frame_sampling(spark):
+    """video_decode_stats demuxes through the real codec and emits one
+    row per SAMPLED frame: frame_idx strides by every_n, n_frames
+    reports the container total (so downstream can audit the sampling
+    rate), and the plane sums match an independent numpy replay of the
+    synthetic stream — including the Cb/Cr offsets."""
+    import numpy as np
+
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        synthetic_video_corpus,
+        video_decode_stats,
+    )
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = video_decode_stats(synthetic_video_corpus(docs), every_n=2)
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+
+    for d in range(12):
+        w, h = 8 + 2 * (d % 5), 8 + 2 * ((d * 3) % 4)
+        nf = 3 + (d % 5)
+        fs = w * h + 2 * ((w // 2) * (h // 2))
+        sampled = list(range(0, nf, 2))
+        assert [fi for (m, fi) in sorted(rows) if m == d] == sampled
+        for fi in sampled:
+            r = rows[(d, fi)]
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            v = (d * 2654435761 + fi * 69069
+                 + np.arange(fs, dtype=np.int64) * 40503) % 256
+            y, c = w * h, (w // 2) * (h // 2)
+            assert r.sum_luma == int(v[:y].sum())
+            assert r.n_dark == int((v[:y] < 64).sum())
+            assert r.n_bright == int((v[:y] >= 192).sum())
+            assert r.sum_cb == int(v[y : y + c].sum())
+            assert r.sum_cr == int(v[y + c :].sum())
+            assert r.mean_luma == float(v[:y].sum()) / y
+
+
 def test_jpeg_hermetic_roundtrip():
     """The dependency-free baseline JPEG codec (operators/jpeg.py, r11
     verdict item 8: the JPEG lane must run green in the base container,
