@@ -1,0 +1,164 @@
+"""KMV (k-minimum-values / bottom-k) distinct sketches with set-operation
+estimators — mergeable audience-overlap analytics, the ClickHouse
+``uniqTheta``/``uniqCombined`` family re-expressed with Spark built-ins
+(reference analog: the segment cascades count audiences with ``uniq``;
+this is the sketch the same engine reaches for when two audiences must
+COMBINE — union / intersection / Jaccard — without re-reading raw data,
+cf. /root/reference/src/1-naive.test.ts:72-95 counting distinct users).
+
+A KMV sketch keeps the k smallest DISTINCT values of a uniform hash of
+the items (Beyer et al., "On synopses for distinct-value estimation
+under multiset operations", SIGMOD'07 — the theta-sketch precursor).
+With hashes uniform on [0, M):
+
+- estimate: exact ``n`` while the sketch holds fewer than k hashes;
+  otherwise the unbiased bottom-k estimator ``(k-1) * M / h_(k)``.
+- merge: bottom-k of a union IS the merge of the bottom-k's — partial
+  sketches per shard/day/source fold to exactly the sketch of the whole
+  (the AggregatingMergeTree partial-state shape, closed under merge).
+- set ops (theta framework): clip both sketches to the shared threshold
+  theta = min(theta_a, theta_b); entries below theta are a uniform
+  p = theta/M sample of the underlying set, so any set expression over
+  the samples scales by M/theta. Intersections of audiences never touch
+  the raw events again.
+
+100-TB shape: construction is one distinct (map-side partial hash-agg)
+plus one per-group bottom-k (window row_number — a distributed sort
+that SPILLS; never a collect, never unbounded per-group state), after
+which every group is <= k longs: overlap math runs on KB-scale frames
+regardless of corpus size. A skewed giant group sorts more rows than it
+keeps; the mitigation at that scale is a pre-salted local bottom-k
+(bottom-k per (group, h % s) then merge — correct because bottom-k is
+merge-closed), which this module's merge primitive already expresses.
+All arithmetic is engine-portable: the hash is the md5-derived 60-bit
+key (dedup.md5_hash60, uniform on [0, 2^60)) and the estimator is one
+double multiply + divide, so a SQL oracle replays estimates
+bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import md5_hash60
+
+# Hash domain: md5_hash60 is uniform on [0, 2^60). Exactly representable
+# as a double (one bit set), so M-scaled estimator arithmetic is the
+# same IEEE ops in every engine.
+M_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame, key_cols: list[str], item_col: str, *, k: int
+) -> DataFrame:
+    """Bottom-k sketch of ``item_col``'s distinct values per key group:
+    one row per group with ``sketch`` = the k smallest distinct 60-bit
+    hashes, ascending. Items hash through their canonical string form
+    (cast — integers render identically in Spark and SQL engines).
+
+    Two shuffles, both spill-safe: a distinct on (keys, hash) with
+    map-side partial aggregation, then a per-group sort for row_number
+    (bounded OUTPUT at k rows per group; the sort itself is the
+    distributed spill path, not memory).
+
+    With NO key columns (one global sketch), a single-partition window
+    would serialize the whole hash set through one task — instead the
+    bottom-k runs two-level: local bottom-k per salt bucket (h % 64 —
+    uniform by construction, so each bucket sorts 1/64th), then one
+    bounded fold of <= 64·k candidate hashes. Identical result because
+    bottom-k is merge-closed; this is also the documented mitigation
+    shape for a skewed giant group in the keyed path."""
+    hashed = df.select(
+        *[F.col(c) for c in key_cols],
+        md5_hash60(F.col(item_col).cast("string")).alias("h"),
+    ).distinct()
+    if not key_cols:
+        w = Window.partitionBy(F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy()
+            .agg(
+                F.slice(F.sort_array(F.collect_list("h")), 1, k).alias(
+                    "sketch"
+                )
+            )
+        )
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_estimate(sketch: Column, *, k: int) -> Column:
+    """Distinct-count estimate off a sketch column: exact size below k
+    (the sketch IS the value set), else the unbiased bottom-k estimator
+    (k-1) * M / h_(k). Multiply-then-divide order is fixed so both
+    engines run the identical two IEEE ops."""
+    full = F.size(sketch) >= k
+    hk = F.element_at(sketch, k).cast("double")
+    return F.when(
+        full, F.lit(float(k - 1)) * F.lit(M_DOMAIN) / hk
+    ).otherwise(F.size(sketch).cast("double"))
+
+
+def kmv_theta(sketch: Column, *, k: int) -> Column:
+    """The sketch's sampling threshold as a double: h_(k) when full
+    (entries below it are a uniform theta/M sample), M otherwise (the
+    sketch saw everything)."""
+    return F.when(
+        F.size(sketch) >= k, F.element_at(sketch, k).cast("double")
+    ).otherwise(F.lit(M_DOMAIN))
+
+
+def kmv_merge(a: Column, b: Column, *, k: int) -> Column:
+    """Merge two sketches: bottom-k of the concatenation. Exactly the
+    sketch the union of the underlying sets would produce (a full input
+    sketch retains everything below its theta, and merging only lowers
+    the threshold), so partial sketches fold losslessly."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_merge_agg(sketch_col: str, *, k: int) -> Column:
+    """Aggregate form of the merge for groupBy folds over partial
+    sketches: collect_list gathers <= n_partials arrays of <= k longs
+    (bounded state — this is sketch metadata, not data), then one
+    flatten/distinct/sort/slice. Order-insensitive, so collect_list's
+    nondeterministic ordering is harmless."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+        1,
+        k,
+    )
+
+
+def _retained(sketch: Column, *, k: int) -> Column:
+    """Entries strictly below the sketch's theta: all of them when the
+    sketch is not full, the first k-1 when it is (the k-th IS theta)."""
+    return F.when(F.size(sketch) < k, sketch).otherwise(
+        F.slice(sketch, 1, k - 1)
+    )
+
+
+def kmv_intersect_estimate(a: Column, b: Column, *, k: int) -> Column:
+    """Theta-framework intersection estimate: clip both retained sets to
+    theta_c = min(theta_a, theta_b); the common entries below theta_c
+    are a uniform theta_c/M sample of the true intersection, so the
+    estimate is |common| * M / theta_c. Exact when neither sketch is
+    full (theta_c = M: the samples are the sets). The double-domain
+    comparison (hash cast to double vs theta) is the same IEEE compare
+    in every engine."""
+    theta_c = F.least(kmv_theta(a, k=k), kmv_theta(b, k=k))
+    common = F.filter(
+        F.array_intersect(_retained(a, k=k), _retained(b, k=k)),
+        lambda h: h.cast("double") < theta_c,
+    )
+    return F.size(common).cast("double") * F.lit(M_DOMAIN) / theta_c
+
+
+def kmv_union_estimate(a: Column, b: Column, *, k: int) -> Column:
+    """Union estimate: estimate of the merged sketch (merge is lossless,
+    so this is simply the bottom-k estimator over A ∪ B)."""
+    return kmv_estimate(kmv_merge(a, b, k=k), k=k)

@@ -233,6 +233,199 @@ SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING
 """
 
 
+# --- KMV sketch audience overlap (the uniqTheta analog) -------------------------
+
+
+def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap WITHOUT re-reading raw events: bottom-k KMV
+    sketches (operators/kmv.py) of the heavy-clicker (>= 14 clicks) and
+    heavy-viewer (>= 14 views) segments — the same segment definitions
+    as the exact set-op trio above, which pays a full id-list shuffle
+    on EVERY overlap question; the sketches answer union / intersection
+    / Jaccard from two k-long states. The segments genuinely partially
+    overlap, and k = 8 straddles the regimes across test SFs (sf0.001:
+    clickers full / viewers exact — the MIXED theta clip; sf0.01: both
+    full), so the estimator path ((k-1)·M/h_k, theta clipping) is what
+    the hash gate verifies, not a degenerate branch. The oracle replays
+    the identical sketch construction and estimator arithmetic
+    relationally (window row_number + the same two IEEE double ops), so
+    the estimates match bit-for-bit."""
+    from ..operators.kmv import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    k = 8
+    events = _t(spark, sf_dir, "events")
+    a = kmv_sketch(_heavy_users(events, "click", 14), [], "user_id", k=k).select(
+        F.col("sketch").alias("a")
+    )
+    b = kmv_sketch(_heavy_users(events, "view", 14), [], "user_id", k=k).select(
+        F.col("sketch").alias("b")
+    )
+    pair = a.crossJoin(b)  # two one-row sketch frames
+    est_i = kmv_intersect_estimate(F.col("a"), F.col("b"), k=k)
+    est_u = kmv_union_estimate(F.col("a"), F.col("b"), k=k)
+    return pair.select(
+        kmv_estimate(F.col("a"), k=k).alias("est_click_users"),
+        kmv_estimate(F.col("b"), k=k).alias("est_view_users"),
+        est_u.alias("est_union"),
+        est_i.alias("est_intersect"),
+        (est_i / est_u).alias("est_jaccard"),
+    )
+
+
+_KMV_OVERLAP_ORACLE = """
+WITH seg AS (
+  SELECT 'click' AS event_type, user_id FROM events
+  WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 14
+  UNION ALL
+  SELECT 'view' AS event_type, user_id FROM events
+  WHERE event_type = 'view' GROUP BY user_id HAVING count(*) >= 14
+),
+h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM seg
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (SELECT * FROM rk WHERE rn <= 8),
+agg AS (
+  SELECT event_type, count(*) AS n, max(CASE WHEN rn = 8 THEN h END) AS hk
+  FROM sk GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN n < 8 THEN CAST(n AS DOUBLE)
+              ELSE 7.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS e,
+         CASE WHEN n < 8 THEN 1152921504606846976.0
+              ELSE CAST(hk AS DOUBLE) END AS theta
+  FROM agg
+),
+mg AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sk)
+),
+magg AS (
+  SELECT count(*) FILTER (rn <= 8) AS n,
+         max(CASE WHEN rn = 8 THEN h END) AS hk
+  FROM mg
+),
+mest AS (
+  SELECT CASE WHEN n < 8 THEN CAST(n AS DOUBLE)
+              ELSE 7.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS e
+  FROM magg
+),
+thc AS (
+  SELECT least(max(CASE WHEN event_type = 'click' THEN theta END),
+               max(CASE WHEN event_type = 'view' THEN theta END)) AS theta_c
+  FROM est
+),
+ret AS (
+  SELECT s.event_type, s.h
+  FROM sk s JOIN agg g USING (event_type)
+  WHERE g.n < 8 OR s.rn <= 7
+),
+common AS (
+  SELECT count(*) AS m
+  FROM (SELECT h FROM ret WHERE event_type = 'click'
+        INTERSECT
+        SELECT h FROM ret WHERE event_type = 'view') x, thc
+  WHERE CAST(x.h AS DOUBLE) < thc.theta_c
+),
+iest AS (
+  SELECT CAST(m AS DOUBLE) * 1152921504606846976.0 / theta_c AS e
+  FROM common, thc
+)
+SELECT (SELECT e FROM est WHERE event_type = 'click') AS est_click_users,
+       (SELECT e FROM est WHERE event_type = 'view') AS est_view_users,
+       (SELECT e FROM mest) AS est_union,
+       (SELECT e FROM iest) AS est_intersect,
+       (SELECT e FROM iest) / (SELECT e FROM mest) AS est_jaccard
+"""
+
+
+def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial sketches — the AggregatingMergeTree shape for
+    distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
+    sketches of word 3-gram shingles fold per language with the sketch
+    MERGE (bottom-k of a union == merge of bottom-k's), and the folded
+    state yields the per-language distinct-vocabulary estimate. The
+    oracle computes the bottom-128 over each language's hash set
+    DIRECTLY — equality is only possible because the merge is lossless,
+    so this query's hash check verifies the algebraic property itself
+    on real data, per language, per round. Shingle semantics are the
+    dedup family's (word_shingles: distinct 3-grams, whole-text
+    singleton below 3 tokens, empty for empty docs)."""
+    from ..operators.dedup import word_shingles
+    from ..operators.kmv import kmv_estimate, kmv_merge_agg, kmv_sketch
+
+    k = 128
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", "source", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    partials = kmv_sketch(sh, ["lang", "source"], "sh", k=k)
+    merged = partials.groupBy("lang").agg(
+        kmv_merge_agg("sketch", k=k).alias("sketch"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    return merged.select(
+        "lang",
+        F.col("n_partials").cast("int").alias("n_partials"),
+        kmv_estimate(F.col("sketch"), k=k).alias("est_distinct_shingles"),
+    )
+
+
+_KMV_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT lang, source,
+         CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
+         END AS t
+  FROM documents
+),
+sh AS (
+  SELECT lang, source,
+         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                END) AS s
+  FROM toks
+),
+h AS (
+  SELECT DISTINCT lang, source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh
+),
+np AS (
+  SELECT lang, count(DISTINCT source) AS n_partials FROM h GROUP BY lang
+),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM (SELECT DISTINCT lang, h FROM h)
+),
+agg AS (
+  SELECT lang, count(*) FILTER (rn <= 128) AS n,
+         max(CASE WHEN rn = 128 THEN h END) AS hk
+  FROM rk GROUP BY lang
+)
+SELECT a.lang, CAST(np.n_partials AS INT) AS n_partials,
+       CASE WHEN a.n < 128 THEN CAST(a.n AS DOUBLE)
+            ELSE 127.0 * 1152921504606846976.0 / CAST(a.hk AS DOUBLE)
+       END AS est_distinct_shingles
+FROM agg a JOIN np USING (lang)
+"""
+
+
 # --- rollup / grouping sets ----------------------------------------------------
 
 
@@ -1013,6 +1206,8 @@ QUERIES = [
     QuerySpec(
         "heavy_click_or_purchase_users", heavy_click_or_purchase_users, _UNION_ORACLE
     ),
+    QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
+    QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE
     ),

@@ -1412,6 +1412,94 @@ def test_real_decode_unsupported_format():
         real_decode(b"bytes", "video")
 
 
+def test_kmv_sketch_merge_and_estimators(spark):
+    """KMV bottom-k sketches (operators/kmv.py): the sketch is the
+    sorted k smallest distinct hashes; merge is LOSSLESS (bottom-k of a
+    union equals the merge of bottom-k's — verified as array equality,
+    not estimate equality); the estimator is exact below k and the
+    unbiased (k-1)·M/h_k above it (replayed bit-for-bit in Python);
+    intersection estimates are exact in the non-full regime and land
+    within the sketch's statistical error in the full regime."""
+    import hashlib
+
+    from clickhouse_segments_tutorial_spark.operators.kmv import (
+        M_DOMAIN,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    k = 64
+    # group a: 2000 distinct (full regime); group b: 40 distinct (exact
+    # regime); overlap a∩b = b (b ⊂ a).
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, item long")
+    sk = {
+        r["g"]: r["sketch"]
+        for r in kmv_sketch(df, ["g"], "item", k=k).collect()
+    }
+    # sketch contents: the k smallest distinct hashes, ascending
+    exp_a = sorted(h60(i) for i in range(2000))[:k]
+    assert sk["a"] == exp_a
+    assert sk["b"] == sorted(h60(i) for i in range(40))
+
+    pair = (
+        kmv_sketch(df.filter("g = 'a'"), [], "item", k=k)
+        .withColumnRenamed("sketch", "a")
+        .crossJoin(
+            kmv_sketch(df.filter("g = 'b'"), [], "item", k=k)
+            .withColumnRenamed("sketch", "b")
+        )
+    )
+    out = pair.select(
+        kmv_estimate(F.col("a"), k=k).alias("ea"),
+        kmv_estimate(F.col("b"), k=k).alias("eb"),
+        kmv_merge(F.col("a"), F.col("b"), k=k).alias("m"),
+        kmv_union_estimate(F.col("a"), F.col("b"), k=k).alias("eu"),
+        kmv_intersect_estimate(F.col("a"), F.col("b"), k=k).alias("ei"),
+    ).collect()[0]
+
+    # exact regime: estimate IS the distinct count
+    assert out["eb"] == 40.0
+    # full regime: the exact formula, bit-for-bit, and statistically sane
+    assert out["ea"] == (k - 1) * M_DOMAIN / float(exp_a[k - 1])
+    assert abs(out["ea"] - 2000) / 2000 < 0.35  # ~3 sigma at k=64
+    # merge losslessness: merged sketch == sketch of the union (b ⊂ a,
+    # so the union's bottom-k is exactly a's)
+    assert out["m"] == exp_a
+    assert out["eu"] == out["ea"]
+    # intersection: |a∩b| = 40; clipped at theta_a, the estimate replays
+    theta = float(exp_a[k - 1])
+    sample = sum(1 for i in range(40) if float(h60(i)) < theta)
+    assert out["ei"] == sample * M_DOMAIN / theta
+    assert abs(out["ei"] - 40) <= 40  # loose statistical sanity
+
+    # two non-full sketches: intersection is EXACT
+    small = spark.createDataFrame(
+        [("x", i) for i in range(30)] + [("y", i) for i in range(20, 50)],
+        "g string, item long",
+    )
+    p2 = (
+        kmv_sketch(small.filter("g = 'x'"), [], "item", k=k)
+        .withColumnRenamed("sketch", "a")
+        .crossJoin(
+            kmv_sketch(small.filter("g = 'y'"), [], "item", k=k)
+            .withColumnRenamed("sketch", "b")
+        )
+    )
+    got = p2.select(
+        kmv_intersect_estimate(F.col("a"), F.col("b"), k=k).alias("ei"),
+        kmv_union_estimate(F.col("a"), F.col("b"), k=k).alias("eu"),
+    ).collect()[0]
+    assert got["ei"] == 10.0  # items 20..29
+    assert got["eu"] == 50.0
+
+
 def test_wav_decoder_chunk_walk_and_widths():
     """The dependency-free RIFF/PCM decoder (r13 verdict item 4):
     16-bit synthesis round-trips byte-exactly; a LIST metadata chunk
