@@ -351,6 +351,60 @@ SELECT (SELECT e FROM est WHERE event_type = 'click') AS est_click_users,
 """
 
 
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton/Z-order clustering key (sources/zorder.py — the
+    multi-column generalization of the S7 sort-on-write skip index)
+    computed over every event on the (user_id, epoch-day) grid and
+    folded per event_type to integer-exact min/max/sum: the hash gate
+    pins the exact bit-interleave semantics on all rows, every round —
+    a single misplaced bit anywhere in the interleave shifts z_sum.
+    This is the SAME expression append_zordered clusters layout
+    rewrites by; the pruning effect of that layout (a predicate on any
+    clustered dimension skips files) is pinned separately in pytest via
+    parquet footer statistics, since a value oracle cannot see file
+    layout."""
+    from ..sources.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    z = zorder_key([F.col("user_id"), F.col("day")], bits=16)
+    return (
+        ev.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.sum("z").alias("z_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_ZORDER_ORACLE = """
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+z AS (
+  SELECT event_type,
+         CAST(list_sum([(((user_id >> b) & 1) << (2 * b))
+                        + (((day >> b) & 1) << (2 * b + 1))
+                        FOR b IN range(16)]) AS BIGINT) AS z
+  FROM ev
+)
+SELECT event_type,
+       min(z) AS z_min,
+       max(z) AS z_max,
+       CAST(sum(z) AS BIGINT) AS z_sum,
+       count(*) AS n_events
+FROM z GROUP BY event_type
+"""
+
+
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable partial sketches — the AggregatingMergeTree shape for
     distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
@@ -1208,6 +1262,7 @@ QUERIES = [
     ),
     QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
+    QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE
     ),

@@ -13,6 +13,7 @@ from .bucketed import (
 from .catalog import Catalog, load_table
 from .database import SegmentDatabase
 from .json_ingest import read_json_rows
+from .zorder import append_zordered, zorder_key
 
 __all__ = [
     "Catalog",
@@ -29,4 +30,6 @@ __all__ = [
     "resolve_wave_counter",
     "state_table_prefix",
     "write_bucketed",
+    "append_zordered",
+    "zorder_key",
 ]

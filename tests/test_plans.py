@@ -433,3 +433,56 @@ def test_bpe_token_counts_dictionary_join_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the fold expression (aggregate(...)) belongs to training only
     assert "aggregate(" not in plan.lower() or "partial" in plan
+
+
+def test_zorder_layout_prunes_on_every_clustered_dimension(spark, tmp_path):
+    """Z-order clustering (sources/zorder.py): on a 64x64 grid written as
+    16 range-partitioned files, footer min/max statistics prune a
+    predicate on EITHER clustered dimension, where a single-column sort
+    prunes only its own column — the property the layout-rewrite path
+    exists for. Also pins the documented trade (a single-column sort
+    prunes its own column at least as well) and that clustering is a
+    pure reorder: the data read back is identical."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.sources.zorder import (
+        append_zordered,
+        files_overlapping,
+    )
+
+    df = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zord")
+    append_zordered(df, zpath, zorder_by=["x", "y"], bits=6, num_files=16)
+    spath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        spath
+    )
+
+    # y-only probe: the x-sorted layout cannot prune at all; z-order
+    # confines an 8-row strip to the squares it actually crosses.
+    yhit_z, tot_z = files_overlapping(zpath, {"y": (8, 15)})
+    yhit_s, tot_s = files_overlapping(spath, {"y": (8, 15)})
+    assert tot_z == 16 and tot_s == 16
+    assert yhit_s == 16
+    assert yhit_z <= 8
+
+    # x-only probe: both layouts prune; single-column sort prunes its
+    # OWN column at least as well (the documented trade).
+    xhit_z, _ = files_overlapping(zpath, {"x": (8, 15)})
+    xhit_s, _ = files_overlapping(spath, {"x": (8, 15)})
+    assert xhit_z <= 8
+    assert xhit_s <= xhit_z
+
+    # box probe on both dims: an aligned 8x8 quadrant is (nearly) one
+    # z-block; allow range-boundary slop but require real pruning.
+    bhit_z, _ = files_overlapping(zpath, {"x": (8, 15), "y": (8, 15)})
+    assert bhit_z <= 3
+
+    # clustering is a reorder, not a transform
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert back.select(F.sum("payload")).first()[0] == sum(range(4096))
