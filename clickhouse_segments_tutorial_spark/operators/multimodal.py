@@ -604,6 +604,46 @@ def sample_frames(
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def resize_image_py(payload: bytes, *, width: int, height: int) -> bytes:
+    """REAL image resize: decode through the dependency-free codec
+    (decode_image_py — so every supported container resizes), nearest-
+    neighbor sample the LUMA grid (the thumbnail shape an embedding
+    pipeline feeds a vision encoder: fixed output dims, grayscale), and
+    re-encode as binary PGM (P5) so the output is itself a decodable
+    payload — resize composes with image_decode_stats / extract_features
+    downstream. Byte-exact and engine-replayable: output pixel (i, j)
+    is source pixel ((j*src_h)//height, (i*src_w)//width), pure integer
+    index math over the deterministic decoded luma."""
+    w, h, px = decode_image_py(payload)
+    out = bytearray()
+    for j in range(height):
+        row_off = ((j * h) // height) * w
+        for i in range(width):
+            out.append(px[row_off + (i * w) // width])
+    return b"P5\n%d %d\n255\n" % (width, height) + bytes(out)
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """mapInPandas REAL resize (the stub resize_media's genuine sibling):
+    decode -> nearest-neighbor luma -> P5 re-encode per payload, meta
+    dims updated. MEDIA_SCHEMA in and out; per-partition iterator, no
+    shuffle — resize runs at scan speed."""
+    _ship_module_by_value()
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: resize_image_py(bytes(p), width=width, height=height)
+            )
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out[[f.name for f in out_schema.fields]]
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
 def synthesize_ppm(doc_id: int) -> bytes:
     """Deterministic binary P6 PPM for a doc id: dims 8..16 x 8..14, RGB
     raster from a modular byte sequence. Every byte is a pure integer

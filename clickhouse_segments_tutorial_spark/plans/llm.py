@@ -2088,6 +2088,62 @@ FROM samp GROUP BY doc_id, rate, n_ch, n_frames
 """
 
 
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize lane, value-oracled end-to-end: the synthetic PPM
+    corpus decoded, nearest-neighbor resized to a fixed 8x6 luma
+    thumbnail (the vision-encoder input shape), re-encoded as P5, and
+    decoded AGAIN by image_decode_stats — so one hash gate covers
+    decode -> resample -> re-encode -> decode, including the P5 read
+    path. The oracle regenerates the source raster with modular
+    arithmetic, replays the truncating luma conversion and the exact
+    nearest-neighbor index map ((j*h)//6, (i*w)//8), and aggregates the
+    same integer stats — one wrong index anywhere in the resample
+    mismatches."""
+    from ..operators.multimodal import (
+        image_decode_stats,
+        resize_images,
+        synthetic_image_corpus,
+    )
+
+    return image_decode_stats(
+        resize_images(
+            synthetic_image_corpus(_t(spark, sf_dir, "documents")),
+            width=8,
+            height=6,
+        )
+    )
+
+
+_RESIZE_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 3) % 7) AS h
+  FROM documents
+),
+outpx AS (
+  SELECT doc_id, w, h, unnest(range(0, 48)) AS q FROM dims
+),
+mapped AS (
+  SELECT doc_id,
+         ((q // 8) * h // 6) * w + ((q % 8) * w // 8) AS p
+  FROM outpx
+),
+luma AS (
+  SELECT doc_id,
+         (299 * ((doc_id * 2654435761 + (3 * p) * 40503) % 256)
+        + 587 * ((doc_id * 2654435761 + (3 * p + 1) * 40503) % 256)
+        + 114 * ((doc_id * 2654435761 + (3 * p + 2) * 40503) % 256)) // 1000 AS l
+  FROM mapped
+)
+SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_pixels,
+       CAST(sum(l) AS BIGINT) AS sum_luma,
+       CAST(count(*) FILTER (l < 64) AS INT) AS n_dark,
+       CAST(count(*) FILTER (l >= 192) AS INT) AS n_bright,
+       CAST(sum(l) AS DOUBLE) / count(*) AS mean_luma
+FROM luma GROUP BY doc_id
+"""
+
+
 def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video demux+decode, value-oracled with zero binary fixtures —
     the video lane closed the way image and audio were, leaving only
@@ -3090,6 +3146,7 @@ QUERIES = [
     QuerySpec("multimodal_jpeg_decode", multimodal_jpeg_decode, _JPEG_DECODE_ORACLE),
     QuerySpec("multimodal_audio_decode", multimodal_audio_decode, _AUDIO_DECODE_ORACLE),
     QuerySpec("multimodal_video_decode", multimodal_video_decode, _VIDEO_DECODE_ORACLE),
+    QuerySpec("multimodal_resize_decode", multimodal_resize_decode, _RESIZE_DECODE_ORACLE),
     QuerySpec("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_ORACLE),
     QuerySpec(
         "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE

@@ -1654,6 +1654,42 @@ def test_video_decode_stats_frame_sampling(spark):
             assert r.mean_luma == float(v[:y].sum()) / y
 
 
+def test_resize_image_real_nearest_neighbor():
+    """resize_image_py: identity dims reproduce the decoded luma
+    byte-for-byte; down/up-scales pick exactly source pixel
+    ((j*h)//H, (i*w)//W); the P5 output round-trips through the same
+    decoder (the composition multimodal_resize_decode hash-checks at
+    corpus scale)."""
+    from clickhouse_segments_tutorial_spark.operators.multimodal import (
+        decode_image_py,
+        resize_image_py,
+        synthesize_ppm,
+    )
+
+    src = synthesize_ppm(7)
+    w, h, px = decode_image_py(src)
+
+    same = resize_image_py(src, width=w, height=h)
+    rw, rh, rpx = decode_image_py(same)
+    assert (rw, rh) == (w, h) and rpx == px
+
+    out = resize_image_py(src, width=5, height=3)
+    ow, oh, opx = decode_image_py(out)
+    assert (ow, oh) == (5, 3)
+    exp = [
+        px[((j * h) // 3) * w + (i * w) // 5]
+        for j in range(3)
+        for i in range(5)
+    ]
+    assert opx == exp
+
+    # upscale: indices repeat, never read out of bounds
+    up = resize_image_py(src, width=2 * w, height=2 * h)
+    uw, uh, upx = decode_image_py(up)
+    assert (uw, uh) == (2 * w, 2 * h)
+    assert upx[0] == px[0] and upx[1] == px[0]  # 2x: first pixel doubles
+
+
 def test_jpeg_hermetic_roundtrip():
     """The dependency-free baseline JPEG codec (operators/jpeg.py, r11
     verdict item 8: the JPEG lane must run green in the base container,
