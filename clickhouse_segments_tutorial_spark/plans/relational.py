@@ -351,6 +351,67 @@ SELECT (SELECT e FROM est WHERE event_type = 'click') AS est_click_users,
 """
 
 
+def purchases_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via the bucketed operator
+    (operators/interval_join.py): each signup opens a 7-day activation
+    window; purchases land in their user's windows through a
+    (user_id, day-bucket) EQUI-join with the exact range check as a
+    residual — never a nested-loop range join (pinned in test_plans:
+    no BroadcastNestedLoopJoin, the join keys include the bucket).
+    Output: per (user, window-start) the purchase count and
+    decimal-exact value sum inside the window. Windows both-ends
+    inclusive; window starts exported as second-truncated epochs per
+    the registry's cross-engine rules."""
+    from ..operators.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+    )
+    return j.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("win_start")).cast("bigint").alias(
+            "window_start"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum(F.col("value")).alias("purchase_value"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ws,
+         CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY AS we
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id,
+       CAST(floor(epoch(s.ws)) AS BIGINT) AS window_start,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE) AS purchase_value
+FROM s JOIN p
+  ON p.user_id = s.user_id AND p.ts >= s.ws AND p.ts <= s.we
+GROUP BY s.user_id, s.ws
+"""
+
+
 def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Morton/Z-order clustering key (sources/zorder.py — the
     multi-column generalization of the S7 sort-on-write skip index)
@@ -1263,6 +1324,11 @@ QUERIES = [
     QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
+    QuerySpec(
+        "purchases_in_signup_window",
+        purchases_in_signup_window,
+        _INTERVAL_JOIN_ORACLE,
+    ),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE
     ),

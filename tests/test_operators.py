@@ -2952,3 +2952,52 @@ def test_cluster_balanced_selection_caps_and_is_deterministic(spark, sf_oracle):
     # determinism under a different input partitioning
     out2 = cluster_balanced_embeddings(spark, sf_oracle).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_interval_join_semantics(spark):
+    """interval_join: both window ends inclusive; a point in two
+    overlapping windows of its key matches both; other keys never
+    match; left_semi emits each qualifying point once; bucket
+    granularity does not change results (the bucket only generates
+    candidates — the exact filter decides)."""
+    import datetime as dtm
+
+    from clickhouse_segments_tutorial_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(h):
+        return t0 + dtm.timedelta(hours=h)
+
+    points = spark.createDataFrame(
+        [(1, ts(0), "on_start"), (1, ts(24), "on_end"), (1, ts(25), "after"),
+         (1, ts(12), "overlap"), (2, ts(12), "other_key")],
+        "user_id long, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(24), "w1"), (1, ts(10), ts(14), "w2")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    for bucket in (3600, 86400):
+        got = sorted(
+            (r.tag, r.win)
+            for r in interval_join(
+                points, intervals, keys=["user_id"], point_ts="ts",
+                start_ts="win_start", end_ts="win_end",
+                bucket_seconds=bucket,
+            ).collect()
+        )
+        assert got == [
+            ("on_end", "w1"), ("on_start", "w1"),
+            ("overlap", "w1"), ("overlap", "w2"),
+        ]
+    semi = interval_join(
+        points, intervals, keys=["user_id"], point_ts="ts",
+        start_ts="win_start", end_ts="win_end", how="left_semi",
+    )
+    assert sorted(r.tag for r in semi.collect()) == [
+        "on_end", "on_start", "overlap"
+    ]
+    assert sorted(semi.columns) == sorted(points.columns)

@@ -486,3 +486,16 @@ def test_zorder_layout_prunes_on_every_clustered_dimension(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == 4096
     assert back.select(F.sum("payload")).first()[0] == sum(range(4096))
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The range join must reach the executor as an EQUI-join on
+    (key, bucket) with the exact range check as a residual — never a
+    BroadcastNestedLoopJoin / CartesianProduct (what a raw range
+    predicate degenerates to), which is the entire point of the
+    bucketed operator."""
+    plan = plan_of(spark, "purchases_in_signup_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bkt" in plan  # the bucket participates in the join keys
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
