@@ -259,13 +259,26 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     events = _t(spark, sf_dir, "events")
-    a = kmv_sketch(_heavy_users(events, "click", 14), [], "user_id", k=k).select(
-        F.col("sketch").alias("a")
+    segs = _heavy_users(events, "click", 14).withColumn(
+        "seg", F.lit("click")
+    ).unionByName(
+        _heavy_users(events, "view", 14).withColumn("seg", F.lit("view"))
     )
-    b = kmv_sketch(_heavy_users(events, "view", 14), [], "user_id", k=k).select(
-        F.col("sketch").alias("b")
+    sk = kmv_sketch(segs, ["seg"], "user_id", k=k)
+    # fold the two one-row sketches side by side with a conditional agg —
+    # no join node at all (a crossJoin of the two frames would plan as a
+    # cartesian, tripping the global plan-hygiene sweep for a 1x1 join
+    # Catalyst can't know is 1x1)
+    pair = sk.groupBy().agg(
+        F.first(
+            F.when(F.col("seg") == "click", F.col("sketch")),
+            ignorenulls=True,
+        ).alias("a"),
+        F.first(
+            F.when(F.col("seg") == "view", F.col("sketch")),
+            ignorenulls=True,
+        ).alias("b"),
     )
-    pair = a.crossJoin(b)  # two one-row sketch frames
     est_i = kmv_intersect_estimate(F.col("a"), F.col("b"), k=k)
     est_u = kmv_union_estimate(F.col("a"), F.col("b"), k=k)
     return pair.select(

@@ -1400,7 +1400,9 @@ def test_real_decode_unsupported_format():
     # a corrupt JPEG is CLAIMED by the built-in baseline decoder and
     # fails loud (ValueError) — corrupt data is not "unsupported format";
     # a format no built-in parser claims (GIF) raises NotImplementedError
-    # when PIL is absent; non-image kinds raise everywhere
+    # when PIL is absent; video follows the same split (non-Y4M bytes are
+    # corrupt data, an unsupported chroma sampling is the documented
+    # escape hatch); an unknown KIND raises everywhere
     from clickhouse_segments_tutorial_spark.operators import multimodal
 
     with pytest.raises(ValueError):
@@ -1408,8 +1410,12 @@ def test_real_decode_unsupported_format():
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             real_decode(b"GIF89a not a supported format", "image")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         real_decode(b"bytes", "video")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"YUV4MPEG2 W4 H2 C411\nFRAME\n" + bytes(12), "video")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"bytes", "pointcloud")
 
 
 def test_kmv_sketch_merge_and_estimators(spark):
