@@ -491,13 +491,24 @@ def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real data, per language, per round. Shingle semantics are the
     dedup family's (word_shingles: distinct 3-grams, whole-text
     singleton below 3 tokens, empty for empty docs)."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import _spread, word_shingles_from_tokens
     from ..operators.kmv import kmv_estimate, kmv_merge_agg, kmv_sketch
+    from ..operators.text import tokens
 
     k = 128
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "lang", "source", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    # spread to full parallelism and shingle from a projected token
+    # COLUMN — shingling straight off the text re-runs the regexp
+    # tokenizer per shingle in the interpreted HOF path (the
+    # shingled_docs pattern; measured 6.9 -> 1.8 s at sf0.1)
+    sh = (
+        _spread(docs)
+        .select("lang", "source", tokens(F.col("text")).alias("_t"))
+        .select(
+            "lang",
+            "source",
+            F.explode(word_shingles_from_tokens(F.col("_t"), 3)).alias("sh"),
+        )
     )
     partials = kmv_sketch(sh, ["lang", "source"], "sh", k=k)
     merged = partials.groupBy("lang").agg(
