@@ -600,3 +600,158 @@ def test_strip_duplicate_spans_matches_python_model(spark, texts):
     got = {r.doc_id: {c: v for c, v in r.asDict().items() if c != "doc_id"}
            for r in strip_duplicate_spans(df, k=3).collect()}
     assert got == py_strip_spans(texts, k=3)
+
+
+@given(
+    times=st.lists(st.integers(0, 200), min_size=1, max_size=10),
+    windows=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=1,
+        max_size=6,
+    ),
+    bucket=st.sampled_from([7, 50, 86400]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_python_model(spark, times, windows, bucket):
+    """interval_join == the brute-force point-in-window model for any
+    points/intervals/bucket granularity, including boundary hits, empty
+    matches, overlapping windows, and bucket sizes far off the window
+    length (the bucket only generates candidates; the exact filter
+    decides)."""
+    from clickhouse_segments_tutorial_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    points = spark.createDataFrame(
+        [(1, i, ts(s)) for i, s in enumerate(times)],
+        "user_id long, pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, j, ts(a), ts(a + d)) for j, (a, d) in enumerate(windows)],
+        "user_id long, wid long, win_start timestamp, win_end timestamp",
+    )
+    got = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(
+            points, intervals, keys=["user_id"], point_ts="ts",
+            start_ts="win_start", end_ts="win_end", bucket_seconds=bucket,
+        ).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, s in enumerate(times)
+        for j, (a, d) in enumerate(windows)
+        if a <= s <= a + d
+    )
+    assert got == expected
+
+
+@given(
+    a=st.sets(st.integers(0, 10_000), min_size=0, max_size=40),
+    b=st.sets(st.integers(0, 10_000), min_size=0, max_size=40),
+    k=st.sampled_from([4, 16]),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_and_estimates_match_python_model(spark, a, b, k):
+    """KMV vs a pure-Python model on arbitrary overlapping sets: the
+    sketch is exactly the sorted bottom-k distinct md5-60 hashes, the
+    merge equals the sketch of the union (losslessness, as array
+    equality), and the union/intersection estimators reproduce the
+    theta-clip formulas bit-for-bit — across empty, sub-k, and full
+    regimes in any combination."""
+    import hashlib
+
+    from clickhouse_segments_tutorial_spark.operators.kmv import (
+        M_DOMAIN,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    def sk(items):
+        return sorted({h60(x) for x in items})[:k]
+
+    rows = [("a", x) for x in a] + [("b", x) for x in b]
+    df = spark.createDataFrame(rows or [("z", 0)], "g string, item long")
+    sa = (
+        kmv_sketch(df.filter("g = 'a'"), [], "item", k=k)
+        .withColumnRenamed("sketch", "sa")
+    )
+    sb = (
+        kmv_sketch(df.filter("g = 'b'"), [], "item", k=k)
+        .withColumnRenamed("sketch", "sb")
+    )
+    row = (
+        sa.crossJoin(sb)
+        .select(
+            F.col("sa"),
+            F.col("sb"),
+            kmv_merge(F.col("sa"), F.col("sb"), k=k).alias("m"),
+            kmv_union_estimate(F.col("sa"), F.col("sb"), k=k).alias("eu"),
+            kmv_intersect_estimate(F.col("sa"), F.col("sb"), k=k).alias("ei"),
+        )
+        .collect()[0]
+    )
+    assert row["sa"] == sk(a) and row["sb"] == sk(b)
+    assert row["m"] == sk(a | b)  # merge losslessness
+
+    def est(sketch):
+        return (
+            float(len(sketch))
+            if len(sketch) < k
+            else (k - 1) * M_DOMAIN / float(sketch[k - 1])
+        )
+
+    assert row["eu"] == est(sk(a | b))
+    theta = min(
+        float(sk(a)[k - 1]) if len(sk(a)) >= k else M_DOMAIN,
+        float(sk(b)[k - 1]) if len(sk(b)) >= k else M_DOMAIN,
+    )
+    ra = sk(a)[: k - 1] if len(sk(a)) >= k else sk(a)
+    rb = sk(b)[: k - 1] if len(sk(b)) >= k else sk(b)
+    m = sum(1 for h in set(ra) & set(rb) if float(h) < theta)
+    assert row["ei"] == m * M_DOMAIN / theta
+
+
+@given(
+    xy=st.lists(
+        st.tuples(st.integers(0, 63), st.integers(0, 63)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, xy):
+    """zorder_key == the pure-Python Morton interleave for arbitrary
+    coordinates, and deinterleaving the key recovers both inputs (the
+    expression is a bijection on the quantized grid)."""
+    from clickhouse_segments_tutorial_spark.sources.zorder import zorder_key
+
+    def morton(x, y, bits=6):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=6).alias("z")
+        ).collect()
+    ]
+    assert got == [morton(x, y) for x, y in xy]
+    for (x, y), z in zip(xy, got):
+        rx = sum(((z >> (2 * b)) & 1) << b for b in range(6))
+        ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(6))
+        assert (rx, ry) == (x, y)
