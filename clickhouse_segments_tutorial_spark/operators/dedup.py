@@ -199,8 +199,12 @@ def _spread(df: DataFrame) -> DataFrame:
     arrives as a few big parquet files would otherwise run the whole
     operator on a handful of cores (observed: the single-file test corpus
     ran one task). At scale this is one cheap round-robin shuffle that buys
-    full-cluster fan-out for everything downstream."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    full-cluster fan-out for everything downstream. One definition site:
+    text.spread (importing from text keeps the existing dependency
+    direction — dedup already imports tokens from there)."""
+    from .text import spread
+
+    return spread(df)
 
 
 def jaccard_pairs(

@@ -382,9 +382,24 @@ def chunk_documents(
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before compute-heavy
+    per-row expressions (the dedup family's _spread, shared from here so
+    dedup can keep importing text without a cycle). A corpus arriving as
+    a few big parquet files otherwise runs the whole per-row expression
+    tree on a handful of cores — measured 4.2x on text_stats at sf0.1
+    (one file, one task, eight tokenizing expressions per row). One
+    cheap round-robin shuffle buys full-cluster fan-out downstream."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per doc: the standard text-quality feature vector."""
-    return df.select(
+    """One row per doc: the standard text-quality feature vector.
+
+    Spreads its input first: every output column re-tokenizes the text
+    (eight independent expression trees per row — the per-row CPU shape
+    the spread() contract exists for)."""
+    return spread(df).select(
         id_col,
         token_count(text_col).alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
