@@ -287,6 +287,7 @@ def repetition_stats(
         ),
         lambda l: l != "",
     )
+    df = spread(df)  # per-row tokenize/shingle CPU: fan out first
     # Materialize lines/tokens as COLUMNS before any higher-order lambda
     # consumes them: a transform lambda re-evaluates its outer expression
     # per element in the interpreted path, so feeding tokens(col) straight
@@ -514,7 +515,9 @@ def gopher_quality(
     )
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
     r_rep = (n_bi - n_dist) * GOPHER_DUP_BIGRAM_DENOM <= n_bi
-    return df.select(
+    # spread first: the rule expressions tokenize/shingle per row (the
+    # per-row CPU shape of text_stats — measured 1.6x at sf0.1)
+    return spread(df).select(
         id_col,
         n_words.alias("n_words"),
         F.round(
