@@ -69,7 +69,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .quality_nb import DEFAULT_BUCKETS, hash_bucket
-from .text import tokens
+from .text import spread, tokens
 
 # Acceptance threshold tau in log space: accept probability is
 # min(1, exp(lw - tau)). 0.0 keeps every doc at least as target-like as
@@ -110,7 +110,10 @@ def _staged_features(
     project-collapse cannot inline the tokenization into every array
     element)."""
     return (
-        docs.withColumn("_dsir_t", tokens(text_col))
+        # spread first: tokenize + bigram-build + bucket-hash are per-row
+        # CPU over the raw scan's few partitions (the text_stats rule)
+        spread(docs)
+        .withColumn("_dsir_t", tokens(text_col))
         .select(*keep, F.explode(dsir_features(F.col("_dsir_t"))).alias("_f"))
     )
 
