@@ -162,3 +162,151 @@ def kmv_union_estimate(a: Column, b: Column, *, k: int) -> Column:
     """Union estimate: estimate of the merged sketch (merge is lossless,
     so this is simply the bottom-k estimator over A ∪ B)."""
     return kmv_estimate(kmv_merge(a, b, k=k), k=k)
+
+
+class IncrementalKmvVocab:
+    """Wave-state twin of the vocab KMV sketch (plans/relational.py
+    ``vocab_kmv_per_lang``) on the shared wave chassis
+    (operators/wave_counts.WaveCountState): per-language
+    distinct-shingle sketches maintained incrementally, rebuilt
+    bit-identically to the batch query from ANY disjoint wave split —
+    the merge-closure argument made operational: every global-bottom-k
+    hash is bottom-k within its own wave (at most k-1 hashes are
+    smaller ANYWHERE), so the union of per-wave bottom-k's contains the
+    global bottom-k and the rebuild's window recovers it exactly.
+
+    State rows (one string-keyed table, <= (k + n_sources) rows per
+    (lang, wave) — KB-scale regardless of corpus size):
+
+    - ``h:<lang>:<rank>`` -> h: the wave's per-language bottom-k hashes,
+      rank zero-padded so a crash-replayed wave appends byte-identical
+      rows (the chassis's max()-collapse absorbs them);
+    - ``s:<lang>:<source>`` -> 0: source-presence rows (a source counts
+      when it contributed >= 1 shingle — the batch query's n_partials
+      semantics), distinct-unioned across waves by the rebuild.
+    """
+
+    def __init__(
+        self,
+        spark,
+        workdir: str,
+        *,
+        k: int = 128,
+        state_buckets: int = 8,
+    ):
+        from .wave_counts import WaveCountState
+
+        self.spark, self.k = spark, k
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="kmvvocab",
+            key_col="key",
+            key_type="string",
+            value_cols=["h"],
+            state_buckets=state_buckets,
+        )
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def compact(self, wave: int = 0) -> None:
+        self._st.compact(wave)
+
+    def ingest(self, docs: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave: per-language bottom-k of the wave's distinct
+        shingle hashes plus source-presence rows. Same staging as the
+        batch query (spread -> token column -> shingles-from-tokens)."""
+        from .dedup import md5_hash60, word_shingles_from_tokens
+        from .text import spread, tokens
+
+        wave = self._st.resolve_wave(wave_id)
+        sh = (
+            spread(docs)
+            .select("lang", "source", tokens(F.col("text")).alias("_t"))
+            .select(
+                "lang",
+                "source",
+                F.explode(word_shingles_from_tokens(F.col("_t"), 3)).alias(
+                    "sh"
+                ),
+            )
+        )
+        hashed = sh.select(
+            "lang", "source", md5_hash60(F.col("sh")).alias("h")
+        )
+        w = Window.partitionBy("lang").orderBy("h")
+        hrows = (
+            hashed.select("lang", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .select(
+                F.concat(
+                    F.lit("h:"),
+                    F.col("lang"),
+                    F.lit(":"),
+                    F.lpad((F.col("rn") - 1).cast("string"), 6, "0"),
+                ).alias("key"),
+                F.col("h"),
+            )
+        )
+        srows = (
+            hashed.select("lang", "source")
+            .distinct()
+            .select(
+                F.concat(
+                    F.lit("s:"), F.col("lang"), F.lit(":"), F.col("source")
+                ).alias("key"),
+                F.lit(0).cast("long").alias("h"),
+            )
+        )
+        delta = hrows.unionByName(srows).persist()
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def score(self, docs: DataFrame | None = None) -> DataFrame:
+        """(lang, n_partials, est_distinct_shingles) rebuilt from state —
+        identical to the batch query over the concatenation of every
+        wave (docs accepted and ignored: the trainer-protocol signature
+        the wave gate and _two_waves choreography expect)."""
+        s = self._st.read()
+        hs = (
+            s.filter(F.col("key").startswith("h:"))
+            .select(
+                F.split(F.col("key"), ":").getItem(1).alias("lang"), "h"
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("lang").orderBy("h")
+        sk = (
+            hs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .groupBy("lang")
+            .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+        )
+        np_ = (
+            s.filter(F.col("key").startswith("s:"))
+            # distinct over the key BEFORE counting: a source present in
+            # several waves has one state row per wave (different _w)
+            .select("key")
+            .distinct()
+            .select(F.split(F.col("key"), ":").getItem(1).alias("lang"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_partials"))
+        )
+        return sk.join(np_, "lang").select(
+            "lang",
+            "n_partials",
+            kmv_estimate(F.col("sketch"), k=self.k).alias(
+                "est_distinct_shingles"
+            ),
+        )

@@ -308,3 +308,69 @@ QUERIES = [
         "bigram_lm_nll_streaming", bigram_lm_nll_streaming, _BIGRAM_NLL_ORACLE
     ),
 ]
+
+
+def _kmv_trainer(spark: SparkSession, workdir: str):
+    from ..operators.kmv import IncrementalKmvVocab
+
+    return IncrementalKmvVocab(spark, workdir, k=128)
+
+
+def vocab_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language vocab KMV sketch maintained INCREMENTALLY over
+    two doc_id-median waves (operators/kmv.IncrementalKmvVocab on the
+    shared wave chassis): per-wave bottom-k hash rows + source-presence
+    rows fold to exactly the batch sketch (merge-closure), so this
+    shares vocab_kmv_per_lang's oracle — the hash match proves the
+    incremental fold equals the batch bottom-k on real data."""
+    from .curation import _stream_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    trainer = _kmv_trainer(spark, _stream_scratch("kmv_incr"))
+    trainer.reset()
+    trainer.ingest(docs.filter(F.col("doc_id") < mid))
+    trainer.ingest(docs.filter(F.col("doc_id") >= mid))
+    return trainer.score()
+
+
+def vocab_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab KMV trainer behind the streaming wave gate — the
+    batch/incremental/streaming triangle closed for the sketch family;
+    shares the batch oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    workdir = _stream_scratch("kmv_streaming")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    trainer = _kmv_trainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(
+        spark, workdir, schema=docs.schema, ingestor=trainer
+    )
+    gate.reset_state()
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    return trainer.score()
+
+
+def _kmv_oracle():
+    from .relational import _KMV_VOCAB_ORACLE
+
+    return _KMV_VOCAB_ORACLE
+
+
+QUERIES.extend(
+    [
+        QuerySpec("vocab_kmv_incremental", vocab_kmv_incremental, _kmv_oracle()),
+        QuerySpec("vocab_kmv_streaming", vocab_kmv_streaming, _kmv_oracle()),
+    ]
+)

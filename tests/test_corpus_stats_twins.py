@@ -152,3 +152,44 @@ def test_scoring_out_of_corpus_docs_is_smoothed_not_dropped(spark, tmp_path):
     assert row.n_bigrams == 2
     assert row.avg_nll == round(-round(math.log(1.0 / 3.0), 12), 6)
     bg_tr.drop_state()
+
+
+def test_kmv_vocab_incremental_split_invariant_and_replay_safe(spark, tmp_path):
+    """IncrementalKmvVocab: the rebuilt per-language sketch estimate is
+    IDENTICAL under any disjoint wave split (merge-closure made
+    operational — one wave, two median waves, two mod-2 waves all
+    rebuild the same bottom-k), and the WaveCountState crash contract
+    holds: replayed waves (including after compact) change nothing.
+    Batch equality itself is the shared driver oracle
+    (vocab_kmv_per_lang / _incremental / _streaming all hash against
+    the same SQL)."""
+    from clickhouse_segments_tutorial_spark.operators.kmv import (
+        IncrementalKmvVocab,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 200
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = IncrementalKmvVocab(spark, str(tmp_path / "one"), k=64)
+    one.reset()
+    one.ingest(docs, wave_id=1)
+    expected = rows(one.score())
+    assert expected  # non-empty: every language stratum present
+
+    tr = IncrementalKmvVocab(spark, str(tmp_path / "mod2"), k=64)
+    tr.reset()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tr.ingest(w1, wave_id=1)
+    tr.ingest(w2, wave_id=2)
+    assert rows(tr.score()) == expected
+    tr.ingest(w2, wave_id=2)  # crash replay
+    assert rows(tr.score()) == expected
+    tr.compact()
+    assert rows(tr.score()) == expected
+    tr.ingest(w1, wave_id=1)  # replay of an already-compacted wave
+    assert rows(tr.score()) == expected
