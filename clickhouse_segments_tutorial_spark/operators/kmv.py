@@ -184,6 +184,15 @@ class IncrementalKmvVocab:
     - ``s:<lang>:<source>`` -> 0: source-presence rows (a source counts
       when it contributed >= 1 shingle — the batch query's n_partials
       semantics), distinct-unioned across waves by the rebuild.
+
+    Deletion/takedown note: unlike the engine's count states (which
+    retract by appending negative deltas) and its index states (which
+    tombstone ids), a bottom-k sketch is NOT invertible — removing a
+    source cannot recover the hashes it displaced from other waves'
+    bottom-k's. The correct takedown path is reset() + re-ingest of the
+    surviving corpus (sketch states are KB-scale and one corpus pass to
+    rebuild, so rebuild-on-delete is the cheap honest answer here, not
+    a gap the way it was for the ANN index before its tombstone lane).
     """
 
     def __init__(
