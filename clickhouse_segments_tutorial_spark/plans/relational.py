@@ -259,10 +259,15 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     events = _t(spark, sf_dir, "events")
-    segs = _heavy_users(events, "click", 14).withColumn(
-        "seg", F.lit("click")
-    ).unionByName(
-        _heavy_users(events, "view", 14).withColumn("seg", F.lit("view"))
+    # both segments from ONE scan: per-(user, type) counts in a single
+    # hash agg, thresholded — the union of two _heavy_users frames read
+    # the events table twice for the same information
+    segs = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 14)
+        .select(F.col("event_type").alias("seg"), "user_id")
     )
     sk = kmv_sketch(segs, ["seg"], "user_id", k=k)
     # fold the two one-row sketches side by side with a conditional agg —
