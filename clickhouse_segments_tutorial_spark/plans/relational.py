@@ -430,6 +430,74 @@ GROUP BY s.user_id, s.ws
 """
 
 
+def audience_todate_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-audience series from MERGED daily sketches — the
+    'distinct users to date' question every analytics engine answers
+    with a sketch (ClickHouse: uniqState per day + uniqMerge over the
+    range): ONE pass builds a bottom-k sketch per day; each day's
+    to-date estimate folds the daily sketches so far (cumulative
+    collect_list window + one flatten/distinct/sort/slice) — yesterday's
+    raw events are never re-read. The running window operates on sketch
+    METADATA (k longs per day, ~30 day rows) so the single-partition
+    window is KB-scale at any corpus size. The oracle computes each
+    day's bottom-k over the cumulative distinct hash set DIRECTLY, so
+    the hash match proves merge closure across TIME partitions (the
+    vocab query proves it across sources). k = 16 sits below the
+    audience at sf >= 0.01: early days exercise the exact regime and
+    later days the estimator, in one result."""
+    from ..operators.kmv import kmv_estimate, kmv_sketch
+
+    k = 16
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        "user_id",
+    )
+    daily = kmv_sketch(ev, ["day"], "user_id", k=k)
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sketch").over(w)))
+        ),
+        1,
+        k,
+    )
+    return daily.select(
+        "day", kmv_estimate(merged, k=k).alias("est_users_todate")
+    )
+
+
+_AUDIENCE_TODATE_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+cum AS (
+  SELECT d.day, e.h FROM days d JOIN ev e ON e.day <= d.day
+  GROUP BY d.day, e.h
+),
+rk AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM cum
+),
+agg AS (
+  SELECT day, count(*) FILTER (rn <= 16) AS n,
+         max(CASE WHEN rn = 16 THEN h END) AS hk
+  FROM rk GROUP BY day
+)
+SELECT day,
+       CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+            ELSE 15.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+         AS est_users_todate
+FROM agg
+"""
+
+
 def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Morton/Z-order clustering key (sources/zorder.py — the
     multi-column generalization of the S7 sort-on-write skip index)
@@ -1353,6 +1421,7 @@ QUERIES = [
     QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
+    QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(
         "purchases_in_signup_window",
         purchases_in_signup_window,
