@@ -164,6 +164,22 @@ def kmv_union_estimate(a: Column, b: Column, *, k: int) -> Column:
     return kmv_estimate(kmv_merge(a, b, k=k), k=k)
 
 
+def kmv_difference_estimate(a: Column, b: Column, *, k: int) -> Column:
+    """Theta-framework A-not-B estimate (the set-op family's EXCEPT):
+    clip both retained sets to theta_c = min(theta_a, theta_b); A's
+    entries below theta_c that B lacks are a uniform theta_c/M sample
+    of A \\ B, so the estimate is |sample| * M / theta_c. Exact when
+    neither sketch is full. NOTE the clip must use theta_c, not
+    theta_a: an entry of A below theta_a but above theta_b says nothing
+    about membership in B (B never retained that range)."""
+    theta_c = F.least(kmv_theta(a, k=k), kmv_theta(b, k=k))
+    only_a = F.filter(
+        F.array_except(_retained(a, k=k), _retained(b, k=k)),
+        lambda h: h.cast("double") < theta_c,
+    )
+    return F.size(only_a).cast("double") * F.lit(M_DOMAIN) / theta_c
+
+
 class IncrementalKmvVocab:
     """Wave-state twin of the vocab KMV sketch (plans/relational.py
     ``vocab_kmv_per_lang``) on the shared wave chassis

@@ -251,6 +251,7 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (window row_number + the same two IEEE double ops), so
     the estimates match bit-for-bit."""
     from ..operators.kmv import (
+        kmv_difference_estimate,
         kmv_estimate,
         kmv_intersect_estimate,
         kmv_sketch,
@@ -291,6 +292,9 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_estimate(F.col("b"), k=k).alias("est_view_users"),
         est_u.alias("est_union"),
         est_i.alias("est_intersect"),
+        kmv_difference_estimate(F.col("a"), F.col("b"), k=k).alias(
+            "est_click_only"
+        ),
         (est_i / est_u).alias("est_jaccard"),
     )
 
@@ -360,11 +364,23 @@ common AS (
 iest AS (
   SELECT CAST(m AS DOUBLE) * 1152921504606846976.0 / theta_c AS e
   FROM common, thc
+),
+aonly AS (
+  SELECT count(*) AS m
+  FROM (SELECT h FROM ret WHERE event_type = 'click'
+        EXCEPT
+        SELECT h FROM ret WHERE event_type = 'view') x, thc
+  WHERE CAST(x.h AS DOUBLE) < thc.theta_c
+),
+dest AS (
+  SELECT CAST(m AS DOUBLE) * 1152921504606846976.0 / theta_c AS e
+  FROM aonly, thc
 )
 SELECT (SELECT e FROM est WHERE event_type = 'click') AS est_click_users,
        (SELECT e FROM est WHERE event_type = 'view') AS est_view_users,
        (SELECT e FROM mest) AS est_union,
        (SELECT e FROM iest) AS est_intersect,
+       (SELECT e FROM dest) AS est_click_only,
        (SELECT e FROM iest) / (SELECT e FROM mest) AS est_jaccard
 """
 

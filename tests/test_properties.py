@@ -668,6 +668,7 @@ def test_kmv_merge_and_estimates_match_python_model(spark, a, b, k):
 
     from clickhouse_segments_tutorial_spark.operators.kmv import (
         M_DOMAIN,
+        kmv_difference_estimate,
         kmv_intersect_estimate,
         kmv_merge,
         kmv_sketch,
@@ -698,6 +699,7 @@ def test_kmv_merge_and_estimates_match_python_model(spark, a, b, k):
             kmv_merge(F.col("sa"), F.col("sb"), k=k).alias("m"),
             kmv_union_estimate(F.col("sa"), F.col("sb"), k=k).alias("eu"),
             kmv_intersect_estimate(F.col("sa"), F.col("sb"), k=k).alias("ei"),
+            kmv_difference_estimate(F.col("sa"), F.col("sb"), k=k).alias("ed"),
         )
         .collect()[0]
     )
@@ -720,6 +722,8 @@ def test_kmv_merge_and_estimates_match_python_model(spark, a, b, k):
     rb = sk(b)[: k - 1] if len(sk(b)) >= k else sk(b)
     m = sum(1 for h in set(ra) & set(rb) if float(h) < theta)
     assert row["ei"] == m * M_DOMAIN / theta
+    d = sum(1 for h in set(ra) - set(rb) if float(h) < theta)
+    assert row["ed"] == d * M_DOMAIN / theta
 
 
 @given(
