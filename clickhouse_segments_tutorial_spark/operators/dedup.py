@@ -195,13 +195,14 @@ def shingled_docs(
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism before compute-heavy per-row
-    work. Shingling/hashing cost is per-row CPU, not I/O: a corpus that
+    work — gated on the input actually being under-split (text.spread:
+    an already-parallel 100 TB scan passes through with NO shuffle).
+    Shingling/hashing cost is per-row CPU, not I/O: a corpus that
     arrives as a few big parquet files would otherwise run the whole
     operator on a handful of cores (observed: the single-file test corpus
-    ran one task). At scale this is one cheap round-robin shuffle that buys
-    full-cluster fan-out for everything downstream. One definition site:
-    text.spread (importing from text keeps the existing dependency
-    direction — dedup already imports tokens from there)."""
+    ran one task). One definition site: text.spread (importing from text
+    keeps the existing dependency direction — dedup already imports
+    tokens from there)."""
     from .text import spread
 
     return spread(df)

@@ -26,6 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_BKT = "__interval_join_bkt"
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -36,32 +39,86 @@ def interval_join(
     end_ts: str,
     bucket_seconds: int = 86400,
     how: str = "inner",
+    max_span_buckets: int = 1000,
 ) -> DataFrame:
     """Join each point row to every interval row of the same key whose
     [start_ts, end_ts] (both inclusive) contains point_ts. Column names
     other than ``keys`` must be disjoint between the two frames (the
-    result carries both sides' columns). ``how`` is 'inner' or
-    'left_semi' (points that fall in at least one window)."""
+    result carries both sides' columns). ``how``:
+
+    - ``'inner'`` — one output row per qualifying (point, interval);
+    - ``'left_semi'`` — points that fall in at least one window;
+    - ``'left'`` — inner rows PLUS every unmatched point with the
+      interval side's columns null (a point has exactly ONE bucket, so
+      an unmatched point emits exactly one null-extended row — the
+      retention-report shape where users outside any window must stay
+      visible).
+
+    ``max_span_buckets`` bounds the per-interval explode (r14 verdict
+    item 4): the bucket fan-out is linear in interval length, so ONE
+    malformed open-ended interval (end_ts in 2200, a sentinel
+    9999-12-31, a sign-flipped epoch) would silently explode to
+    millions of rows and dominate the whole shuffle. Any interval
+    spanning more buckets than the cap fails the job LOUDLY at
+    execution time (java.lang.RuntimeException wrapping the span
+    message) — size the cap to max expected interval length /
+    bucket_seconds, or raise bucket_seconds so real intervals stay
+    O(1) buckets, which is the performance contract anyway (module
+    docstring). Intervals with end < start have an empty bucket
+    sequence and drop out (matching the BETWEEN semantics: no point
+    can satisfy them)."""
+    if how not in ("inner", "left_semi", "left"):
+        raise ValueError(
+            f"how={how!r}: supported modes are 'inner', 'left_semi', "
+            "'left' (an unchecked pass-through previously let 'left' run "
+            "with inner-shaped drop semantics and 'left_anti' fail at "
+            "analysis depth)"
+        )
+    if max_span_buckets < 1:
+        raise ValueError("max_span_buckets must be >= 1")
+    for frame, side in ((points, "points"), (intervals, "intervals")):
+        if _BKT in frame.columns:
+            raise ValueError(
+                f"{side} already carries the reserved helper column "
+                f"{_BKT!r}"
+            )
     p = points.withColumn(
-        "_bkt",
+        _BKT,
         F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast(
             "long"
         ),
     ).alias("p")
+    sb = F.floor(F.unix_timestamp(F.col(start_ts)) / bucket_seconds).cast(
+        "long"
+    )
+    eb = F.floor(F.unix_timestamp(F.col(end_ts)) / bucket_seconds).cast(
+        "long"
+    )
+    # assert_true evaluates per interval row BEFORE the explode: the
+    # runtime error carries the offending span instead of an OOM'd task
+    span_ok = F.assert_true(
+        (eb - sb) < F.lit(max_span_buckets),
+        F.concat(
+            F.lit("interval_join: interval spans "),
+            (eb - sb + 1).cast("string"),
+            F.lit(
+                f" buckets of {bucket_seconds}s, over the "
+                f"max_span_buckets={max_span_buckets} cap — malformed "
+                "open-ended interval, or raise bucket_seconds/the cap"
+            ),
+        ),
+    )
     i = intervals.withColumn(
-        "_bkt",
+        _BKT,
+        # eb < sb guard: bare sequence(sb, eb) would auto-step BACKWARDS
+        # (Spark picks step -1 when start > stop), fabricating buckets
+        # for an inverted interval; the when() makes it null and the
+        # explode drops the row instead
         F.explode(
-            F.sequence(
-                F.floor(
-                    F.unix_timestamp(F.col(start_ts)) / bucket_seconds
-                ).cast("long"),
-                F.floor(
-                    F.unix_timestamp(F.col(end_ts)) / bucket_seconds
-                ).cast("long"),
-            )
+            F.when(span_ok.isNull() & (eb >= sb), F.sequence(sb, eb))
         ),
     ).alias("i")
-    cond = F.col("p._bkt") == F.col("i._bkt")
+    cond = F.col(f"p.{_BKT}") == F.col(f"i.{_BKT}")
     for k in keys:
         cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
     cond = (
@@ -70,7 +127,7 @@ def interval_join(
         & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
     )
     if how == "left_semi":
-        return p.join(i, cond, "left_semi").drop("_bkt")
+        return p.join(i, cond, "left_semi").drop(_BKT)
     joined = p.join(i, cond, how)
     keep = [F.col(f"p.{c}") for c in points.columns] + [
         F.col(f"i.{c}") for c in intervals.columns if c not in keys

@@ -48,7 +48,8 @@ M_DOMAIN = float(1 << 60)
 
 
 def kmv_sketch(
-    df: DataFrame, key_cols: list[str], item_col: str, *, k: int
+    df: DataFrame, key_cols: list[str], item_col: str, *, k: int,
+    salt: int | None = 64,
 ) -> DataFrame:
     """Bottom-k sketch of ``item_col``'s distinct values per key group:
     one row per group with ``sketch`` = the k smallest distinct 60-bit
@@ -56,39 +57,38 @@ def kmv_sketch(
     (cast — integers render identically in Spark and SQL engines).
 
     Two shuffles, both spill-safe: a distinct on (keys, hash) with
-    map-side partial aggregation, then a per-group sort for row_number
-    (bounded OUTPUT at k rows per group; the sort itself is the
-    distributed spill path, not memory).
-
-    With NO key columns (one global sketch), a single-partition window
-    would serialize the whole hash set through one task — instead the
-    bottom-k runs two-level: local bottom-k per salt bucket (h % 64 —
-    uniform by construction, so each bucket sorts 1/64th), then one
-    bounded fold of <= 64·k candidate hashes. Identical result because
-    bottom-k is merge-closed; this is also the documented mitigation
-    shape for a skewed giant group in the keyed path."""
+    map-side partial aggregation, then the bottom-k. The bottom-k runs
+    TWO-LEVEL by default (r14 verdict item 3): local bottom-k per
+    (group, h % ``salt``) salt bucket — h is uniform by construction,
+    so each bucket's window sorts ~1/salt of the group — then one
+    bounded per-group fold of <= salt·k candidate hashes. Identical
+    result because bottom-k is merge-closed (module docstring), so a
+    skewed giant group (one language holding most of a corpus's
+    shingles) never serializes through a single window task; with NO
+    key columns the same shape avoids the one-partition global window.
+    ``salt=None`` (or <= 1) uses the direct single-window path — the
+    reference implementation the property test compares against."""
     hashed = df.select(
         *[F.col(c) for c in key_cols],
         md5_hash60(F.col(item_col).cast("string")).alias("h"),
     ).distinct()
-    if not key_cols:
-        w = Window.partitionBy(F.pmod(F.col("h"), F.lit(64))).orderBy("h")
-        return (
-            hashed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .groupBy()
-            .agg(
-                F.slice(F.sort_array(F.collect_list("h")), 1, k).alias(
-                    "sketch"
-                )
-            )
-        )
-    w = Window.partitionBy(*key_cols).orderBy("h")
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    salted = salt is not None and salt > 1
+    if not key_cols and not salted:
+        raise ValueError("a global (keyless) sketch requires salt > 1")
+    parts = [F.col(c) for c in key_cols]
+    if salted:
+        parts.append(F.pmod(F.col("h"), F.lit(salt)))
+    w = Window.partitionBy(*parts).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    fold = (
+        F.slice(F.sort_array(F.collect_list("h")), 1, k)
+        if salted
+        else F.sort_array(F.collect_list("h"))
+    )
+    return ranked.groupBy(*[F.col(c) for c in key_cols]).agg(
+        fold.alias("sketch")
     )
 
 

@@ -386,12 +386,30 @@ def chunk_documents(
 def spread(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism before compute-heavy
     per-row expressions (the dedup family's _spread, shared from here so
-    dedup can keep importing text without a cycle). A corpus arriving as
-    a few big parquet files otherwise runs the whole per-row expression
-    tree on a handful of cores — measured 4.2x on text_stats at sf0.1
-    (one file, one task, eight tokenizing expressions per row). One
-    cheap round-robin shuffle buys full-cluster fan-out downstream."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    dedup can keep importing text without a cycle) — but ONLY when the
+    input is actually under-split. A corpus arriving as a few big
+    parquet files otherwise runs the whole per-row expression tree on a
+    handful of cores — measured 4.2x on text_stats at sf0.1 (one file,
+    one task, eight tokenizing expressions per row); one cheap
+    round-robin shuffle buys full-cluster fan-out downstream.
+
+    The gate (r14 verdict item 1): at 100 TB the input arrives as
+    ~800k parquet splits that are ALREADY at least cluster-parallel,
+    and an unconditional round-robin repartition would add a full
+    corpus shuffle (write + read of every byte of text) to otherwise
+    shuffle-free map-only operators. The plan's actual scan partition
+    count (rdd.getNumPartitions() — reflects file splitting under
+    spark.sql.files.maxPartitionBytes, not just file count) decides:
+    already >= defaultParallelism -> pass through untouched (NO
+    Exchange in the plan, pinned in test_plans); under-split -> fan
+    out as before. Streaming frames can't be partition-counted
+    without starting the query; they keep the fan-out (a micro-batch
+    arriving through a wave gate is small and single-source — the
+    exact under-split shape the fan-out exists for)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

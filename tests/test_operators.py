@@ -1506,6 +1506,50 @@ def test_kmv_sketch_merge_and_estimators(spark):
     assert got["eu"] == 50.0
 
 
+def test_kmv_keyed_salting_identical_on_skewed_groups(spark):
+    """The keyed bottom-k's two-level salted path (r14 verdict item 3)
+    must be RESULT-IDENTICAL to the direct single-window path on a
+    deliberately skewed keyed input — one giant group dwarfing the
+    others (the shape where the unsalted window serializes the whole
+    group through one task) — because bottom-k is merge-closed. Checked
+    as array equality per group against both the unsalted reference and
+    a Python replay, across salt factors."""
+    import hashlib
+
+    from clickhouse_segments_tutorial_spark.operators.kmv import kmv_sketch
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    k = 32
+    # hot group: 5000 distinct items (plus duplicates); cold: 10 and 0-ish
+    rows = (
+        [("hot", i) for i in range(5000)]
+        + [("hot", i) for i in range(100)]  # duplicates must not matter
+        + [("cold", i) for i in range(10)]
+        + [("one", 42)]
+    )
+    df = spark.createDataFrame(rows, "g string, item long")
+    expected = {
+        "hot": sorted(h60(i) for i in range(5000))[:k],
+        "cold": sorted(h60(i) for i in range(10)),
+        "one": [h60(42)],
+    }
+    reference = {
+        r["g"]: r["sketch"]
+        for r in kmv_sketch(df, ["g"], "item", k=k, salt=None).collect()
+    }
+    assert reference == expected
+    for salt in (2, 64):
+        got = {
+            r["g"]: r["sketch"]
+            for r in kmv_sketch(df, ["g"], "item", k=k, salt=salt).collect()
+        }
+        assert got == expected, f"salt={salt} diverged from direct bottom-k"
+    with pytest.raises(ValueError, match="global"):
+        kmv_sketch(df, [], "item", k=k, salt=None)
+
+
 def test_wav_decoder_chunk_walk_and_widths():
     """The dependency-free RIFF/PCM decoder (r13 verdict item 4):
     16-bit synthesis round-trips byte-exactly; a LIST metadata chunk
@@ -3007,3 +3051,68 @@ def test_interval_join_semantics(spark):
         "on_end", "on_start", "overlap"
     ]
     assert sorted(semi.columns) == sorted(points.columns)
+
+
+def test_interval_join_left_mode_and_guards(spark):
+    """r14 verdict items 4+7 and ADVICE: how='left' keeps unmatched
+    points exactly once with null interval columns; an unsupported
+    ``how`` and a reserved-helper-column collision raise ValueError
+    up front; an interval spanning more than max_span_buckets fails
+    LOUDLY at execution (not an OOM'd million-row explode); an
+    inverted interval (end < start) matches nothing instead of
+    fabricating a backwards bucket walk."""
+    import datetime as dtm
+
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+    from clickhouse_segments_tutorial_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    ts = lambda h: t0 + dtm.timedelta(hours=h)
+    points = spark.createDataFrame(
+        [(1, ts(12), "inside"), (1, ts(200), "outside"), (3, ts(12), "nokey")],
+        "user_id long, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(24), "w1")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    kw = dict(
+        keys=["user_id"], point_ts="ts", start_ts="win_start",
+        end_ts="win_end",
+    )
+
+    left = interval_join(points, intervals, how="left", **kw)
+    got = sorted((r.tag, r.win) for r in left.collect())
+    assert got == [("inside", "w1"), ("nokey", None), ("outside", None)]
+    assert sorted(left.columns) == sorted(
+        points.columns + ["win_start", "win_end", "win"]
+    )
+
+    with pytest.raises(ValueError, match="left_anti"):
+        interval_join(points, intervals, how="left_anti", **kw)
+    with pytest.raises(ValueError, match="reserved helper column"):
+        interval_join(
+            points.withColumn("__interval_join_bkt", F.lit(0)),
+            intervals, **kw,
+        )
+
+    # a 30-day window at hourly buckets spans 720 buckets > a cap of 100
+    wide = spark.createDataFrame(
+        [(1, ts(0), ts(24 * 30), "open_ended")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    with pytest.raises(
+        (PySparkRuntimeError, SparkRuntimeException, Exception),
+        match="max_span_buckets",
+    ):
+        interval_join(
+            points, wide, bucket_seconds=3600, max_span_buckets=100, **kw
+        ).collect()
+
+    inverted = spark.createDataFrame(
+        [(1, ts(24), ts(0), "backwards")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    assert interval_join(points, inverted, **kw).count() == 0

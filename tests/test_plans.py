@@ -488,6 +488,37 @@ def test_zorder_layout_prunes_on_every_clustered_dimension(spark, tmp_path):
     assert back.select(F.sum("payload")).first()[0] == sum(range(4096))
 
 
+def test_spread_gated_on_input_parallelism(spark):
+    """The spread() fan-out must be CONDITIONAL (r14 verdict item 1): a
+    map-only text operator over an input already at cluster parallelism
+    must plan with ZERO Exchange nodes (at 100 TB the scan arrives as
+    ~800k splits and an unconditional round-robin repartition would
+    shuffle every byte of text for nothing), while an under-split input
+    (one big file -> one task) still pays the one cheap shuffle that
+    buys full-cluster fan-out."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators.text import (
+        spread,
+        text_stats,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    mk = lambda n_parts: spark.range(0, 256, 1, n_parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here doc "), F.col("id")).alias("text"),
+    )
+
+    wide = mk(par * 2)
+    assert spread(wide) is wide  # pass-through, not even a new plan node
+    assert node_count(formatted_plan(text_stats(wide)), "Exchange") == 0
+
+    narrow = mk(1)
+    narrow_plan = formatted_plan(text_stats(narrow))
+    assert node_count(narrow_plan, "Exchange") == 1
+    assert "REPARTITION_BY_NUM" in narrow_plan or "RoundRobin" in narrow_plan
+
+
 def test_interval_join_is_bucketed_equi_join(spark):
     """The range join must reach the executor as an EQUI-join on
     (key, bucket) with the exact range check as a residual — never a
