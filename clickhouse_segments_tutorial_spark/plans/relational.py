@@ -275,14 +275,25 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no join node at all (a crossJoin of the two frames would plan as a
     # cartesian, tripping the global plan-hygiene sweep for a 1x1 join
     # Catalyst can't know is 1x1)
+    # an EMPTY segment at a tiny SF yields no sketch row -> first() is
+    # NULL and every estimator would degrade to NULL instead of 0;
+    # coalesce to the empty sketch (what kmv_sketch of an empty set IS)
+    # so empty segments estimate 0 like the operators do (r14 ADVICE)
+    empty = F.array().cast("array<long>")
     pair = sk.groupBy().agg(
-        F.first(
-            F.when(F.col("seg") == "click", F.col("sketch")),
-            ignorenulls=True,
+        F.coalesce(
+            F.first(
+                F.when(F.col("seg") == "click", F.col("sketch")),
+                ignorenulls=True,
+            ),
+            empty,
         ).alias("a"),
-        F.first(
-            F.when(F.col("seg") == "view", F.col("sketch")),
-            ignorenulls=True,
+        F.coalesce(
+            F.first(
+                F.when(F.col("seg") == "view", F.col("sketch")),
+                ignorenulls=True,
+            ),
+            empty,
         ).alias("b"),
     )
     est_i = kmv_intersect_estimate(F.col("a"), F.col("b"), k=k)
@@ -415,14 +426,24 @@ def purchases_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts="win_start",
         end_ts="win_end",
     )
-    return j.groupBy(
-        "user_id",
-        F.floor(F.unix_timestamp("win_start")).cast("bigint").alias(
-            "window_start"
-        ),
-    ).agg(
-        F.count(F.lit(1)).alias("n_purchases"),
-        _dsum(F.col("value")).alias("purchase_value"),
+    # group by the window-start COLUMN and truncate only for output,
+    # matching the oracle's GROUP BY s.ws (r14 ADVICE: grouping by the
+    # second-truncated epoch would merge two same-second sub-second
+    # signups the oracle keeps apart)
+    return (
+        j.groupBy("user_id", "win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum(F.col("value")).alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("win_start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "n_purchases",
+            "purchase_value",
+        )
     )
 
 
@@ -443,6 +464,68 @@ SELECT s.user_id,
 FROM s JOIN p
   ON p.user_id = s.user_id AND p.ts >= s.ws AND p.ts <= s.we
 GROUP BY s.user_id, s.ws
+"""
+
+
+def purchases_with_signup_window_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-mode interval join (r14 verdict item 7): every purchase row
+    with its containing 7-day signup window attached WHERE ONE EXISTS
+    and null window columns otherwise — the retention-report shape,
+    where purchases outside any activation window must stay visible
+    (the inner query silently dropped them). One output row per
+    qualifying (purchase, window) pair plus exactly one null-extended
+    row per unmatched purchase (a point occupies ONE bucket, so the
+    left join can't duplicate the miss). Same scalable plan as the
+    inner mode: (user_id, day-bucket) equi-join, range residual, no
+    nested loop."""
+    from ..operators.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        how="left",
+    )
+    return j.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_epoch"),
+        F.floor(F.unix_timestamp("win_start")).cast("bigint").alias(
+            "window_start"
+        ),
+        "value",
+    )
+
+
+_INTERVAL_LEFT_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ws,
+         CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY AS we
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(s.ws)) AS BIGINT) AS window_start,
+       p.value AS value
+FROM p LEFT JOIN s
+  ON p.user_id = s.user_id AND p.ts >= s.ws AND p.ts <= s.we
 """
 
 
@@ -525,15 +608,18 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites by; the pruning effect of that layout (a predicate on any
     clustered dimension skips files) is pinned separately in pytest via
     parquet footer statistics, since a value oracle cannot see file
-    layout."""
+    layout. user_id is QUANTIZED onto the 16-bit grid (pmod 2^16) per
+    zorder_key's contract — at scale factors where ids exceed 65535 the
+    raw id's high bits would silently alias off the grid (r14 ADVICE);
+    check=True additionally enforces the contract at runtime."""
     from ..sources.zorder import zorder_key
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.col("user_id"),
+        F.pmod(F.col("user_id"), F.lit(65536)).cast("long").alias("uq"),
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
     )
-    z = zorder_key([F.col("user_id"), F.col("day")], bits=16)
+    z = zorder_key([F.col("uq"), F.col("day")], bits=16, check=True)
     return (
         ev.select("event_type", z.alias("z"))
         .groupBy("event_type")
@@ -554,7 +640,7 @@ WITH ev AS (
 ),
 z AS (
   SELECT event_type,
-         CAST(list_sum([(((user_id >> b) & 1) << (2 * b))
+         CAST(list_sum([((((user_id % 65536) >> b) & 1) << (2 * b))
                         + (((day >> b) & 1) << (2 * b + 1))
                         FOR b IN range(16)]) AS BIGINT) AS z
   FROM ev
@@ -1442,6 +1528,11 @@ QUERIES = [
         "purchases_in_signup_window",
         purchases_in_signup_window,
         _INTERVAL_JOIN_ORACLE,
+    ),
+    QuerySpec(
+        "purchases_with_signup_window_left",
+        purchases_with_signup_window_left,
+        _INTERVAL_LEFT_ORACLE,
     ),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE

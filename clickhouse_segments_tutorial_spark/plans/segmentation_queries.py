@@ -64,8 +64,17 @@ def segment_idempotent_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _median_ts(events: DataFrame) -> dt.datetime:
+    """~Median event time, used only to SPLIT the cascade harness into
+    two batches — a boundary choice, not a result value, so the
+    sketch-based percentile_approx (map-side partial agg, no global
+    sort) replaces exact F.percentile (r14 verdict item 5: that was
+    the one exact global sort left in the harness; any split point
+    between the first and last event yields the same final cascade —
+    asserted in test_segmentation)."""
     row = events.select(
-        F.percentile(F.unix_timestamp("ts"), F.lit(0.5)).alias("m")
+        F.percentile_approx(
+            F.unix_timestamp("ts"), F.lit(0.5), F.lit(10000)
+        ).alias("m")
     ).collect()[0]
     # utcfromtimestamp is deprecated (3.12+); session tz is pinned UTC
     return dt.datetime.fromtimestamp(row.m, dt.timezone.utc).replace(tzinfo=None)

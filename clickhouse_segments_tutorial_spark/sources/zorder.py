@@ -29,14 +29,21 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def zorder_key(cols: list[Column], *, bits: int = 16) -> Column:
+def zorder_key(
+    cols: list[Column], *, bits: int = 16, check: bool = False
+) -> Column:
     """Morton interleave of non-negative integer columns: bit ``b`` of
     column ``i`` lands at position ``b * n_cols + i``. CONTRACT: every
     value must already be quantized into [0, 2**bits) — the caller maps
     its domain (ids, epoch-days, bucketed doubles) onto the grid; values
     at or above 2**bits would alias because their high bits are simply
-    not interleaved. Pure shifts/masks/adds — whole-stage codegen, and
-    exactly replayable in any SQL engine with bit ops."""
+    not interleaved. ``check=True`` enforces the contract at runtime
+    (r14 ADVICE: a value off the grid previously aliased SILENTLY —
+    the clustering/pruning quality degraded with nothing flagging it):
+    each row asserts every input fits the grid and the job fails
+    loudly with the offending value otherwise — one codegen'd compare
+    per column, no extra pass. Pure shifts/masks/adds — whole-stage
+    codegen, and exactly replayable in any SQL engine with bit ops."""
     n = len(cols)
     terms = [
         F.shiftleft(
@@ -45,7 +52,26 @@ def zorder_key(cols: list[Column], *, bits: int = 16) -> Column:
         for i, c in enumerate(cols)
         for b in range(bits)
     ]
-    return reduce(lambda a, t: a + t, terms)
+    z = reduce(lambda a, t: a + t, terms)
+    if not check:
+        return z
+    grid = 1 << bits
+    ok = F.assert_true(
+        reduce(
+            lambda a, c: a & c,
+            [(c.cast("long") >= 0) & (c.cast("long") < grid) for c in cols],
+        ),
+        F.concat(
+            F.lit(f"zorder_key: value off the [0, {grid}) grid in ("),
+            F.concat_ws(
+                ", ", *[c.cast("long").cast("string") for c in cols]
+            ),
+            F.lit(") — quantize (pmod/bucket) inputs onto the grid"),
+        ),
+    )
+    # ok is NULL whenever the assertion passes; the when() ties the
+    # (row-failing) assertion into the returned expression exactly once
+    return F.when(ok.isNull(), z)
 
 
 def append_zordered(

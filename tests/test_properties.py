@@ -759,3 +759,30 @@ def test_zorder_key_matches_python_interleave(spark, xy):
         rx = sum(((z >> (2 * b)) & 1) << b for b in range(6))
         ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(6))
         assert (rx, ry) == (x, y)
+
+
+def test_zorder_key_check_flags_off_grid_values(spark):
+    """check=True enforces zorder_key's quantization contract at
+    runtime (r14 ADVICE: a value >= 2**bits previously ALIASED silently
+    — high bits simply not interleaved — quietly degrading the
+    clustering/pruning the key exists for): on-grid values produce the
+    identical key as the unchecked expression; any off-grid value fails
+    the job loudly with the offending tuple in the message."""
+    from clickhouse_segments_tutorial_spark.sources.zorder import zorder_key
+
+    ok = spark.createDataFrame([(3, 5), (63, 0)], "x long, y long")
+    cols = [F.col("x"), F.col("y")]
+    plain = [r.z for r in ok.select(zorder_key(cols, bits=6).alias("z")).collect()]
+    checked = [
+        r.z
+        for r in ok.select(
+            zorder_key(cols, bits=6, check=True).alias("z")
+        ).collect()
+    ]
+    assert checked == plain
+
+    import pytest
+
+    bad = spark.createDataFrame([(3, 5), (64, 0)], "x long, y long")
+    with pytest.raises(Exception, match="off the \\[0, 64\\) grid"):
+        bad.select(zorder_key(cols, bits=6, check=True).alias("z")).collect()

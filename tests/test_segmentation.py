@@ -475,3 +475,28 @@ def test_finalize_pending_matches_inserted_block_fast_path(spark, tmp_path):
     # replay the decoupled cadence over the changelog the batch wrote
     seg.finalize_pending(changed_since=t0, assigned_at=t0 + dt.timedelta(seconds=1))
     assert members(seg.members()) == served_fast
+
+
+def test_cascade_split_point_is_semantics_neutral(spark, sf_smoke, monkeypatch):
+    """The _median_ts batch split is a HARNESS choice, not semantics
+    (r14 verdict item 5 swapped exact F.percentile for the sketch-based
+    percentile_approx there): the micro-batch cascade must serve the
+    same membership as the exact one-shot recompute for ANY split point
+    inside the event range — pinned here by running the registered
+    cascade at the approx-median, an early split, and a late split, and
+    comparing all three against segment_idempotent_members."""
+    from clickhouse_segments_tutorial_spark.plans import (
+        segmentation_queries as sq,
+    )
+
+    exact = members(sq.segment_idempotent_members(spark, sf_smoke))
+    assert members(sq.segment_microbatch_members(spark, sf_smoke)) == exact
+
+    events = sq._events(spark, sf_smoke)
+    for q in (0.25, 0.75):
+        row = events.select(
+            F.percentile_approx(F.unix_timestamp("ts"), F.lit(q)).alias("m")
+        ).collect()[0]
+        split = dt.datetime.fromtimestamp(row.m, UTC).replace(tzinfo=None)
+        monkeypatch.setattr(sq, "_median_ts", lambda _df, s=split: s)
+        assert members(sq.segment_microbatch_members(spark, sf_smoke)) == exact
