@@ -1168,6 +1168,32 @@ def ann_ivfadc_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC+R refined operating point over the SAME persisted
+    trained-books index (r14 verdict item 2): the r13 recall analysis
+    pinned the trained probe AT its candidate ceiling — 0.890 at
+    n_probe=24/128 was the BUDGET's limit, not the method's — so the
+    refined probe widens both stages that bound recall: probe budget
+    n_probe 24 -> 40 and the exact-re-rank shortlist k_cand 80 -> 240
+    (the Jegou IVFADC+R refine stage, tripled so the wider candidate
+    set cannot be re-bound by the ADC stage). Measured mean top-10
+    recall over the 10-probe panel at sf0.01: **0.960** vs the trained
+    probe's 0.890 ceiling, along a 0.920 (28/160) / 0.930 (32/160)
+    curve (BASELINE.md r15). Probe-side cost stays in the probe-only
+    class: 40/128 directory-pruned code partitions, one broadcast LUT,
+    240 float vectors touched — the index artifact is byte-identical
+    to ann_ivfadc_probe_trained's (shared build cache)."""
+    from ..operators.ann_index import ivfadc_probe_index
+
+    probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    return ivfadc_probe_index(
+        _t(spark, sf_dir, "embeddings"),
+        _ivfadc_index_for(spark, sf_dir, book_refine_iters=2),
+        list(probe),
+        k=10, n_probe=40, k_cand=240, exclude_id=0,
+    )
+
+
 def ann_ivfadc_probe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted index's STREAMING twin — the batch / incremental /
     streaming triangle closed for similarity search: two waves of
@@ -1526,7 +1552,11 @@ books{t} AS MATERIALIZED (
 
 
 def _ivfadc_oracle(
-    train_where: str = "", book_iters: int = 0, delete_where: str = ""
+    train_where: str = "",
+    book_iters: int = 0,
+    delete_where: str = "",
+    n_probe: int = 24,
+    k_cand: int = 80,
 ) -> str:
     """The IVFADC replay, parameterized by a TRAINING-set predicate and
     a sub-codebook refinement depth. ``train_where`` empty = train on
@@ -1540,7 +1570,9 @@ def _ivfadc_oracle(
     the whole corpus. ``book_iters > 0`` unrolls per-subspace portable
     Lloyd over the residual sub-codebooks (_book_iter_ctes) — the
     trained-books query, whose measured recall hits the coarse-stage
-    candidate ceiling (BASELINE.md r13). ``delete_where`` marks ids a
+    candidate ceiling (BASELINE.md r13). ``n_probe``/``k_cand`` replay
+    a different probe budget / refine-shortlist size (the REFINED
+    query's wider operating point). ``delete_where`` marks ids a
     TOMBSTONE wave removed AFTER the build: the index (training,
     assignment, codes) still covers them — the codes rows are on disk
     until compaction — but the probe's candidate set excludes them, so
@@ -1596,7 +1628,7 @@ probe_rank AS (
          ) AS rk
   FROM cents2 c CROSS JOIN probe_vec p
 ),
-probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= 24),
+probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= {n_probe}),
 cand AS MATERIALIZED (
   SELECT DISTINCT v.vec_id
   FROM (SELECT vec_id, cidx FROM assign WHERE rk <= 2) v
@@ -1666,7 +1698,7 @@ adc AS (
   JOIN qc q ON r.cidx = q.cidx
   GROUP BY c.vec_id
 ),
-shortlist AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 80)
+shortlist AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT {k_cand})
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec), 6) AS cos_sim
 FROM embeddings e
@@ -3113,6 +3145,11 @@ QUERIES = [
         "ann_ivfadc_probe_trained",
         ann_ivfadc_probe_trained,
         _ivfadc_oracle(book_iters=2),
+    ),
+    QuerySpec(
+        "ann_ivfadc_refined",
+        ann_ivfadc_refined,
+        _ivfadc_oracle(book_iters=2, n_probe=40, k_cand=240),
     ),
     QuerySpec(
         "ann_ivfadc_tune_nprobe", ann_ivfadc_tune_nprobe, _ANN_TUNE_ORACLE
