@@ -49,10 +49,34 @@ class QuerySpec:
 # git-diffs the working tree against the commit of the newest
 # CORRECTNESS_r*.json (= this round's base) and maps changed package
 # files to the query modules whose transitive import closure contains
-# them. This override exists only for queries whose semantics changed
-# with NO package-file edit (e.g. a testdata contract change); it should
-# normally stay empty.
-ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset()
+# them. This override serves two cases: queries whose semantics changed
+# with NO package-file edit (e.g. a testdata contract change), and —
+# when a round's edits are broad enough that the DERIVED set covers
+# (nearly) the whole registry, collapsing the pinned block back into
+# plain staleness order (r14 verdict item 6: the changed-but-
+# recently-green queries then sort BEHIND everything and ship without a
+# fresh driver row) — the specific names whose BEHAVIOR the round
+# actually touched. Override names sort to the VERY FRONT of the pinned
+# block, ahead of staleness (all_queries), so they are guaranteed into
+# the driver window regardless of how broad the auto-derivation went.
+# Reset to the new round's names (or empty) each round.
+ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
+    # r15: semantics/plan-relevant edits this round (the auto-derived
+    # set spans all 166 via the text/dedup staging edits, which are
+    # value-neutral for most queries — these are the ones whose own
+    # code or oracle changed)
+    "purchases_in_signup_window",       # group-by-win_start fix
+    "purchases_with_signup_window_left",  # NEW left-mode interval join
+    "ann_ivfadc_refined",               # NEW refined probe point
+    "segment_overlap_kmv",              # empty-segment coalesce guard
+    "zorder_key_events",                # grid quantization (pmod 2^16)
+    "vocab_kmv_per_lang",               # salted keyed bottom-k path
+    "audience_todate_kmv",              # salted keyed bottom-k path
+    "segment_microbatch_members",       # percentile_approx batch split
+    "segment_bucketed_members",         # percentile_approx batch split
+    "segment_eventtime_members",        # percentile_approx batch split
+    "segment_eventtime_members_streaming",  # percentile_approx split
+})
 
 
 def _query_modules() -> tuple:
@@ -301,7 +325,19 @@ def all_queries() -> dict[str, QuerySpec]:
     def staleness(i: int) -> tuple[int, int]:
         return (last_green.get(names[i], -1), i)
 
-    pinned = sorted((i for i in range(len(names)) if specs[names[i]][1]), key=staleness)
+    # override names lead the pinned block AHEAD of staleness: they are
+    # the hand-declared behavior-changed queries of a round whose
+    # auto-derived touched set is too broad to discriminate (see
+    # ROUND_TOUCHED_OVERRIDE) — without this, an all-pinned round sorts
+    # them behind their less-recently-green peers and they ship without
+    # a fresh driver row (r14 verdict item 6)
+    def pin_order(i: int) -> tuple[int, int, int]:
+        return (
+            0 if names[i] in ROUND_TOUCHED_OVERRIDE else 1,
+            *staleness(i),
+        )
+
+    pinned = sorted((i for i in range(len(names)) if specs[names[i]][1]), key=pin_order)
     cap = pin_cap()
     head, overflow = pinned[:cap], pinned[cap:]
     tail = sorted(

@@ -100,7 +100,9 @@ def test_tmp_checkout_edit_pins_module(tmp_path):
 
 def test_registry_round_touched_matches_module_mapping(monkeypatch):
     """Registry pins exactly the queries of derived-touched modules plus
-    the manual override."""
+    the manual override (override neutralized here — the live set varies
+    by round and would otherwise leak into the module-mapping check)."""
+    monkeypatch.setattr(registry, "ROUND_TOUCHED_OVERRIDE", frozenset())
     monkeypatch.setattr(
         registry, "_touched_module_paths", lambda: {f"{PKG}/plans/curation.py"}
     )
@@ -118,6 +120,30 @@ def test_registry_round_touched_matches_module_mapping(monkeypatch):
         registry, "ROUND_TOUCHED_OVERRIDE", frozenset({"q1_pricing_summary"})
     )
     assert registry.round_touched_names() == {"q1_pricing_summary"}
+
+
+def test_override_names_lead_pinned_block_ahead_of_staleness(monkeypatch):
+    """r14 verdict item 6: when a round's derived touched set is so
+    broad it covers (nearly) the whole registry, the pinned block
+    degenerates to plain staleness order and the round's actually-
+    behavior-changed queries — green last round, hence freshest — sort
+    BEHIND everything and miss the driver window. ROUND_TOUCHED_OVERRIDE
+    names must therefore lead the pinned block AHEAD of staleness, so a
+    hand-declared behavior change is guaranteed a fresh driver row no
+    matter how broad the auto-derivation went."""
+    qmods = registry._query_module_paths()
+    # simulate the degenerate round: EVERY query module derived-touched
+    monkeypatch.setattr(registry, "_touched_module_paths", lambda: qmods)
+    # recently-green names (q1 was green in every round) would normally
+    # sort dead last; the override must put them first anyway
+    monkeypatch.setattr(
+        registry,
+        "ROUND_TOUCHED_OVERRIDE",
+        frozenset({"q1_pricing_summary", "segment_overlap_kmv"}),
+    )
+    ordered = list(registry.all_queries())
+    head2 = set(ordered[:2])
+    assert head2 == {"q1_pricing_summary", "segment_overlap_kmv"}
 
 
 def test_global_infrastructure_change_is_not_pinned(monkeypatch):
