@@ -1900,6 +1900,51 @@ def test_jpeg_codec_cross_validates_with_pil():
     assert float(diff.mean()) <= 2.0 and diff.max() <= 8
 
 
+# a canonical 1x1 white GIF89a — a format the dependency-free decoder
+# deliberately does NOT read, so it lands exactly on the PIL escape
+# hatch (multimodal.real_decode): NotImplementedError without PIL, the
+# PIL lane with it. Both sides of the seam are pinned below (r14
+# verdict item 8: the absent-then-present seam was untested and could
+# rot).
+_GIF_1x1_WHITE = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+    b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+)
+
+
+@pytest.mark.skipif(
+    __import__(
+        "clickhouse_segments_tutorial_spark.operators.multimodal",
+        fromlist=["HAVE_PIL"],
+    ).HAVE_PIL,
+    reason="PIL installed: the absent-lane message is unreachable",
+)
+def test_pil_escape_hatch_absent_lane_fails_loud():
+    """Without Pillow, a format outside the built-in decoder set must
+    raise the documented NotImplementedError naming the missing lane —
+    never a silent stub fallback or an opaque parse error."""
+    with pytest.raises(NotImplementedError, match="PIL is not installed"):
+        real_decode(_GIF_1x1_WHITE, "image")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "clickhouse_segments_tutorial_spark.operators.multimodal",
+        fromlist=["HAVE_PIL"],
+    ).HAVE_PIL,
+    reason="Pillow not installed (run scripts/test_with_pillow.sh)",
+)
+def test_pil_escape_hatch_present_lane_decodes():
+    """Venv lane (scripts/test_with_pillow.sh): with Pillow installed
+    the same GIF payload must flow through the PIL hatch into the
+    standard 8-bucket luma histogram — a 1x1 white image puts all mass
+    in bucket 255>>5 == 7 — proving the seam composes with the shared
+    pooling rule rather than rotting behind the import gate."""
+    hist = real_decode(_GIF_1x1_WHITE, "image")
+    assert hist[7] == pytest.approx(1.0)
+    assert sum(hist) == pytest.approx(1.0)
+
+
 def test_resize_media_fixed_output(spark, sf_smoke):
     from clickhouse_segments_tutorial_spark.operators.multimodal import resize_media
 
