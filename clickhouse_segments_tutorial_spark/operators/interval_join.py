@@ -48,6 +48,10 @@ def interval_join(
 
     - ``'inner'`` — one output row per qualifying (point, interval);
     - ``'left_semi'`` — points that fall in at least one window;
+    - ``'left_anti'`` — points that fall in NO window of their key
+      (correct under the bucket scheme because each point occupies
+      exactly one bucket — the anti-join sees every interval that
+      could contain it);
     - ``'left'`` — inner rows PLUS every unmatched point with the
       interval side's columns null (a point has exactly ONE bucket, so
       an unmatched point emits exactly one null-extended row — the
@@ -67,12 +71,12 @@ def interval_join(
     docstring). Intervals with end < start have an empty bucket
     sequence and drop out (matching the BETWEEN semantics: no point
     can satisfy them)."""
-    if how not in ("inner", "left_semi", "left"):
+    if how not in ("inner", "left_semi", "left_anti", "left"):
         raise ValueError(
             f"how={how!r}: supported modes are 'inner', 'left_semi', "
-            "'left' (an unchecked pass-through previously let 'left' run "
-            "with inner-shaped drop semantics and 'left_anti' fail at "
-            "analysis depth)"
+            "'left_anti', 'left' (an unchecked pass-through previously "
+            "let 'left' run with inner-shaped drop semantics and other "
+            "modes fail at analysis depth)"
         )
     if max_span_buckets < 1:
         raise ValueError("max_span_buckets must be >= 1")
@@ -126,8 +130,8 @@ def interval_join(
         & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}"))
         & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
     )
-    if how == "left_semi":
-        return p.join(i, cond, "left_semi").drop(_BKT)
+    if how in ("left_semi", "left_anti"):
+        return p.join(i, cond, how).drop(_BKT)
     joined = p.join(i, cond, how)
     keep = [F.col(f"p.{c}") for c in points.columns] + [
         F.col(f"i.{c}") for c in intervals.columns if c not in keys

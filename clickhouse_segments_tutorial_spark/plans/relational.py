@@ -510,6 +510,64 @@ def purchases_with_signup_window_left(
     )
 
 
+def purchases_outside_signup_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANTI-mode interval join: per-user count and decimal-exact value
+    sum of purchases that fall in NO 7-day signup activation window —
+    the off-window-revenue / churn report, the complement of
+    purchases_in_signup_window. Under the bucket scheme the anti-join
+    is exact (each point occupies ONE bucket, so the (key, bucket)
+    equi-anti-join sees every interval that could contain it); the
+    oracle states the same thing declaratively as NOT EXISTS."""
+    from ..operators.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        how="left_anti",
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_outside"),
+        _dsum(F.col("value")).alias("outside_value"),
+    )
+
+
+_INTERVAL_ANTI_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ws,
+         CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY AS we
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       count(*) AS n_outside,
+       CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE) AS outside_value
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM s
+  WHERE s.user_id = p.user_id AND p.ts >= s.ws AND p.ts <= s.we
+)
+GROUP BY p.user_id
+"""
+
+
 _INTERVAL_LEFT_ORACLE = """
 WITH s AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ws,
@@ -1533,6 +1591,11 @@ QUERIES = [
         "purchases_with_signup_window_left",
         purchases_with_signup_window_left,
         _INTERVAL_LEFT_ORACLE,
+    ),
+    QuerySpec(
+        "purchases_outside_signup_window",
+        purchases_outside_signup_window,
+        _INTERVAL_ANTI_ORACLE,
     ),
     QuerySpec(
         "revenue_rollup_nation_year", revenue_rollup_nation_year, _ROLLUP_ORACLE

@@ -3135,8 +3135,12 @@ def test_interval_join_left_mode_and_guards(spark):
         points.columns + ["win_start", "win_end", "win"]
     )
 
-    with pytest.raises(ValueError, match="left_anti"):
-        interval_join(points, intervals, how="left_anti", **kw)
+    anti = interval_join(points, intervals, how="left_anti", **kw)
+    assert sorted(r.tag for r in anti.collect()) == ["nokey", "outside"]
+    assert sorted(anti.columns) == sorted(points.columns)
+
+    with pytest.raises(ValueError, match="full_outer"):
+        interval_join(points, intervals, how="full_outer", **kw)
     with pytest.raises(ValueError, match="reserved helper column"):
         interval_join(
             points.withColumn("__interval_join_bkt", F.lit(0)),
