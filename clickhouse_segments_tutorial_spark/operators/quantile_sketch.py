@@ -1,0 +1,173 @@
+"""Mergeable fixed-bin quantile sketches — the ClickHouse
+``quantileState`` / ``quantileMerge`` AggregatingMergeTree family
+re-expressed with Spark built-ins (reference analog: the segment
+cascades persist uniqState/maxState partials and finalize with -Merge,
+/root/reference/src/3-microBatch.test.ts:14-70; this is the same
+partial-state shape for ORDER STATISTICS, completing the sketch set
+next to HLL (operators/hll_state.py) and bottom-k KMV
+(operators/kmv.py)).
+
+The state is an equi-width histogram over a declared [lo, hi) domain:
+``bins`` long counters, bin = clamp(floor((v - lo) / width)). That
+choice is deliberate against fancier summaries (t-digest, KLL):
+
+- **merge is EXACT and associative** — elementwise vector addition, so
+  partial sketches per shard/day/source fold to precisely the sketch
+  of the whole (t-digest merges are order-dependent; this one is the
+  AggregatingMergeTree algebra, closed under merge);
+- **engine-portable determinism** — binning is one subtract / divide /
+  floor / clamp and the quantile estimate one interpolation, all fixed
+  IEEE double ops, so a SQL oracle replays every estimate bit-for-bit
+  (the repo's value-oracle contract; a t-digest cannot be replayed
+  relationally);
+- the cost is a declared domain and equi-width (not equi-depth) error
+  — width/2-scale, the honest trade for exact mergeability, documented
+  at the call site that picks [lo, hi, bins].
+
+Quantile rule (the classic histogram interpolation): with n total
+counts, target rank r = clamp(floor(q*n) + 1, 1, n); find the first
+bin b whose cumulative count reaches r; estimate
+``lo + width * (b + (r - cum_before_b) / count_b)`` — linear within
+the bin, exact at bin boundaries, rounded to 6 decimals for the
+cross-engine hash gate.
+
+100-TB shape: construction is two map-side-combinable hash aggs
+((keys, bin) counts, then keys with a <= bins-entry map fold) — no
+window, no sort, per-group state bounded at ``bins`` longs regardless
+of row count. Merging partials is a groupBy fold over <= n_partials
+arrays of ``bins`` longs (sketch METADATA, not data). Every estimator
+below is a pure Column expression over the array state, so merged
+sketches answer p50/p99 questions without re-reading raw rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _width(lo: float, hi: float, bins: int) -> float:
+    if not (hi > lo) or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    return (hi - lo) / bins
+
+
+def hist_bin(value: Column, *, lo: float, hi: float, bins: int) -> Column:
+    """The sketch's bin index for a value: clamp(floor((v - lo)/width))
+    into [0, bins) — out-of-domain values land in the edge bins (their
+    mass is counted, their position saturates; callers that need exact
+    tails widen the domain)."""
+    w = _width(lo, hi, bins)
+    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w))
+    return F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int"))
+    ).cast("int")
+
+
+def hist_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """One row per key group with ``sketch`` = the bins-length count
+    array (array<long>, dense — absent bins are 0). Two hash aggs,
+    both with map-side partial aggregation; the second folds <= bins
+    (bin, count) entries per group through a map, so no per-group state
+    ever exceeds the sketch size."""
+    binned = df.select(
+        *[F.col(c) for c in key_cols],
+        hist_bin(F.col(value_col), lo=lo, hi=hi, bins=bins).alias("_b"),
+    )
+    counts = binned.groupBy(*[F.col(c) for c in key_cols], F.col("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return counts.groupBy(*[F.col(c) for c in key_cols]).agg(
+        dense.alias("sketch")
+    )
+
+
+def hist_merge(a: Column, b: Column) -> Column:
+    """Merge two sketches: elementwise sum. Exact and associative —
+    the sketch of a union IS the sum of the sketches."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def hist_merge_agg(sketch_col: str | Column) -> Column:
+    """Aggregate form for groupBy folds over partial sketches:
+    collect_list gathers <= n_partials arrays (bounded state — sketch
+    metadata, not data), then one elementwise fold. Order-insensitive
+    because vector addition commutes, so collect_list's
+    nondeterministic ordering is harmless."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    lst = F.collect_list(c)
+    zeros = F.transform(
+        F.element_at(lst, 1), lambda x: F.lit(0).cast("long")
+    )
+    return F.aggregate(lst, zeros, lambda acc, s: hist_merge(acc, s))
+
+
+def hist_count(sketch: Column) -> Column:
+    """Total count in the sketch (exact — every row lands in a bin)."""
+    return F.aggregate(
+        sketch, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
+
+def hist_quantile(
+    sketch: Column, q: Column | float, *, lo: float, hi: float, bins: int
+) -> Column:
+    """The module-docstring interpolation as one expression walk over
+    the array state: rank r = clamp(floor(q*n)+1, 1, n), locate the
+    first bin whose cumulative reaches r, interpolate linearly inside
+    it, round(6) for the cross-engine gate. NULL on an empty sketch
+    (no rows — there is no quantile to estimate)."""
+    w = _width(lo, hi, bins)
+    qc = F.lit(float(q)) if not isinstance(q, Column) else q
+    n = hist_count(sketch)
+    r = F.least(
+        F.greatest(
+            F.floor(qc * n.cast("double")).cast("long") + 1, F.lit(1).cast("long")
+        ),
+        n,
+    )
+    pairs = F.zip_with(
+        sketch,
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda c, i: F.struct(c.cast("long").alias("c"), i.alias("i")),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).cast("int").alias("bin"),
+        F.lit(0).cast("long").alias("before"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def step(acc, p):
+        hit = (acc["bin"] < 0) & (acc["cum"] + p["c"] >= r) & (p["c"] > 0)
+        return F.struct(
+            (acc["cum"] + p["c"]).alias("cum"),
+            F.when(hit, p["i"]).otherwise(acc["bin"]).alias("bin"),
+            F.when(hit, acc["cum"]).otherwise(acc["before"]).alias("before"),
+            F.when(hit, p["c"]).otherwise(acc["cnt"]).alias("cnt"),
+        )
+
+    walk = F.aggregate(pairs, acc0, step)
+    frac = (r - walk["before"]).cast("double") / walk["cnt"].cast("double")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        walk["bin"].cast("double") + frac
+    )
+    return F.when(walk["bin"] >= 0, F.round(est, 6))

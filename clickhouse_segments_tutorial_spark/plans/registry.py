@@ -68,6 +68,8 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "purchases_in_signup_window",       # group-by-win_start fix
     "purchases_with_signup_window_left",  # NEW left-mode interval join
     "purchases_outside_signup_window",  # NEW anti-mode interval join
+    "order_value_quantiles_by_priority",  # NEW quantile sketch state
+    "order_value_quantiles_merged",     # NEW quantile sketch merge proof
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

@@ -712,6 +712,142 @@ FROM z GROUP BY event_type
 """
 
 
+# --- mergeable quantile sketches (the quantileState/-Merge analog) ----------
+
+# one definition site for the domain the order-value sketches declare
+# (operators/quantile_sketch.py: equi-width over [lo, hi), exact merge)
+_QLO, _QHI, _QBINS = 0.0, 600_000.0, 240  # width 2500, covers o_totalprice
+
+
+def order_value_quantiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority order-value quantiles from HISTOGRAM SKETCH state
+    (operators/quantile_sketch.py — the ClickHouse quantileState shape):
+    one row per o_orderpriority with the exact count and the sketch's
+    interpolated p50/p90. No sort anywhere: construction is two
+    map-side-combinable hash aggs and the estimators are expression
+    walks over the 240-long state — the movement pattern that holds at
+    any row count, vs exact percentile's per-group global sort. The
+    oracle replays binning, rank arithmetic, and interpolation
+    relationally, bit-for-bit."""
+    from ..operators.quantile_sketch import (
+        hist_count,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = hist_sketch(
+        orders, ["o_orderpriority"], "o_totalprice",
+        lo=_QLO, hi=_QHI, bins=_QBINS,
+    )
+    q = lambda p: hist_quantile(
+        F.col("sketch"), p, lo=_QLO, hi=_QHI, bins=_QBINS
+    )
+    return sk.select(
+        "o_orderpriority",
+        hist_count(F.col("sketch")).alias("n_orders"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+    )
+
+
+def _qsketch_oracle_ctes(partition: str) -> str:
+    """The sketch replay: clamp-binning, per-bin counts, cumulative
+    walk — partitioned by ``partition`` (or a constant for the global
+    sketch)."""
+    return f"""
+b AS (
+  SELECT {partition} AS pk,
+         least({_QBINS - 1}, greatest(0,
+           CAST(floor((CAST(o_totalprice AS DOUBLE) - {_QLO!r}) / 2500.0)
+                AS INT))) AS bin
+  FROM orders
+),
+h AS (SELECT pk, bin, count(*) AS c FROM b GROUP BY pk, bin),
+n AS (SELECT pk, sum(c) AS n FROM h GROUP BY pk),
+cum AS (
+  SELECT pk, bin, c,
+         sum(c) OVER (PARTITION BY pk ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY pk ORDER BY bin) - c AS before
+  FROM h
+),
+tgt AS (
+  SELECT n.pk, q.q,
+         least(greatest(CAST(floor(q.q * n.n) AS BIGINT) + 1, 1), n.n) AS r
+  FROM n CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) q
+),
+est AS (
+  SELECT t.pk, t.q,
+         (SELECT round({_QLO!r} + 2500.0 *
+                       (CAST(c.bin AS DOUBLE)
+                        + CAST(t.r - c.before AS DOUBLE)
+                          / CAST(c.c AS DOUBLE)), 6)
+          FROM cum c
+          WHERE c.pk = t.pk AND c.cum >= t.r
+          ORDER BY c.bin LIMIT 1) AS e
+  FROM tgt t
+)"""
+
+
+_QSKETCH_PRIORITY_ORACLE = f"""
+WITH {_qsketch_oracle_ctes("o_orderpriority")}
+SELECT n.pk AS o_orderpriority,
+       CAST(n.n AS BIGINT) AS n_orders,
+       (SELECT e FROM est WHERE est.pk = n.pk AND q = 0.5) AS p50,
+       (SELECT e FROM est WHERE est.pk = n.pk AND q = 0.9) AS p90
+FROM n
+"""
+
+
+def order_value_quantiles_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantiles from MERGED partial sketches — the quantileMerge half
+    of the family, and the merge-losslessness PROOF: the per-priority
+    partial sketches fold to one global state (elementwise sum, the
+    AggregatingMergeTree algebra) and the estimates come off the merged
+    state, while the ORACLE computes the histogram DIRECTLY over all
+    orders with no partial stage — so the driver's hash equality holds
+    only because partials merge exactly (the same proof shape as
+    vocab_kmv_per_lang across sources and audience_todate_kmv across
+    days). Yesterday's partials answer today's global p99 without
+    re-reading raw rows."""
+    from ..operators.quantile_sketch import (
+        hist_count,
+        hist_merge_agg,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    partials = hist_sketch(
+        orders, ["o_orderpriority"], "o_totalprice",
+        lo=_QLO, hi=_QHI, bins=_QBINS,
+    )
+    merged = partials.groupBy().agg(hist_merge_agg("sketch").alias("m"))
+    q = lambda p: hist_quantile(
+        F.col("m"), p, lo=_QLO, hi=_QHI, bins=_QBINS
+    )
+    return merged.select(
+        hist_count(F.col("m")).alias("n_orders"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+        q(0.99).alias("p99"),
+    )
+
+
+_QSKETCH_MERGED_ORACLE = f"""
+WITH {_qsketch_oracle_ctes("1")}
+SELECT CAST(n.n AS BIGINT) AS n_orders,
+       (SELECT e FROM est WHERE q = 0.5) AS p50,
+       (SELECT e FROM est WHERE q = 0.9) AS p90,
+       (SELECT e FROM est WHERE q = 0.99) AS p99
+FROM n
+"""
+
+
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable partial sketches — the AggregatingMergeTree shape for
     distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
@@ -1581,6 +1717,16 @@ QUERIES = [
     QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
+    QuerySpec(
+        "order_value_quantiles_by_priority",
+        order_value_quantiles_by_priority,
+        _QSKETCH_PRIORITY_ORACLE,
+    ),
+    QuerySpec(
+        "order_value_quantiles_merged",
+        order_value_quantiles_merged,
+        _QSKETCH_MERGED_ORACLE,
+    ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(
         "purchases_in_signup_window",

@@ -3165,3 +3165,82 @@ def test_interval_join_left_mode_and_guards(spark):
         "user_id long, win_start timestamp, win_end timestamp, win string",
     )
     assert interval_join(points, inverted, **kw).count() == 0
+
+
+def test_hist_sketch_merge_and_quantiles(spark):
+    """Mergeable fixed-bin quantile sketches (operators/quantile_sketch
+    — the quantileState/-Merge analog): the direct global sketch equals
+    the fold of any keyed partials (merge is EXACT vector addition);
+    quantile estimates land within one bin width of the true order
+    statistic on a uniform sample; out-of-domain values saturate into
+    the edge bins instead of vanishing; an empty input yields no sketch
+    row and a present-but-empty estimate stays NULL."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        hist_count,
+        hist_merge_agg,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    lo, hi, bins = 0.0, 1000.0, 100
+    width = (hi - lo) / bins
+    rows = [(f"g{i % 7}", float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    direct = hist_sketch(df, [], "v", lo=lo, hi=hi, bins=bins).collect()[0][
+        "sketch"
+    ]
+    merged = (
+        hist_sketch(df, ["g"], "v", lo=lo, hi=hi, bins=bins)
+        .groupBy()
+        .agg(hist_merge_agg("sketch").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert merged == direct  # merge losslessness, as array equality
+
+    got = (
+        spark.createDataFrame([(direct,)], "s array<long>")
+        .select(
+            hist_count(F.col("s")).alias("n"),
+            *[
+                hist_quantile(F.col("s"), q, lo=lo, hi=hi, bins=bins).alias(
+                    f"q{int(q * 100)}"
+                )
+                for q in (0.1, 0.5, 0.9, 0.99)
+            ],
+        )
+        .collect()[0]
+    )
+    assert got.n == 2000
+    import statistics
+
+    vals = sorted(v for _, v in rows)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = vals[min(len(vals) - 1, int(q * len(vals)))]
+        est = got[f"q{int(q * 100)}"]
+        assert abs(est - true) <= width, (q, est, true)
+
+    # out-of-domain saturation: mass lands in the edge bins
+    od = spark.createDataFrame(
+        [("a", -50.0), ("a", 1e9), ("a", 500.0)], "g string, v double"
+    )
+    sk = hist_sketch(od, [], "v", lo=lo, hi=hi, bins=bins).collect()[0][
+        "sketch"
+    ]
+    assert sk[0] == 1 and sk[bins - 1] == 1 and sum(sk) == 3
+
+    # empty input: the keyed sketch has no rows; the keyless (global)
+    # sketch follows global-agg semantics — ONE all-zero row whose
+    # estimates are NULL (count 0), matching the all-zero case below
+    empty = spark.createDataFrame([], "g string, v double")
+    assert hist_sketch(empty, ["g"], "v", lo=lo, hi=hi, bins=bins).count() == 0
+    gz = hist_sketch(empty, [], "v", lo=lo, hi=hi, bins=bins).collect()
+    assert len(gz) == 1 and sum(gz[0]["sketch"]) == 0
+    # an all-zero sketch (possible after retraction algebra) -> NULL est
+    z = spark.createDataFrame([([0] * bins,)], "s array<long>")
+    assert (
+        z.select(
+            hist_quantile(F.col("s"), 0.5, lo=lo, hi=hi, bins=bins).alias("e")
+        ).collect()[0]["e"]
+        is None
+    )
