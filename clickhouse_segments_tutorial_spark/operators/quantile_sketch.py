@@ -171,3 +171,147 @@ def hist_quantile(
         walk["bin"].cast("double") + frac
     )
     return F.when(walk["bin"] >= 0, F.round(est, 6))
+
+
+class IncrementalQuantileHist:
+    """Wave-state twin of the quantile-sketch queries on the shared
+    wave chassis (operators/wave_counts.WaveCountState) — the same
+    nightly-refresh pattern as the TF-IDF / bigram / KMV trainers
+    (plans/corpus_stats_twins.py): histogram counts are ASSOCIATIVE
+    integers, so per-wave (group, bin) deltas sum to exactly the batch
+    histogram under ANY disjoint wave split, and the rebuilt estimates
+    are bit-identical to the batch query's — the twins share its
+    DuckDB oracle. State rows: key "<group>:<bin zero-padded>" -> c
+    (the group key never contains ':' for the declared callers —
+    asserted at ingest; zero-padding keeps a crash-replayed wave's
+    rows byte-identical so the chassis's max-collapse absorbs them).
+    State size: <= n_groups x bins longs per wave — KB-scale metadata
+    regardless of row count. Retraction note: counts are invertible
+    (negative deltas would subtract exactly), unlike the bottom-k
+    sketch next door."""
+
+    def __init__(
+        self,
+        spark,
+        workdir: str,
+        *,
+        group_col: str,
+        value_col: str,
+        lo: float,
+        hi: float,
+        bins: int,
+        state_buckets: int = 8,
+    ):
+        from .wave_counts import WaveCountState
+
+        self.spark = spark
+        self.group_col, self.value_col = group_col, value_col
+        self.lo, self.hi, self.bins = lo, hi, bins
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="qhist",
+            key_col="key",
+            key_type="string",
+            value_cols=["c"],
+            state_buckets=state_buckets,
+        )
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def compact(self, wave: int = 0) -> None:
+        self._st.compact(wave)
+
+    def ingest(self, df: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Fold one wave's (group, bin) counts into state; returns the
+        pinned audit row (wave, n_rows)."""
+        wave = self._st.resolve_wave(wave_id)
+        ok = F.assert_true(
+            ~F.col(self.group_col).cast("string").contains(":"),
+            F.lit(
+                f"IncrementalQuantileHist: {self.group_col} value contains "
+                "the ':' key separator"
+            ),
+        )
+        delta = (
+            df.select(
+                F.when(ok.isNull(), F.col(self.group_col).cast("string")).alias(
+                    "_g"
+                ),
+                hist_bin(
+                    F.col(self.value_col), lo=self.lo, hi=self.hi,
+                    bins=self.bins,
+                ).alias("_b"),
+            )
+            .groupBy("_g", "_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                F.concat(
+                    F.col("_g"),
+                    F.lit(":"),
+                    F.lpad(F.col("_b").cast("string"), 4, "0"),
+                ).alias("key"),
+                "c",
+            )
+            .persist()
+        )
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"),
+                F.sum("c").alias("n_rows"),
+            )
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def sketches(self) -> DataFrame:
+        """One row per group with the dense rebuilt sketch — identical
+        to hist_sketch over the concatenation of every wave."""
+        s = self._st.read()
+        counts = (
+            s.groupBy("key")
+            .agg(F.sum("c").alias("_c"))
+            .select(
+                F.split_part(F.col("key"), F.lit(":"), F.lit(1)).alias(
+                    self.group_col
+                ),
+                F.split_part(F.col("key"), F.lit(":"), F.lit(2))
+                .cast("int")
+                .alias("_b"),
+                "_c",
+            )
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(self.bins - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+                    ),
+                    i,
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        return counts.groupBy(self.group_col).agg(dense.alias("sketch"))
+
+    def score(self, df: DataFrame | None = None) -> DataFrame:
+        """(n_orders, p50, p90, p99) off the MERGED rebuilt partials —
+        the batch order_value_quantiles_merged shape (df accepted and
+        ignored: the trainer-protocol signature the wave gate
+        expects)."""
+        merged = self.sketches().groupBy().agg(
+            hist_merge_agg("sketch").alias("m")
+        )
+        q = lambda p: hist_quantile(
+            F.col("m"), p, lo=self.lo, hi=self.hi, bins=self.bins
+        )
+        return merged.select(
+            hist_count(F.col("m")).alias("n_orders"),
+            q(0.5).alias("p50"),
+            q(0.9).alias("p90"),
+            q(0.99).alias("p99"),
+        )

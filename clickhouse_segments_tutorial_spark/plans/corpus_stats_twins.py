@@ -374,3 +374,82 @@ QUERIES.extend(
         QuerySpec("vocab_kmv_streaming", vocab_kmv_streaming, _kmv_oracle()),
     ]
 )
+
+
+def _qhist_trainer(spark: SparkSession, workdir: str):
+    from ..operators.quantile_sketch import IncrementalQuantileHist
+    from .relational import _QBINS, _QHI, _QLO
+
+    return IncrementalQuantileHist(
+        spark, workdir, group_col="o_orderpriority",
+        value_col="o_totalprice", lo=_QLO, hi=_QHI, bins=_QBINS,
+    )
+
+
+def order_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-value quantile sketch maintained INCREMENTALLY over
+    two o_orderkey-median waves (operators/quantile_sketch.
+    IncrementalQuantileHist on the shared wave chassis): per-wave
+    (priority, bin) count deltas sum to exactly the batch histogram, so
+    this shares order_value_quantiles_merged's oracle — the hash match
+    proves the incremental fold equals the batch sketch on real data.
+    Yesterday's orders are never re-read to answer today's p99."""
+    from .curation import _stream_scratch
+
+    orders = load_table(spark, sf_dir, "orders")
+    mid = orders.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    trainer = _qhist_trainer(spark, _stream_scratch("qhist_incr"))
+    trainer.reset()
+    trainer.ingest(orders.filter(F.col("o_orderkey") < mid))
+    trainer.ingest(orders.filter(F.col("o_orderkey") >= mid))
+    return trainer.score()
+
+
+def order_quantiles_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-sketch trainer behind the streaming wave gate — the
+    batch/incremental/streaming triangle closed for the quantileState
+    family; shares the batch oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    workdir = _stream_scratch("qhist_streaming")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mid = orders.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    trainer = _qhist_trainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(
+        spark, workdir, schema=orders.schema, ingestor=trainer
+    )
+    gate.reset_state()
+    orders.filter(F.col("o_orderkey") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    orders.filter(F.col("o_orderkey") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    return trainer.score()
+
+
+def _qhist_oracle():
+    from .relational import _QSKETCH_MERGED_ORACLE
+
+    return _QSKETCH_MERGED_ORACLE
+
+
+QUERIES.extend(
+    [
+        QuerySpec(
+            "order_quantiles_incremental",
+            order_quantiles_incremental,
+            _qhist_oracle(),
+        ),
+        QuerySpec(
+            "order_quantiles_streaming",
+            order_quantiles_streaming,
+            _qhist_oracle(),
+        ),
+    ]
+)

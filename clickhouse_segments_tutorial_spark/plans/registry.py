@@ -70,6 +70,8 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "purchases_outside_signup_window",  # NEW anti-mode interval join
     "order_value_quantiles_by_priority",  # NEW quantile sketch state
     "order_value_quantiles_merged",     # NEW quantile sketch merge proof
+    "order_quantiles_incremental",      # NEW quantile sketch wave twin
+    "order_quantiles_streaming",        # NEW quantile sketch stream twin
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

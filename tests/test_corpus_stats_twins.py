@@ -193,3 +193,60 @@ def test_kmv_vocab_incremental_split_invariant_and_replay_safe(spark, tmp_path):
     assert rows(tr.score()) == expected
     tr.ingest(w1, wave_id=1)  # replay of an already-compacted wave
     assert rows(tr.score()) == expected
+
+
+def test_qhist_incremental_split_invariant_and_replay_safe(spark, tmp_path):
+    """IncrementalQuantileHist: the rebuilt merged quantile estimates
+    are IDENTICAL under any disjoint wave split (histogram counts are
+    associative — one wave, mod-2 waves, mod-3 waves all rebuild the
+    same dense arrays), the rebuilt per-group sketches equal the batch
+    hist_sketch arrays exactly, and the WaveCountState crash contract
+    holds: replayed waves (including after compact) change nothing.
+    Batch equality itself is the shared driver oracle
+    (order_value_quantiles_merged / order_quantiles_{incremental,
+    streaming} all hash against the same SQL)."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        IncrementalQuantileHist,
+        hist_sketch,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lo, hi, bins = 0.0, 600_000.0, 240
+
+    def mk(path):
+        return IncrementalQuantileHist(
+            spark, str(tmp_path / path), group_col="o_orderpriority",
+            value_col="o_totalprice", lo=lo, hi=hi, bins=bins,
+        )
+
+    one = mk("one")
+    one.reset()
+    one.ingest(orders, wave_id=1)
+    expected = _rows(one.score())
+    assert expected and expected[0][0] > 0
+
+    # rebuilt per-group sketches == batch hist_sketch arrays, exactly
+    batch_sk = {
+        r["o_orderpriority"]: r["sketch"]
+        for r in hist_sketch(
+            orders, ["o_orderpriority"], "o_totalprice",
+            lo=lo, hi=hi, bins=bins,
+        ).collect()
+    }
+    incr_sk = {
+        r["o_orderpriority"]: r["sketch"] for r in one.sketches().collect()
+    }
+    assert incr_sk == batch_sk
+
+    tr = mk("mod3")
+    tr.reset()
+    waves = [orders.filter(F.col("o_orderkey") % 3 == k) for k in range(3)]
+    for i, w in enumerate(waves):
+        tr.ingest(w, wave_id=i + 1)
+    assert _rows(tr.score()) == expected
+    tr.ingest(waves[1], wave_id=2)  # crash replay
+    assert _rows(tr.score()) == expected
+    tr.compact()
+    assert _rows(tr.score()) == expected
+    tr.ingest(waves[0], wave_id=1)  # replay of an already-compacted wave
+    assert _rows(tr.score()) == expected
