@@ -1,0 +1,111 @@
+"""Count-min sketch — mergeable FREQUENCY estimation, the third leg of
+the sketch family next to distinct counting (HLL operators/hll_state.py,
+bottom-k KMV operators/kmv.py) and order statistics
+(operators/quantile_sketch.py). Reference analog: the segment cascades
+threshold per-user event COUNTS (/root/reference/src/1-naive.test.ts:
+72-95); a CMS answers "how often did X occur" from fixed-size state
+when the key universe is too large to count exactly — the
+heavy-hitter / topK-style partial the same engines persist in
+AggregatingMergeTree tables (Cormode & Muthukrishnan 2005, "An
+improved data stream summary: the count-min sketch").
+
+State: ``d`` hash rows x ``w`` counters, held RELATIONALLY as sparse
+(row, col, c) long rows — at the defaults that is <= 2048 rows of
+metadata, and the sparse frame is the Spark-native shape: construction
+is one map-side-combinable hash agg, merge is union + re-agg
+(counters are associative sums — the AggregatingMergeTree algebra),
+and point estimates are a broadcast join + min, all spill-safe at any
+input size. No driver-side arrays, no UDFs.
+
+Estimator: est(x) = min_i counter[i][h_i(x)] — an UPPER bound on the
+true count, always (every occurrence of x increments all d of its
+counters; collisions only ADD). Error: overcount <= e/w * N with
+probability 1 - e^-d over the hash draw — w trades memory for
+precision, d failure probability. The hash is the repo's engine-
+portable 60-bit md5 (dedup.md5_hash60) over "<row>:<item>", reduced
+mod w, so a SQL oracle replays construction and estimates
+bit-for-bit; the ':' separator cannot alias because the row prefix is
+a bare integer.
+
+100-TB shape: the input pass is one groupBy over (row, col) — d
+output rows per input row map-side, collapsing to d*w counters; no
+shuffle grows with the key universe (the exact-count alternative
+shuffles every distinct key). Probing P items touches P*d counter
+rows through a broadcast of the d*w-row sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_hash60
+
+
+def cms_col(item: Column, row: int | Column, *, w: int) -> Column:
+    """Counter column index of ``item`` in hash row ``row``:
+    md5_hash60("<row>:<item>") mod w — non-negative, engine-portable."""
+    r = F.lit(row) if not isinstance(row, Column) else row
+    return F.pmod(
+        md5_hash60(
+            F.concat(r.cast("string"), F.lit(":"), item.cast("string"))
+        ),
+        F.lit(w),
+    ).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, *, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Build the sketch over every row of ``df`` (multiset semantics —
+    duplicates count): sparse (row, col, c) counters, absent cells 0.
+    One explode into the d hash rows, one hash agg."""
+    if d < 1 or w < 1:
+        raise ValueError("need d >= 1 hash rows and w >= 1 counters")
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+        F.col(item_col).alias("_it"),
+    ).select("row", cms_col(F.col("_it"), F.col("row"), w=w).alias("col"))
+    return rows.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge partial sketches built with the SAME (d, w): union +
+    re-sum. Exact and associative — the sketch of a union of multisets
+    IS the cellwise sum (caller owns parameter agreement; mismatched w
+    would silently mix hash spaces)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point estimates for every row of ``items``: ``items`` columns
+    plus ``cms_est`` = min over the d hash rows of the matching
+    counter (absent counter = 0 — the item was never seen in that
+    row). The sketch side is broadcast (d*w counter rows by
+    construction); the min folds per input row, so cost is linear in
+    the probe set."""
+    probes = items.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    ).withColumn("col", cms_col(F.col(item_col), F.col("row"), w=w))
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
+    )

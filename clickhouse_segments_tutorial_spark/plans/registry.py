@@ -72,6 +72,7 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "order_value_quantiles_merged",     # NEW quantile sketch merge proof
     "order_quantiles_incremental",      # NEW quantile sketch wave twin
     "order_quantiles_streaming",        # NEW quantile sketch stream twin
+    "heavy_user_counts_cms",            # NEW count-min sketch
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

@@ -712,6 +712,59 @@ FROM z GROUP BY event_type
 """
 
 
+def heavy_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/cms.py — the
+    heavy-hitter partial next to the HLL / KMV / quantile states): a
+    4 x 512 CMS built over every event's user_id, probed for the
+    top-20 users by exact count. Output (user_id, n_events, cms_est)
+    — the driver hash pins construction AND estimator on all cells
+    every round, and cms_est >= n_events by construction (collisions
+    only add; equality whenever a user's 4 cells are collision-free).
+    The exact counts here are the TEST HARNESS, not the production
+    pattern: at scale the exact groupBy shuffles every distinct key
+    while the sketch is 2048 counters and one map-side agg. The oracle
+    replays the md5-mod hashing, cell counting, and min-fold
+    bit-for-bit."""
+    from ..operators.cms import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", d=4, w=512)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "user_id", d=4, w=512)
+
+
+_CMS_ORACLE = """
+WITH r AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
+cells AS (
+  SELECT r.row,
+         CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                                  || CAST(e.user_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 512 AS INT) AS col
+  FROM events e CROSS JOIN r
+),
+cms AS (SELECT row, col, count(*) AS c FROM cells GROUP BY row, col),
+top AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+  ORDER BY n_events DESC, user_id ASC LIMIT 20
+),
+probe AS (
+  SELECT t.user_id, t.n_events, r.row,
+         CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                                  || CAST(t.user_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 512 AS INT) AS col
+  FROM top t CROSS JOIN r
+)
+SELECT p.user_id, p.n_events, min(coalesce(c.c, 0)) AS cms_est
+FROM probe p LEFT JOIN cms c USING (row, col)
+GROUP BY p.user_id, p.n_events
+"""
+
+
 # --- mergeable quantile sketches (the quantileState/-Merge analog) ----------
 
 # one definition site for the domain the order-value sketches declare
@@ -1727,6 +1780,7 @@ QUERIES = [
         order_value_quantiles_merged,
         _QSKETCH_MERGED_ORACLE,
     ),
+    QuerySpec("heavy_user_counts_cms", heavy_user_counts_cms, _CMS_ORACLE),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(
         "purchases_in_signup_window",

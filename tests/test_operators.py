@@ -3244,3 +3244,48 @@ def test_hist_sketch_merge_and_quantiles(spark):
         ).collect()[0]["e"]
         is None
     )
+
+
+def test_cms_sketch_bounds_merge_and_exactness(spark):
+    """Count-min sketch (operators/cms.py): estimates are ALWAYS upper
+    bounds on the true multiset count (collisions only add); with a
+    universe far below w the 4 cells are collision-free and estimates
+    are exact; merged partial sketches equal the sketch of the whole
+    (cellwise sums — checked as full counter-table equality); an
+    unseen item estimates 0."""
+    from clickhouse_segments_tutorial_spark.operators.cms import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    d, w = 4, 512
+    rows = [(f"u{i % 40}",) for i in range(4000)]  # 40 keys, 100 each
+    df = spark.createDataFrame(rows, "uid string")
+    sk = cms_sketch(df, "uid", d=d, w=w)
+
+    exact = df.groupBy("uid").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sk, exact, "uid", d=d, w=w).collect()
+    assert len(est) == 40
+    for r in est:
+        assert r.cms_est >= r.n  # upper bound, always
+        assert r.cms_est == r.n  # 40 keys << 512 cells: exact here
+
+    # merge = sketch of the union, as exact counter-table equality
+    half1 = spark.createDataFrame(rows[:1500], "uid string")
+    half2 = spark.createDataFrame(rows[1500:], "uid string")
+    merged = cms_merge(
+        cms_sketch(half1, "uid", d=d, w=w),
+        cms_sketch(half2, "uid", d=d, w=w),
+    )
+    whole = {(r.row, r.col): r.c for r in sk.collect()}
+    folded = {(r.row, r.col): r.c for r in merged.collect()}
+    assert folded == whole
+
+    unseen = spark.createDataFrame([("nobody",)], "uid string")
+    assert (
+        cms_estimate(sk, unseen, "uid", d=d, w=w).collect()[0].cms_est == 0
+    )
+
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_sketch(df, "uid", d=0, w=w)
