@@ -530,3 +530,31 @@ def test_interval_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "_bkt" in plan  # the bucket participates in the join keys
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_sketch_has_no_sort(spark):
+    """The histogram-sketch quantile queries must plan with ZERO Sort
+    nodes — the whole point vs exact percentile (a per-group global
+    sort): construction is two hash aggs and the estimator an
+    expression walk over the array state. The merged variant adds only
+    the partial-fold agg, still sortless."""
+    for name in (
+        "order_value_quantiles_by_priority",
+        "order_value_quantiles_merged",
+    ):
+        plan = plan_of(spark, name)
+        assert node_count(plan, "Sort") == 0, name
+        assert node_count(plan, "HashAggregate") >= 2, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The CMS point-estimate join must broadcast the counter table
+    (d*w rows by construction — never a shuffled join against the
+    probe set) and the top-k harness side must be TakeOrderedAndProject,
+    not a global sort."""
+    plan = plan_of(spark, "heavy_user_counts_cms")
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
