@@ -226,6 +226,23 @@ class IncrementalQuantileHist:
     def ingest(self, df: DataFrame, *, wave_id: int | None = None) -> DataFrame:
         """Fold one wave's (group, bin) counts into state; returns the
         pinned audit row (wave, n_rows)."""
+        return self._fold(df, wave_id=wave_id, sign=1)
+
+    def retract(self, df: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """The TAKEDOWN lane: fold one wave of NEGATIVE (group, bin)
+        deltas for rows previously ingested — count state is exactly
+        invertible (unlike the bottom-k sketch next door, whose
+        takedown path is reset + re-ingest), so after the retraction
+        the rebuilt sketch equals the batch sketch over the surviving
+        rows, bit-for-bit. Caller contract: retract only rows that
+        were ingested (over-retraction would drive cells negative;
+        score() would then see phantom negative mass — the same
+        caller-owns-idempotency contract as every delta lane)."""
+        return self._fold(df, wave_id=wave_id, sign=-1)
+
+    def _fold(
+        self, df: DataFrame, *, wave_id: int | None, sign: int
+    ) -> DataFrame:
         wave = self._st.resolve_wave(wave_id)
         ok = F.assert_true(
             ~F.col(self.group_col).cast("string").contains(":"),
@@ -245,7 +262,7 @@ class IncrementalQuantileHist:
                 ).alias("_b"),
             )
             .groupBy("_g", "_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg((F.count(F.lit(1)) * F.lit(sign)).cast("long").alias("c"))
             .select(
                 F.concat(
                     F.col("_g"),

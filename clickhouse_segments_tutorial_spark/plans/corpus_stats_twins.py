@@ -433,10 +433,37 @@ def order_quantiles_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trainer.score()
 
 
+def order_quantiles_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's TAKEDOWN lane (the deleted-twin shape of
+    novelty_ngram_deleted / semantic_dedup_deleted / minhash_near_dup_
+    deleted, closed for the count-state family): ingest the full
+    corpus, then RETRACT every o_orderkey % 7 == 3 as a wave of
+    negative deltas — count state is exactly invertible, so the
+    rebuilt estimates equal the batch sketch over the surviving rows
+    bit-for-bit, proven by an oracle that computes the histogram
+    directly over the FILTERED corpus. No reset, no re-ingest of
+    history (contrast the bottom-k sketch, where takedown is
+    rebuild-on-delete by design)."""
+    from .curation import _stream_scratch
+
+    orders = load_table(spark, sf_dir, "orders")
+    trainer = _qhist_trainer(spark, _stream_scratch("qhist_deleted"))
+    trainer.reset()
+    trainer.ingest(orders, wave_id=1)
+    trainer.retract(orders.filter(F.col("o_orderkey") % 7 == 3), wave_id=2)
+    return trainer.score()
+
+
 def _qhist_oracle():
     from .relational import _QSKETCH_MERGED_ORACLE
 
     return _QSKETCH_MERGED_ORACLE
+
+
+def _qhist_deleted_oracle():
+    from .relational import _qsketch_merged_oracle
+
+    return _qsketch_merged_oracle("NOT (o_orderkey % 7 = 3)")
 
 
 QUERIES.extend(
@@ -450,6 +477,11 @@ QUERIES.extend(
             "order_quantiles_streaming",
             order_quantiles_streaming,
             _qhist_oracle(),
+        ),
+        QuerySpec(
+            "order_quantiles_deleted",
+            order_quantiles_deleted,
+            _qhist_deleted_oracle(),
         ),
     ]
 )

@@ -73,6 +73,8 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "order_quantiles_incremental",      # NEW quantile sketch wave twin
     "order_quantiles_streaming",        # NEW quantile sketch stream twin
     "heavy_user_counts_cms",            # NEW count-min sketch
+    "heavy_user_counts_cms_merged",     # NEW CMS merge proof
+    "order_quantiles_deleted",          # NEW quantile retraction lane
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

@@ -765,6 +765,35 @@ GROUP BY p.user_id, p.n_events
 """
 
 
+def heavy_user_counts_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS MERGE-losslessness proof through the driver gate (the
+    vocab-KMV proof shape): per-event-type PARTIAL sketches — the
+    AggregatingMergeTree layout, one CMS per ingest stratum — fold
+    through cms_merge (cellwise sums) and the merged sketch answers
+    the same top-20 probes, while the ORACLE builds one sketch directly
+    over all events with no partial stage. Hash equality holds only
+    because counter merge is exact. Shares heavy_user_counts_cms's
+    oracle."""
+    from ..operators.cms import cms_estimate, cms_merge, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    partials = [
+        cms_sketch(
+            ev.filter(F.col("event_type") == t), "user_id", d=4, w=512
+        )
+        for t in sorted(types)
+    ]
+    merged = cms_merge(*partials)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+    return cms_estimate(merged, top, "user_id", d=4, w=512)
+
+
 # --- mergeable quantile sketches (the quantileState/-Merge analog) ----------
 
 # one definition site for the domain the order-value sketches declare
@@ -806,17 +835,19 @@ def order_value_quantiles_by_priority(
     )
 
 
-def _qsketch_oracle_ctes(partition: str) -> str:
+def _qsketch_oracle_ctes(partition: str, where: str = "") -> str:
     """The sketch replay: clamp-binning, per-bin counts, cumulative
     walk — partitioned by ``partition`` (or a constant for the global
-    sketch)."""
+    sketch). ``where`` restricts the replayed corpus (the retraction
+    lane's surviving-rows predicate)."""
+    w = f"WHERE {where}" if where else ""
     return f"""
 b AS (
   SELECT {partition} AS pk,
          least({_QBINS - 1}, greatest(0,
            CAST(floor((CAST(o_totalprice AS DOUBLE) - {_QLO!r}) / 2500.0)
                 AS INT))) AS bin
-  FROM orders
+  FROM orders {w}
 ),
 h AS (SELECT pk, bin, count(*) AS c FROM b GROUP BY pk, bin),
 n AS (SELECT pk, sum(c) AS n FROM h GROUP BY pk),
@@ -891,14 +922,18 @@ def order_value_quantiles_merged(
     )
 
 
-_QSKETCH_MERGED_ORACLE = f"""
-WITH {_qsketch_oracle_ctes("1")}
+def _qsketch_merged_oracle(where: str = "") -> str:
+    return f"""
+WITH {_qsketch_oracle_ctes("1", where)}
 SELECT CAST(n.n AS BIGINT) AS n_orders,
        (SELECT e FROM est WHERE q = 0.5) AS p50,
        (SELECT e FROM est WHERE q = 0.9) AS p90,
        (SELECT e FROM est WHERE q = 0.99) AS p99
 FROM n
 """
+
+
+_QSKETCH_MERGED_ORACLE = _qsketch_merged_oracle()
 
 
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1816,9 @@ QUERIES = [
         _QSKETCH_MERGED_ORACLE,
     ),
     QuerySpec("heavy_user_counts_cms", heavy_user_counts_cms, _CMS_ORACLE),
+    QuerySpec(
+        "heavy_user_counts_cms_merged", heavy_user_counts_cms_merged, _CMS_ORACLE
+    ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(
         "purchases_in_signup_window",

@@ -250,3 +250,46 @@ def test_qhist_incremental_split_invariant_and_replay_safe(spark, tmp_path):
     assert _rows(tr.score()) == expected
     tr.ingest(waves[0], wave_id=1)  # replay of an already-compacted wave
     assert _rows(tr.score()) == expected
+
+
+def test_qhist_retraction_is_exact_inverse(spark, tmp_path):
+    """retract() folds negative deltas: after retracting a subset the
+    rebuilt per-group sketches equal the batch hist_sketch over the
+    surviving rows EXACTLY (count state is invertible); retracting
+    everything ingested leaves all-zero sketches whose estimates are
+    NULL; the retraction survives compact()."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        IncrementalQuantileHist,
+        hist_sketch,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lo, hi, bins = 0.0, 600_000.0, 240
+    tr = IncrementalQuantileHist(
+        spark, str(tmp_path / "ret"), group_col="o_orderpriority",
+        value_col="o_totalprice", lo=lo, hi=hi, bins=bins,
+    )
+    tr.reset()
+    tr.ingest(orders, wave_id=1)
+    gone = orders.filter(F.col("o_orderkey") % 7 == 3)
+    tr.retract(gone, wave_id=2)
+
+    surviving = orders.filter(F.col("o_orderkey") % 7 != 3)
+    batch_sk = {
+        r["o_orderpriority"]: r["sketch"]
+        for r in hist_sketch(
+            surviving, ["o_orderpriority"], "o_totalprice",
+            lo=lo, hi=hi, bins=bins,
+        ).collect()
+    }
+    got = {r["o_orderpriority"]: r["sketch"] for r in tr.sketches().collect()}
+    assert got == batch_sk
+    expected = _rows(tr.score())
+
+    tr.compact()
+    assert _rows(tr.score()) == expected
+
+    tr.retract(surviving, wave_id=3)  # retract the rest -> empty state
+    row = tr.score().collect()[0]
+    assert row.n_orders == 0
+    assert row.p50 is None and row.p99 is None
