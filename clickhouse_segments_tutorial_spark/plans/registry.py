@@ -75,6 +75,7 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "heavy_user_counts_cms",            # NEW count-min sketch
     "heavy_user_counts_cms_merged",     # NEW CMS merge proof
     "order_quantiles_deleted",          # NEW quantile retraction lane
+    "audience_sliding7_kmv",            # NEW sliding-window uniqMerge
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

