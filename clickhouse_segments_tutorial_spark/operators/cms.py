@@ -82,6 +82,106 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+class IncrementalCms:
+    """Wave-state twin of the CMS on the shared wave chassis
+    (operators/wave_counts.WaveCountState) — counters are associative
+    integers, so per-wave cell deltas sum to exactly the batch sketch
+    under ANY disjoint wave split, and retraction (negative deltas) is
+    an exact inverse, same as the quantile-histogram trainer
+    (operators/quantile_sketch.IncrementalQuantileHist). State rows:
+    key "<row>:<col>" -> c, <= d*w rows per wave — KB-scale metadata."""
+
+    def __init__(
+        self, spark, workdir: str, *, d: int = 4, w: int = 512,
+        state_buckets: int = 4,
+    ):
+        from .wave_counts import WaveCountState
+
+        self.spark, self.d, self.w = spark, d, w
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="cmsstate",
+            key_col="key",
+            key_type="string",
+            value_cols=["c"],
+            state_buckets=state_buckets,
+        )
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def compact(self, wave: int = 0) -> None:
+        self._st.compact(wave)
+
+    def ingest(self, df: DataFrame, *, wave_id: int | None = None,
+               item_col: str = "user_id") -> DataFrame:
+        return self._fold(df, wave_id=wave_id, item_col=item_col, sign=1)
+
+    def retract(self, df: DataFrame, *, wave_id: int | None = None,
+                item_col: str = "user_id") -> DataFrame:
+        """Takedown lane: negative cell deltas for rows previously
+        ingested (caller owns the only-retract-ingested contract, as
+        in every delta lane)."""
+        return self._fold(df, wave_id=wave_id, item_col=item_col, sign=-1)
+
+    def _fold(self, df: DataFrame, *, wave_id, item_col: str, sign: int):
+        wave = self._st.resolve_wave(wave_id)
+        delta = (
+            cms_sketch(df, item_col, d=self.d, w=self.w)
+            .select(
+                F.concat(
+                    F.lpad(F.col("row").cast("string"), 2, "0"),
+                    F.lit(":"),
+                    F.lpad(F.col("col").cast("string"), 6, "0"),
+                ).alias("key"),
+                (F.col("c") * F.lit(sign)).cast("long").alias("c"),
+            )
+            .persist()
+        )
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"), F.sum("c").alias("n_increments")
+            )
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def sketch(self) -> DataFrame:
+        """The rebuilt (row, col, c) counter table — identical to
+        cms_sketch over the concatenation of every ingested wave minus
+        retractions. Zero cells are dropped (the sparse contract)."""
+        s = self._st.read()
+        return (
+            s.groupBy("key")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .filter(F.col("c") != 0)
+            .select(
+                F.split_part(F.col("key"), F.lit(":"), F.lit(1))
+                .cast("int")
+                .alias("row"),
+                F.split_part(F.col("key"), F.lit(":"), F.lit(2))
+                .cast("int")
+                .alias("col"),
+                "c",
+            )
+        )
+
+    def score(self, df: DataFrame, *, item_col: str = "user_id") -> DataFrame:
+        """Top-20 exact heavy items of ``df`` probed against the
+        rebuilt counters — the registered queries' shape (the exact
+        counts are the harness; the sketch is the product)."""
+        top = (
+            df.groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc(item_col))
+            .limit(20)
+        )
+        return cms_estimate(self.sketch(), top, item_col, d=self.d, w=self.w)
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

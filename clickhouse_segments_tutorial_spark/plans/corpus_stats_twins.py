@@ -485,3 +485,109 @@ QUERIES.extend(
         ),
     ]
 )
+
+
+def _cms_trainer(spark: SparkSession, workdir: str):
+    from ..operators.cms import IncrementalCms
+
+    return IncrementalCms(spark, workdir, d=4, w=512)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def heavy_user_counts_cms_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CMS maintained INCREMENTALLY over two ts-median event waves
+    (operators/cms.IncrementalCms on the shared wave chassis): per-wave
+    cell deltas sum to exactly the batch counters, so this shares
+    heavy_user_counts_cms's oracle — the hash match proves the
+    incremental fold equals the batch sketch on real data."""
+    from .curation import _stream_scratch
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+    trainer = _cms_trainer(spark, _stream_scratch("cms_incr"))
+    trainer.reset()
+    trainer.ingest(ev.filter(F.unix_timestamp("ts") < mid))
+    trainer.ingest(ev.filter(F.unix_timestamp("ts") >= mid))
+    return trainer.score(ev)
+
+
+def heavy_user_counts_cms_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CMS trainer behind the streaming wave gate — the
+    batch/incremental/streaming triangle closed for the frequency
+    sketch; shares the batch oracle."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+
+    workdir = _stream_scratch("cms_streaming")
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    mid = ev.agg(
+        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+    trainer = _cms_trainer(spark, f"{workdir}/state")
+    gate = StreamingWaveGate(spark, workdir, schema=ev.schema, ingestor=trainer)
+    gate.reset_state()
+    ev.filter(F.unix_timestamp("ts") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    ev.filter(F.unix_timestamp("ts") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(gate.in_dir)
+    gate.run_available_now()
+    return trainer.score(_events(spark, sf_dir))
+
+
+def heavy_user_counts_cms_deleted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CMS's TAKEDOWN lane: ingest every event, then RETRACT every
+    user_id % 5 == 2 user's events as negative cell deltas — counters
+    are exactly invertible, so the rebuilt sketch equals the batch
+    sketch over the surviving events, proven by the oracle computing
+    both the counters and the exact top-20 harness over the FILTERED
+    corpus."""
+    from .curation import _stream_scratch
+
+    ev = _events(spark, sf_dir)
+    trainer = _cms_trainer(spark, _stream_scratch("cms_deleted"))
+    trainer.reset()
+    trainer.ingest(ev, wave_id=1)
+    gone = ev.filter(F.col("user_id") % 5 == 2)
+    trainer.retract(gone, wave_id=2)
+    return trainer.score(ev.filter(F.col("user_id") % 5 != 2))
+
+
+def _cms_oracle_for(where: str = ""):
+    from .relational import _cms_oracle
+
+    return _cms_oracle(where)
+
+
+QUERIES.extend(
+    [
+        QuerySpec(
+            "heavy_user_counts_cms_incremental",
+            heavy_user_counts_cms_incremental,
+            _cms_oracle_for(),
+        ),
+        QuerySpec(
+            "heavy_user_counts_cms_streaming",
+            heavy_user_counts_cms_streaming,
+            _cms_oracle_for(),
+        ),
+        QuerySpec(
+            "heavy_user_counts_cms_deleted",
+            heavy_user_counts_cms_deleted,
+            _cms_oracle_for("NOT (user_id % 5 = 2)"),
+        ),
+    ]
+)

@@ -76,6 +76,9 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "heavy_user_counts_cms_merged",     # NEW CMS merge proof
     "order_quantiles_deleted",          # NEW quantile retraction lane
     "audience_sliding7_kmv",            # NEW sliding-window uniqMerge
+    "heavy_user_counts_cms_incremental",  # NEW CMS wave twin
+    "heavy_user_counts_cms_streaming",  # NEW CMS stream twin
+    "heavy_user_counts_cms_deleted",    # NEW CMS retraction lane
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

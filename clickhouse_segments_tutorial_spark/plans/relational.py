@@ -809,18 +809,24 @@ def heavy_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top, "user_id", d=4, w=512)
 
 
-_CMS_ORACLE = """
+def _cms_oracle(where: str = "") -> str:
+    """The CMS replay, optionally restricted to a surviving-rows
+    predicate (the retraction lane — both the sketch build and the
+    exact top-20 harness see the filtered corpus)."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
 WITH r AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
 cells AS (
   SELECT r.row,
          CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
                                   || CAST(e.user_id AS VARCHAR)), 1, 15))
               ::BIGINT % 512 AS INT) AS col
-  FROM events e CROSS JOIN r
+  FROM events e CROSS JOIN r {w.replace('user_id', 'e.user_id')}
 ),
 cms AS (SELECT row, col, count(*) AS c FROM cells GROUP BY row, col),
 top AS (
-  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+  SELECT user_id, count(*) AS n_events FROM events {w}
+  GROUP BY user_id
   ORDER BY n_events DESC, user_id ASC LIMIT 20
 ),
 probe AS (
@@ -834,6 +840,9 @@ SELECT p.user_id, p.n_events, min(coalesce(c.c, 0)) AS cms_est
 FROM probe p LEFT JOIN cms c USING (row, col)
 GROUP BY p.user_id, p.n_events
 """
+
+
+_CMS_ORACLE = _cms_oracle()
 
 
 def heavy_user_counts_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -293,3 +293,46 @@ def test_qhist_retraction_is_exact_inverse(spark, tmp_path):
     row = tr.score().collect()[0]
     assert row.n_orders == 0
     assert row.p50 is None and row.p99 is None
+
+
+def test_cms_incremental_split_invariant_replay_and_retraction(spark, tmp_path):
+    """IncrementalCms: the rebuilt counter table equals the batch
+    cms_sketch under any disjoint wave split (cell deltas are
+    associative); the WaveCountState crash contract holds (replayed
+    waves, including after compact, change nothing); retraction is an
+    exact inverse (rebuilt counters equal the batch sketch of the
+    surviving rows, and retracting everything empties the sparse
+    table)."""
+    from clickhouse_segments_tutorial_spark.operators.cms import (
+        IncrementalCms,
+        cms_sketch,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+
+    def counters(df):
+        return {(r.row, r.col): r.c for r in df.collect()}
+
+    batch = counters(cms_sketch(ev, "user_id", d=4, w=512))
+
+    tr = IncrementalCms(spark, str(tmp_path / "cms"), d=4, w=512)
+    tr.reset()
+    waves = [ev.filter(F.col("user_id") % 3 == k) for k in range(3)]
+    for i, wv in enumerate(waves):
+        tr.ingest(wv, wave_id=i + 1)
+    assert counters(tr.sketch()) == batch
+    tr.ingest(waves[1], wave_id=2)  # crash replay
+    assert counters(tr.sketch()) == batch
+    tr.compact()
+    assert counters(tr.sketch()) == batch
+
+    gone = ev.filter(F.col("user_id") % 5 == 2)
+    tr.retract(gone, wave_id=4)
+    surviving = ev.filter(F.col("user_id") % 5 != 2)
+    assert counters(tr.sketch()) == counters(
+        cms_sketch(surviving, "user_id", d=4, w=512)
+    )
+    tr.retract(surviving, wave_id=5)
+    assert tr.sketch().count() == 0  # sparse table fully zeroed out
