@@ -786,3 +786,48 @@ def test_zorder_key_check_flags_off_grid_values(spark):
     bad = spark.createDataFrame([(3, 5), (64, 0)], "x long, y long")
     with pytest.raises(Exception, match="off the \\[0, 64\\) grid"):
         bad.select(zorder_key(cols, bits=6, check=True).alias("z")).collect()
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=1100.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.99]),
+)
+@settings(**SETTINGS)
+def test_hist_quantile_matches_python_model(spark, vals, q):
+    """hist_sketch + hist_quantile == a pure-Python replay of the
+    binning, rank, and interpolation rules for arbitrary inputs —
+    including out-of-domain values (edge-bin saturation) — and the
+    estimate always lands inside the located bin's value range."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        hist_quantile,
+        hist_sketch,
+    )
+
+    lo, hi, bins = 0.0, 1000.0, 50
+    width = (hi - lo) / bins
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = hist_sketch(df, [], "v", lo=lo, hi=hi, bins=bins)
+    got = sk.select(
+        hist_quantile(F.col("sketch"), q, lo=lo, hi=hi, bins=bins).alias("e")
+    ).collect()[0]["e"]
+
+    # python model
+    import math
+
+    counts = [0] * bins
+    for v in vals:
+        counts[min(bins - 1, max(0, math.floor((v - lo) / width)))] += 1
+    n = len(vals)
+    r = min(max(math.floor(q * n) + 1, 1), n)
+    cum = 0
+    for b, c in enumerate(counts):
+        if c > 0 and cum + c >= r:
+            est = round(lo + width * (b + (r - cum) / c), 6)
+            break
+        cum += c
+    assert got == est
+    assert lo + b * width <= got <= lo + (b + 1) * width + 1e-9
