@@ -79,6 +79,7 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "heavy_user_counts_cms_incremental",  # NEW CMS wave twin
     "heavy_user_counts_cms_streaming",  # NEW CMS stream twin
     "heavy_user_counts_cms_deleted",    # NEW CMS retraction lane
+    "bloom_bits_events",                # NEW bloom skip-index bit family
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

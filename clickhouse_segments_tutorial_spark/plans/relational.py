@@ -1016,6 +1016,52 @@ FROM n
 _QSKETCH_MERGED_ORACLE = _qsketch_merged_oracle()
 
 
+def bloom_bits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom skip index's bit-position semantics pinned on every
+    row (the zorder_key_events pattern: a value oracle cannot see file
+    layout, so the pruning effect is pinned in pytest via the sidecar
+    while THIS query pins the exact hash-family arithmetic the index
+    and its prober must agree on — one drifted bit anywhere shifts
+    bit_sum): per event_type, integer-exact min/max/sum over all k=4
+    bit positions of user_id on the m=8192-bit filter
+    (sources/bloom_index.py `_bit_pos`, the md5-mod family shared with
+    operators/cms.py)."""
+    from ..sources.bloom_index import _bit_pos
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    bits = ev.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_j"),
+        "user_id",
+    ).select(
+        "event_type",
+        _bit_pos(F.col("user_id"), F.col("_j"), m=8192).alias("bit"),
+    )
+    return bits.groupBy("event_type").agg(
+        F.min("bit").alias("bit_min"),
+        F.max("bit").alias("bit_max"),
+        F.sum("bit").cast("bigint").alias("bit_sum"),
+        F.count(F.lit(1)).alias("n_bits"),
+    )
+
+
+_BLOOM_BITS_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 8192 AS INT) AS bit
+  FROM events CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS j) r
+)
+SELECT event_type,
+       min(bit) AS bit_min,
+       max(bit) AS bit_max,
+       CAST(sum(bit) AS BIGINT) AS bit_sum,
+       count(*) AS n_bits
+FROM b GROUP BY event_type
+"""
+
+
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable partial sketches — the AggregatingMergeTree shape for
     distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
@@ -1885,6 +1931,7 @@ QUERIES = [
     QuerySpec("segment_overlap_kmv", segment_overlap_kmv, _KMV_OVERLAP_ORACLE),
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
+    QuerySpec("bloom_bits_events", bloom_bits_events, _BLOOM_BITS_ORACLE),
     QuerySpec(
         "order_value_quantiles_by_priority",
         order_value_quantiles_by_priority,

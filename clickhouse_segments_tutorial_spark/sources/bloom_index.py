@@ -1,0 +1,177 @@
+"""File-level Bloom skip index — the ClickHouse ``bloom_filter`` /
+``tokenbf_v1`` data-skipping index analog (SURVEY §2.1 S7's sort-order
+minmax family, extended to the index type that prunes EQUALITY probes
+on columns the sort order cannot serve; reference layout contract:
+/root/reference/src/1-naive.test.ts:13-19 clusters by user — a probe on
+any OTHER high-cardinality column reads every part there, which is
+exactly what this index fixes).
+
+The minmax/footer-stats path (sources/writers.py sort-on-write) prunes
+RANGE predicates on the clustering column; Z-order (sources/zorder.py)
+generalizes to a few clustered dimensions. A point probe on an
+unclustered high-cardinality column (message_id, trace_id, doc
+fingerprint) defeats both — every file's [min, max] straddles the
+probe. A per-file Bloom filter answers "might this file contain v?"
+from m bits with no false negatives, so the reader drops every file
+whose filter says no and correctness never depends on the index.
+
+Design (Spark-first, no sidecar service):
+
+- **Build**: after writing, one pass per file computes the k bit
+  positions of each distinct value (bit_j(v) = md5_hash60("<j>:<v>")
+  mod m — the engine-portable hash family shared with operators/cms.py)
+  and ORs them into an m-bit mask held as packed longs. The per-file
+  masks land in ONE sidecar parquet (``_bloom/<col>/``) of
+  (file, mask array<long>) rows — KB per file, read once per probe.
+  The aggregation is a distributed groupBy(file) fold; nothing
+  driver-side scales with data.
+- **Probe**: compute the probe value's k positions driver-side (tiny),
+  read the sidecar, keep files whose mask has ALL k bits set, and
+  return the pruned path list for ``spark.read.parquet(*paths)`` with
+  the ordinary filter on top (the filter stays — the index only
+  SKIPS, semantics are the scan's).
+- **Append-friendly**: each ``index_files`` call indexes only files
+  not yet in the sidecar (mode=append) — the compaction-cadence story,
+  same as the Z-order rewriter.
+
+False-positive rate: (1 - e^{-kn/m})^k per file for n distinct values;
+the defaults (m = 8192 bits, k = 4) hold ~1% at n ≈ 850 per file.
+Over-full files degrade to never-pruned, never to wrong results."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, SparkSession, functions as F
+
+from ..operators.dedup import md5_hash60
+
+_WORDS = 64  # bits per packed long
+
+
+def _bit_pos(value: Column, j: Column, *, m: int) -> Column:
+    """Bit position j of ``value`` in the m-bit filter (portable md5
+    family, the cms.py construction)."""
+    return F.pmod(
+        md5_hash60(
+            F.concat(j.cast("string"), F.lit(":"), value.cast("string"))
+        ),
+        F.lit(m),
+    ).cast("int")
+
+
+def _sidecar(path: str, col: str) -> str:
+    return os.path.join(path, "_bloom", col)
+
+
+def index_files(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> int:
+    """Build (or extend) the Bloom sidecar for ``col`` over every data
+    file under ``path`` not yet indexed. Returns the number of newly
+    indexed files. One distributed pass over the new files: explode
+    each row into its k bit positions, distinct per (file, word,
+    bit), OR-fold into the packed-long mask per file."""
+    if m_bits % _WORDS != 0:
+        raise ValueError(f"m_bits must be a multiple of {_WORDS}")
+    n_words = m_bits // _WORDS
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(col).alias("_v")
+    )
+    side = _sidecar(path, col)
+    try:
+        have = {r.file for r in spark.read.parquet(side).select("file").collect()}
+    except Exception:
+        have = set()
+    if have:
+        df = df.filter(~F.col("file").isin(list(have)))
+    bits = df.select(
+        "file",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+        "_v",
+    ).select(
+        "file", _bit_pos(F.col("_v"), F.col("_j"), m=m_bits).alias("_bit")
+    ).distinct()
+    words = (
+        bits.select(
+            "file",
+            (F.col("_bit") / _WORDS).cast("int").alias("_w"),
+            # pyspark's shiftleft() takes a literal int shift; the SQL
+            # form accepts a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(_bit, {_WORDS}) AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("file", "_w")
+        # OR-fold via bit_or aggregate
+        .agg(F.expr("bit_or(_m)").alias("_mask"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_w"), F.col("_mask")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    masks = words.groupBy("file").agg(dense.alias("mask"))
+    n_new = masks.count()
+    if n_new:
+        masks.write.mode("append").parquet(side)
+    return n_new
+
+
+def pruned_paths(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    *,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> list[str]:
+    """Files under ``path`` that MIGHT contain ``value`` in ``col``
+    (no false negatives): the probe's k bit positions are computed in
+    one row against the sidecar; a file survives only if every probe
+    bit is set in its mask. Files missing from the sidecar are KEPT
+    (unindexed data must never be skipped). The returned list feeds
+    ``spark.read.parquet(*paths)`` with the ordinary predicate on
+    top."""
+    import hashlib
+
+    positions = [
+        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for j in range(k)
+    ]
+    side = _sidecar(path, col)
+    try:
+        rows = spark.read.parquet(side).collect()
+    except Exception:
+        rows = []
+    indexed: dict[str, list[int]] = {r.file: list(r.mask) for r in rows}
+    all_files = {
+        r.file
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    }
+    keep = []
+    for f in sorted(all_files):
+        mask = indexed.get(f)
+        if mask is None:
+            keep.append(f)  # unindexed: cannot skip
+            continue
+        if all(mask[p // _WORDS] & (1 << (p % _WORDS)) for p in positions):
+            keep.append(f)
+    return keep

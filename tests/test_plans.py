@@ -558,3 +558,54 @@ def test_cms_probe_broadcasts_sketch(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_skip_index_prunes_point_probes(spark, tmp_path):
+    """File-level Bloom skip index (sources/bloom_index.py — the
+    ClickHouse bloom_filter/tokenbf analog): on a layout range-split by
+    user, a point probe on user_id keeps only the file(s) whose filter
+    might contain it (real pruning), NEVER drops a file that holds the
+    value (no false negatives — pruned-scan results equal the full
+    scan's for every probed user), and files appended after indexing
+    are conservatively kept until indexed."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    path = str(tmp_path / "ev_bloom")
+    ev.repartitionByRange(8, "user_id").write.parquet(path)
+    assert index_files(spark, path, "user_id") == 8
+    # second call: everything already indexed
+    assert index_files(spark, path, "user_id") == 0
+
+    users = [r.user_id for r in ev.select("user_id").distinct().limit(5).collect()]
+    n_files = 8
+    pruned_some = False
+    for u in users:
+        keep = pruned_paths(spark, path, "user_id", u)
+        assert keep  # at least the owning file survives
+        pruned_some |= len(keep) < n_files
+        got = (
+            spark.read.parquet(*keep)
+            .filter(F.col("user_id") == u)
+            .count()
+        )
+        want = ev.filter(F.col("user_id") == u).count()
+        assert got == want, (u, len(keep))
+    assert pruned_some  # the index actually skips files
+
+    # unindexed append: new file must be KEPT (never skipped) ...
+    extra = spark.createDataFrame([(999_999, 0)], "user_id long, event_id long")
+    extra.coalesce(1).write.mode("append").parquet(path)
+    keep = pruned_paths(spark, path, "user_id", 999_999)
+    assert (
+        spark.read.parquet(*keep).filter(F.col("user_id") == 999_999).count()
+        == 1
+    )
+    # ... and one incremental index_files call covers exactly it
+    assert index_files(spark, path, "user_id") == 1
