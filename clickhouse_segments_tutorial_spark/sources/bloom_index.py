@@ -71,18 +71,33 @@ def index_files(
     *,
     m_bits: int = 8192,
     k: int = 4,
+    tokenized: bool = False,
 ) -> int:
     """Build (or extend) the Bloom sidecar for ``col`` over every data
     file under ``path`` not yet indexed. Returns the number of newly
     indexed files. One distributed pass over the new files: explode
     each row into its k bit positions, distinct per (file, word,
-    bit), OR-fold into the packed-long mask per file."""
+    bit), OR-fold into the packed-long mask per file.
+
+    ``tokenized=True`` is the ``tokenbf_v1`` mode: the column is a
+    TEXT column and the filter indexes its TOKENS (operators/text.
+    tokens — the repo's one tokenizer rule), so the probe asks "does
+    this file contain word X anywhere" — the skip index behind
+    hasToken()-style predicates. The sidecar lands under a distinct
+    name (``<col>__tokens``) so a value index and a token index on the
+    same column coexist; probe with ``pruned_paths(..., tokenized=
+    True)`` and keep the ordinary contains/token predicate on top."""
     if m_bits % _WORDS != 0:
         raise ValueError(f"m_bits must be a multiple of {_WORDS}")
     n_words = m_bits // _WORDS
     df = spark.read.parquet(path).select(
         F.input_file_name().alias("file"), F.col(col).alias("_v")
     )
+    if tokenized:
+        from ..operators.text import tokens
+
+        df = df.select("file", F.explode(tokens(F.col("_v"))).alias("_v"))
+        col = f"{col}__tokens"
     side = _sidecar(path, col)
     try:
         have = {r.file for r in spark.read.parquet(side).select("file").collect()}
@@ -139,6 +154,7 @@ def pruned_paths(
     *,
     m_bits: int = 8192,
     k: int = 4,
+    tokenized: bool = False,
 ) -> list[str]:
     """Files under ``path`` that MIGHT contain ``value`` in ``col``
     (no false negatives): the probe's k bit positions are computed in
@@ -153,7 +169,7 @@ def pruned_paths(
         int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % m_bits
         for j in range(k)
     ]
-    side = _sidecar(path, col)
+    side = _sidecar(path, f"{col}__tokens" if tokenized else col)
     try:
         rows = spark.read.parquet(side).collect()
     except Exception:

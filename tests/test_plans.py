@@ -609,3 +609,48 @@ def test_bloom_skip_index_prunes_point_probes(spark, tmp_path):
     )
     # ... and one incremental index_files call covers exactly it
     assert index_files(spark, path, "user_id") == 1
+
+
+def test_tokenbf_index_prunes_word_probes(spark, tmp_path):
+    """tokenbf_v1 mode: a token-level Bloom over documents.text prunes
+    files for a word probe with no false negatives — every document
+    containing the probed token survives in the pruned scan."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators.text import tokens
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_tokenbf")
+    # hash-split so token sets differ per file (docs are small; a rare
+    # token lands in few files)
+    docs.repartition(8, "doc_id").write.parquet(path)
+    assert index_files(spark, path, "text", tokenized=True) == 8
+
+    # pick a token that appears in only a handful of docs
+    tok_counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy("count", "t")
+        .limit(1)
+        .collect()
+    )
+    rare = tok_counts[0]["t"]
+    want = docs.filter(F.array_contains(tokens(F.col("text")), rare)).count()
+    keep = pruned_paths(spark, path, "text", rare, tokenized=True)
+    got = (
+        spark.read.parquet(*keep)
+        .filter(F.array_contains(tokens(F.col("text")), rare))
+        .count()
+    )
+    assert got == want >= 1
+    # a nonsense token prunes everything (no file can contain it,
+    # modulo the documented false-positive rate at this fill factor —
+    # allow fp survivors but require real pruning)
+    assert len(pruned_paths(spark, path, "text", "zzqqxxyy_not_a_word",
+                            tokenized=True)) <= 4
