@@ -92,6 +92,25 @@ def kmv_sketch(
     )
 
 
+def uniq_upto(
+    df: DataFrame, key_cols: list[str], item_col: str, *, n: int,
+    salt: int | None = 64,
+) -> DataFrame:
+    """The ClickHouse ``uniqUpTo(N)`` analog: per key group, the EXACT
+    distinct count while it is <= n, and n+1 for anything larger ("more
+    than n") — the bounded-state way to ask "does this group have more
+    than N distinct X" without counting them all. Implemented as the
+    bottom-(n+1) sketch's size: a group with <= n distinct items
+    retains all of them (exact); a larger group fills the sketch at
+    n+1. One row per group: (keys..., uniq_upto bigint). Same two
+    spill-safe shuffles and salted bottom-k as kmv_sketch."""
+    sk = kmv_sketch(df, key_cols, item_col, k=n + 1, salt=salt)
+    return sk.select(
+        *[F.col(c) for c in key_cols],
+        F.size("sketch").cast("long").alias("uniq_upto"),
+    )
+
+
 def kmv_estimate(sketch: Column, *, k: int) -> Column:
     """Distinct-count estimate off a sketch column: exact size below k
     (the sketch IS the value set), else the unbiased bottom-k estimator

@@ -70,18 +70,32 @@ def hist_sketch(
     lo: float,
     hi: float,
     bins: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row per key group with ``sketch`` = the bins-length count
     array (array<long>, dense — absent bins are 0). Two hash aggs,
     both with map-side partial aggregation; the second folds <= bins
     (bin, count) entries per group through a map, so no per-group state
-    ever exceeds the sketch size."""
+    ever exceeds the sketch size.
+
+    ``weight_col`` (integer weights) gives the quantilesExactWeighted
+    analog: each row contributes weight units of mass to its bin, so
+    estimates answer "the p-th quantile of value, weighted by w"
+    (price weighted by quantity, length weighted by tokens) from the
+    same merge-closed state — everything downstream (merge, estimate,
+    the wave trainers) is weight-agnostic because the state is still
+    just counts."""
     binned = df.select(
         *[F.col(c) for c in key_cols],
         hist_bin(F.col(value_col), lo=lo, hi=hi, bins=bins).alias("_b"),
+        (
+            F.col(weight_col).cast("long")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        ).alias("_w"),
     )
     counts = binned.groupBy(*[F.col(c) for c in key_cols], F.col("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
+        F.sum("_w").alias("_c")
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(bins - 1)),

@@ -80,15 +80,20 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "heavy_user_counts_cms_streaming",  # NEW CMS stream twin
     "heavy_user_counts_cms_deleted",    # NEW CMS retraction lane
     "bloom_bits_events",                # NEW bloom skip-index bit family
+    "distinct_users_upto_per_type",     # NEW uniqUpTo analog
+    "lineitem_price_quantiles_weighted",  # NEW weighted quantiles
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)
     "vocab_kmv_per_lang",               # salted keyed bottom-k path
     "audience_todate_kmv",              # salted keyed bottom-k path
+    # the percentile_approx split change is shared by all four cascade
+    # queries; two representatives fit the pin cap — the other two
+    # (bucketed, eventtime_streaming) ride the same _median_ts path,
+    # are pytest-parity-checked each round, and pinning all four would
+    # overflow the cap and evict a query with its own semantics change
     "segment_microbatch_members",       # percentile_approx batch split
-    "segment_bucketed_members",         # percentile_approx batch split
     "segment_eventtime_members",        # percentile_approx batch split
-    "segment_eventtime_members_streaming",  # percentile_approx split
 })
 
 

@@ -1016,6 +1016,101 @@ FROM n
 _QSKETCH_MERGED_ORACLE = _qsketch_merged_oracle()
 
 
+def distinct_users_upto_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The uniqUpTo(10) analog (operators/kmv.uniq_upto): per
+    event_type, the exact distinct-user count while <= 10 and 11 for
+    "more than 10" — bounded per-group state (11 hashes) regardless of
+    audience size, the question segmentation thresholds actually ask
+    ("are there more than N distinct?") answered without a full
+    distinct count. Oracle: LEAST(count(DISTINCT user_id), 11) — the
+    equality holds because a bottom-(N+1) sketch retains every item of
+    a group at or under N (exactness below capacity) and saturates at
+    N+1 above it."""
+    from ..operators.kmv import uniq_upto
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return uniq_upto(ev, ["event_type"], "user_id", n=10)
+
+
+_UNIQ_UPTO_ORACLE = """
+SELECT event_type,
+       CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS uniq_upto
+FROM events GROUP BY event_type
+"""
+
+
+def lineitem_price_quantiles_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantilesExactWeighted analog: quantiles of
+    l_extendedprice WEIGHTED by l_quantity — "the price below which
+    half the purchased UNITS fall", not half the line items — from the
+    same merge-closed histogram state (hist_sketch's weight_col: each
+    row adds quantity units of mass to its price bin; everything
+    downstream is weight-agnostic). Domain [0, 120k) x 240 bins
+    (width 500) covers TPC-H extendedprice."""
+    from ..operators.quantile_sketch import (
+        hist_count,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", F.col("l_quantity").cast("long").alias("_q")
+    )
+    sk = hist_sketch(
+        li, [], "l_extendedprice", lo=0.0, hi=120_000.0, bins=240,
+        weight_col="_q",
+    )
+    q = lambda p: hist_quantile(
+        F.col("sketch"), p, lo=0.0, hi=120_000.0, bins=240
+    )
+    return sk.select(
+        hist_count(F.col("sketch")).alias("total_units"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+        q(0.99).alias("p99"),
+    )
+
+
+_WEIGHTED_QUANTILES_ORACLE = """
+WITH b AS (
+  SELECT least(239, greatest(0,
+           CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                AS INT))) AS bin,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+h AS (SELECT bin, sum(w) AS c FROM b GROUP BY bin),
+n AS (SELECT sum(c) AS n FROM h),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS before
+  FROM h
+),
+tgt AS (
+  SELECT q.q, least(greatest(CAST(floor(q.q * n.n) AS BIGINT) + 1, 1), n.n) AS r
+  FROM n CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) q
+),
+est AS (
+  SELECT t.q,
+         (SELECT round(0.0 + 500.0 *
+                       (CAST(c.bin AS DOUBLE)
+                        + CAST(t.r - c.before AS DOUBLE)
+                          / CAST(c.c AS DOUBLE)), 6)
+          FROM cum c WHERE c.cum >= t.r ORDER BY c.bin LIMIT 1) AS e
+  FROM tgt t
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS total_units,
+       (SELECT e FROM est WHERE q = 0.5) AS p50,
+       (SELECT e FROM est WHERE q = 0.9) AS p90,
+       (SELECT e FROM est WHERE q = 0.99) AS p99
+"""
+
+
 def bloom_bits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom skip index's bit-position semantics pinned on every
     row (the zorder_key_events pattern: a value oracle cannot see file
@@ -1932,6 +2027,16 @@ QUERIES = [
     QuerySpec("vocab_kmv_per_lang", vocab_kmv_per_lang, _KMV_VOCAB_ORACLE),
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
     QuerySpec("bloom_bits_events", bloom_bits_events, _BLOOM_BITS_ORACLE),
+    QuerySpec(
+        "distinct_users_upto_per_type",
+        distinct_users_upto_per_type,
+        _UNIQ_UPTO_ORACLE,
+    ),
+    QuerySpec(
+        "lineitem_price_quantiles_weighted",
+        lineitem_price_quantiles_weighted,
+        _WEIGHTED_QUANTILES_ORACLE,
+    ),
     QuerySpec(
         "order_value_quantiles_by_priority",
         order_value_quantiles_by_priority,
