@@ -64,6 +64,18 @@ def _sidecar(path: str, col: str) -> str:
     return os.path.join(path, "_bloom", col)
 
 
+def _char_ngrams(text: Column, n: int) -> Column:
+    """All character n-grams of ``text`` as an array (empty when the
+    text is shorter than n) — pure expressions, map-only."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.substr(text, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def index_files(
     spark: SparkSession,
     path: str,
@@ -72,6 +84,7 @@ def index_files(
     m_bits: int = 8192,
     k: int = 4,
     tokenized: bool = False,
+    ngram: int | None = None,
 ) -> int:
     """Build (or extend) the Bloom sidecar for ``col`` over every data
     file under ``path`` not yet indexed. Returns the number of newly
@@ -83,12 +96,19 @@ def index_files(
     TEXT column and the filter indexes its TOKENS (operators/text.
     tokens — the repo's one tokenizer rule), so the probe asks "does
     this file contain word X anywhere" — the skip index behind
-    hasToken()-style predicates. The sidecar lands under a distinct
-    name (``<col>__tokens``) so a value index and a token index on the
-    same column coexist; probe with ``pruned_paths(..., tokenized=
-    True)`` and keep the ordinary contains/token predicate on top."""
+    hasToken()-style predicates. ``ngram=n`` is the ``ngrambf_v1``
+    mode: the filter indexes the text's character n-grams, serving
+    SUBSTRING probes (LIKE '%frag%'): a file can contain the fragment
+    only if every one of the fragment's n-grams is present, so
+    pruned_paths requires ALL of them (still no false negatives).
+    Each mode's sidecar lands under a distinct name
+    (``<col>__tokens`` / ``<col>__ngram<n>``) so indexes on the same
+    column coexist; probe with the matching pruned_paths mode and keep
+    the ordinary predicate on top."""
     if m_bits % _WORDS != 0:
         raise ValueError(f"m_bits must be a multiple of {_WORDS}")
+    if tokenized and ngram:
+        raise ValueError("tokenized and ngram modes are mutually exclusive")
     n_words = m_bits // _WORDS
     df = spark.read.parquet(path).select(
         F.input_file_name().alias("file"), F.col(col).alias("_v")
@@ -98,6 +118,11 @@ def index_files(
 
         df = df.select("file", F.explode(tokens(F.col("_v"))).alias("_v"))
         col = f"{col}__tokens"
+    elif ngram:
+        df = df.select(
+            "file", F.explode(_char_ngrams(F.col("_v"), ngram)).alias("_v")
+        )
+        col = f"{col}__ngram{ngram}"
     side = _sidecar(path, col)
     try:
         have = {r.file for r in spark.read.parquet(side).select("file").collect()}
@@ -155,21 +180,38 @@ def pruned_paths(
     m_bits: int = 8192,
     k: int = 4,
     tokenized: bool = False,
+    ngram: int | None = None,
 ) -> list[str]:
     """Files under ``path`` that MIGHT contain ``value`` in ``col``
     (no false negatives): the probe's k bit positions are computed in
     one row against the sidecar; a file survives only if every probe
     bit is set in its mask. Files missing from the sidecar are KEPT
-    (unindexed data must never be skipped). The returned list feeds
+    (unindexed data must never be skipped). ``ngram=n`` probes the
+    ngrambf sidecar with a SUBSTRING: every n-gram of ``value`` must
+    be present (a fragment shorter than n has no grams and prunes
+    nothing — the honest answer). The returned list feeds
     ``spark.read.parquet(*paths)`` with the ordinary predicate on
     top."""
     import hashlib
 
+    if tokenized and ngram:
+        raise ValueError("tokenized and ngram modes are mutually exclusive")
+    probes = [str(value)]
+    suffix = ""
+    if tokenized:
+        suffix = "__tokens"
+    elif ngram:
+        suffix = f"__ngram{ngram}"
+        s = str(value)
+        probes = [s[i : i + ngram] for i in range(len(s) - ngram + 1)]
+        if not probes:  # fragment shorter than the gram size
+            probes = []
     positions = [
-        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        int(hashlib.md5(f"{j}:{p}".encode()).hexdigest()[:15], 16) % m_bits
+        for p in probes
         for j in range(k)
     ]
-    side = _sidecar(path, f"{col}__tokens" if tokenized else col)
+    side = _sidecar(path, f"{col}{suffix}")
     try:
         rows = spark.read.parquet(side).collect()
     except Exception:

@@ -654,3 +654,48 @@ def test_tokenbf_index_prunes_word_probes(spark, tmp_path):
     # allow fp survivors but require real pruning)
     assert len(pruned_paths(spark, path, "text", "zzqqxxyy_not_a_word",
                             tokenized=True)) <= 4
+
+
+def test_ngrambf_index_prunes_substring_probes(spark, tmp_path):
+    """ngrambf_v1 mode: a char-3-gram Bloom over documents.text serves
+    SUBSTRING probes — every doc containing the fragment survives the
+    pruned scan (no false negatives: a file can hold the fragment only
+    if all its 3-grams are present); a fragment shorter than the gram
+    size honestly prunes nothing."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators.text import tokens
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_ngrambf")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    assert index_files(spark, path, "text", ngram=3) == 8
+
+    # probe with a rare whole word (its 3-grams must all be present)
+    rare = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= 4)
+        .groupBy("t")
+        .count()
+        .orderBy("count", "t")
+        .first()["t"]
+    )
+    want = docs.filter(F.col("text").contains(rare)).count()
+    keep = pruned_paths(spark, path, "text", rare, ngram=3)
+    got = (
+        spark.read.parquet(*keep).filter(F.col("text").contains(rare)).count()
+    )
+    assert got == want >= 1
+
+    # a fragment shorter than n cannot prune (no grams)
+    assert len(pruned_paths(spark, path, "text", "ab", ngram=3)) == 8
+    # modes are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        index_files(spark, path, "text", tokenized=True, ngram=3)
