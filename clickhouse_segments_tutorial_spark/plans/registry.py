@@ -82,6 +82,8 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "bloom_bits_events",                # NEW bloom skip-index bit family
     "distinct_users_upto_per_type",     # NEW uniqUpTo analog
     "lineitem_price_quantiles_weighted",  # NEW weighted quantiles
+    "summing_daily_user_values",        # NEW SummingMergeTree lifecycle
+    "collapsing_view_click_net",        # NEW CollapsingMergeTree lifecycle
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

@@ -1016,6 +1016,40 @@ FROM n
 _QSKETCH_MERGED_ORACLE = _qsketch_merged_oracle()
 
 
+def summing_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree lifecycle proof (sources/writers.py
+    compact_summing/summing_serve — the additive-rollup engine next to
+    Replacing S2 and Aggregating S3): batch 1 of (user, day, value)
+    rows lands, the background merge FOLDS it (decimal-exact), batch 2
+    appends UNFOLDED rows on top, and the serve aggregates across the
+    mixed state — the oracle aggregates the raw events directly, so the
+    hash gate proves merge + append + serve == one direct aggregation
+    (the engine's whole contract: readers never depend on merge
+    timing). Values are cast to decimal(28,6) at insert (the declared-
+    Decimal-column CH table), keeping every fold exact."""
+    from ..session import scratch_dir
+    from ..sources.writers import compact_summing, summing_serve
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.col("value").cast("decimal(28,6)").alias("value"),
+        F.unix_timestamp("ts").alias("_ts"),
+    )
+    mid = ev.agg(F.expr("percentile_approx(_ts, 0.5)")).collect()[0][0]
+    path = scratch_dir("summing")
+    ev.filter(F.col("_ts") < mid).drop("_ts").write.mode("append").parquet(path)
+    compact_summing(
+        spark, path, key_cols=["user_id", "day"], sum_cols=["value"]
+    )
+    ev.filter(F.col("_ts") >= mid).drop("_ts").write.mode("append").parquet(path)
+    return summing_serve(
+        spark.read.parquet(path),
+        key_cols=["user_id", "day"],
+        sum_cols=["value"],
+    ).withColumnRenamed("value", "total_value")
+
+
 def distinct_users_upto_per_type(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1032,6 +1066,62 @@ def distinct_users_upto_per_type(
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
     return uniq_upto(ev, ["event_type"], "user_id", n=10)
+
+
+_SUMMING_ORACLE = """
+SELECT user_id,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def collapsing_view_click_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree lifecycle proof (sources/writers.py
+    compact_collapsing/collapsing_serve): view events write +1 state
+    rows and click events write -1 cancel rows per (user, day) — the
+    impression-vs-dismissal ledger; batch 1 lands, the background merge
+    collapses it (net sign per key, fully-cancelled keys REAPED from
+    storage), batch 2 appends raw signed rows on top, and the serve
+    nets across the mixed state. The oracle nets the raw events
+    directly with HAVING != 0 — hash equality proves collapse + append
+    + serve == the direct signed aggregation (sum(sign) is
+    associative, the engine's contract)."""
+    from ..session import scratch_dir
+    from ..sources.writers import collapsing_serve, compact_collapsing
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.when(F.col("event_type") == "view", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+        F.unix_timestamp("ts").alias("_ts"),
+    )
+    mid = ev.agg(F.expr("percentile_approx(_ts, 0.5)")).collect()[0][0]
+    path = scratch_dir("collapsing")
+    ev.filter(F.col("_ts") < mid).drop("_ts").write.mode("append").parquet(path)
+    compact_collapsing(spark, path, key_cols=["user_id", "day"])
+    ev.filter(F.col("_ts") >= mid).drop("_ts").write.mode("append").parquet(path)
+    return collapsing_serve(
+        spark.read.parquet(path), key_cols=["user_id", "day"]
+    ).withColumnRenamed("sign", "net_sign")
+
+
+_COLLAPSING_ORACLE = """
+SELECT user_id,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE -1 END) AS BIGINT)
+         AS net_sign
+FROM events
+WHERE event_type IN ('view', 'click')
+GROUP BY 1, 2
+HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE -1 END) != 0
+"""
 
 
 _UNIQ_UPTO_ORACLE = """
@@ -2031,6 +2121,12 @@ QUERIES = [
         "distinct_users_upto_per_type",
         distinct_users_upto_per_type,
         _UNIQ_UPTO_ORACLE,
+    ),
+    QuerySpec(
+        "summing_daily_user_values", summing_daily_user_values, _SUMMING_ORACLE
+    ),
+    QuerySpec(
+        "collapsing_view_click_net", collapsing_view_click_net, _COLLAPSING_ORACLE
     ),
     QuerySpec(
         "lineitem_price_quantiles_weighted",

@@ -127,6 +127,98 @@ def apply_retention(path: str, *, keep_days: int, now=None) -> int:
     return dropped
 
 
+def compact_summing(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """SummingMergeTree background-merge analog: rewrite the table
+    folding rows per key with DECIMAL-exact sums over ``sum_cols``
+    (cast to decimal(28,6) for the fold, back to the column's own type
+    on write — a raw double SUM would make the compacted value depend
+    on partitioning order, breaking the reader-equivalence contract).
+    Exactly like ClickHouse, readers NEVER rely on this having run —
+    appends between merges leave multiple rows per key, so the serve
+    query always aggregates (``summing_serve``); compaction only
+    shrinks storage. Non-key non-sum columns are not supported (CH
+    keeps an arbitrary value there — a nondeterminism this engine
+    refuses rather than replicates)."""
+    df = spark.read.parquet(path)
+    extra = set(df.columns) - set(key_cols) - set(sum_cols)
+    if extra:
+        raise ValueError(
+            f"non-key non-sum columns {sorted(extra)}: ClickHouse keeps "
+            "an arbitrary value for these on merge — refuse the "
+            "nondeterminism; aggregate or drop them first"
+        )
+    types = dict(df.dtypes)
+    folded = df.groupBy(*key_cols).agg(
+        *[
+            F.sum(F.col(c).cast("decimal(28,6)"))
+            .cast(types[c])
+            .alias(c)
+            for c in sum_cols
+        ]
+    )
+    rewrite_table(spark, folded, path, cluster_by=list(key_cols))
+
+
+def summing_serve(
+    df: DataFrame, *, key_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The SummingMergeTree READ contract: totals per key regardless of
+    merge state (pre-compaction appends coexist with folded rows; the
+    sum is associative so the answer is identical before/after any
+    number of compactions). Decimal-exact, emitted as double."""
+    return df.groupBy(*key_cols).agg(
+        *[
+            F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(c)
+            for c in sum_cols
+        ]
+    )
+
+
+def compact_collapsing(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_cols: list[str],
+    sign_col: str = "sign",
+) -> None:
+    """CollapsingMergeTree background-merge analog: rows carry a
+    ``sign`` (+1 state / -1 cancel); the merge folds each key to its
+    NET sign and drops fully-cancelled keys from storage. This engine
+    supports the sign-only collapsing form (each +1 is cancelled by a
+    matching -1 bearing the same key and payload — the payload columns
+    are part of the key here, so 'arbitrary survivor' nondeterminism
+    cannot arise). Readers never rely on the merge: collapsing_serve
+    computes the same net view over any mix of raw and folded rows,
+    because sum(sign) is associative."""
+    df = spark.read.parquet(path)
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(F.sum(F.col(sign_col)).cast(dict(df.dtypes)[sign_col]).alias(sign_col))
+        .filter(F.col(sign_col) != 0)
+    )
+    rewrite_table(spark, folded, path, cluster_by=list(key_cols))
+
+
+def collapsing_serve(
+    df: DataFrame, *, key_cols: list[str], sign_col: str = "sign"
+) -> DataFrame:
+    """The CollapsingMergeTree READ contract: one row per key with a
+    nonzero net sign — identical before/after any compaction. Queries
+    that aggregate payload columns must weight by sign (the CH rule:
+    SUM(value * sign)), which the caller's aggregation expresses."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.sum(F.col(sign_col)).alias(sign_col))
+        .filter(F.col(sign_col) != 0)
+    )
+
+
 def compact_latest_wins(
     spark: SparkSession,
     path: str,

@@ -500,3 +500,71 @@ def test_cascade_split_point_is_semantics_neutral(spark, sf_smoke, monkeypatch):
         split = dt.datetime.fromtimestamp(row.m, UTC).replace(tzinfo=None)
         monkeypatch.setattr(sq, "_median_ts", lambda _df, s=split: s)
         assert members(sq.segment_microbatch_members(spark, sf_smoke)) == exact
+
+
+def test_summing_and_collapsing_merge_contracts(spark, tmp_path):
+    """SummingMergeTree / CollapsingMergeTree analogs (sources/writers):
+    the serve view is IDENTICAL before/after any compaction (readers
+    never depend on merge timing); summing compaction physically
+    shrinks storage and refuses non-key non-sum columns (the CH
+    arbitrary-survivor nondeterminism); collapsing compaction REAPS
+    fully-cancelled keys from storage while the serve view still nets
+    raw appends on top."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.sources.writers import (
+        collapsing_serve,
+        compact_collapsing,
+        compact_summing,
+        summing_serve,
+    )
+
+    # --- summing ---
+    spath = str(tmp_path / "sum")
+    rows1 = [(1, 10.5), (1, 2.25), (2, 1.0)]
+    rows2 = [(1, 0.25), (3, 7.0)]
+    spark.createDataFrame(rows1, "k long, v double").select(
+        "k", F.col("v").cast("decimal(28,6)").alias("v")
+    ).write.mode("append").parquet(spath)
+    serve = lambda: sorted(
+        (r.k, float(r.v))
+        for r in summing_serve(
+            spark.read.parquet(spath), key_cols=["k"], sum_cols=["v"]
+        ).collect()
+    )
+    before = serve()
+    compact_summing(spark, spath, key_cols=["k"], sum_cols=["v"])
+    assert serve() == before  # merge is invisible to the reader
+    assert spark.read.parquet(spath).count() == 2  # storage folded
+    spark.createDataFrame(rows2, "k long, v double").select(
+        "k", F.col("v").cast("decimal(28,6)").alias("v")
+    ).write.mode("append").parquet(spath)
+    assert serve() == [(1, 13.0), (2, 1.0), (3, 7.0)]
+
+    bad = str(tmp_path / "sumbad")
+    spark.createDataFrame([(1, 1.0, "x")], "k long, v double, note string")\
+        .write.parquet(bad)
+    with pytest.raises(ValueError, match="arbitrary value"):
+        compact_summing(spark, bad, key_cols=["k"], sum_cols=["v"])
+
+    # --- collapsing ---
+    cpath = str(tmp_path / "col")
+    signed1 = [(1, 1), (1, -1), (2, 1), (2, 1)]  # key 1 fully cancels
+    spark.createDataFrame(signed1, "k long, sign long").write.mode(
+        "append"
+    ).parquet(cpath)
+    cserve = lambda: sorted(
+        (r.k, r.sign)
+        for r in collapsing_serve(
+            spark.read.parquet(cpath), key_cols=["k"]
+        ).collect()
+    )
+    assert cserve() == [(2, 2)]
+    compact_collapsing(spark, cpath, key_cols=["k"])
+    assert cserve() == [(2, 2)]
+    assert spark.read.parquet(cpath).count() == 1  # cancelled key reaped
+    # a late cancel arrives raw on top of the folded state
+    spark.createDataFrame([(2, -1), (3, 1)], "k long, sign long").write.mode(
+        "append"
+    ).parquet(cpath)
+    assert cserve() == [(2, 1), (3, 1)]
