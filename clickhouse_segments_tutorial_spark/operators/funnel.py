@@ -187,3 +187,67 @@ def funnel_levels_exact(
     return all_levels.groupBy("user_id").agg(
         F.max("_lvl").cast("int").alias("funnel_level")
     )
+
+
+def sequence_count(
+    events: DataFrame,
+    first: str,
+    second: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The ClickHouse ``sequenceCount('(?1)(?t>=0)(?2)')`` shape: per
+    user, the number of DISJOINT first->second chains (each first event
+    matches at most one strictly-later second event and vice versa —
+    the greedy/maximum matching, which coincide by the exchange
+    argument). One row per user with >= 1 of the two event types:
+    (user_id, n_chains int).
+
+    NOT a per-user array fold: the maximum number of disjoint pairs
+    has a min-cut closed form —
+
+        n_chains = min over event-prefix boundaries p of
+                   [ cumFirst(p) + totalSecond - cumSecond(p) ]
+
+    (every un-matchable second is either short of firsts before it or
+    beyond the firsts' reach; the binomial prefix expression is the
+    bottleneck cut of the bipartite earlier-first -> later-second
+    matching; verified against the greedy scan on interleavings). That
+    is two running sums over one per-user window sort — the same
+    hyperactive-user-safe shape as the funnel operators (a window sort
+    spills; a collected per-user array OOMs a task). Event order is
+    the total order (ts, id) shared with the oracle, so ties are
+    deterministic cross-engine."""
+    ev = events.filter(F.col(type_col).isin(first, second)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_type"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_ts", "_id")
+    wall = Window.partitionBy("user_id")
+    isa = F.when(F.col("_type") == first, 1).otherwise(0)
+    isb = F.when(F.col("_type") == second, 1).otherwise(0)
+    v = (
+        F.sum(isa).over(w)
+        + F.sum(isb).over(wall)
+        - F.sum(isb).over(w)
+    )
+    return (
+        ev.select(
+            "user_id",
+            v.alias("_v"),
+            F.sum(isb).over(wall).alias("_btot"),
+        )
+        .groupBy("user_id")
+        # the empty prefix's cut is totalSecond itself (first() is safe:
+        # _btot is per-user constant)
+        .agg(
+            F.least(F.min("_v"), F.first("_btot")).cast("int").alias(
+                "n_chains"
+            )
+        )
+    )

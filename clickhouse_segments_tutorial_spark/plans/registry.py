@@ -84,6 +84,7 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "lineitem_price_quantiles_weighted",  # NEW weighted quantiles
     "summing_daily_user_values",        # NEW SummingMergeTree lifecycle
     "collapsing_view_click_net",        # NEW CollapsingMergeTree lifecycle
+    "sequence_count_view_purchase",     # NEW sequenceCount analog
     "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)

@@ -1016,6 +1016,45 @@ FROM n
 _QSKETCH_MERGED_ORACLE = _qsketch_merged_oracle()
 
 
+def sequence_count_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sequenceCount analog (operators/funnel.sequence_count): per
+    user, the number of DISJOINT view -> purchase chains — "how many
+    times did this user convert", each view consumable by one later
+    purchase and vice versa. Computed via the min-cut closed form over
+    two running sums (no per-user arrays — the funnel family's
+    hyperactive-user-safe shape); the oracle states the identical
+    window expression, so the hash gate pins the matching math on
+    every user each round."""
+    from ..operators.funnel import sequence_count
+
+    return sequence_count(
+        _t(spark, sf_dir, "events"), "view", "purchase"
+    )
+
+
+_SEQUENCE_COUNT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cb,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS btot
+  FROM ev
+)
+SELECT user_id,
+       CAST(least(min(ca + btot - cb), max(btot)) AS INT) AS n_chains
+FROM c GROUP BY user_id
+"""
+
+
 def summing_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SummingMergeTree lifecycle proof (sources/writers.py
     compact_summing/summing_serve — the additive-rollup engine next to
@@ -2124,6 +2163,11 @@ QUERIES = [
     ),
     QuerySpec(
         "summing_daily_user_values", summing_daily_user_values, _SUMMING_ORACLE
+    ),
+    QuerySpec(
+        "sequence_count_view_purchase",
+        sequence_count_view_purchase,
+        _SEQUENCE_COUNT_ORACLE,
     ),
     QuerySpec(
         "collapsing_view_click_net", collapsing_view_click_net, _COLLAPSING_ORACLE

@@ -831,3 +831,43 @@ def test_hist_quantile_matches_python_model(spark, vals, q):
         cum += c
     assert got == est
     assert lo + b * width <= got <= lo + (b + 1) * width + 1e-9
+
+
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "x"]), min_size=1, max_size=40)
+)
+@settings(**SETTINGS)
+def test_sequence_count_matches_greedy_scan(spark, seq):
+    """sequence_count's min-cut closed form == the greedy scan (hold
+    unmatched firsts, consume one per later second) for ARBITRARY
+    interleavings including irrelevant events — the exchange-argument
+    optimum the operator claims. Also checks users absent from the
+    filtered stream emit no row."""
+    import datetime as dtm
+
+    from clickhouse_segments_tutorial_spark.operators.funnel import (
+        sequence_count,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (7, {"a": "first", "b": "second", "x": "noise"}[c],
+         t0 + dtm.timedelta(seconds=i), i)
+        for i, c in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = sequence_count(df, "first", "second").collect()
+
+    avail = matched = 0
+    for c in seq:
+        if c == "a":
+            avail += 1
+        elif c == "b" and avail > 0:
+            avail -= 1
+            matched += 1
+    if all(c == "x" for c in seq):
+        assert out == []
+    else:
+        assert len(out) == 1 and out[0].n_chains == matched
