@@ -61,40 +61,18 @@ class QuerySpec:
 # the driver window regardless of how broad the auto-derivation went.
 # Reset to the new round's names (or empty) each round.
 ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
-    # r15: semantics/plan-relevant edits this round (the auto-derived
-    # set spans all 166 via the text/dedup staging edits, which are
-    # value-neutral for most queries — these are the ones whose own
-    # code or oracle changed)
+    # r15: queries whose own semantics/oracle changed this round but
+    # were GREEN in r14 — without the override they sort staleness-last
+    # and miss the window (the auto-derived touched set spans the whole
+    # registry via the text/dedup staging edits). NEW never-checked
+    # queries are deliberately NOT listed: staleness -1 already fronts
+    # them inside the pinned block, and listing them here would push
+    # these changed-but-green names over the pin cap.
     "purchases_in_signup_window",       # group-by-win_start fix
-    "purchases_with_signup_window_left",  # NEW left-mode interval join
-    "purchases_outside_signup_window",  # NEW anti-mode interval join
-    "order_value_quantiles_by_priority",  # NEW quantile sketch state
-    "order_value_quantiles_merged",     # NEW quantile sketch merge proof
-    "order_quantiles_incremental",      # NEW quantile sketch wave twin
-    "order_quantiles_streaming",        # NEW quantile sketch stream twin
-    "heavy_user_counts_cms",            # NEW count-min sketch
-    "heavy_user_counts_cms_merged",     # NEW CMS merge proof
-    "order_quantiles_deleted",          # NEW quantile retraction lane
-    "audience_sliding7_kmv",            # NEW sliding-window uniqMerge
-    "heavy_user_counts_cms_incremental",  # NEW CMS wave twin
-    "heavy_user_counts_cms_streaming",  # NEW CMS stream twin
-    "heavy_user_counts_cms_deleted",    # NEW CMS retraction lane
-    "bloom_bits_events",                # NEW bloom skip-index bit family
-    "distinct_users_upto_per_type",     # NEW uniqUpTo analog
-    "lineitem_price_quantiles_weighted",  # NEW weighted quantiles
-    "summing_daily_user_values",        # NEW SummingMergeTree lifecycle
-    "collapsing_view_click_net",        # NEW CollapsingMergeTree lifecycle
-    "sequence_count_view_purchase",     # NEW sequenceCount analog
-    "ann_ivfadc_refined",               # NEW refined probe point
     "segment_overlap_kmv",              # empty-segment coalesce guard
     "zorder_key_events",                # grid quantization (pmod 2^16)
     "vocab_kmv_per_lang",               # salted keyed bottom-k path
     "audience_todate_kmv",              # salted keyed bottom-k path
-    # the percentile_approx split change is shared by all four cascade
-    # queries; two representatives fit the pin cap — the other two
-    # (bucketed, eventtime_streaming) ride the same _median_ts path,
-    # are pytest-parity-checked each round, and pinning all four would
-    # overflow the cap and evict a query with its own semantics change
     "segment_microbatch_members",       # percentile_approx batch split
     "segment_eventtime_members",        # percentile_approx batch split
 })
