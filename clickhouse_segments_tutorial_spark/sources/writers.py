@@ -211,7 +211,15 @@ def collapsing_serve(
     """The CollapsingMergeTree READ contract: one row per key with a
     nonzero net sign — identical before/after any compaction. Queries
     that aggregate payload columns must weight by sign (the CH rule:
-    SUM(value * sign)), which the caller's aggregation expresses."""
+    SUM(value * sign)), which the caller's aggregation expresses.
+
+    VersionedCollapsingMergeTree is this same pair of functions with
+    the VERSION column included in ``key_cols``: a cancel row carries
+    its state row's version, so +1/-1 pairs annihilate per
+    (key, version) REGARDLESS of arrival order — the out-of-order
+    cancel case plain collapsing mishandles in ClickHouse (where merge
+    order matters) simply doesn't arise here because sum(sign) is
+    commutative. Pinned in test_segmentation."""
     return (
         df.groupBy(*key_cols)
         .agg(F.sum(F.col(sign_col)).alias(sign_col))

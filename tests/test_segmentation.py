@@ -568,3 +568,43 @@ def test_summing_and_collapsing_merge_contracts(spark, tmp_path):
         "append"
     ).parquet(cpath)
     assert cserve() == [(2, 1), (3, 1)]
+
+
+def test_versioned_collapsing_out_of_order_cancels(spark, tmp_path):
+    """VersionedCollapsingMergeTree = collapsing with the version in
+    the key (sources/writers.collapsing_serve docstring): a cancel
+    arriving BEFORE its state row (out-of-order delivery) still
+    annihilates exactly its own version, across any compaction
+    boundary — sum(sign) per (key, version) is commutative, so arrival
+    order can never matter here, unlike CH's merge-order-sensitive
+    plain collapsing."""
+    from clickhouse_segments_tutorial_spark.sources.writers import (
+        collapsing_serve,
+        compact_collapsing,
+    )
+
+    path = str(tmp_path / "vcol")
+    # batch 1: the CANCEL of (k=1, v=1) arrives before its state row;
+    # state (k=1, v=2) and (k=2, v=1) also land
+    b1 = [(1, 1, -1), (1, 2, 1), (2, 1, 1)]
+    spark.createDataFrame(b1, "k long, ver long, sign long").write.mode(
+        "append"
+    ).parquet(path)
+    serve = lambda: sorted(
+        (r.k, r.ver, r.sign)
+        for r in collapsing_serve(
+            spark.read.parquet(path), key_cols=["k", "ver"]
+        ).collect()
+    )
+    # the early cancel is visible as a dangling -1 until its state lands
+    assert serve() == [(1, 1, -1), (1, 2, 1), (2, 1, 1)]
+    compact_collapsing(spark, path, key_cols=["k", "ver"])
+    assert serve() == [(1, 1, -1), (1, 2, 1), (2, 1, 1)]
+    # batch 2: the late state row for (1, 1) annihilates the held cancel
+    spark.createDataFrame([(1, 1, 1)], "k long, ver long, sign long").write.mode(
+        "append"
+    ).parquet(path)
+    assert serve() == [(1, 2, 1), (2, 1, 1)]
+    compact_collapsing(spark, path, key_cols=["k", "ver"])
+    assert serve() == [(1, 2, 1), (2, 1, 1)]
+    assert spark.read.parquet(path).count() == 2  # cancelled pair reaped
