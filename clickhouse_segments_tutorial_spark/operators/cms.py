@@ -182,6 +182,41 @@ class IncrementalCms:
         return cms_estimate(self.sketch(), top, item_col, d=self.d, w=self.w)
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    *,
+    threshold: int,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """EXACT heavy hitters through the sketch: every item occurring
+    >= ``threshold`` times, with its exact count — correct BECAUSE the
+    CMS estimate is an upper bound (an item's estimate can only
+    overcount, so the candidate set {est >= threshold} provably
+    contains every true heavy hitter; the exact verify pass then
+    removes the false positives). The classic two-phase pattern:
+
+    1. one sketch pass (bounded d*w state, no shuffle grows with the
+       key universe) + one per-key probe of the distinct items;
+    2. the exact count runs ONLY over candidate rows (broadcast
+       semi-join — candidates are heavy-hitter-scale, a tiny fraction
+       of the key universe at any real threshold), so the full-universe
+       groupBy an exact-only plan would shuffle never happens.
+
+    Returns (item, n bigint) for the true heavy hitters."""
+    sketch = cms_sketch(df, item_col, d=d, w=w)
+    cand = cms_estimate(
+        sketch, df.select(item_col).distinct(), item_col, d=d, w=w
+    ).filter(F.col("cms_est") >= threshold)
+    return (
+        df.join(F.broadcast(cand.select(item_col)), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

@@ -845,6 +845,29 @@ GROUP BY p.user_id, p.n_events
 _CMS_ORACLE = _cms_oracle()
 
 
+def heavy_users_exact_via_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters through the sketch filter
+    (operators/cms.cms_heavy_hitters): every user with >= 68 events and
+    their exact counts, found by CMS-thresholding candidates (provably
+    a SUPERSET — estimates only overcount) and exact-verifying only
+    candidate rows. The oracle is the plain HAVING count >= 68 — hash
+    equality each round proves BOTH halves of the pattern: the sketch
+    filter lost no true heavy hitter (upper-bound contract) and the
+    verify pass removed every false positive. At scale this is the
+    point: the exact groupBy runs over the candidates' rows, never the
+    full key universe."""
+    from ..operators.cms import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", threshold=68)
+
+
+_CMS_HH_ORACLE = """
+SELECT user_id, count(*) AS n
+FROM events GROUP BY user_id HAVING count(*) >= 68
+"""
+
+
 def heavy_user_counts_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CMS MERGE-losslessness proof through the driver gate (the
     vocab-KMV proof shape): per-event-type PARTIAL sketches — the
@@ -2188,6 +2211,9 @@ QUERIES = [
         _QSKETCH_MERGED_ORACLE,
     ),
     QuerySpec("heavy_user_counts_cms", heavy_user_counts_cms, _CMS_ORACLE),
+    QuerySpec(
+        "heavy_users_exact_via_cms", heavy_users_exact_via_cms, _CMS_HH_ORACLE
+    ),
     QuerySpec(
         "heavy_user_counts_cms_merged", heavy_user_counts_cms_merged, _CMS_ORACLE
     ),

@@ -3289,3 +3289,37 @@ def test_cms_sketch_bounds_merge_and_exactness(spark):
 
     with pytest.raises(ValueError, match="d >= 1"):
         cms_sketch(df, "uid", d=0, w=w)
+
+
+def test_cms_heavy_hitters_exact_via_superset_filter(spark):
+    """cms_heavy_hitters == the plain exact HAVING count on a skewed
+    synthetic stream, at thresholds where the sketch filter must both
+    admit collision-inflated false positives (then verified away) and
+    never lose a true heavy hitter (upper-bound superset)."""
+    from clickhouse_segments_tutorial_spark.operators.cms import (
+        cms_heavy_hitters,
+    )
+
+    rows = (
+        [("hot1",)] * 500
+        + [("hot2",)] * 120
+        + [(f"mid{i}",) for i in range(30) for _ in range(20)]
+        + [(f"cold{i}",) for i in range(800)]
+    )
+    df = spark.createDataFrame(rows, "uid string")
+    for threshold in (21, 100, 501):
+        got = sorted(
+            (r.uid, r.n)
+            for r in cms_heavy_hitters(df, "uid", threshold=threshold, w=64)
+            .collect()
+        )
+        want = sorted(
+            (r.uid, r["count"])
+            for r in df.groupBy("uid")
+            .count()
+            .filter(F.col("count") >= threshold)
+            .collect()
+        )
+        assert got == want, threshold
+    # threshold above everything -> empty, not an error
+    assert cms_heavy_hitters(df, "uid", threshold=10_000).count() == 0
