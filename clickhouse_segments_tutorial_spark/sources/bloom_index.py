@@ -125,11 +125,14 @@ def index_files(
         col = f"{col}__ngram{ngram}"
     side = _sidecar(path, col)
     try:
-        have = {r.file for r in spark.read.parquet(side).select("file").collect()}
+        # anti-join, not an isin(<python list>) literal: a 100 TB table
+        # has ~800k files and a literal that size bloats the plan; the
+        # sidecar is one (file, mask) row per file, a natural broadcast
+        have = spark.read.parquet(side).select("file")
     except Exception:
-        have = set()
-    if have:
-        df = df.filter(~F.col("file").isin(list(have)))
+        have = None
+    if have is not None:
+        df = df.join(F.broadcast(have), "file", "left_anti")
     bits = df.select(
         "file",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
