@@ -194,7 +194,15 @@ def pruned_paths(
     be present (a fragment shorter than n has no grams and prunes
     nothing — the honest answer). The returned list feeds
     ``spark.read.parquet(*paths)`` with the ordinary predicate on
-    top."""
+    top.
+
+    Probe-side cost is DRIVER-side O(n_files): the sidecar masks and
+    the table's file listing both collect (at ~800k files that is
+    ~1 GB of masks at the default m — a deployment at that scale
+    filters the sidecar DISTRIBUTED instead: join the mask table
+    against the probe bits and collect only surviving file names,
+    which this sidecar layout already supports; the catalog-scale
+    collect here keeps the common case one read + one list)."""
     import hashlib
 
     if tokenized and ngram:
