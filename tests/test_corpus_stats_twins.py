@@ -336,3 +336,23 @@ def test_cms_incremental_split_invariant_replay_and_retraction(spark, tmp_path):
     )
     tr.retract(surviving, wave_id=5)
     assert tr.sketch().count() == 0  # sparse table fully zeroed out
+
+
+def test_qhist_key_separator_guard_fails_loud(spark, tmp_path):
+    """A group value containing the state-key separator ':' must fail
+    the ingest loudly (a silent concat would alias two groups' bins
+    into one state row)."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        IncrementalQuantileHist,
+    )
+
+    import pytest
+
+    tr = IncrementalQuantileHist(
+        spark, str(tmp_path / "guard"), group_col="g", value_col="v",
+        lo=0.0, hi=10.0, bins=4,
+    )
+    tr.reset()
+    bad = spark.createDataFrame([("a:b", 1.0)], "g string, v double")
+    with pytest.raises(Exception, match="key separator"):
+        tr.ingest(bad, wave_id=1)
