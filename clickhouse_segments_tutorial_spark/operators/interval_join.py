@@ -70,7 +70,12 @@ def interval_join(
     O(1) buckets, which is the performance contract anyway (module
     docstring). Intervals with end < start have an empty bucket
     sequence and drop out (matching the BETWEEN semantics: no point
-    can satisfy them)."""
+    can satisfy them). Intervals with a NULL start_ts or end_ts also
+    drop out silently — BETWEEN against a NULL bound is never true, so
+    no point could match them; the span cap deliberately does NOT fire
+    on them (a NULL bound is an absent value, not an over-long span,
+    and assert_true over a NULL condition would otherwise kill the job
+    with a NULL message)."""
     if how not in ("inner", "left_semi", "left_anti", "left"):
         raise ValueError(
             f"how={how!r}: supported modes are 'inner', 'left_semi', "
@@ -99,9 +104,13 @@ def interval_join(
         "long"
     )
     # assert_true evaluates per interval row BEFORE the explode: the
-    # runtime error carries the offending span instead of an OOM'd task
+    # runtime error carries the offending span instead of an OOM'd task.
+    # NULL-bounded intervals are exempted (isNull disjuncts): they match
+    # no point under BETWEEN semantics and are dropped by the explode
+    # below, and a NULL condition would otherwise make assert_true throw
+    # with a NULL-concat message
     span_ok = F.assert_true(
-        (eb - sb) < F.lit(max_span_buckets),
+        sb.isNull() | eb.isNull() | ((eb - sb) < F.lit(max_span_buckets)),
         F.concat(
             F.lit("interval_join: interval spans "),
             (eb - sb + 1).cast("string"),

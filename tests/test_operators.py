@@ -3167,6 +3167,57 @@ def test_interval_join_left_mode_and_guards(spark):
     assert interval_join(points, inverted, **kw).count() == 0
 
 
+def test_interval_join_null_bounded_intervals_drop(spark):
+    """r15 ADVICE (medium): an interval with a NULL start_ts or end_ts
+    must be silently dropped (BETWEEN against NULL is never true), not
+    crash the job — the span-cap assert_true previously evaluated a
+    NULL condition with a NULL-concat message and killed the whole
+    query with an opaque 'null' RuntimeException. Valid intervals in
+    the same frame still match, and the cap still fires on genuinely
+    over-long spans sharing the frame with NULL-bounded rows."""
+    import datetime as dtm
+
+    from clickhouse_segments_tutorial_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    ts = lambda h: t0 + dtm.timedelta(hours=h)
+    points = spark.createDataFrame(
+        [(1, ts(12), "inside"), (2, ts(12), "null_window_key")],
+        "user_id long, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(24), "w1"),
+         (2, ts(0), None, "open_end"),
+         (2, None, ts(24), "open_start"),
+         (2, None, None, "both_null")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    kw = dict(
+        keys=["user_id"], point_ts="ts", start_ts="win_start",
+        end_ts="win_end",
+    )
+    got = sorted((r.tag, r.win) for r in interval_join(points, intervals, **kw).collect())
+    assert got == [("inside", "w1")]
+    # the null-bounded rows count as "no window" for their points
+    left = sorted(
+        (r.tag, r.win)
+        for r in interval_join(points, intervals, how="left", **kw).collect()
+    )
+    assert left == [("inside", "w1"), ("null_window_key", None)]
+    # the cap still fires when a real over-long interval coexists with
+    # NULL-bounded ones (the isNull exemption must not mask it)
+    mixed = spark.createDataFrame(
+        [(1, ts(0), None, "open_end"), (1, ts(0), ts(24 * 30), "wide")],
+        "user_id long, win_start timestamp, win_end timestamp, win string",
+    )
+    with pytest.raises(Exception, match="max_span_buckets"):
+        interval_join(
+            points, mixed, bucket_seconds=3600, max_span_buckets=100, **kw
+        ).collect()
+
+
 def test_hist_sketch_merge_and_quantiles(spark):
     """Mergeable fixed-bin quantile sketches (operators/quantile_sketch
     — the quantileState/-Merge analog): the direct global sketch equals
