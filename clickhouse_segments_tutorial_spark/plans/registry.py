@@ -61,20 +61,15 @@ class QuerySpec:
 # the driver window regardless of how broad the auto-derivation went.
 # Reset to the new round's names (or empty) each round.
 ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
-    # r15: queries whose own semantics/oracle changed this round but
-    # were GREEN in r14 — without the override they sort staleness-last
-    # and miss the window (the auto-derived touched set spans the whole
-    # registry via the text/dedup staging edits). NEW never-checked
-    # queries are deliberately NOT listed: staleness -1 already fronts
-    # them inside the pinned block, and listing them here would push
-    # these changed-but-green names over the pin cap.
-    "purchases_in_signup_window",       # group-by-win_start fix
-    "segment_overlap_kmv",              # empty-segment coalesce guard
-    "zorder_key_events",                # grid quantization (pmod 2^16)
-    "vocab_kmv_per_lang",               # salted keyed bottom-k path
-    "audience_todate_kmv",              # salted keyed bottom-k path
-    "segment_microbatch_members",       # percentile_approx batch split
-    "segment_eventtime_members",        # percentile_approx batch split
+    # r16: queries whose own semantics changed this round but were
+    # GREEN in r15 — without the override they sort staleness-last and
+    # miss the window. NEW never-checked queries are deliberately NOT
+    # listed: staleness -1 already fronts them inside the pinned block,
+    # and listing them here would push these changed-but-green names
+    # over the pin cap.
+    "purchases_in_signup_window",       # interval_join NULL-bound contract
+    "heavy_users_exact_via_cms",        # sub-universe candidate pass
+    "ann_ivfadc_refined",               # picker-chosen operating point
 })
 
 
@@ -251,6 +246,15 @@ def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
             if spec.name in out:
                 raise ValueError(f"duplicate query name {spec.name}")
             out[spec.name] = (spec, mod_touched or spec.name in ROUND_TOUCHED_OVERRIDE)
+    # a typo'd or since-renamed override entry silently pins NOTHING,
+    # defeating exactly the fresh-driver-row guarantee the override was
+    # added for (r15 ADVICE) — fail loudly instead
+    unknown = ROUND_TOUCHED_OVERRIDE - out.keys()
+    if unknown:
+        raise ValueError(
+            "ROUND_TOUCHED_OVERRIDE names not in the registry (typo or "
+            f"renamed query): {sorted(unknown)}"
+        )
     return out
 
 

@@ -17,22 +17,35 @@ whose filter says no and correctness never depends on the index.
 
 Design (Spark-first, no sidecar service):
 
-- **Build**: after writing, one pass per file computes the k bit
-  positions of each distinct value (bit_j(v) = md5_hash60("<j>:<v>")
-  mod m — the engine-portable hash family shared with operators/cms.py)
-  and ORs them into an m-bit mask held as packed longs. The per-file
-  masks land in ONE sidecar parquet (``_bloom/<col>/``) of
-  (file, mask array<long>) rows — KB per file, read once per probe.
-  The aggregation is a distributed groupBy(file) fold; nothing
-  driver-side scales with data.
+- **Build**: the new-file list is computed FIRST (the table's FileIndex
+  listing minus the sidecar's already-indexed names — both metadata,
+  no job over table rows), and only those paths are read. One
+  distributed pass computes the k bit positions of each distinct value
+  (bit_j(v) = md5_hash60("<j>:<v>") mod m — the engine-portable hash
+  family shared with operators/cms.py) and ORs them into an m-bit mask
+  held as packed longs, grouped by file. The per-file masks land in ONE
+  sidecar parquet (``_bloom/<col>/``) of (file, mask array<long>) rows
+  — KB per file, appended once per build. Every new file gets a row —
+  a file contributing no values (all-null column, empty texts) gets the
+  zero mask, which correctly prunes it for every probe and stops it
+  being rescanned on each incremental call.
 - **Probe**: compute the probe value's k positions driver-side (tiny),
-  read the sidecar, keep files whose mask has ALL k bits set, and
-  return the pruned path list for ``spark.read.parquet(*paths)`` with
-  the ordinary filter on top (the filter stays — the index only
+  evaluate the masks DISTRIBUTED — a filter over the sidecar selecting
+  files whose mask has ALL k bits set — and collect only file names
+  plus the survive bit, never the masks. The table's own file list
+  comes from the FileIndex (``inputFiles()``), which launches NO job
+  over the data: the probe's only Spark job is the sidecar read. Files
+  missing from the sidecar are kept (unindexed data must never be
+  skipped). The returned path list feeds ``spark.read.parquet(*paths)``
+  with the ordinary filter on top (the filter stays — the index only
   SKIPS, semantics are the scan's).
 - **Append-friendly**: each ``index_files`` call indexes only files
-  not yet in the sidecar (mode=append) — the compaction-cadence story,
-  same as the Z-order rewriter.
+  not yet in the sidecar — the compaction-cadence story, same as the
+  Z-order rewriter.
+
+Driver-side footprint is O(n_files) *names* on both paths — inherent,
+because the output is a driver-side path list for spark.read — but
+never O(n_files) masks and never O(n_rows) anything.
 
 False-positive rate: (1 - e^{-kn/m})^k per file for n distinct values;
 the defaults (m = 8192 bits, k = 4) hold ~1% at n ≈ 850 per file.
@@ -48,6 +61,10 @@ from ..operators.dedup import md5_hash60
 
 _WORDS = 64  # bits per packed long
 
+# explicit sidecar schema: skips parquet footer schema inference, which
+# would otherwise cost a (metadata-scale, but countable) Spark job per read
+_SIDECAR_SCHEMA = "file string, mask array<bigint>"
+
 
 def _bit_pos(value: Column, j: Column, *, m: int) -> Column:
     """Bit position j of ``value`` in the m-bit filter (portable md5
@@ -62,6 +79,34 @@ def _bit_pos(value: Column, j: Column, *, m: int) -> Column:
 
 def _sidecar(path: str, col: str) -> str:
     return os.path.join(path, "_bloom", col)
+
+
+def _data_files(spark: SparkSession, path: str) -> list[str]:
+    """The table's data files from the FileIndex — metadata only, ZERO
+    Spark jobs (the dummy explicit schema skips even the footer
+    schema-inference job; ``inputFiles()`` needs only the listing).
+    Returns the same ``file://`` URI strings as ``input_file_name()``,
+    so names join the sidecar keys exactly. The sidecar itself is
+    invisible here: ``_bloom`` is an underscore-prefixed directory,
+    which Spark's file listing hides."""
+    return sorted(
+        spark.read.schema("__bloom_listing int").parquet(path).inputFiles()
+    )
+
+
+def _indexed_files(spark: SparkSession, side: str) -> set[str] | None:
+    """File names already present in the sidecar (names only — never
+    the masks), or None when no sidecar exists yet."""
+    try:
+        return {
+            r.file
+            for r in spark.read.schema(_SIDECAR_SCHEMA)
+            .parquet(side)
+            .select("file")
+            .collect()
+        }
+    except Exception:
+        return None
 
 
 def _char_ngrams(text: Column, n: int) -> Column:
@@ -88,9 +133,14 @@ def index_files(
 ) -> int:
     """Build (or extend) the Bloom sidecar for ``col`` over every data
     file under ``path`` not yet indexed. Returns the number of newly
-    indexed files. One distributed pass over the new files: explode
-    each row into its k bit positions, distinct per (file, word,
-    bit), OR-fold into the packed-long mask per file.
+    indexed files. The new-file list is resolved BEFORE any scan
+    (FileIndex listing minus sidecar names, both metadata-side), so the
+    one distributed pass reads ONLY the new files — an incremental call
+    after appending one file scans one file, regardless of table size —
+    then explodes each row into its k bit positions, distincts per
+    (file, bit), OR-folds into the packed-long mask per file, and writes
+    the sidecar exactly once (no count-then-write double execution: the
+    return value is the length of the driver-side new-file list).
 
     ``tokenized=True`` is the ``tokenbf_v1`` mode: the column is a
     TEXT column and the filter indexes its TOKENS (operators/text.
@@ -110,29 +160,27 @@ def index_files(
     if tokenized and ngram:
         raise ValueError("tokenized and ngram modes are mutually exclusive")
     n_words = m_bits // _WORDS
-    df = spark.read.parquet(path).select(
-        F.input_file_name().alias("file"), F.col(col).alias("_v")
+    data_col = col
+    if tokenized:
+        col = f"{col}__tokens"
+    elif ngram:
+        col = f"{col}__ngram{ngram}"
+    side = _sidecar(path, col)
+    have = _indexed_files(spark, side) or set()
+    new = [f for f in _data_files(spark, path) if f not in have]
+    if not new:
+        return 0
+    df = spark.read.parquet(*new).select(
+        F.input_file_name().alias("file"), F.col(data_col).alias("_v")
     )
     if tokenized:
         from ..operators.text import tokens
 
         df = df.select("file", F.explode(tokens(F.col("_v"))).alias("_v"))
-        col = f"{col}__tokens"
     elif ngram:
         df = df.select(
             "file", F.explode(_char_ngrams(F.col("_v"), ngram)).alias("_v")
         )
-        col = f"{col}__ngram{ngram}"
-    side = _sidecar(path, col)
-    try:
-        # anti-join, not an isin(<python list>) literal: a 100 TB table
-        # has ~800k files and a literal that size bloats the plan; the
-        # sidecar is one (file, mask) row per file, a natural broadcast
-        have = spark.read.parquet(side).select("file")
-    except Exception:
-        have = None
-    if have is not None:
-        df = df.join(F.broadcast(have), "file", "left_anti")
     bits = df.select(
         "file",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
@@ -168,10 +216,36 @@ def index_files(
         ),
     )
     masks = words.groupBy("file").agg(dense.alias("mask"))
-    n_new = masks.count()
-    if n_new:
-        masks.write.mode("append").parquet(side)
-    return n_new
+    # a new file contributing zero values (all-null column, texts below
+    # the gram size) still needs a sidecar row: the zero mask prunes it
+    # for every probe (nothing in it can match) and keeps the next
+    # incremental call from rescanning it forever. The file-name frame
+    # is driver-built (len(new) names) and broadcast into the join.
+    new_df = spark.createDataFrame([(f,) for f in new], "file string")
+    zero_mask = F.array_repeat(F.lit(0).cast("long"), n_words)
+    masks = new_df.join(F.broadcast(masks), "file", "left").select(
+        "file", F.coalesce(F.col("mask"), zero_mask).alias("mask")
+    )
+    masks.write.mode("append").parquet(side)
+    return len(new)
+
+
+def _probe_positions(
+    value, *, m_bits: int, k: int, ngram: int | None
+) -> list[int]:
+    """The probe's bit positions, computed driver-side with the same
+    md5 family the build uses (hashlib replay of _bit_pos)."""
+    import hashlib
+
+    probes = [str(value)]
+    if ngram:
+        s = str(value)
+        probes = [s[i : i + ngram] for i in range(len(s) - ngram + 1)]
+    return [
+        int(hashlib.md5(f"{j}:{p}".encode()).hexdigest()[:15], 16) % m_bits
+        for p in probes
+        for j in range(k)
+    ]
 
 
 def pruned_paths(
@@ -186,61 +260,49 @@ def pruned_paths(
     ngram: int | None = None,
 ) -> list[str]:
     """Files under ``path`` that MIGHT contain ``value`` in ``col``
-    (no false negatives): the probe's k bit positions are computed in
-    one row against the sidecar; a file survives only if every probe
-    bit is set in its mask. Files missing from the sidecar are KEPT
-    (unindexed data must never be skipped). ``ngram=n`` probes the
-    ngrambf sidecar with a SUBSTRING: every n-gram of ``value`` must
-    be present (a fragment shorter than n has no grams and prunes
-    nothing — the honest answer). The returned list feeds
-    ``spark.read.parquet(*paths)`` with the ordinary predicate on
-    top.
+    (no false negatives): the probe's k bit positions are computed
+    driver-side, the mask test (every probe bit set) is evaluated
+    DISTRIBUTED as a filter over the sidecar, and only (file name,
+    survive bit) pairs come back — never the masks. Files missing from
+    the sidecar are KEPT (unindexed data must never be skipped).
+    ``ngram=n`` probes the ngrambf sidecar with a SUBSTRING: every
+    n-gram of ``value`` must be present (a fragment shorter than n has
+    no grams and prunes nothing — the honest answer). The returned
+    list feeds ``spark.read.parquet(*paths)`` with the ordinary
+    predicate on top.
 
-    Probe-side cost is DRIVER-side O(n_files): the sidecar masks and
-    the table's file listing both collect (at ~800k files that is
-    ~1 GB of masks at the default m — a deployment at that scale
-    filters the sidecar DISTRIBUTED instead: join the mask table
-    against the probe bits and collect only surviving file names,
-    which this sidecar layout already supports; the catalog-scale
-    collect here keeps the common case one read + one list)."""
-    import hashlib
-
+    Cost model: the table's file list comes from the FileIndex
+    (``inputFiles()`` — metadata, zero jobs over table rows), so the
+    probe's ONLY job is the sidecar scan, whose output is O(n_files)
+    names + booleans (the masks stay executor-side). The driver-side
+    O(n_files) name list is inherent: the result IS a path list for
+    spark.read."""
     if tokenized and ngram:
         raise ValueError("tokenized and ngram modes are mutually exclusive")
-    probes = [str(value)]
     suffix = ""
     if tokenized:
         suffix = "__tokens"
     elif ngram:
         suffix = f"__ngram{ngram}"
-        s = str(value)
-        probes = [s[i : i + ngram] for i in range(len(s) - ngram + 1)]
-        if not probes:  # fragment shorter than the gram size
-            probes = []
-    positions = [
-        int(hashlib.md5(f"{j}:{p}".encode()).hexdigest()[:15], 16) % m_bits
-        for p in probes
-        for j in range(k)
-    ]
+    positions = _probe_positions(value, m_bits=m_bits, k=k, ngram=ngram)
+    all_files = _data_files(spark, path)
     side = _sidecar(path, f"{col}{suffix}")
     try:
-        rows = spark.read.parquet(side).collect()
+        side_df = spark.read.schema(_SIDECAR_SCHEMA).parquet(side)
+        side_df.inputFiles()  # existence probe, still metadata-only
     except Exception:
-        rows = []
-    indexed: dict[str, list[int]] = {r.file: list(r.mask) for r in rows}
-    all_files = {
-        r.file
-        for r in spark.read.parquet(path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
-        .collect()
+        return all_files  # no sidecar yet: nothing can be skipped
+    survive = F.lit(True)
+    for p in positions:
+        survive = survive & (
+            F.element_at(F.col("mask"), p // _WORDS + 1).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {p % _WORDS})")
+            )
+            != 0
+        )
+    verdicts = {
+        r.file: r.keep
+        for r in side_df.select("file", survive.alias("keep")).collect()
     }
-    keep = []
-    for f in sorted(all_files):
-        mask = indexed.get(f)
-        if mask is None:
-            keep.append(f)  # unindexed: cannot skip
-            continue
-        if all(mask[p // _WORDS] & (1 << (p % _WORDS)) for p in positions):
-            keep.append(f)
-    return keep
+    # unindexed (absent from the sidecar) defaults to kept
+    return [f for f in all_files if verdicts.get(f, True)]
