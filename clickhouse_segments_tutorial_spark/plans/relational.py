@@ -848,18 +848,26 @@ _CMS_ORACLE = _cms_oracle()
 def heavy_users_exact_via_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters through the sketch filter
     (operators/cms.cms_heavy_hitters): every user with >= 68 events and
-    their exact counts, found by CMS-thresholding candidates (provably
-    a SUPERSET — estimates only overcount) and exact-verifying only
-    candidate rows. The oracle is the plain HAVING count >= 68 — hash
-    equality each round proves BOTH halves of the pattern: the sketch
-    filter lost no true heavy hitter (upper-bound contract) and the
-    verify pass removed every false positive. At scale this is the
-    point: the exact groupBy runs over the candidates' rows, never the
-    full key universe."""
+    their exact counts. Candidates come from the dyadic-range walk over
+    the hierarchical CMS (Cormode-Muthukrishnan §4.2) — a 1024-ary
+    prefix-tree descent on the 60-bit user-hash domain that expands
+    only classes whose count upper bound clears the threshold — so
+    candidate discovery is SUB-UNIVERSE: no distinct() and no groupBy
+    over the key universe anywhere before the verify pass (r15 verdict
+    item 2; the previous shape probed distinct(user_id), a full-universe
+    shuffle). The oracle is the plain HAVING count >= 68 — hash
+    equality each round proves BOTH halves of the pattern: the walk
+    lost no true heavy hitter (upper-bound contract: a prefix class
+    containing a heavy hitter counts at least as much as the item) and
+    the exact verify over candidate rows removed every false
+    positive. w = 8192 keeps the walk in its discriminating regime
+    (threshold > e*N/w) through sf0.1's ~100k events — at the default
+    512 the error floor crosses 68 and the operator would honestly
+    fall back to the plain exact plan."""
     from ..operators.cms import cms_heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
-    return cms_heavy_hitters(ev, "user_id", threshold=68)
+    return cms_heavy_hitters(ev, "user_id", threshold=68, w=8192)
 
 
 _CMS_HH_ORACLE = """

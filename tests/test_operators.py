@@ -3374,3 +3374,27 @@ def test_cms_heavy_hitters_exact_via_superset_filter(spark):
         assert got == want, threshold
     # threshold above everything -> empty, not an error
     assert cms_heavy_hitters(df, "uid", threshold=10_000).count() == 0
+
+    # r16: regime guards. At w=4096 the error floor e*N/w ~ 1.3 sits
+    # below every threshold, so the dyadic walk runs end-to-end; the
+    # answer must still equal exact
+    want100 = sorted(
+        (r.uid, r["count"])
+        for r in df.groupBy("uid").count().filter(F.col("count") >= 100).collect()
+    )
+    got100 = sorted(
+        (r.uid, r.n)
+        for r in cms_heavy_hitters(df, "uid", threshold=100, w=4096).collect()
+    )
+    assert got100 == want100 == [("hot1", 500), ("hot2", 120)]
+    # a saturated walk (tiny per-level cap) must fall back to the exact
+    # plan, never cascade or drop a heavy hitter
+    got_capped = sorted(
+        (r.uid, r.n)
+        for r in cms_heavy_hitters(
+            df, "uid", threshold=100, w=4096, max_candidates_per_level=1
+        ).collect()
+    )
+    assert got_capped == want100
+    with pytest.raises(ValueError, match="threshold"):
+        cms_heavy_hitters(df, "uid", threshold=0)

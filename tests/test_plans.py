@@ -560,6 +560,33 @@ def test_cms_probe_broadcasts_sketch(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_cms_heavy_hitters_candidates_sub_universe(spark):
+    """r15 verdict item 2: cms_heavy_hitters' candidate pass must not
+    shuffle the full key universe. The r15 anti-pattern was
+    ``distinct(user_id)`` — a HashAggregate keyed on user_id with NO
+    aggregate functions — feeding the sketch probe; the dyadic-range
+    walk replaced it, so the ONLY user_id-keyed aggregate left is the
+    exact verify over candidate rows (functions=[count(1)]), sitting
+    ABOVE the candidate semi-join. Assert no empty-functions aggregate
+    over the item column anywhere in the plan, and that the verify
+    semi-join survives."""
+    import re as _re
+
+    plan = plan_of(spark, "heavy_users_exact_via_cms")
+    blocks = _re.split(r"^(?=\(\d+\) )", plan, flags=_re.M)
+    for b in blocks:
+        if not b.startswith("(") or "HashAggregate" not in b.split("\n")[0]:
+            continue
+        keys = _re.search(r"^Keys \[\d+\]: \[(.*)\]$", b, _re.M)
+        funcs = _re.search(r"^Functions \[(\d+)\]", b, _re.M)
+        if keys and "user_id" in keys.group(1) and funcs:
+            assert funcs.group(1) != "0", (
+                "distinct(user_id)-shaped aggregate found — the "
+                "candidate pass is shuffling the key universe again:\n" + b
+            )
+    assert "LeftSemi" in plan  # exact verify runs over candidate rows only
+
+
 def test_bloom_skip_index_prunes_point_probes(spark, tmp_path):
     """File-level Bloom skip index (sources/bloom_index.py — the
     ClickHouse bloom_filter/tokenbf analog): on a layout range-split by
