@@ -1271,6 +1271,97 @@ SELECT (SELECT CAST(n AS BIGINT) FROM n) AS total_units,
 """
 
 
+def lineitem_price_quantiles_autodomain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Auto-domain quantile sketch (operators/quantile_sketch.
+    hist_auto_domain — r15 verdict item 5): l_extendedprice plus a
+    synthetic 10-row spike at ~3M, far outside the [0, 120k) domain the
+    fixed-domain siblings declare. With the declared domain the spike
+    saturates into the top bin and p99/max-side estimates sit at the
+    120k edge regardless of the spike's real position; the min/max
+    pre-pass instead derives the domain from the data, so the sketch
+    covers the spike and the interpolation reflects it. The oracle
+    replays the pre-pass (min/max CTE), the derived bin width, and the
+    interpolation bit-for-bit — lo/hi are emitted as columns so the
+    domain derivation itself is hash-gated."""
+    from ..operators.quantile_sketch import (
+        hist_auto_domain,
+        hist_count,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    spike = spark.range(10).select(
+        (F.lit(3_000_000.0) + F.col("id").cast("double")).alias("v")
+    )
+    df = li.unionByName(spike)
+    lo, hi = hist_auto_domain(df, "v")
+    bins = 240
+    sk = hist_sketch(df, [], "v", lo=lo, hi=hi, bins=bins)
+    q = lambda p: hist_quantile(F.col("sketch"), p, lo=lo, hi=hi, bins=bins)
+    return sk.select(
+        F.lit(lo).alias("dom_lo"),
+        F.lit(hi).alias("dom_hi"),
+        hist_count(F.col("sketch")).alias("n_rows"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+        q(0.99).alias("p99"),
+    )
+
+
+_AUTODOMAIN_QUANTILES_ORACLE = """
+WITH src AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  UNION ALL
+  SELECT 3000000.0 + CAST(i AS DOUBLE) AS v
+  FROM (SELECT unnest(range(10)) AS i)
+),
+dom AS (
+  SELECT min(v) AS lo,
+         CASE WHEN max(v) > min(v) THEN max(v) ELSE min(v) + 1.0 END AS hi
+  FROM src
+),
+b AS (
+  SELECT least(239, greatest(0,
+           CAST(floor((s.v - d.lo) / ((d.hi - d.lo) / 240.0)) AS INT)))
+           AS bin
+  FROM src s CROSS JOIN dom d
+),
+h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+n AS (SELECT sum(c) AS n FROM h),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS before
+  FROM h
+),
+tgt AS (
+  SELECT q.q, least(greatest(CAST(floor(q.q * n.n) AS BIGINT) + 1, 1), n.n) AS r
+  FROM n CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) q
+),
+est AS (
+  SELECT t.q,
+         (SELECT round(d.lo + ((d.hi - d.lo) / 240.0) *
+                       (CAST(c.bin AS DOUBLE)
+                        + CAST(t.r - c.before AS DOUBLE)
+                          / CAST(c.c AS DOUBLE)), 6)
+          FROM cum c CROSS JOIN dom d WHERE c.cum >= t.r
+          ORDER BY c.bin LIMIT 1) AS e
+  FROM tgt t
+)
+SELECT (SELECT lo FROM dom) AS dom_lo,
+       (SELECT hi FROM dom) AS dom_hi,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+       (SELECT e FROM est WHERE q = 0.5) AS p50,
+       (SELECT e FROM est WHERE q = 0.9) AS p90,
+       (SELECT e FROM est WHERE q = 0.99) AS p99
+"""
+
+
 def bloom_bits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom skip index's bit-position semantics pinned on every
     row (the zorder_key_events pattern: a value oracle cannot see file
@@ -2265,6 +2356,11 @@ QUERIES = [
         "lineitem_price_quantiles_weighted",
         lineitem_price_quantiles_weighted,
         _WEIGHTED_QUANTILES_ORACLE,
+    ),
+    QuerySpec(
+        "lineitem_price_quantiles_autodomain",
+        lineitem_price_quantiles_autodomain,
+        _AUTODOMAIN_QUANTILES_ORACLE,
     ),
     QuerySpec(
         "order_value_quantiles_by_priority",

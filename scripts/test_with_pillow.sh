@@ -6,12 +6,15 @@
 #
 #   scripts/test_with_pillow.sh
 #
-# Creates .venv-pillow (reused across runs), installs pillow + the test
-# deps if missing, and runs exactly the PIL-dependent tests — which SKIP
-# in the base environment and must PASS here.
+# Creates a throwaway venv OUTSIDE the repo (r15 verdict item 7: an
+# in-repo venv polluted the LoC diagnostic and tripped the leak scan on
+# pip's vendored data; override with SPARK_GRAFT_VENV_DIR), installs
+# pillow if missing, and runs exactly the PIL-dependent tests — which
+# SKIP in the base environment and must PASS here.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-VENV=.venv-pillow
+VENV="${SPARK_GRAFT_VENV_DIR:-/tmp/spark-graft-venvs}/pillow"
+mkdir -p "$(dirname "$VENV")"
 if [ ! -d "$VENV" ]; then
     python -m venv --system-site-packages "$VENV"
 fi

@@ -3218,6 +3218,49 @@ def test_interval_join_null_bounded_intervals_drop(spark):
         ).collect()
 
 
+def test_hist_auto_domain_covers_outlier_spike(spark):
+    """r15 verdict item 5: a spike outside a declared domain saturates
+    into the top bin and the upper quantiles stick at the declared
+    edge; hist_auto_domain's min/max pre-pass derives a domain that
+    contains the spike, so the estimate tracks it. Also pins the
+    degenerate all-equal widening and the empty-column error."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        hist_auto_domain,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    base = [(float(i % 100),) for i in range(990)]
+    spike = [(100_000.0,)] * 10  # top 1%: p99+ should sit near the spike
+    df = spark.createDataFrame(base + spike, "v double")
+
+    # declared [0, 100): the spike saturates into the last bin and the
+    # p999 estimate cannot exceed the declared edge
+    sat = hist_sketch(df, [], "v", lo=0.0, hi=100.0, bins=100).select(
+        hist_quantile(F.col("sketch"), 0.995, lo=0.0, hi=100.0, bins=100)
+        .alias("p")
+    ).first()["p"]
+    assert sat <= 100.0
+
+    lo, hi = hist_auto_domain(df, "v")
+    assert lo == 0.0 and hi == 100_000.0
+    auto = hist_sketch(df, [], "v", lo=lo, hi=hi, bins=100).select(
+        hist_quantile(F.col("sketch"), 0.995, lo=lo, hi=hi, bins=100)
+        .alias("p")
+    ).first()["p"]
+    assert auto > 99_000.0  # the estimate reaches the spike's bin
+
+    eq = spark.createDataFrame([(7.0,)] * 5, "v double")
+    lo2, hi2 = hist_auto_domain(eq, "v")
+    assert (lo2, hi2) == (7.0, 8.0)  # degenerate widen, width > 0
+
+    empty = spark.createDataFrame([(None,)], "v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        hist_auto_domain(empty, "v")
+
+
 def test_hist_sketch_merge_and_quantiles(spark):
     """Mergeable fixed-bin quantile sketches (operators/quantile_sketch
     — the quantileState/-Merge analog): the direct global sketch equals
