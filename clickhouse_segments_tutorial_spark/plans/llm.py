@@ -1180,17 +1180,32 @@ def ann_ivfadc_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall over the 10-probe panel at sf0.01: **0.960** vs the trained
     probe's 0.890 ceiling, along a 0.920 (28/160) / 0.930 (32/160)
     curve (BASELINE.md r15). Probe-side cost stays in the probe-only
-    class: 40/128 directory-pruned code partitions, one broadcast LUT,
-    240 float vectors touched — the index artifact is byte-identical
-    to ann_ivfadc_probe_trained's (shared build cache)."""
-    from ..operators.ann_index import ivfadc_probe_index
+    class: directory-pruned code partitions, one broadcast LUT, k_cand
+    float vectors touched — the index artifact is byte-identical to
+    ann_ivfadc_probe_trained's (shared build cache).
 
+    r16 (r15 verdict item 6): the operating point is now CHOSEN by the
+    budget picker, not hand-pinned — ivfadc_pick_n_probe at
+    target=0.95 prices the probe's candidate-ceiling curve off the
+    persisted index and returns the cheapest budget meeting the target
+    (for a single probe at k=10, any target > 0.9 means 10/10
+    coverage, so the pick is the max over the exact top-10 of each
+    neighbor's minimum probed-list rank); k_cand scales 6x the pick,
+    the 240/40 refine ratio that keeps the ADC stage from re-binding
+    the wider candidate set. The oracle replays the picker in SQL
+    (exact10 / minrank / picked CTEs), so the CHOICE itself is
+    hash-gated."""
+    from ..operators.ann_index import ivfadc_pick_n_probe, ivfadc_probe_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    workdir = _ivfadc_index_for(spark, sf_dir, book_refine_iters=2)
     probe = [r["_probe"] for r in _probe(spark, sf_dir).collect()][0]
+    n_probe = ivfadc_pick_n_probe(
+        emb, workdir, [list(probe)], target=0.95, exclude_ids=[0]
+    )
     return ivfadc_probe_index(
-        _t(spark, sf_dir, "embeddings"),
-        _ivfadc_index_for(spark, sf_dir, book_refine_iters=2),
-        list(probe),
-        k=10, n_probe=40, k_cand=240, exclude_id=0,
+        emb, workdir, list(probe),
+        k=10, n_probe=n_probe, k_cand=6 * n_probe, exclude_id=0,
     )
 
 
@@ -1557,6 +1572,7 @@ def _ivfadc_oracle(
     delete_where: str = "",
     n_probe: int = 24,
     k_cand: int = 80,
+    picked_target: float | None = None,
 ) -> str:
     """The IVFADC replay, parameterized by a TRAINING-set predicate and
     a sub-codebook refinement depth. ``train_where`` empty = train on
@@ -1582,6 +1598,45 @@ def _ivfadc_oracle(
     tw = f"WHERE {train_where}" if train_where else ""
     twe = f"WHERE e.{train_where}" if train_where else ""
     dw = f" AND NOT (v.{delete_where})" if delete_where else ""
+    # picked_target: replay operators.ann_index.ivfadc_pick_n_probe in
+    # SQL — exact top-10, each neighbor's MIN probed-list rank over its
+    # spill lists (assign rk <= 2 replays spill=2), and the smallest
+    # budget whose ceiling meets the target. For a single probe at
+    # k=10, any target > 0.9 needs 10/10 coverage, so the picked
+    # n_probe is max(min_rank); k_cand scales 6x (the refined query's
+    # 240/40 ratio, so the ADC stage cannot re-bind the wider set).
+    picked_ctes = ""
+    np_expr, kc_expr = str(n_probe), str(k_cand)
+    if picked_target is not None:
+        if delete_where:
+            raise ValueError(
+                "picked_target oracle path does not model tombstones"
+            )
+        if not picked_target > 0.9:
+            raise ValueError(
+                "single-probe picker replay requires target > 0.9 "
+                "(10/10 coverage); lower targets need the panel picker"
+            )
+        picked_ctes = """
+exact10 AS MATERIALIZED (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN probe_vec p
+  WHERE e.vec_id != 0
+  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        p.pvec), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+minrank AS (
+  SELECT a.vec_id, min(pr.rk) AS mr
+  FROM (SELECT vec_id, cidx FROM assign WHERE rk <= 2) a
+  JOIN probe_rank pr USING (cidx)
+  JOIN exact10 USING (vec_id)
+  GROUP BY a.vec_id
+),
+picked AS (SELECT max(mr) AS np FROM minrank),"""
+        np_expr = "(SELECT np FROM picked)"
+        kc_expr = "(SELECT 6 * np FROM picked)"
     biters = "".join("," + _book_iter_ctes(t) for t in range(1, book_iters + 1))
     bfinal = f"books{book_iters}"
     # the full-corpus residual table exists ONLY to train sub-codebooks;
@@ -1628,7 +1683,8 @@ probe_rank AS (
          ) AS rk
   FROM cents2 c CROSS JOIN probe_vec p
 ),
-probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= {n_probe}),
+{picked_ctes}
+probe_lists AS (SELECT cidx FROM probe_rank WHERE rk <= {np_expr}),
 cand AS MATERIALIZED (
   SELECT DISTINCT v.vec_id
   FROM (SELECT vec_id, cidx FROM assign WHERE rk <= 2) v
@@ -1698,7 +1754,7 @@ adc AS (
   JOIN qc q ON r.cidx = q.cidx
   GROUP BY c.vec_id
 ),
-shortlist AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT {k_cand})
+shortlist AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT {kc_expr})
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec), 6) AS cos_sim
 FROM embeddings e
@@ -3149,7 +3205,7 @@ QUERIES = [
     QuerySpec(
         "ann_ivfadc_refined",
         ann_ivfadc_refined,
-        _ivfadc_oracle(book_iters=2, n_probe=40, k_cand=240),
+        _ivfadc_oracle(book_iters=2, picked_target=0.95),
     ),
     QuerySpec(
         "ann_ivfadc_tune_nprobe", ann_ivfadc_tune_nprobe, _ANN_TUNE_ORACLE

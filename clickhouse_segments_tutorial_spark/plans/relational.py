@@ -1194,6 +1194,72 @@ HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE -1 END) != 0
 """
 
 
+def versioned_collapsing_pending_cancels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VersionedCollapsingMergeTree lifecycle proof (r15 verdict item
+    8 — the out-of-order case version keys EXIST for): cancels are
+    delivered BEFORE their states, across a merge boundary. Per
+    (user, version=day): a view day carries a +1 state row, a click
+    day a -1 cancel row. Batch 1 writes EVERY cancel; the background
+    merge then compacts — a correct versioned merge must KEEP the
+    lone -1 rows as pending cancels (plain ClickHouse collapsing,
+    where merge order matters, mishandles exactly this; here
+    sum(sign) over (key, version) is commutative so delivery order
+    cannot matter — sources/writers.py collapsing_serve's documented
+    contract with the version column in key_cols). Batch 2 then
+    delivers the states; the serve nets per (user, version):
+    cancelled versions annihilate, view-only versions survive +1,
+    still-pending cancels surface as -1. The oracle aggregates the
+    signed distinct sets directly — hash equality proves
+    cancel-first delivery + compaction + late states == the
+    order-free signed aggregation."""
+    from ..session import scratch_dir
+    from ..sources.writers import collapsing_serve, compact_collapsing
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("version"),
+        "event_type",
+    )
+    states = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "version").distinct()
+        .withColumn("sign", F.lit(1).cast("long"))
+    )
+    cancels = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "version").distinct()
+        .withColumn("sign", F.lit(-1).cast("long"))
+    )
+    path = scratch_dir("versioned_collapsing")
+    # batch 1: every cancel arrives FIRST, and the merge runs on a
+    # store holding nothing but pending cancels
+    cancels.write.mode("append").parquet(path)
+    compact_collapsing(spark, path, key_cols=["user_id", "version"])
+    # batch 2: the states the cancels were for (plus never-cancelled)
+    states.write.mode("append").parquet(path)
+    return collapsing_serve(
+        spark.read.parquet(path), key_cols=["user_id", "version"]
+    ).withColumnRenamed("sign", "net_sign")
+
+
+_VERSIONED_COLLAPSING_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS version,
+         CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS sign
+  FROM events
+  WHERE event_type IN ('view', 'click')
+)
+SELECT user_id, version, CAST(sum(sign) AS BIGINT) AS net_sign
+FROM d GROUP BY 1, 2 HAVING sum(sign) != 0
+"""
+
+
 _UNIQ_UPTO_ORACLE = """
 SELECT event_type,
        CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS uniq_upto
@@ -2351,6 +2417,11 @@ QUERIES = [
     ),
     QuerySpec(
         "collapsing_view_click_net", collapsing_view_click_net, _COLLAPSING_ORACLE
+    ),
+    QuerySpec(
+        "versioned_collapsing_pending_cancels",
+        versioned_collapsing_pending_cancels,
+        _VERSIONED_COLLAPSING_ORACLE,
     ),
     QuerySpec(
         "lineitem_price_quantiles_weighted",
