@@ -497,97 +497,94 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def heavy_user_counts_cms_incremental(
+def heavy_user_counts_cms_lifecycle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The CMS maintained INCREMENTALLY over two ts-median event waves
-    (operators/cms.IncrementalCms on the shared wave chassis): per-wave
-    cell deltas sum to exactly the batch counters, so this shares
-    heavy_user_counts_cms's oracle — the hash match proves the
-    incremental fold equals the batch sketch on real data."""
-    from .curation import _stream_scratch
+    """The CMS's THREE wave-state lanes in ONE registered query (r15
+    verdict item 3: the five near-duplicate cms lanes consolidated so
+    registry rotation depth stays bounded — this absorbs the former
+    _incremental / _streaming / _deleted twins; the lanes share one
+    operator, operators/cms.IncrementalCms on the wave chassis):
 
-    ev = _events(spark, sf_dir)
-    mid = ev.agg(
-        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
-    ).collect()[0][0]
-    trainer = _cms_trainer(spark, _stream_scratch("cms_incr"))
-    trainer.reset()
-    trainer.ingest(ev.filter(F.unix_timestamp("ts") < mid))
-    trainer.ingest(ev.filter(F.unix_timestamp("ts") >= mid))
-    return trainer.score(ev)
+    - lane 'incremental': two ts-median waves folded as cell deltas —
+      per-wave deltas sum to exactly the batch counters;
+    - lane 'streaming': the same trainer behind the actual Structured
+      Streaming wave gate (StreamingWaveGate), closing the
+      batch/incremental/streaming triangle;
+    - lane 'deleted': the TAKEDOWN path — ingest everything, then
+      retract every user_id % 5 == 2 user's events as negative deltas
+      (counters are exactly invertible), scored over the survivors.
 
-
-def heavy_user_counts_cms_streaming(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The CMS trainer behind the streaming wave gate — the
-    batch/incremental/streaming triangle closed for the frequency
-    sketch; shares the batch oracle."""
+    Output (lane, user_id, n_events, cms_est). The oracle UNION ALLs
+    one batch replay per lane — full corpus for the first two,
+    filtered corpus for the takedown — so the hash match proves each
+    maintenance mode reproduces its batch sketch bit-for-bit on real
+    data, per round."""
     from ..streaming.stream_curation import StreamingWaveGate
     from .curation import _stream_scratch
 
-    workdir = _stream_scratch("cms_streaming")
-    ev = _events(spark, sf_dir).select("user_id", "ts")
+    ev = _events(spark, sf_dir)
     mid = ev.agg(
         F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
     ).collect()[0][0]
-    trainer = _cms_trainer(spark, f"{workdir}/state")
-    gate = StreamingWaveGate(spark, workdir, schema=ev.schema, ingestor=trainer)
+    early = ev.filter(F.unix_timestamp("ts") < mid)
+    late = ev.filter(F.unix_timestamp("ts") >= mid)
+
+    incr = _cms_trainer(spark, _stream_scratch("cms_incr"))
+    incr.reset()
+    incr.ingest(early)
+    incr.ingest(late)
+
+    stream_dir = _stream_scratch("cms_streaming")
+    ev_slim = ev.select("user_id", "ts")
+    streaming = _cms_trainer(spark, f"{stream_dir}/state")
+    gate = StreamingWaveGate(
+        spark, stream_dir, schema=ev_slim.schema, ingestor=streaming
+    )
     gate.reset_state()
-    ev.filter(F.unix_timestamp("ts") < mid).coalesce(1).write.mode(
-        "append"
-    ).parquet(gate.in_dir)
-    gate.run_available_now()
-    ev.filter(F.unix_timestamp("ts") >= mid).coalesce(1).write.mode(
-        "append"
-    ).parquet(gate.in_dir)
-    gate.run_available_now()
-    return trainer.score(_events(spark, sf_dir))
+    for wave in (
+        ev_slim.filter(F.unix_timestamp("ts") < mid),
+        ev_slim.filter(F.unix_timestamp("ts") >= mid),
+    ):
+        wave.coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+
+    deleted = _cms_trainer(spark, _stream_scratch("cms_deleted"))
+    deleted.reset()
+    deleted.ingest(ev, wave_id=1)
+    deleted.retract(ev.filter(F.col("user_id") % 5 == 2), wave_id=2)
+
+    return (
+        incr.score(ev)
+        .select(F.lit("incremental").alias("lane"), "*")
+        .unionByName(
+            streaming.score(ev).select(F.lit("streaming").alias("lane"), "*")
+        )
+        .unionByName(
+            deleted.score(ev.filter(F.col("user_id") % 5 != 2)).select(
+                F.lit("deleted").alias("lane"), "*"
+            )
+        )
+    )
 
 
-def heavy_user_counts_cms_deleted(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The CMS's TAKEDOWN lane: ingest every event, then RETRACT every
-    user_id % 5 == 2 user's events as negative cell deltas — counters
-    are exactly invertible, so the rebuilt sketch equals the batch
-    sketch over the surviving events, proven by the oracle computing
-    both the counters and the exact top-20 harness over the FILTERED
-    corpus."""
-    from .curation import _stream_scratch
-
-    ev = _events(spark, sf_dir)
-    trainer = _cms_trainer(spark, _stream_scratch("cms_deleted"))
-    trainer.reset()
-    trainer.ingest(ev, wave_id=1)
-    gone = ev.filter(F.col("user_id") % 5 == 2)
-    trainer.retract(gone, wave_id=2)
-    return trainer.score(ev.filter(F.col("user_id") % 5 != 2))
-
-
-def _cms_oracle_for(where: str = ""):
+def _cms_lifecycle_oracle():
     from .relational import _cms_oracle
 
-    return _cms_oracle(where)
+    return (
+        f"SELECT * FROM ({_cms_oracle(lane='incremental')}) "
+        f"UNION ALL SELECT * FROM ({_cms_oracle(lane='streaming')}) "
+        f"UNION ALL SELECT * FROM ("
+        f"{_cms_oracle('NOT (user_id % 5 = 2)', lane='deleted')})"
+    )
 
 
 QUERIES.extend(
     [
         QuerySpec(
-            "heavy_user_counts_cms_incremental",
-            heavy_user_counts_cms_incremental,
-            _cms_oracle_for(),
-        ),
-        QuerySpec(
-            "heavy_user_counts_cms_streaming",
-            heavy_user_counts_cms_streaming,
-            _cms_oracle_for(),
-        ),
-        QuerySpec(
-            "heavy_user_counts_cms_deleted",
-            heavy_user_counts_cms_deleted,
-            _cms_oracle_for("NOT (user_id % 5 = 2)"),
+            "heavy_user_counts_cms_lifecycle",
+            heavy_user_counts_cms_lifecycle,
+            _cms_lifecycle_oracle(),
         ),
     ]
 )

@@ -70,6 +70,7 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     "purchases_in_signup_window",       # interval_join NULL-bound contract
     "heavy_users_exact_via_cms",        # sub-universe candidate pass
     "ann_ivfadc_refined",               # picker-chosen operating point
+    "heavy_user_counts_cms",            # consolidated two-lane output shape
 })
 
 

@@ -783,37 +783,73 @@ FROM z GROUP BY event_type
 """
 
 
-def heavy_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimation (operators/cms.py — the
-    heavy-hitter partial next to the HLL / KMV / quantile states): a
-    4 x 512 CMS built over every event's user_id, probed for the
-    top-20 users by exact count. Output (user_id, n_events, cms_est)
-    — the driver hash pins construction AND estimator on all cells
-    every round, and cms_est >= n_events by construction (collisions
-    only add; equality whenever a user's 4 cells are collision-free).
-    The exact counts here are the TEST HARNESS, not the production
-    pattern: at scale the exact groupBy shuffles every distinct key
-    while the sketch is 2048 counters and one map-side agg. The oracle
-    replays the md5-mod hashing, cell counting, and min-fold
-    bit-for-bit."""
-    from ..operators.cms import cms_estimate, cms_sketch
-
-    ev = _t(spark, sf_dir, "events")
-    sketch = cms_sketch(ev, "user_id", d=4, w=512)
-    top = (
+def _cms_top20(ev: DataFrame) -> DataFrame:
+    """The exact top-20 probe harness shared by every CMS lane (the
+    exact counts are the TEST HARNESS, not the production pattern: at
+    scale the exact groupBy shuffles every distinct key while the
+    sketch is 2048 counters and one map-side agg)."""
+    return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(20)
     )
-    return cms_estimate(sketch, top, "user_id", d=4, w=512)
 
 
-def _cms_oracle(where: str = "") -> str:
+def heavy_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/cms.py — the
+    heavy-hitter partial next to the HLL / KMV / quantile states), TWO
+    lanes in one registered query (r15 verdict item 3: the five
+    near-duplicate cms lanes consolidated so registry rotation depth
+    stays bounded — this absorbs the former heavy_user_counts_cms_merged):
+
+    - lane 'direct': a 4 x 512 CMS built over every event's user_id,
+      probed for the top-20 users by exact count;
+    - lane 'merged': per-event-type PARTIAL sketches — the
+      AggregatingMergeTree layout, one CMS per ingest stratum — folded
+      through cms_merge (cellwise sums), answering the same probes.
+
+    Output (lane, user_id, n_events, cms_est): the driver hash pins
+    construction, the estimator, AND merge-losslessness every round —
+    the oracle replays the md5-mod hashing / cell counting / min-fold
+    bit-for-bit ONCE and expects both lanes to reproduce it, which
+    holds only because counter merge is exact. cms_est >= n_events by
+    construction (collisions only add). The per-type distinct collect
+    is bounded (5 event types) and inherent to demonstrating the
+    partial-per-stratum fold."""
+    from ..operators.cms import cms_estimate, cms_merge, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    top = _cms_top20(ev)
+    direct = cms_sketch(ev, "user_id", d=4, w=512)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    merged = cms_merge(
+        *[
+            cms_sketch(
+                ev.filter(F.col("event_type") == t), "user_id", d=4, w=512
+            )
+            for t in sorted(types)
+        ]
+    )
+    return (
+        cms_estimate(direct, top, "user_id", d=4, w=512)
+        .select(F.lit("direct").alias("lane"), "*")
+        .unionByName(
+            cms_estimate(merged, top, "user_id", d=4, w=512).select(
+                F.lit("merged").alias("lane"), "*"
+            )
+        )
+    )
+
+
+def _cms_oracle(where: str = "", lane: str | None = None) -> str:
     """The CMS replay, optionally restricted to a surviving-rows
     predicate (the retraction lane — both the sketch build and the
-    exact top-20 harness see the filtered corpus)."""
+    exact top-20 harness see the filtered corpus) and optionally
+    tagged with a ``lane`` label column (the consolidated multi-lane
+    queries UNION ALL one replay per lane)."""
     w = f"WHERE {where}" if where else ""
+    lane_col = f"'{lane}' AS lane, " if lane else ""
     return f"""
 WITH r AS (SELECT CAST(unnest(range(4)) AS INT) AS row),
 cells AS (
@@ -836,13 +872,19 @@ probe AS (
               ::BIGINT % 512 AS INT) AS col
   FROM top t CROSS JOIN r
 )
-SELECT p.user_id, p.n_events, min(coalesce(c.c, 0)) AS cms_est
+SELECT {lane_col}p.user_id, p.n_events, min(coalesce(c.c, 0)) AS cms_est
 FROM probe p LEFT JOIN cms c USING (row, col)
 GROUP BY p.user_id, p.n_events
 """
 
 
-_CMS_ORACLE = _cms_oracle()
+# the consolidated two-lane query: ONE replay per lane — identical SQL
+# modulo the label, which is the point (merge-losslessness means the
+# merged lane must reproduce the direct lane's replay exactly)
+_CMS_ORACLE = (
+    f"SELECT * FROM ({_cms_oracle(lane='direct')}) "
+    f"UNION ALL SELECT * FROM ({_cms_oracle(lane='merged')})"
+)
 
 
 def heavy_users_exact_via_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,35 +916,6 @@ _CMS_HH_ORACLE = """
 SELECT user_id, count(*) AS n
 FROM events GROUP BY user_id HAVING count(*) >= 68
 """
-
-
-def heavy_user_counts_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CMS MERGE-losslessness proof through the driver gate (the
-    vocab-KMV proof shape): per-event-type PARTIAL sketches — the
-    AggregatingMergeTree layout, one CMS per ingest stratum — fold
-    through cms_merge (cellwise sums) and the merged sketch answers
-    the same top-20 probes, while the ORACLE builds one sketch directly
-    over all events with no partial stage. Hash equality holds only
-    because counter merge is exact. Shares heavy_user_counts_cms's
-    oracle."""
-    from ..operators.cms import cms_estimate, cms_merge, cms_sketch
-
-    ev = _t(spark, sf_dir, "events")
-    types = [r[0] for r in ev.select("event_type").distinct().collect()]
-    partials = [
-        cms_sketch(
-            ev.filter(F.col("event_type") == t), "user_id", d=4, w=512
-        )
-        for t in sorted(types)
-    ]
-    merged = cms_merge(*partials)
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy(F.desc("n_events"), F.asc("user_id"))
-        .limit(20)
-    )
-    return cms_estimate(merged, top, "user_id", d=4, w=512)
 
 
 # --- mergeable quantile sketches (the quantileState/-Merge analog) ----------
@@ -2446,9 +2459,6 @@ QUERIES = [
     QuerySpec("heavy_user_counts_cms", heavy_user_counts_cms, _CMS_ORACLE),
     QuerySpec(
         "heavy_users_exact_via_cms", heavy_users_exact_via_cms, _CMS_HH_ORACLE
-    ),
-    QuerySpec(
-        "heavy_user_counts_cms_merged", heavy_user_counts_cms_merged, _CMS_ORACLE
     ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(
