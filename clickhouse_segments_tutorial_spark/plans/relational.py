@@ -1540,6 +1540,65 @@ GROUP BY user_id
 """
 
 
+def tokenbf_pruned_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenbf_v1 pruned scan end-to-end — the hasToken() sibling
+    of bloom_pruned_scan_events: write a hash-split copy of documents,
+    build the TOKEN-level Bloom sidecar over text, derive the corpus's
+    rarest token deterministically (fewest occurrences, lexicographic
+    tiebreak — a bounded 1-row collect the oracle replays), and answer
+    "which documents contain that token" reading ONLY the files the
+    token index keeps, ordinary predicate on top. Oracle = the unpruned
+    token-containment filter, so a hash match proves token-mode pruning
+    never drops a document."""
+    import os
+
+    from ..operators.text import tokens
+    from ..sources.bloom_index import index_files, pruned_paths
+    from .segmentation_queries import _scratch_dir
+
+    path = os.path.join(_scratch_dir("tokenbf_pruned_scan_docs"), "docs")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    index_files(spark, path, "text", tokenized=True)
+    rare = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("g"))
+        .groupBy("g")
+        .count()
+        .orderBy(F.asc("count"), F.asc("g"))
+        .limit(1)
+        .collect()[0]["g"]
+    )
+    keep = pruned_paths(spark, path, "text", rare, tokenized=True)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.array_contains(tokens(F.col("text")), rare))
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+
+
+_TOKENBF_PRUNED_SCAN_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text,
+                '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text,
+                       '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'),
+                     '[ \\t\\n\\x0B\\f\\r]+')
+         END AS t
+  FROM documents
+),
+posting AS (SELECT doc_id, unnest(t) AS g FROM docs),
+rare AS (
+  SELECT g FROM posting GROUP BY g ORDER BY count(*) ASC, g ASC LIMIT 1
+)
+SELECT d.doc_id, CAST(len(d.t) AS INT) AS n_tokens
+FROM docs d CROSS JOIN rare r
+WHERE list_contains(d.t, r.g)
+"""
+
+
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable partial sketches — the AggregatingMergeTree shape for
     distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
@@ -2414,6 +2473,11 @@ QUERIES = [
         "bloom_pruned_scan_events",
         bloom_pruned_scan_events,
         _BLOOM_PRUNED_SCAN_ORACLE,
+    ),
+    QuerySpec(
+        "tokenbf_pruned_scan_docs",
+        tokenbf_pruned_scan_docs,
+        _TOKENBF_PRUNED_SCAN_ORACLE,
     ),
     QuerySpec(
         "distinct_users_upto_per_type",
