@@ -1280,6 +1280,62 @@ FROM events GROUP BY event_type
 """
 
 
+def user_event_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sumMap/minMap/maxMap aggregate family (operators/map_agg.
+    agg_map — ClickHouse's map-valued per-category breakdown): one row
+    per user carrying the per-event-type COUNT map and the per-type MAX
+    event_id map, rendered as the canonical sorted "key:value,..."
+    string (integer values only, so the in-engine rendering is exact
+    cross-engine — the registry determinism rule). Two hash aggs per
+    map, state bounded by distinct event types per user (5), never row
+    count; the maps join on user_id."""
+    from ..operators.map_agg import agg_map
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+
+    def render(keys, vals):
+        return F.concat_ws(
+            ",",
+            F.zip_with(
+                keys, vals,
+                lambda k, v: F.concat(k, F.lit(":"), v.cast("string")),
+            ),
+        )
+
+    counts = agg_map(ev, ["user_id"], "event_type", "event_id", "count")
+    maxes = agg_map(ev, ["user_id"], "event_type", "event_id", "max")
+    return (
+        counts.select(
+            "user_id",
+            render(F.col("map_keys"), F.col("map_vals")).alias("count_map"),
+        )
+        .join(
+            maxes.select(
+                "user_id",
+                render(F.col("map_keys"), F.col("map_vals")).alias("max_map"),
+            ),
+            "user_id",
+        )
+    )
+
+
+_MAP_AGG_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_type,
+         count(*) AS c, max(event_id) AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(c AS VARCHAR), ','
+                  ORDER BY event_type) AS count_map,
+       string_agg(event_type || ':' || CAST(m AS VARCHAR), ','
+                  ORDER BY event_type) AS max_map
+FROM g GROUP BY user_id
+"""
+
+
 def lineitem_price_quantiles_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2478,6 +2534,9 @@ QUERIES = [
         "tokenbf_pruned_scan_docs",
         tokenbf_pruned_scan_docs,
         _TOKENBF_PRUNED_SCAN_ORACLE,
+    ),
+    QuerySpec(
+        "user_event_type_maps", user_event_type_maps, _MAP_AGG_ORACLE
     ),
     QuerySpec(
         "distinct_users_upto_per_type",
