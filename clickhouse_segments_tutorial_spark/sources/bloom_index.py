@@ -172,6 +172,11 @@ def index_files(
         return 0
     df = spark.read.parquet(*new).select(
         F.input_file_name().alias("file"), F.col(data_col).alias("_v")
+    ).filter(
+        # NULL values never match an equality/token/substring probe, so
+        # they contribute no bits (and would otherwise poison the
+        # word-index map with a NULL key)
+        F.col("_v").isNotNull()
     )
     if tokenized:
         from ..operators.text import tokens
@@ -188,17 +193,30 @@ def index_files(
     ).select(
         "file", _bit_pos(F.col("_v"), F.col("_j"), m=m_bits).alias("_bit")
     ).distinct()
+    pre = bits.select(
+        "file",
+        (F.col("_bit") / _WORDS).cast("int").alias("_w"),
+        # pyspark's shiftleft() takes a literal int shift; the SQL
+        # form accepts a column
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(_bit, {_WORDS}) AS INT))"
+        ).alias("_m"),
+    )
+    # a new file contributing zero values (all-null column, texts below
+    # the gram size) still needs a sidecar row: the zero mask prunes it
+    # for every probe (nothing in it can match) and keeps the next
+    # incremental call from rescanning it forever. Seed every new file
+    # with a zero word-0 contribution BEFORE the OR-fold (bit_or with 0
+    # is the identity) — a union of len(new) literal rows, so no join
+    # and nothing mask-sized is ever broadcast or collected.
+    seed = spark.createDataFrame([(f,) for f in new], "file string").select(
+        "file",
+        F.lit(0).cast("int").alias("_w"),
+        F.lit(0).cast("long").alias("_m"),
+    )
     words = (
-        bits.select(
-            "file",
-            (F.col("_bit") / _WORDS).cast("int").alias("_w"),
-            # pyspark's shiftleft() takes a literal int shift; the SQL
-            # form accepts a column
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(pmod(_bit, {_WORDS}) AS INT))"
-            ).alias("_m"),
-        )
+        pre.unionByName(seed)
         .groupBy("file", "_w")
         # OR-fold via bit_or aggregate
         .agg(F.expr("bit_or(_m)").alias("_mask"))
@@ -216,16 +234,6 @@ def index_files(
         ),
     )
     masks = words.groupBy("file").agg(dense.alias("mask"))
-    # a new file contributing zero values (all-null column, texts below
-    # the gram size) still needs a sidecar row: the zero mask prunes it
-    # for every probe (nothing in it can match) and keeps the next
-    # incremental call from rescanning it forever. The file-name frame
-    # is driver-built (len(new) names) and broadcast into the join.
-    new_df = spark.createDataFrame([(f,) for f in new], "file string")
-    zero_mask = F.array_repeat(F.lit(0).cast("long"), n_words)
-    masks = new_df.join(F.broadcast(masks), "file", "left").select(
-        "file", F.coalesce(F.col("mask"), zero_mask).alias("mask")
-    )
     masks.write.mode("append").parquet(side)
     return len(new)
 

@@ -637,6 +637,19 @@ def test_bloom_skip_index_prunes_point_probes(spark, tmp_path):
     # ... and one incremental index_files call covers exactly it
     assert index_files(spark, path, "user_id") == 1
 
+    # an all-null-column file still gets a sidecar row (the zero mask):
+    # it prunes for EVERY probe — a null can't match an equality — and
+    # the next incremental call must not rescan it forever
+    before = set(pruned_paths(spark, path, "user_id", 999_999))
+    nulls = spark.createDataFrame(
+        [(None, 1)], "user_id long, event_id long"
+    )
+    nulls.coalesce(1).write.mode("append").parquet(path)
+    assert index_files(spark, path, "user_id") == 1
+    assert index_files(spark, path, "user_id") == 0  # not rescanned
+    after = set(pruned_paths(spark, path, "user_id", 999_999))
+    assert after == before  # indexed already-pruned, never kept
+
 
 def test_bloom_probe_launches_no_job_over_data(spark, tmp_path):
     """r15 verdict item 1: the probe path must never run a Spark job
