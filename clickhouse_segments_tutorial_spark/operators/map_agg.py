@@ -43,26 +43,78 @@ def agg_map(
     accumulate exactly as whatever type the caller passes (cast to
     decimal upstream for cross-engine determinism, the registry
     rule)."""
+    return agg_maps(
+        df, group_cols, key_col, {vals_name: (value_col, agg)},
+        keys_name=keys_name,
+    )
+
+
+def agg_maps(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str | Column,
+    specs: dict[str, tuple[str | Column, str]],
+    *,
+    keys_name: str = "map_keys",
+) -> DataFrame:
+    """Several map aggregates over the SAME key in one shared pass —
+    ``specs`` maps each output array name to (value_col, agg). One
+    scan, one (group, key) exchange, one array rebuild, however many
+    maps ride along (sumMap + maxMap + countMap over one breakdown key
+    is the common CH dashboard shape; computing them as separate
+    agg_map calls costs a scan + two exchanges + a join EACH — the
+    .explain audit that motivated this variant). Output: group_cols,
+    the shared sorted key array, and one value array per spec, all
+    key-aligned."""
     aggs = {
         "sum": F.sum,
         "min": F.min,
         "max": F.max,
         "count": lambda c: F.count(c).cast("long"),
     }
-    if agg not in aggs:
-        raise ValueError(f"agg={agg!r}: supported {sorted(aggs)}")
+    if not specs:
+        raise ValueError("specs must name at least one map aggregate")
+    for name, (_, agg) in specs.items():
+        if agg not in aggs:
+            raise ValueError(f"agg={agg!r} (for {name!r}): supported {sorted(aggs)}")
+        if name == keys_name:
+            raise ValueError(f"spec name {name!r} collides with keys_name")
     k = F.col(key_col) if isinstance(key_col, str) else key_col
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = [
+        (name, (F.col(v) if isinstance(v, str) else v), agg)
+        for name, (v, agg) in specs.items()
+    ]
     per_key = (
-        df.select(*group_cols, k.alias("_k"), v.alias("_v"))
+        df.select(
+            *group_cols,
+            k.alias("_k"),
+            *[v.alias(f"_v_{name}") for name, v, _ in vals],
+        )
         .filter(F.col("_k").isNotNull())
         .groupBy(*group_cols, "_k")
-        .agg(aggs[agg](F.col("_v")).alias("_a"))
+        .agg(
+            *[
+                aggs[agg](F.col(f"_v_{name}")).alias(f"_a_{name}")
+                for name, _, agg in vals
+            ]
+        )
     )
+    # keys are unique per group after the agg, so the struct sort is
+    # purely key-major — deterministic under any partitioning
     pairs = F.sort_array(
-        F.collect_list(F.struct(F.col("_k"), F.col("_a")))
+        F.collect_list(
+            F.struct(
+                F.col("_k"), *[F.col(f"_a_{name}") for name, _, _ in vals]
+            )
+        )
     )
+    def _pick(n):
+        # closure factory, NOT a default-arg lambda: pyspark derives the
+        # higher-order-function arity from the Python signature, so a
+        # second defaulted parameter would be bound to the array index
+        return lambda p: p[f"_a_{n}"]
+
     return per_key.groupBy(*group_cols).agg(
         F.transform(pairs, lambda p: p["_k"]).alias(keys_name),
-        F.transform(pairs, lambda p: p["_a"]).alias(vals_name),
+        *[F.transform(pairs, _pick(name)).alias(name) for name, _, _ in vals],
     )

@@ -1286,10 +1286,13 @@ def user_event_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user carrying the per-event-type COUNT map and the per-type MAX
     event_id map, rendered as the canonical sorted "key:value,..."
     string (integer values only, so the in-engine rendering is exact
-    cross-engine — the registry determinism rule). Two hash aggs per
-    map, state bounded by distinct event types per user (5), never row
-    count; the maps join on user_id."""
-    from ..operators.map_agg import agg_map
+    cross-engine — the registry determinism rule). BOTH maps ride one
+    shared (user, type) pass through agg_maps — one scan, two
+    exchanges, no join (the two-call agg_map shape cost a scan + two
+    exchanges + a broadcast join EACH; plan pinned in test_plans).
+    State bounded by distinct event types per user (5), never row
+    count."""
+    from ..operators.map_agg import agg_maps
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id"
@@ -1304,20 +1307,14 @@ def user_event_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    counts = agg_map(ev, ["user_id"], "event_type", "event_id", "count")
-    maxes = agg_map(ev, ["user_id"], "event_type", "event_id", "max")
-    return (
-        counts.select(
-            "user_id",
-            render(F.col("map_keys"), F.col("map_vals")).alias("count_map"),
-        )
-        .join(
-            maxes.select(
-                "user_id",
-                render(F.col("map_keys"), F.col("map_vals")).alias("max_map"),
-            ),
-            "user_id",
-        )
+    m = agg_maps(
+        ev, ["user_id"], "event_type",
+        {"_counts": ("event_id", "count"), "_maxes": ("event_id", "max")},
+    )
+    return m.select(
+        "user_id",
+        render(F.col("map_keys"), F.col("_counts")).alias("count_map"),
+        render(F.col("map_keys"), F.col("_maxes")).alias("max_map"),
     )
 
 

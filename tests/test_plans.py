@@ -560,6 +560,16 @@ def test_cms_probe_broadcasts_sketch(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_agg_maps_single_pass(spark):
+    """agg_maps computes every map aggregate in ONE shared pass: one
+    parquet scan, no join (the naive two-agg_map shape scanned twice
+    and broadcast-joined on the group key)."""
+    plan = plan_of(spark, "user_event_type_maps")
+    assert node_count(plan, "Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_cms_heavy_hitters_candidates_sub_universe(spark):
     """r15 verdict item 2: cms_heavy_hitters' candidate pass must not
     shuffle the full key universe. The r15 anti-pattern was
