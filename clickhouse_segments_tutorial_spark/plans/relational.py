@@ -1652,6 +1652,67 @@ WHERE list_contains(d.t, r.g)
 """
 
 
+def ngrambf_pruned_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ngrambf_v1 pruned scan end-to-end — the SUBSTRING leg of
+    the skip-index trio (point probe: bloom_pruned_scan_events; token:
+    tokenbf_pruned_scan_docs): char-3-gram sidecar over documents.text,
+    probed with the corpus's rarest length>=4 token (fewest
+    occurrences, lexicographic tiebreak — derived deterministically,
+    replayed by the oracle). A file can contain the fragment only if
+    EVERY one of its 3-grams is present, so the probe requires all of
+    them; the pruned scan with the ordinary contains() predicate must
+    equal the unpruned LIKE filter — no false negatives on the
+    substring path."""
+    import os
+
+    from ..operators.text import tokens
+    from ..sources.bloom_index import index_files, pruned_paths
+    from .segmentation_queries import _scratch_dir
+
+    path = os.path.join(_scratch_dir("ngrambf_pruned_scan_docs"), "docs")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    index_files(spark, path, "text", ngram=3)
+    rare = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("g"))
+        .filter(F.length("g") >= 4)
+        .groupBy("g")
+        .count()
+        .orderBy(F.asc("count"), F.asc("g"))
+        .limit(1)
+        .collect()[0]["g"]
+    )
+    keep = pruned_paths(spark, path, "text", rare, ngram=3)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("text").contains(rare))
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
+_NGRAMBF_PRUNED_SCAN_ORACLE = """
+WITH posting AS (
+  SELECT doc_id, unnest(
+    CASE WHEN regexp_replace(text,
+           '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
+         THEN []::VARCHAR[]
+         ELSE string_split_regex(
+                regexp_replace(text,
+                  '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'),
+                '[ \\t\\n\\x0B\\f\\r]+')
+    END) AS g
+  FROM documents
+),
+rare AS (
+  SELECT g FROM posting WHERE length(g) >= 4
+  GROUP BY g ORDER BY count(*) ASC, g ASC LIMIT 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+FROM documents d CROSS JOIN rare r
+WHERE contains(d.text, r.g)
+"""
+
+
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable partial sketches — the AggregatingMergeTree shape for
     distinct counting beyond HLL: per-(lang, source) bottom-128 KMV
@@ -2531,6 +2592,11 @@ QUERIES = [
         "tokenbf_pruned_scan_docs",
         tokenbf_pruned_scan_docs,
         _TOKENBF_PRUNED_SCAN_ORACLE,
+    ),
+    QuerySpec(
+        "ngrambf_pruned_scan_docs",
+        ngrambf_pruned_scan_docs,
+        _NGRAMBF_PRUNED_SCAN_ORACLE,
     ),
     QuerySpec(
         "user_event_type_maps", user_event_type_maps, _MAP_AGG_ORACLE
