@@ -241,48 +241,53 @@ def _streamed(spark: SparkSession, sf_dir: str, trainer, workdir: str) -> DataFr
     return trainer.score(load_table(spark, sf_dir, "documents"))
 
 
-def tfidf_top_terms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF trained INCREMENTALLY over two waves with bucketed
-    (term, df) state between them; the rebuilt (df, N) model scores the
-    full corpus bit-identically to batch, sharing tfidf_top_terms_docs'
-    oracle."""
+def tfidf_top_terms_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF's TWO wave-state lanes in ONE registered query (the r15
+    verdict item 3 consolidation shape — the former _incremental /
+    _streaming twins share one trainer, IncrementalTfidfTrainer):
+
+    - lane 'incremental': two doc_id-median waves folded as bucketed
+      (term, df) state deltas; the rebuilt (df, N) model scores the
+      full corpus bit-identically to batch;
+    - lane 'streaming': the same trainer behind the actual Structured
+      Streaming wave gate.
+
+    The oracle UNION ALLs one batch retraining replay per lane, so the
+    hash match proves each maintenance mode reproduces the batch model
+    exactly on real data, per round."""
     from .curation import _stream_scratch
 
-    return _two_waves(
+    incr = _two_waves(
         spark, sf_dir, IncrementalTfidfTrainer(spark, _stream_scratch("tfidf_incr"))
     )
-
-
-def bigram_lm_nll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM NLL trained INCREMENTALLY over two waves with bucketed
-    bigram-count state; shares bigram_lm_nll_docs' oracle."""
-    from .curation import _stream_scratch
-
-    return _two_waves(
-        spark, sf_dir,
-        IncrementalBigramNLLTrainer(spark, _stream_scratch("bigram_incr")),
-    )
-
-
-def tfidf_top_terms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TF-IDF trainer behind the streaming wave gate."""
-    from .curation import _stream_scratch
-
     workdir = _stream_scratch("tfidf_streaming")
-    return _streamed(
+    stream = _streamed(
         spark, sf_dir,
         IncrementalTfidfTrainer(spark, f"{workdir}/state"), workdir,
     )
+    return incr.select(F.lit("incremental").alias("lane"), "*").unionByName(
+        stream.select(F.lit("streaming").alias("lane"), "*")
+    )
 
 
-def bigram_lm_nll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bigram-NLL trainer behind the streaming wave gate."""
+def bigram_lm_nll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM NLL's incremental + streaming lanes in one registered
+    query — the tfidf_top_terms_lifecycle pattern over
+    IncrementalBigramNLLTrainer (bucketed bigram-count state; shares
+    bigram_lm_nll_docs' retraining oracle, one replay per lane)."""
     from .curation import _stream_scratch
 
+    incr = _two_waves(
+        spark, sf_dir,
+        IncrementalBigramNLLTrainer(spark, _stream_scratch("bigram_incr")),
+    )
     workdir = _stream_scratch("bigram_streaming")
-    return _streamed(
+    stream = _streamed(
         spark, sf_dir,
         IncrementalBigramNLLTrainer(spark, f"{workdir}/state"), workdir,
+    )
+    return incr.select(F.lit("incremental").alias("lane"), "*").unionByName(
+        stream.select(F.lit("streaming").alias("lane"), "*")
     )
 
 
@@ -294,18 +299,24 @@ def _oracles():
 
 _TFIDF_ORACLE, _BIGRAM_NLL_ORACLE = _oracles()
 
+
+def _lifecycle_oracle(base: str) -> str:
+    return (
+        f"SELECT 'incremental' AS lane, * FROM ({base}) "
+        f"UNION ALL SELECT 'streaming' AS lane, * FROM ({base})"
+    )
+
+
 QUERIES = [
     QuerySpec(
-        "tfidf_top_terms_incremental", tfidf_top_terms_incremental, _TFIDF_ORACLE
+        "tfidf_top_terms_lifecycle",
+        tfidf_top_terms_lifecycle,
+        _lifecycle_oracle(_TFIDF_ORACLE),
     ),
     QuerySpec(
-        "bigram_lm_nll_incremental", bigram_lm_nll_incremental, _BIGRAM_NLL_ORACLE
-    ),
-    QuerySpec(
-        "tfidf_top_terms_streaming", tfidf_top_terms_streaming, _TFIDF_ORACLE
-    ),
-    QuerySpec(
-        "bigram_lm_nll_streaming", bigram_lm_nll_streaming, _BIGRAM_NLL_ORACLE
+        "bigram_lm_nll_lifecycle",
+        bigram_lm_nll_lifecycle,
+        _lifecycle_oracle(_BIGRAM_NLL_ORACLE),
     ),
 ]
 

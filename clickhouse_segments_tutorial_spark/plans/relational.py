@@ -1543,95 +1543,106 @@ FROM b GROUP BY event_type
 _BLOOM_PROBE_USERS = [1, 2, 3, 5, 8]
 
 
-def bloom_pruned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end Bloom-pruned scan (r15 verdict item 4 — the value
-    half of the skip-index contract, reference anchor: the minmax
-    skip-index DDL of /root/reference/src/1-naive.test.ts:25): write a
-    range-split copy of events, build the file-level Bloom sidecar on
-    user_id, then answer each point probe by reading ONLY the files the
-    index keeps, with the ordinary filter on top. The oracle is the
-    UNPRUNED filter over the full table, so a hash match proves pruning
-    never drops a row — the no-false-negatives contract — on real data,
-    per round. (The pruning EFFECT — fewer files read — is pinned in
+def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Bloom-pruned scans, ALL THREE index modes in one
+    lane-tagged registered query (r15 verdict item 4 + the item-3
+    consolidation shape; reference anchor: the minmax skip-index DDL of
+    /root/reference/src/1-naive.test.ts:25). Each lane writes a split
+    copy, builds the sidecar, and answers its probe reading ONLY the
+    files the index keeps, ordinary predicate on top; the oracle is
+    the UNPRUNED filter per lane, so a hash match proves no mode ever
+    drops a row. (The pruning EFFECT — fewer files read — is pinned in
     tests/test_plans.py, where the sidecar is visible; a value oracle
-    cannot see file layout.)"""
-    import os
+    cannot see file layout.)
 
-    from ..sources.bloom_index import index_files, pruned_paths
-    from .segmentation_queries import _scratch_dir
-
-    path = os.path.join(_scratch_dir("bloom_pruned_scan_events"), "ev")
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id"
-    )
-    ev.repartitionByRange(8, "user_id").write.parquet(path)
-    index_files(spark, path, "user_id")
-    parts = []
-    for u in _BLOOM_PROBE_USERS:
-        keep = pruned_paths(spark, path, "user_id", u)
-        parts.append(
-            spark.read.parquet(*keep).filter(F.col("user_id") == u)
-        )
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionAll(p)
-    return un.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("event_type").alias("n_types"),
-        F.sum("event_id").cast("bigint").alias("sum_event_id"),
-    )
-
-
-_BLOOM_PRUNED_SCAN_ORACLE = """
-SELECT user_id,
-       count(*) AS n_events,
-       count(DISTINCT event_type) AS n_types,
-       CAST(sum(event_id) AS BIGINT) AS sum_event_id
-FROM events
-WHERE user_id IN (1, 2, 3, 5, 8)
-GROUP BY user_id
-"""
-
-
-def tokenbf_pruned_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tokenbf_v1 pruned scan end-to-end — the hasToken() sibling
-    of bloom_pruned_scan_events: write a hash-split copy of documents,
-    build the TOKEN-level Bloom sidecar over text, derive the corpus's
-    rarest token deterministically (fewest occurrences, lexicographic
-    tiebreak — a bounded 1-row collect the oracle replays), and answer
-    "which documents contain that token" reading ONLY the files the
-    token index keeps, ordinary predicate on top. Oracle = the unpruned
-    token-containment filter, so a hash match proves token-mode pruning
-    never drops a document."""
+    - lane 'point' (bloom_filter): events split by user range, five
+      fixed user probes; key = user_id, n = the user's event count,
+      checksum = sum(event_id);
+    - lane 'token' (tokenbf_v1): documents hash-split, probed with the
+      corpus's rarest token (fewest occurrences, lexicographic
+      tiebreak — derived deterministically, replayed by the oracle);
+      key = doc_id, n = the doc's token count;
+    - lane 'ngram' (ngrambf_v1): char-3-gram sidecar probed with the
+      rarest length>=4 token as a SUBSTRING — a file can contain the
+      fragment only if every one of its 3-grams is present; key =
+      doc_id, n = the doc's char count."""
     import os
 
     from ..operators.text import tokens
     from ..sources.bloom_index import index_files, pruned_paths
     from .segmentation_queries import _scratch_dir
 
-    path = os.path.join(_scratch_dir("tokenbf_pruned_scan_docs"), "docs")
+    root = _scratch_dir("skipindex_pruned_scans")
+
+    ev_path = os.path.join(root, "ev")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    ev.repartitionByRange(8, "user_id").write.parquet(ev_path)
+    index_files(spark, ev_path, "user_id")
+    parts = []
+    for u in _BLOOM_PROBE_USERS:
+        keep = pruned_paths(spark, ev_path, "user_id", u)
+        parts.append(
+            spark.read.parquet(*keep).filter(F.col("user_id") == u)
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionAll(p)
+    point = un.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("checksum"),
+    ).select(
+        F.lit("point").alias("lane"),
+        F.col("user_id").cast("string").alias("key"),
+        "n",
+        "checksum",
+    )
+
+    docs_path = os.path.join(root, "docs")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(8, "doc_id").write.parquet(path)
-    index_files(spark, path, "text", tokenized=True)
-    rare = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("g"))
-        .groupBy("g")
-        .count()
-        .orderBy(F.asc("count"), F.asc("g"))
-        .limit(1)
-        .collect()[0]["g"]
+    docs.repartition(8, "doc_id").write.parquet(docs_path)
+    index_files(spark, docs_path, "text", tokenized=True)
+    index_files(spark, docs_path, "text", ngram=3)
+    grams = docs.select(F.explode(tokens(F.col("text"))).alias("g"))
+    rare_tok = (
+        grams.groupBy("g").count()
+        .orderBy(F.asc("count"), F.asc("g")).limit(1).collect()[0]["g"]
     )
-    keep = pruned_paths(spark, path, "text", rare, tokenized=True)
-    return (
-        spark.read.parquet(*keep)
-        .filter(F.array_contains(tokens(F.col("text")), rare))
-        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    rare_frag = (
+        grams.filter(F.length("g") >= 4).groupBy("g").count()
+        .orderBy(F.asc("count"), F.asc("g")).limit(1).collect()[0]["g"]
     )
+    token = (
+        spark.read.parquet(
+            *pruned_paths(spark, docs_path, "text", rare_tok, tokenized=True)
+        )
+        .filter(F.array_contains(tokens(F.col("text")), rare_tok))
+        .select(
+            F.lit("token").alias("lane"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+            F.col("doc_id").cast("bigint").alias("checksum"),
+        )
+    )
+    ngram = (
+        spark.read.parquet(
+            *pruned_paths(spark, docs_path, "text", rare_frag, ngram=3)
+        )
+        .filter(F.col("text").contains(rare_frag))
+        .select(
+            F.lit("ngram").alias("lane"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.length("text").cast("bigint").alias("n"),
+            F.col("doc_id").cast("bigint").alias("checksum"),
+        )
+    )
+    return point.unionByName(token).unionByName(ngram)
 
 
-_TOKENBF_PRUNED_SCAN_ORACLE = """
+_SKIPINDEX_PRUNED_SCANS_ORACLE = """
 WITH docs AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CASE WHEN regexp_replace(text,
                 '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
               THEN []::VARCHAR[]
@@ -1643,72 +1654,29 @@ WITH docs AS (
   FROM documents
 ),
 posting AS (SELECT doc_id, unnest(t) AS g FROM docs),
-rare AS (
+rare_tok AS (
   SELECT g FROM posting GROUP BY g ORDER BY count(*) ASC, g ASC LIMIT 1
-)
-SELECT d.doc_id, CAST(len(d.t) AS INT) AS n_tokens
-FROM docs d CROSS JOIN rare r
-WHERE list_contains(d.t, r.g)
-"""
-
-
-def ngrambf_pruned_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ngrambf_v1 pruned scan end-to-end — the SUBSTRING leg of
-    the skip-index trio (point probe: bloom_pruned_scan_events; token:
-    tokenbf_pruned_scan_docs): char-3-gram sidecar over documents.text,
-    probed with the corpus's rarest length>=4 token (fewest
-    occurrences, lexicographic tiebreak — derived deterministically,
-    replayed by the oracle). A file can contain the fragment only if
-    EVERY one of its 3-grams is present, so the probe requires all of
-    them; the pruned scan with the ordinary contains() predicate must
-    equal the unpruned LIKE filter — no false negatives on the
-    substring path."""
-    import os
-
-    from ..operators.text import tokens
-    from ..sources.bloom_index import index_files, pruned_paths
-    from .segmentation_queries import _scratch_dir
-
-    path = os.path.join(_scratch_dir("ngrambf_pruned_scan_docs"), "docs")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(8, "doc_id").write.parquet(path)
-    index_files(spark, path, "text", ngram=3)
-    rare = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("g"))
-        .filter(F.length("g") >= 4)
-        .groupBy("g")
-        .count()
-        .orderBy(F.asc("count"), F.asc("g"))
-        .limit(1)
-        .collect()[0]["g"]
-    )
-    keep = pruned_paths(spark, path, "text", rare, ngram=3)
-    return (
-        spark.read.parquet(*keep)
-        .filter(F.col("text").contains(rare))
-        .select("doc_id", F.length("text").alias("n_chars"))
-    )
-
-
-_NGRAMBF_PRUNED_SCAN_ORACLE = """
-WITH posting AS (
-  SELECT doc_id, unnest(
-    CASE WHEN regexp_replace(text,
-           '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = ''
-         THEN []::VARCHAR[]
-         ELSE string_split_regex(
-                regexp_replace(text,
-                  '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'),
-                '[ \\t\\n\\x0B\\f\\r]+')
-    END) AS g
-  FROM documents
 ),
-rare AS (
+rare_frag AS (
   SELECT g FROM posting WHERE length(g) >= 4
   GROUP BY g ORDER BY count(*) ASC, g ASC LIMIT 1
 )
-SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
-FROM documents d CROSS JOIN rare r
+SELECT 'point' AS lane,
+       CAST(user_id AS VARCHAR) AS key,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS checksum
+FROM events
+WHERE user_id IN (1, 2, 3, 5, 8)
+GROUP BY user_id
+UNION ALL
+SELECT 'token', CAST(d.doc_id AS VARCHAR),
+       CAST(len(d.t) AS BIGINT), CAST(d.doc_id AS BIGINT)
+FROM docs d CROSS JOIN rare_tok r
+WHERE list_contains(d.t, r.g)
+UNION ALL
+SELECT 'ngram', CAST(d.doc_id AS VARCHAR),
+       CAST(length(d.text) AS BIGINT), CAST(d.doc_id AS BIGINT)
+FROM docs d CROSS JOIN rare_frag r
 WHERE contains(d.text, r.g)
 """
 
@@ -2584,19 +2552,9 @@ QUERIES = [
     QuerySpec("zorder_key_events", zorder_key_events, _ZORDER_ORACLE),
     QuerySpec("bloom_bits_events", bloom_bits_events, _BLOOM_BITS_ORACLE),
     QuerySpec(
-        "bloom_pruned_scan_events",
-        bloom_pruned_scan_events,
-        _BLOOM_PRUNED_SCAN_ORACLE,
-    ),
-    QuerySpec(
-        "tokenbf_pruned_scan_docs",
-        tokenbf_pruned_scan_docs,
-        _TOKENBF_PRUNED_SCAN_ORACLE,
-    ),
-    QuerySpec(
-        "ngrambf_pruned_scan_docs",
-        ngrambf_pruned_scan_docs,
-        _NGRAMBF_PRUNED_SCAN_ORACLE,
+        "skipindex_pruned_scans",
+        skipindex_pruned_scans,
+        _SKIPINDEX_PRUNED_SCANS_ORACLE,
     ),
     QuerySpec(
         "user_event_type_maps", user_event_type_maps, _MAP_AGG_ORACLE

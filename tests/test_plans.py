@@ -228,13 +228,12 @@ _NON_EQUI_OK = {
     "tfidf_top_terms_docs",      # ONE-row corpus-count broadcast x tf table
     "bigram_lm_nll_docs",        # ONE-row vocab-count broadcast x bigrams
     "ccnet_ppl_buckets_docs",    # NLL's vocab scalar + ONE-row tercile cuts
-    # the r12 incremental/streaming twins share the batch scorers above
-    # verbatim (tfidf_from_stats / bigram_nll_from_counts), so they carry
-    # the same single ONE-row scalar broadcast
-    "tfidf_top_terms_incremental",
-    "tfidf_top_terms_streaming",
-    "bigram_lm_nll_incremental",
-    "bigram_lm_nll_streaming",
+    # the r12 incremental/streaming twins (consolidated into lane-tagged
+    # lifecycle queries in r16) share the batch scorers above verbatim
+    # (tfidf_from_stats / bigram_nll_from_counts), so they carry the
+    # same single ONE-row scalar broadcast
+    "tfidf_top_terms_lifecycle",
+    "bigram_lm_nll_lifecycle",
 }
 
 
