@@ -204,7 +204,11 @@ def cms_hier_sketch(
         raise ValueError("need d >= 1 hash rows and w >= 1 counters")
     top_shift = _HH_BITS * (_HH_LEVELS - 1)
     cells = (
-        df.select(md5_hash60(F.col(item_col).cast("string")).alias("_h"))
+        # NULL items are excluded up front: they hash to NULL (dead
+        # plane mass the walk could never probe), and the heavy-hitter
+        # contract is equality-shaped — NULL equals nothing
+        df.filter(F.col(item_col).isNotNull())
+        .select(md5_hash60(F.col(item_col).cast("string")).alias("_h"))
         .select(
             F.explode(
                 F.sequence(F.lit(0), F.lit(_HH_LEVELS - 1))
@@ -279,10 +283,15 @@ def cms_heavy_hitters(
       N/threshold-scale; thousands of survivors means the hash planes
       are saturated), abandon the walk for the exact plan.
 
-    The sketch (<= levels*d*w cells, ~300 KB at the defaults) is
-    collected once and each level's survivors (capped) are collected as
-    prefix integers — bounded metadata both ways; the per-level probe
-    joins literal frames against a broadcast plane, never the data.
+    The sketch (<= levels*d*w cells — bounded by
+    min(levels*d*w, levels*d*distinct) nonzero rows; ~4 MB worst case
+    at w=8192) is collected once and each level's probe ships ONLY
+    that level's plane back as a local frame; survivors (capped) come
+    back as prefix integers — bounded metadata both ways, and the data
+    itself is never re-read by the walk.
+
+    NULL items never count (equality semantics; both the walk and the
+    fallback exclude them, so the two paths agree).
 
     Returns (item, n bigint) for the true heavy hitters."""
     import math
@@ -290,6 +299,7 @@ def cms_heavy_hitters(
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
     spark = df.sparkSession
+    df = df.filter(F.col(item_col).isNotNull())
     exact = (
         df.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -299,11 +309,9 @@ def cms_heavy_hitters(
     n_total = sum(r.c for r in sketch_rows if r.level == 0) // max(d, 1)
     if threshold <= math.e * n_total / w:
         return exact  # sub-error-floor threshold: sketch can't discriminate
-    sk = spark.createDataFrame(
-        sketch_rows, "level int, row int, col int, c long"
-    ) if sketch_rows else spark.createDataFrame(
-        [], "level int, row int, col int, c long"
-    )
+    plane_rows: dict[int, list] = {lv: [] for lv in range(_HH_LEVELS)}
+    for r in sketch_rows:
+        plane_rows[r.level].append((r.row, r.col, r.c))
     branch = 1 << _HH_BITS
     survivors: list[int] = []
     for level in range(_HH_LEVELS):
@@ -326,10 +334,8 @@ def cms_heavy_hitters(
         ).withColumn(
             "__cms_col", cms_col(F.col("_p"), F.col("__cms_row"), w=w)
         )
-        plane = sk.filter(F.col("level") == level).select(
-            F.col("row").alias("__cms_row"),
-            F.col("col").alias("__cms_col"),
-            F.col("c").alias("__cms_c"),
+        plane = spark.createDataFrame(
+            plane_rows[level], "__cms_row int, __cms_col int, __cms_c long"
         )
         lvl = (
             probes.join(
@@ -349,11 +355,7 @@ def cms_heavy_hitters(
         survivors = [r._p for r in rows]
         if not survivors:
             break
-    cand = (
-        spark.createDataFrame([(p,) for p in survivors], "_p bigint")
-        if survivors
-        else spark.createDataFrame([], "_p bigint")
-    )
+    cand = spark.createDataFrame([(p,) for p in survivors], "_p bigint")
     hits = df.join(
         cand,
         md5_hash60(F.col(item_col).cast("string")) == cand["_p"],

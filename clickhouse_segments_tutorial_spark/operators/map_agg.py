@@ -74,6 +74,16 @@ def agg_maps(
     }
     if not specs:
         raise ValueError("specs must name at least one map aggregate")
+    # up-front reserved-name validation (the cms_estimate contract — a
+    # collision would otherwise surface as an opaque ambiguous-reference
+    # AnalysisException deep in the agg)
+    reserved = {"_k"} | {f"_v_{n}" for n in specs} | {f"_a_{n}" for n in specs}
+    for g in group_cols:
+        if g in reserved or g == keys_name or g in specs:
+            raise ValueError(
+                f"group column {g!r} collides with an agg_maps internal "
+                f"or output name ({sorted(reserved)}, keys_name, spec names)"
+            )
     for name, (_, agg) in specs.items():
         if agg not in aggs:
             raise ValueError(f"agg={agg!r} (for {name!r}): supported {sorted(aggs)}")

@@ -133,6 +133,8 @@ def hist_auto_domain(
     callers that know the range keep the one-pass path. Values are
     handled as doubles end-to-end so a SQL oracle replays the domain
     and every downstream bin edge bit-for-bit."""
+    import math
+
     row = df.agg(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
         F.max(F.col(value_col).cast("double")).alias("_hi"),
@@ -141,6 +143,16 @@ def hist_auto_domain(
     if lo is None:
         raise ValueError(
             f"hist_auto_domain: {value_col} has no non-null values"
+        )
+    if math.isnan(lo) or math.isnan(hi) or math.isinf(lo) or math.isinf(hi):
+        # Spark's max() sorts NaN greatest, so one NaN row would set
+        # hi=NaN; `not hi > lo` then silently collapsed the domain to
+        # [lo, lo+1) and saturated every real value into the top bin —
+        # the exact failure mode this pre-pass exists to prevent.
+        # Non-finite bounds have no bin width; make the caller decide.
+        raise ValueError(
+            f"hist_auto_domain: {value_col} has non-finite values "
+            f"(min={lo}, max={hi}) — filter NaN/Inf before sketching"
         )
     if not hi > lo:
         hi = lo + 1.0

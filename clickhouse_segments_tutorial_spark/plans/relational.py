@@ -1574,17 +1574,25 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch_dir("skipindex_pruned_scans")
 
+    def read_pruned(keep: list[str], schema: str) -> DataFrame:
+        # a fully-pruned probe legitimately keeps ZERO files;
+        # spark.read.parquet(*[]) would raise instead of reading nothing
+        if not keep:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*keep)
+
     ev_path = os.path.join(root, "ev")
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id"
     )
     ev.repartitionByRange(8, "user_id").write.parquet(ev_path)
     index_files(spark, ev_path, "user_id")
+    ev_schema = "user_id bigint, event_type string, event_id bigint"
     parts = []
     for u in _BLOOM_PROBE_USERS:
         keep = pruned_paths(spark, ev_path, "user_id", u)
         parts.append(
-            spark.read.parquet(*keep).filter(F.col("user_id") == u)
+            read_pruned(keep, ev_schema).filter(F.col("user_id") == u)
         )
     un = parts[0]
     for p in parts[1:]:
@@ -1604,18 +1612,31 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(8, "doc_id").write.parquet(docs_path)
     index_files(spark, docs_path, "text", tokenized=True)
     index_files(spark, docs_path, "text", ngram=3)
-    grams = docs.select(F.explode(tokens(F.col("text"))).alias("g"))
-    rare_tok = (
-        grams.groupBy("g").count()
-        .orderBy(F.asc("count"), F.asc("g")).limit(1).collect()[0]["g"]
+    # one explode + one count for BOTH rare probes (the vocab table is
+    # tiny; caching it keeps the corpus tokenization to a single pass)
+    stats = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("g"))
+        .groupBy("g")
+        .count()
+        .cache()
     )
-    rare_frag = (
-        grams.filter(F.length("g") >= 4).groupBy("g").count()
-        .orderBy(F.asc("count"), F.asc("g")).limit(1).collect()[0]["g"]
-    )
+    try:
+        rare_tok = (
+            stats.orderBy(F.asc("count"), F.asc("g")).limit(1)
+            .collect()[0]["g"]
+        )
+        rare_frag = (
+            stats.filter(F.length("g") >= 4)
+            .orderBy(F.asc("count"), F.asc("g")).limit(1)
+            .collect()[0]["g"]
+        )
+    finally:
+        stats.unpersist()
+    docs_schema = "doc_id bigint, text string"
     token = (
-        spark.read.parquet(
-            *pruned_paths(spark, docs_path, "text", rare_tok, tokenized=True)
+        read_pruned(
+            pruned_paths(spark, docs_path, "text", rare_tok, tokenized=True),
+            docs_schema,
         )
         .filter(F.array_contains(tokens(F.col("text")), rare_tok))
         .select(
@@ -1626,8 +1647,9 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ngram = (
-        spark.read.parquet(
-            *pruned_paths(spark, docs_path, "text", rare_frag, ngram=3)
+        read_pruned(
+            pruned_paths(spark, docs_path, "text", rare_frag, ngram=3),
+            docs_schema,
         )
         .filter(F.col("text").contains(rare_frag))
         .select(
@@ -1640,6 +1662,8 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.unionByName(token).unionByName(ngram)
 
 
+# the probe-user set is interpolated from _BLOOM_PROBE_USERS below so
+# the query and its oracle cannot drift apart
 _SKIPINDEX_PRUNED_SCANS_ORACLE = """
 WITH docs AS (
   SELECT doc_id, text,
@@ -1666,7 +1690,7 @@ SELECT 'point' AS lane,
        count(*) AS n,
        CAST(sum(event_id) AS BIGINT) AS checksum
 FROM events
-WHERE user_id IN (1, 2, 3, 5, 8)
+WHERE user_id IN (__PROBE_USERS__)
 GROUP BY user_id
 UNION ALL
 SELECT 'token', CAST(d.doc_id AS VARCHAR),
@@ -1679,6 +1703,10 @@ SELECT 'ngram', CAST(d.doc_id AS VARCHAR),
 FROM docs d CROSS JOIN rare_frag r
 WHERE contains(d.text, r.g)
 """
+
+_SKIPINDEX_PRUNED_SCANS_ORACLE = _SKIPINDEX_PRUNED_SCANS_ORACLE.replace(
+    "__PROBE_USERS__", ", ".join(str(u) for u in _BLOOM_PROBE_USERS)
+)
 
 
 def vocab_kmv_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,9 @@
 # SKIP in the base environment and must PASS here.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-VENV="${SPARK_GRAFT_VENV_DIR:-/tmp/spark-graft-venvs}/pillow"
+# per-user default: a fixed world-shared /tmp path would fail (or run a
+# previously-planted venv) for the second user on a shared machine
+VENV="${SPARK_GRAFT_VENV_DIR:-${TMPDIR:-/tmp}/spark-graft-venvs-$(id -u)}/pillow"
 mkdir -p "$(dirname "$VENV")"
 if [ ! -d "$VENV" ]; then
     python -m venv --system-site-packages "$VENV"

@@ -3285,6 +3285,16 @@ def test_hist_auto_domain_covers_outlier_spike(spark):
     with _pytest.raises(ValueError, match="no non-null"):
         hist_auto_domain(empty, "v")
 
+    # a single NaN row previously collapsed the domain to [lo, lo+1)
+    # (Spark's max() sorts NaN greatest, and `not NaN > lo` is True) —
+    # reintroducing the exact edge-bin saturation the pre-pass exists
+    # to prevent; non-finite bounds must raise instead
+    nan = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "v double"
+    )
+    with _pytest.raises(ValueError, match="non-finite"):
+        hist_auto_domain(nan, "v")
+
 
 def test_hist_sketch_merge_and_quantiles(spark):
     """Mergeable fixed-bin quantile sketches (operators/quantile_sketch
@@ -3466,3 +3476,19 @@ def test_cms_heavy_hitters_exact_via_superset_filter(spark):
     assert got_capped == want100
     with pytest.raises(ValueError, match="threshold"):
         cms_heavy_hitters(df, "uid", threshold=0)
+
+    # NULL items never count, on BOTH paths (review finding: the exact
+    # fallback previously reported a NULL-keyed hitter the walk could
+    # never return — same inputs, different guard branch, different
+    # result)
+    with_nulls = df.unionByName(
+        spark.createDataFrame([(None,)] * 600, "uid string")
+    )
+    for kw in (dict(w=4096), dict(w=4096, max_candidates_per_level=1)):
+        got_null = sorted(
+            (r.uid, r.n)
+            for r in cms_heavy_hitters(
+                with_nulls, "uid", threshold=100, **kw
+            ).collect()
+        )
+        assert got_null == want100, kw
