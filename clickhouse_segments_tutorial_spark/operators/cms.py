@@ -295,9 +295,22 @@ def cms_heavy_hitters(
 
     Returns (item, n bigint) for the true heavy hitters."""
     import math
+    import warnings
 
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
+    # the walk collects the hierarchical sketch driver-side: up to
+    # levels*d*w nonzero cells. Bound the caller-supplied product BEFORE
+    # the job runs (r16 ADVICE: w = 1<<20 at d=4 is ~25M driver-side Row
+    # objects — a silent OOM, not a slow query). 2^24 cells ≈ a few
+    # hundred MB worst case and far beyond any useful width: the regime
+    # check needs threshold > e*N/w, which even w = 2^19 serves for any
+    # threshold >= 1 up to N ≈ 193k * threshold.
+    if _HH_LEVELS * d * w > (1 << 24):
+        raise ValueError(
+            f"levels*d*w = {_HH_LEVELS * d * w} cells would be collected "
+            f"driver-side (> {1 << 24}); use a smaller w or d"
+        )
     spark = df.sparkSession
     df = df.filter(F.col(item_col).isNotNull())
     exact = (
@@ -308,7 +321,18 @@ def cms_heavy_hitters(
     sketch_rows = cms_hier_sketch(df, item_col, d=d, w=w).collect()
     n_total = sum(r.c for r in sketch_rows if r.level == 0) // max(d, 1)
     if threshold <= math.e * n_total / w:
-        return exact  # sub-error-floor threshold: sketch can't discriminate
+        # sub-error-floor threshold: sketch can't discriminate. The
+        # fallback is CORRECT but is the full-universe groupBy cost
+        # cliff the walk exists to avoid — surface it (r16 ADVICE: a
+        # production caller should learn the sketch is saturated from a
+        # warning, not from a shuffle blowup)
+        warnings.warn(
+            f"cms_heavy_hitters: threshold {threshold} <= e*N/w "
+            f"({math.e * n_total / w:.1f}) — sketch saturated, falling "
+            "back to the exact full-universe plan; raise w or threshold",
+            stacklevel=2,
+        )
+        return exact
     plane_rows: dict[int, list] = {lv: [] for lv in range(_HH_LEVELS)}
     for r in sketch_rows:
         plane_rows[r.level].append((r.row, r.col, r.c))
@@ -351,6 +375,13 @@ def cms_heavy_hitters(
         )
         rows = lvl.take(max_candidates_per_level + 1)
         if len(rows) > max_candidates_per_level:
+            warnings.warn(
+                f"cms_heavy_hitters: level {level} survivors exceed "
+                f"max_candidates_per_level={max_candidates_per_level} — "
+                "planes saturated, falling back to the exact "
+                "full-universe plan; raise w or threshold",
+                stacklevel=2,
+            )
             return exact  # saturated planes: walk would cascade
         survivors = [r._p for r in rows]
         if not survivors:

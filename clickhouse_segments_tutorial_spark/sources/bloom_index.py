@@ -55,7 +55,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, SparkSession, functions as F
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import md5_hash60
 
@@ -94,19 +95,31 @@ def _data_files(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+def _sidecar_df(spark: SparkSession, side: str) -> DataFrame | None:
+    """The sidecar as a DataFrame, or None when it does not exist yet.
+    ONLY the missing-path case means "no sidecar": a transient,
+    permission, or corruption error must PROPAGATE — swallowing it here
+    made index_files treat an unreadable sidecar as absent, re-index
+    every file, and append duplicate rows (r16 ADVICE)."""
+    try:
+        df = spark.read.schema(_SIDECAR_SCHEMA).parquet(side)
+        df.inputFiles()  # forces the listing; metadata-only
+        return df
+    except AnalysisException as exc:
+        # getCondition is the 4.x name for getErrorClass
+        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        if (cond or "") == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def _indexed_files(spark: SparkSession, side: str) -> set[str] | None:
     """File names already present in the sidecar (names only — never
     the masks), or None when no sidecar exists yet."""
-    try:
-        return {
-            r.file
-            for r in spark.read.schema(_SIDECAR_SCHEMA)
-            .parquet(side)
-            .select("file")
-            .collect()
-        }
-    except Exception:
+    df = _sidecar_df(spark, side)
+    if df is None:
         return None
+    return {r.file for r in df.select("file").collect()}
 
 
 def _char_ngrams(text: Column, n: int) -> Column:
@@ -245,10 +258,16 @@ def _probe_positions(
     md5 family the build uses (hashlib replay of _bit_pos)."""
     import hashlib
 
-    probes = [str(value)]
-    if ngram:
+    if isinstance(value, (list, tuple, set)):
+        # hasAllTokens conjunction: the union of every token's k
+        # positions — a file can contain ALL tokens only if every one
+        # of these bits is set (still no false negatives)
+        probes = [str(v) for v in value]
+    elif ngram:
         s = str(value)
         probes = [s[i : i + ngram] for i in range(len(s) - ngram + 1)]
+    else:
+        probes = [str(value)]
     return [
         int(hashlib.md5(f"{j}:{p}".encode()).hexdigest()[:15], 16) % m_bits
         for p in probes
@@ -279,6 +298,12 @@ def pruned_paths(
     list feeds ``spark.read.parquet(*paths)`` with the ordinary
     predicate on top.
 
+    ``tokenized=True`` also accepts a LIST of tokens — the ClickHouse
+    ``hasToken(a) AND hasToken(b)`` conjunction: the index serves the
+    AND directly (every token's k bits must all be set), so the pruned
+    set is the intersection the separate probes would produce, in one
+    sidecar pass.
+
     Cost model: the table's file list comes from the FileIndex
     (``inputFiles()`` — metadata, zero jobs over table rows), so the
     probe's ONLY job is the sidecar scan, whose output is O(n_files)
@@ -287,6 +312,11 @@ def pruned_paths(
     spark.read."""
     if tokenized and ngram:
         raise ValueError("tokenized and ngram modes are mutually exclusive")
+    if isinstance(value, (list, tuple, set)) and not tokenized:
+        raise ValueError(
+            "a multi-value probe (hasAllTokens conjunction) needs "
+            "tokenized=True — an equality/substring probe takes one value"
+        )
     suffix = ""
     if tokenized:
         suffix = "__tokens"
@@ -295,10 +325,8 @@ def pruned_paths(
     positions = _probe_positions(value, m_bits=m_bits, k=k, ngram=ngram)
     all_files = _data_files(spark, path)
     side = _sidecar(path, f"{col}{suffix}")
-    try:
-        side_df = spark.read.schema(_SIDECAR_SCHEMA).parquet(side)
-        side_df.inputFiles()  # existence probe, still metadata-only
-    except Exception:
+    side_df = _sidecar_df(spark, side)
+    if side_df is None:
         return all_files  # no sidecar yet: nothing can be skipped
     survive = F.lit(True)
     for p in positions:
@@ -308,9 +336,69 @@ def pruned_paths(
             )
             != 0
         )
-    verdicts = {
-        r.file: r.keep
-        for r in side_df.select("file", survive.alias("keep")).collect()
-    }
+    # a malformed/short mask (or a probe m_bits mismatching the build)
+    # makes element_at return NULL and the AND-chain NULL — which must
+    # mean KEEP, not prune (r16 ADVICE: None read as falsy silently
+    # dropped the file, a false negative). Mask rows of the wrong length
+    # are untrusted entirely: keep their files.
+    n_words = m_bits // _WORDS
+    keep = F.when(
+        F.size(F.col("mask")) == F.lit(n_words),
+        F.coalesce(survive, F.lit(True)),
+    ).otherwise(F.lit(True))
+    # duplicate rows per file (double-indexed, or one valid + one
+    # malformed) fold with OR: keep if ANY row keeps — conservative,
+    # never a false negative
+    verdicts: dict[str, bool] = {}
+    for r in side_df.select("file", keep.alias("keep")).collect():
+        verdicts[r.file] = verdicts.get(r.file, False) or bool(r.keep)
     # unindexed (absent from the sidecar) defaults to kept
     return [f for f in all_files if verdicts.get(f, True)]
+
+
+def compact_sidecar(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    tokenized: bool = False,
+    ngram: int | None = None,
+) -> int:
+    """Rewrite the sidecar for ``col`` down to ONE parquet file,
+    preserving its rows (r16 verdict item 4: each incremental
+    ``index_files`` call appends one file, so a daily-append table
+    accumulates thousands of KB-sized sidecar files and the probe's
+    single job degrades into a small-file listing storm — the exact
+    problem the index solves for the data). Same tmp-dir + rename swap
+    as the table compactions (writers.rewrite_table), so a mid-job
+    crash leaves the original sidecar intact and a racing probe sees
+    either the old or the new file set, never a partial one.
+
+    Rows are merged per file with an elementwise bit-OR fold, so even
+    duplicate rows for the same file (the pre-r17 swallowed-read-error
+    bug could append them) collapse to one correct mask; a length
+    mismatch between duplicate masks leaves NULL words, which the probe
+    treats as KEEP (never a false negative). Returns the sidecar file
+    count before compaction (0 = no sidecar, nothing done)."""
+    if tokenized and ngram:
+        raise ValueError("tokenized and ngram modes are mutually exclusive")
+    if tokenized:
+        col = f"{col}__tokens"
+    elif ngram:
+        col = f"{col}__ngram{ngram}"
+    side = _sidecar(path, col)
+    df = _sidecar_df(spark, side)
+    if df is None:
+        return 0
+    n_before = len(df.inputFiles())
+    lst = F.collect_list("mask")
+    merged_mask = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
+    )
+    merged = df.groupBy("file").agg(merged_mask.alias("mask")).coalesce(1)
+    from .writers import rewrite_table
+
+    rewrite_table(spark, merged, side, cluster_by=["file"])
+    return n_before

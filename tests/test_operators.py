@@ -3492,3 +3492,57 @@ def test_cms_heavy_hitters_exact_via_superset_filter(spark):
             ).collect()
         )
         assert got_null == want100, kw
+
+
+def test_cms_heavy_hitters_guard_signals(spark):
+    """r16 ADVICE: the deterministic fallbacks must be VISIBLE (a
+    warning naming the saturated regime, so a production caller learns
+    before the shuffle blowup), and the driver-side sketch collection
+    must be bounded up front (w = 1<<20 at d=4 is ~25M Row objects)."""
+    import warnings as _warnings
+
+    from clickhouse_segments_tutorial_spark.operators.cms import (
+        cms_heavy_hitters,
+    )
+
+    rows = [("hot",)] * 200 + [(f"c{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "uid string")
+
+    # sub-error-floor threshold (w=64: e*N/w ~ 21) -> regime fallback warns
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sorted(
+            (r.uid, r.n)
+            for r in cms_heavy_hitters(df, "uid", threshold=2, w=64).collect()
+        )
+    assert ("hot", 200) in got
+    assert any("saturated" in str(w.message) for w in caught)
+
+    # per-level cap fallback warns too (needs >1 surviving class, so a
+    # stream with many heavy items)
+    many_hot = spark.createDataFrame(
+        [(f"hot{i}",) for i in range(20) for _ in range(150)]
+        + [(f"c{i}",) for i in range(300)],
+        "uid string",
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got_capped = sorted(
+            (r.uid, r.n)
+            for r in cms_heavy_hitters(
+                many_hot, "uid", threshold=100, w=4096,
+                max_candidates_per_level=1,
+            ).collect()
+        )
+    assert got_capped == sorted((f"hot{i}", 150) for i in range(20))
+    assert any("max_candidates_per_level" in str(w.message) for w in caught)
+
+    # the clean walk emits NO fallback warning
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        cms_heavy_hitters(df, "uid", threshold=100, w=4096).collect()
+    assert not any("falling back" in str(w.message) for w in caught)
+
+    # unbounded driver-side collection rejected before any job
+    with pytest.raises(ValueError, match="driver-side"):
+        cms_heavy_hitters(df, "uid", threshold=100, w=1 << 23)

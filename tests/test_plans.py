@@ -806,3 +806,181 @@ def test_ngrambf_index_prunes_substring_probes(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         index_files(spark, path, "text", tokenized=True, ngram=3)
+
+
+def test_bloom_sidecar_compaction(spark, tmp_path):
+    """r16 verdict item 4: incremental builds append one sidecar parquet
+    each, so a daily-append table turns the probe's single job into a
+    small-file listing storm. compact_sidecar must collapse the sidecar
+    to ONE file with identical probe verdicts, and the probe must still
+    run exactly one job afterwards."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        _sidecar,
+        compact_sidecar,
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    path = str(tmp_path / "ev_bloom_compact")
+    ev.repartitionByRange(8, "user_id").write.parquet(path)
+    assert index_files(spark, path, "user_id") == 8
+    # three incremental appends -> three more sidecar files
+    for uid in (1_000_001, 1_000_002, 1_000_003):
+        spark.createDataFrame(
+            [(uid, 0)], "user_id long, event_id long"
+        ).coalesce(1).write.mode("append").parquet(path)
+        assert index_files(spark, path, "user_id") == 1
+
+    side = _sidecar(path, "user_id")
+    before_files = spark.read.parquet(side).inputFiles()
+    assert len(before_files) == 4
+    users = [r.user_id for r in ev.select("user_id").distinct().limit(4).collect()]
+    users.append(1_000_002)
+    before = {u: set(pruned_paths(spark, path, "user_id", u)) for u in users}
+
+    assert compact_sidecar(spark, path, "user_id") == 4
+    assert len(spark.read.parquet(side).inputFiles()) == 1
+    after = {u: set(pruned_paths(spark, path, "user_id", u)) for u in users}
+    assert after == before  # same verdicts, row for row
+
+    # probe job count is still exactly one (the sidecar scan)
+    sc = spark.sparkContext
+    group = "bloom_probe_after_compaction"
+    sc.setJobGroup(group, "post-compaction probe job audit")
+    try:
+        keep = pruned_paths(spark, path, "user_id", users[0])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert keep
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) == 1
+
+    # compacting a non-existent sidecar is a no-op
+    assert compact_sidecar(spark, path, "nope_col") == 0
+
+
+def test_bloom_malformed_mask_keeps_file(spark, tmp_path):
+    """r16 ADVICE: a sidecar row whose mask is shorter than m_bits//64
+    (corruption, or a build at a different m_bits) made element_at
+    return NULL and the NULL verdict read as PRUNE — a false negative.
+    Malformed rows must mean KEEP for their file."""
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        _sidecar,
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    path = str(tmp_path / "ev_bloom_malformed")
+    ev.repartitionByRange(8, "user_id").write.parquet(path)
+    assert index_files(spark, path, "user_id") == 8
+
+    probe = ev.select("user_id").first().user_id
+    keep = pruned_paths(spark, path, "user_id", probe)
+    dropped = sorted(set(_all_ev_files(spark, path)) - set(keep))
+    assert dropped  # the index prunes something for this probe
+    victim = dropped[0]
+    # append a malformed (length-1 mask) row for an already-pruned file:
+    # the untrusted row must flip it back to KEPT, never the reverse
+    spark.createDataFrame(
+        [(victim, [0])], "file string, mask array<bigint>"
+    ).coalesce(1).write.mode("append").parquet(_sidecar(path, "user_id"))
+    keep2 = pruned_paths(spark, path, "user_id", probe)
+    assert victim in keep2
+    assert set(keep) <= set(keep2)
+
+
+def _all_ev_files(spark, path):
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        _data_files,
+    )
+
+    return _data_files(spark, path)
+
+
+def test_bloom_sidecar_read_error_propagates(spark, tmp_path):
+    """r16 ADVICE: only the missing-path case may mean 'no sidecar yet'.
+    A corrupt sidecar read must RAISE from index_files — the old
+    swallow-everything path silently re-indexed every file and appended
+    duplicate rows."""
+    import pytest as _pytest
+
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        _sidecar,
+        index_files,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    path = str(tmp_path / "ev_bloom_corrupt")
+    ev.repartitionByRange(4, "user_id").write.parquet(path)
+    assert index_files(spark, path, "user_id") == 4
+
+    side = _sidecar(path, "user_id")
+    import pathlib
+
+    (pathlib.Path(side) / "part-corrupt.parquet").write_bytes(
+        b"this is not parquet"
+    )
+    with _pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        index_files(spark, path, "user_id")
+
+
+def test_bloom_hasalltokens_conjunction(spark, tmp_path):
+    """r16 verdict item 5: CH's hasToken composes with AND; the tokenbf
+    sidecar serves the conjunction directly — the kept set must be
+    exactly the intersection of the per-token kept sets (the probe's
+    bit union), and reading it with the double filter on top must match
+    the unpruned double-filtered scan."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators.text import tokens
+    from clickhouse_segments_tutorial_spark.sources.bloom_index import (
+        index_files,
+        pruned_paths,
+    )
+    from clickhouse_segments_tutorial_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_tokenbf_and")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    assert index_files(spark, path, "text", tokenized=True) == 8
+
+    # two moderately rare tokens that co-occur in at least one doc
+    t1, t2 = [
+        r.t
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter(F.length("t") >= 5)
+        .orderBy(F.desc("count"))
+        .limit(2)
+        .collect()
+    ]
+    both = docs.filter(
+        F.array_contains(tokens(F.col("text")), t1)
+        & F.array_contains(tokens(F.col("text")), t2)
+    )
+    want = both.count()
+    keep_and = pruned_paths(spark, path, "text", [t1, t2], tokenized=True)
+    got = (
+        spark.read.parquet(*keep_and)
+        .filter(
+            F.array_contains(tokens(F.col("text")), t1)
+            & F.array_contains(tokens(F.col("text")), t2)
+        )
+        .count()
+    )
+    assert got == want
+    k1 = set(pruned_paths(spark, path, "text", t1, tokenized=True))
+    k2 = set(pruned_paths(spark, path, "text", t2, tokenized=True))
+    assert set(keep_and) == k1 & k2
+
+    # a list probe outside tokenized mode is a contract error
+    with _pytest.raises(ValueError, match="tokenized"):
+        pruned_paths(spark, path, "text", [t1, t2])

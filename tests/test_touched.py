@@ -103,6 +103,10 @@ def test_registry_round_touched_matches_module_mapping(monkeypatch):
     the manual override (override neutralized here — the live set varies
     by round and would otherwise leak into the module-mapping check)."""
     monkeypatch.setattr(registry, "ROUND_TOUCHED_OVERRIDE", frozenset())
+    # neutralize the union-deadline block (tested separately in
+    # test_union_deadline_block_preempts_pins) — the live CORRECTNESS
+    # files would otherwise front whatever names happen to be stale
+    monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
     monkeypatch.setattr(
         registry, "_touched_module_paths", lambda: {f"{PKG}/plans/curation.py"}
     )
@@ -132,6 +136,7 @@ def test_override_names_lead_pinned_block_ahead_of_staleness(monkeypatch):
     hand-declared behavior change is guaranteed a fresh driver row no
     matter how broad the auto-derivation went."""
     qmods = registry._query_module_paths()
+    monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
     # simulate the degenerate round: EVERY query module derived-touched
     monkeypatch.setattr(registry, "_touched_module_paths", lambda: qmods)
     # recently-green names (q1 was green in every round) would normally
@@ -181,6 +186,7 @@ def test_pin_cap_and_rotation_invariant_98_registry_26_pins(monkeypatch):
     strict staleness order, and a BOUNDED staleness period of
     ceil(N_unpinned / (window - cap)) rounds even with 26 persistent
     pins (vs unbounded-tail starvation before the cap)."""
+    monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
     N, W, PINS = 98, 50, 26
     names = [f"q{i:03d}" for i in range(N)]
     pinned_names = set(names[:PINS])
@@ -241,6 +247,7 @@ def test_rotation_optimal_when_registry_exceeds_two_windows(monkeypatch):
     every never-checked query and the stalest remainder, dropping
     exactly the 4 least-stale of the 54-name must-check set (the
     minimum possible shortfall), and those 4 must lead the next round."""
+    monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
     W = 50
     names, last, touched = [], {}, set()
     for grp, (cnt, rnd) in enumerate([(22, 8), (26, 9), (50, 10), (6, None)]):
@@ -301,3 +308,54 @@ def test_hub_edit_drop_warns(monkeypatch):
         assert any("hub edit" in str(w.message) for w in caught)
     finally:
         monkeypatch.setattr(registry, "_TOUCHED_CACHE", None)
+
+
+def test_union_deadline_block_preempts_pins(monkeypatch):
+    """r17: names whose latest green row is about to age out of the
+    judge's 4-round coverage union take the window BEFORE the pinned
+    block. Scenario (the real r17 shape in miniature): a broad operator
+    edit pins a module full of recently-green queries while as many
+    other names as the window holds sit on the deadline — under the old
+    pins-first order the pins displace deadline names and the union
+    breaks; under deadline-first every deadline name (and every
+    never-checked name) is in the window, pins fill what remains."""
+    W = 10
+    names = (
+        [f"old{i}" for i in range(8)]      # last green R-3: deadline
+        + ["brandnew"]                      # never checked: deadline
+        + [f"pin{i}" for i in range(6)]    # green last round, touched
+        + [f"mid{i}" for i in range(4)]    # green R-1, untouched
+    )
+    last = {f"old{i}": 7 for i in range(8)}
+    last |= {f"pin{i}": 10 for i in range(6)}
+    last |= {f"mid{i}": 9 for i in range(4)}
+    pinned = {n for n in names if n.startswith("pin")}
+    spec = {
+        n: (registry.QuerySpec(name=n, spark=lambda s, d: None), n in pinned)
+        for n in names
+    }
+    monkeypatch.setattr(registry, "_driver_window", lambda: W)
+    monkeypatch.setattr(registry, "_specs_with_touched", lambda: dict(spec))
+    monkeypatch.setattr(registry, "_last_green_round", lambda: dict(last))
+    # newest recorded round 10 -> current round 11, union rounds 8..11,
+    # so lg < 8 has a hard deadline this round
+    monkeypatch.setattr(registry, "_union_deadline", lambda: 8)
+
+    window = list(registry.all_queries())[:W]
+    # every deadline name is in, never-checked first among them is fine
+    assert all(f"old{i}" in window for i in range(8))
+    assert "brandnew" in window
+    # the single remaining slot goes to a pin, not a mid
+    assert len([n for n in window if n in pinned]) == 1
+    assert not any(n.startswith("mid") for n in window)
+    # deadline block leads and is staleness-ordered (never-checked first)
+    assert window[0] == "brandnew"
+    assert set(window[1:9]) == {f"old{i}" for i in range(8)}
+
+    # with no deadline pressure the pins lead again (old behavior):
+    # pin_cap = W//2 = 5 of the 6 pins head the window, the sixth
+    # overflows into the staleness pool as before
+    monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
+    window2 = list(registry.all_queries())[:W]
+    assert len([n for n in window2 if n in pinned]) == 5
+    assert set(window2[:5]) <= pinned
