@@ -654,7 +654,8 @@ QUERIES = [
     QuerySpec("bpe_token_counts_docs", bpe_token_counts_docs, _TOKEN_COUNTS_ORACLE),
     QuerySpec("bpe_fertility_lang", bpe_fertility_lang, _FERTILITY_ORACLE),
     QuerySpec("source_quota_bpe_docs", source_quota_bpe_docs, _QUOTA_BPE_ORACLE),
-    QuerySpec("bpe_budget_chunks", bpe_budget_chunks, _BUDGET_CHUNKS_ORACLE),
+    # bpe_budget_chunks is registered from bytetok_queries as the
+    # two-head (char/bytes) lane-tagged query (r17 window consolidation)
     QuerySpec("bpe_encode_docs", bpe_encode_docs, _ENCODE_ORACLE),
     QuerySpec("mixed_corpus_bpe_docs", mixed_corpus_bpe_docs, _MIX_BPE_ORACLE),
     QuerySpec("packed_chunks_bpe", packed_chunks_bpe, _PACKED_BPE_ORACLE),

@@ -531,6 +531,68 @@ JOIN (
 """
 
 
+
+
+def bpe_budget_chunks_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_budget_chunks under BOTH tokenizer heads in one lane-tagged
+    registered query (r17 window consolidation, the r15-endorsed lane
+    pattern): lane 'char' is bpe_queries.bpe_budget_chunks (learned
+    char-BPE subword budgets), lane 'bytes' is the byte-head variant
+    (GPT-2 pre-tokens, byte-BPE subword counts). Identical consumer
+    machinery, one UNION ALL oracle — each head stays independently
+    value-checked per round."""
+    from .bpe_queries import bpe_budget_chunks
+
+    char = bpe_budget_chunks(spark, sf_dir)
+    byts = bpe_budget_chunks_bytes(spark, sf_dir)
+    return char.select(F.lit("char").alias("lane"), "*").unionByName(
+        byts.select(F.lit("bytes").alias("lane"), "*")
+    )
+
+
+def packed_chunks_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under BOTH chunkers in one lane-tagged query
+    (r17 window consolidation): lane 'words' is llm.packed_chunks
+    (whitespace 128-token chunks packed to 512) and lane 'bytes' is
+    packed_chunks_bpe_bytes (byte-BPE budget chunks packed to
+    BYTES_PACK_CAPACITY). The per-lane token-count columns
+    (n_chunk_tokens / n_subwords) align as n_tokens so the lanes
+    union; both recursive-CTE oracles wrap with the same alias."""
+    from .llm import packed_chunks
+
+    words = packed_chunks(spark, sf_dir).withColumnRenamed(
+        "n_chunk_tokens", "n_tokens"
+    )
+    byts = packed_chunks_bpe_bytes(spark, sf_dir).withColumnRenamed(
+        "n_subwords", "n_tokens"
+    )
+    return words.select(F.lit("words").alias("lane"), "*").unionByName(
+        byts.select(F.lit("bytes").alias("lane"), "*")
+    )
+
+
+def _packed_heads_oracle() -> str:
+    from .llm import _PACKED_ORACLE
+
+    return (
+        "SELECT 'words' AS lane, doc_id, chunk_idx, "
+        "n_chunk_tokens AS n_tokens, shard, seq_id "
+        f"FROM ({_PACKED_ORACLE}) UNION ALL "
+        "SELECT 'bytes' AS lane, doc_id, chunk_idx, "
+        "n_subwords AS n_tokens, shard, seq_id "
+        f"FROM ({_PACKED_BPE_BYTES_ORACLE})"
+    )
+
+
+def _budget_chunks_heads_oracle() -> str:
+    from .bpe_queries import _BUDGET_CHUNKS_ORACLE
+
+    return (
+        f"SELECT 'char' AS lane, * FROM ({_BUDGET_CHUNKS_ORACLE}) "
+        f"UNION ALL SELECT 'bytes' AS lane, * FROM ({_BUDGET_CHUNKS_BYTES_ORACLE})"
+    )
+
+
 QUERIES = [
     QuerySpec(
         "bpe_merges_bytes_docs", bpe_merges_bytes_docs, _MERGES_BYTES_ORACLE
@@ -559,9 +621,9 @@ QUERIES = [
         _UNI_PRUNED_BYTES_ORACLE,
     ),
     QuerySpec(
-        "bpe_budget_chunks_bytes",
-        bpe_budget_chunks_bytes,
-        _BUDGET_CHUNKS_BYTES_ORACLE,
+        "bpe_budget_chunks",
+        bpe_budget_chunks_heads,
+        _budget_chunks_heads_oracle(),
     ),
     QuerySpec(
         "mixed_corpus_bpe_bytes_docs",
@@ -569,9 +631,9 @@ QUERIES = [
         _MIX_BPE_BYTES_ORACLE,
     ),
     QuerySpec(
-        "packed_chunks_bpe_bytes",
-        packed_chunks_bpe_bytes,
-        _PACKED_BPE_BYTES_ORACLE,
+        "packed_chunks",
+        packed_chunks_heads,
+        _packed_heads_oracle(),
     ),
     QuerySpec(
         "quality_signals_bytes_docs",

@@ -522,26 +522,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-banded near-dup pairs (the scale path: thin banded keys +
-    verified candidates, never the O(n^2) cross of vectors), at the tuned
-    defaults (56 planes, 8 chunks x 7 bits — candidate fraction 0.067 of
-    all pairs on this corpus vs 0.41 at the old 8x4-bit setting, r5
-    verdict item 3). Precision 1.0 (exact-cosine verified); recall is
-    regime-dependent — high (>= 0.9, pinned in tests) for genuine
-    near-dups at cos >= 0.8, deliberately low on this corpus's artificial
-    ">= 0.4" pairs (cos 0.40-0.51), which sit far below the near-dup band
-    the pruning is tuned for. The DuckDB oracle replays the full pipeline
-    bit-for-bit (quantized ±1 signatures), so this row is value-checked
-    even though its output is deliberately a subset of
-    embedding_near_dup_pairs."""
-    from ..operators.similarity import cosine_pairs_srp
-
-    return cosine_pairs_srp(
-        _t(spark, sf_dir, "embeddings"), threshold=SEM_NEAR_DUP_THRESHOLD
-    )
-
-
 def _srp_sig_ctes(n_planes: int) -> str:
     """Shared oracle CTEs replaying srp_signature_words in SQL: quantize
     components with floor(v*1e6 + 0.5) (the fully-specified rounding the
@@ -1245,6 +1225,37 @@ def ann_ivfadc_probe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_probe_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC index's FOUR maintenance lanes in ONE
+    lane-tagged registered query (r17 window consolidation — the
+    r15-endorsed pattern; each lane was previously its own registered
+    query and keeps its own oracle replay under the UNION ALL):
+
+    - lane 'incremental': build on wave 1 (even vec_ids), extend with
+      wave 2 under the frozen artifacts, probe the merged index;
+    - lane 'streaming': the same two waves through the actual
+      Structured Streaming wave gate (IncrementalAnnIndexer);
+    - lane 'deleted': full build, tombstone wave (vec_id % 7 == 3),
+      probe with the takedown anti-join;
+    - lane 'trained': probe-only over the trained-books persisted index
+      (the production configuration; build cached).
+
+    The latency row for the probe-only path remains ann_ivfadc_probe
+    (headline); this query IS the lifecycle proof and runs the builds
+    on purpose."""
+    lanes = [
+        ("incremental", ann_ivfadc_probe_incremental),
+        ("streaming", ann_ivfadc_probe_streaming),
+        ("deleted", ann_ivfadc_probe_deleted),
+        ("trained", ann_ivfadc_probe_trained),
+    ]
+    out = None
+    for lane, fn in lanes:
+        part = fn(spark, sf_dir).select(F.lit(lane).alias("lane"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def ann_ivfadc_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n_probe TUNING surface for the persisted IVFADC index: one
     row per probe budget (n_probe, ceiling) where ceiling is the
@@ -1813,15 +1824,32 @@ FROM energies GROUP BY cidx
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= SEM_NEAR_DUP_THRESHOLD (exact O(n^2) —
-    the oracle baseline for the bucketed path; allow_quadratic
-    acknowledged, scale twin = embedding_near_dup_pairs_lsh). Threshold
-    from the shared constant so the exact baseline, the LSH path, and
-    both oracles move together."""
-    return cosine_pairs(
+    """Embedding near-dup pairs, BOTH paths in one lane-tagged query
+    (r17 window consolidation — the r15-endorsed lane pattern):
+
+    - lane 'exact': all pairs with cosine >= SEM_NEAR_DUP_THRESHOLD
+      (O(n^2), allow_quadratic acknowledged — the oracle baseline);
+    - lane 'lsh': the SRP-banded scale path (56 planes, 8x7-bit bands,
+      thin banded keys + exact-cosine verification, never the O(n^2)
+      cross) — precision 1.0, deliberately a subset on this corpus's
+      artificial low-cos pairs (see the former _lsh query's analysis,
+      r5 verdict item 3).
+
+    Threshold from the shared constant so both lanes and both oracle
+    replays move together; the UNION ALL oracle value-checks each lane
+    independently per round."""
+    from ..operators.similarity import cosine_pairs_srp
+
+    exact = cosine_pairs(
         _t(spark, sf_dir, "embeddings"),
         threshold=SEM_NEAR_DUP_THRESHOLD,
         allow_quadratic=True,
+    )
+    lsh = cosine_pairs_srp(
+        _t(spark, sf_dir, "embeddings"), threshold=SEM_NEAR_DUP_THRESHOLD
+    )
+    return exact.select(F.lit("exact").alias("lane"), "*").unionByName(
+        lsh.select(F.lit("lsh").alias("lane"), "*")
     )
 
 
@@ -3170,14 +3198,19 @@ QUERIES = [
         "ann_ivfadc_probe", ann_ivfadc_probe, _ANN_IVFADC_ORACLE, headline=True
     ),
     QuerySpec(
-        "ann_ivfadc_probe_incremental",
-        ann_ivfadc_probe_incremental,
-        _ivfadc_oracle("vec_id % 2 = 0"),
-    ),
-    QuerySpec(
-        "ann_ivfadc_probe_deleted",
-        ann_ivfadc_probe_deleted,
-        _ivfadc_oracle(delete_where="vec_id % 7 = 3"),
+        "ann_ivfadc_probe_lifecycle",
+        ann_ivfadc_probe_lifecycle,
+        # one oracle replay per lane, lane-tagged — each maintenance
+        # mode stays independently value-checked
+        " UNION ALL ".join(
+            f"SELECT '{lane}' AS lane, * FROM ({sql})"
+            for lane, sql in [
+                ("incremental", _ivfadc_oracle("vec_id % 2 = 0")),
+                ("streaming", _ivfadc_oracle("vec_id % 2 = 0")),
+                ("deleted", _ivfadc_oracle(delete_where="vec_id % 7 = 3")),
+                ("trained", _ivfadc_oracle(book_iters=2)),
+            ]
+        ),
     ),
     QuerySpec(
         "ann_ivfadc_books_trained_topk",
@@ -3191,16 +3224,6 @@ QUERIES = [
         "ann_ivfadc_rebuild_decision",
         ann_ivfadc_rebuild_decision,
         _ANN_REBUILD_DECISION_ORACLE,
-    ),
-    QuerySpec(
-        "ann_ivfadc_probe_streaming",
-        ann_ivfadc_probe_streaming,
-        _ivfadc_oracle("vec_id % 2 = 0"),
-    ),
-    QuerySpec(
-        "ann_ivfadc_probe_trained",
-        ann_ivfadc_probe_trained,
-        _ivfadc_oracle(book_iters=2),
     ),
     QuerySpec(
         "ann_ivfadc_refined",
@@ -3221,11 +3244,11 @@ QUERIES = [
         _CLUSTER_BALANCED_ORACLE,
     ),
     QuerySpec(
-        "embedding_near_dup_pairs_lsh",
-        embedding_near_dup_pairs_lsh,
-        _COS_PAIRS_LSH_ORACLE,
+        "embedding_near_dup_pairs",
+        embedding_near_dup_pairs,
+        f"SELECT 'exact' AS lane, * FROM ({_COS_PAIRS_ORACLE}) "
+        f"UNION ALL SELECT 'lsh' AS lane, * FROM ({_COS_PAIRS_LSH_ORACLE})",
     ),
-    QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, _COS_PAIRS_ORACLE),
     QuerySpec("text_stats_docs", text_stats_docs, _TEXT_STATS_ORACLE),
     QuerySpec(
         "gopher_quality_docs", gopher_quality_docs, _GOPHER_ORACLE, headline=True
@@ -3244,7 +3267,8 @@ QUERIES = [
     QuerySpec(
         "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE
     ),
-    QuerySpec("packed_chunks", packed_chunks, _PACKED_ORACLE),
+    # packed_chunks is registered from bytetok_queries as the two-head
+    # (words/bytes) lane-tagged query (r17 window consolidation)
     QuerySpec(
         "packing_efficiency_report",
         packing_efficiency_report,

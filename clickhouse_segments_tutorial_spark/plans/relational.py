@@ -918,6 +918,42 @@ FROM events GROUP BY user_id HAVING count(*) >= 68
 """
 
 
+def top_users_per_event_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-5 users per event_type through the SpaceSaving /
+    Misra-Gries summary (operators/topk.py — the ClickHouse topK(N)
+    aggregate analog, r16 verdict item 3): one map-only bounded-state
+    partial pass (capacity 256 per partition per event_type, no shuffle
+    of the user universe), a merge agg over the bounded summaries, and
+    one exact verify pass over the candidate users; the per-group
+    completeness guard deterministically falls back to the exact plan
+    where the summary cannot promise the candidate set, so the output
+    is the exact top-5 (count desc, user_id asc) regardless of physical
+    partitioning — the property the plain-SQL row_number oracle checks.
+    Complements heavy_users_exact_via_cms (absolute threshold) with the
+    per-group rank-k shape."""
+    from ..operators.topk import topk_exact_via_spacesaving
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_exact_via_spacesaving(
+        ev, ["event_type"], "user_id", k=5, capacity=256
+    )
+
+
+_TOPK_USERS_ORACLE = """
+SELECT event_type, user_id, n, rk FROM (
+  SELECT event_type, user_id, n,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id
+         ) AS INT) AS rk
+  FROM (
+    SELECT event_type, user_id, count(*) AS n
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type, user_id
+  )
+) WHERE rk <= 5
+"""
+
+
 # --- mergeable quantile sketches (the quantileState/-Merge analog) ----------
 
 # one definition site for the domain the order-value sketches declare
@@ -2631,6 +2667,11 @@ QUERIES = [
     QuerySpec("heavy_user_counts_cms", heavy_user_counts_cms, _CMS_ORACLE),
     QuerySpec(
         "heavy_users_exact_via_cms", heavy_users_exact_via_cms, _CMS_HH_ORACLE
+    ),
+    QuerySpec(
+        "top_users_per_event_type_topk",
+        top_users_per_event_type_topk,
+        _TOPK_USERS_ORACLE,
     ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(

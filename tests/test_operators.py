@@ -3546,3 +3546,135 @@ def test_cms_heavy_hitters_guard_signals(spark):
     # unbounded driver-side collection rejected before any job
     with pytest.raises(ValueError, match="driver-side"):
         cms_heavy_hitters(df, "uid", threshold=100, w=1 << 23)
+
+
+def test_topk_spacesaving_bounds_and_exactness(spark):
+    """operators/topk.py (the CH topK(N) analog): (a) the merged
+    summary's [n_lo, n_hi] brackets the exact count for every reported
+    item under ANY physical partitioning; (b) items flagged guaranteed
+    really are in the exact top-k; (c) the exact-verified variant
+    equals the plain SQL row_number top-k bit for bit, on 1, 4, and 32
+    input partitions (partitioning may change WHICH plan runs, never
+    the answer)."""
+    from clickhouse_segments_tutorial_spark.operators.topk import (
+        topk_exact_via_spacesaving,
+        topk_spacesaving,
+    )
+
+    rows = (
+        [("a", "hot1")] * 400
+        + [("a", "hot2")] * 150
+        + [("a", f"mid{i}") for i in range(40) for _ in range(12)]
+        + [("a", f"cold{i}") for i in range(500)]
+        + [("b", "bhot")] * 90
+        + [("b", f"bc{i}") for i in range(200)]
+    )
+    base = spark.createDataFrame(rows, "grp string, uid string")
+    exact = {
+        (r.grp, r.uid): r["count"]
+        for r in base.groupBy("grp", "uid").count().collect()
+    }
+
+    def exact_topk(k):
+        import itertools
+
+        out = {}
+        for g in ("a", "b"):
+            items = sorted(
+                ((n, u) for (gg, u), n in exact.items() if gg == g),
+                key=lambda t: (-t[0], t[1]),
+            )
+            out[g] = [(u, n) for n, u in items[:k]]
+        return out
+
+    want5 = exact_topk(5)
+    for nparts in (1, 4, 32):
+        df = base.repartition(nparts)
+        # approximate path: bounds valid, guaranteed flags honest
+        approx = topk_spacesaving(
+            df, ["grp"], "uid", k=5, capacity=16
+        ).collect()
+        for r in approx:
+            n_true = exact[(r.grp, r.uid)]
+            assert r.n_lo <= n_true <= r.n_hi, (nparts, r)
+            if r.guaranteed:
+                assert (r.uid, n_true) in want5[r.grp], (nparts, r)
+        # the two clear heavies must be guaranteed even at capacity 16
+        flags = {(r.grp, r.uid): r.guaranteed for r in approx}
+        assert flags.get(("a", "hot1")) and flags.get(("b", "bhot"))
+
+        # exact-verified path == SQL top-k regardless of partitioning
+        got = sorted(
+            (r.grp, r.uid, r.n, r.rk)
+            for r in topk_exact_via_spacesaving(
+                df, ["grp"], "uid", k=5, capacity=16
+            ).collect()
+        )
+        want = sorted(
+            (g, u, n, i + 1)
+            for g, items in want5.items()
+            for i, (u, n) in enumerate(items)
+        )
+        assert got == want, nparts
+
+
+def test_topk_spacesaving_guard_fallback_and_state_bound(spark):
+    """(a) A capacity too small for the distribution trips the
+    completeness guard: the exact fallback runs, WARNS, and the answer
+    is still the exact top-k. (b) The partial summaries stay bounded:
+    at most capacity+1 rows per partition per group. (c) NULL items
+    never count; reserved column names are rejected."""
+    import warnings as _warnings
+
+    from clickhouse_segments_tutorial_spark.operators.topk import (
+        spacesaving_partials,
+        topk_exact_via_spacesaving,
+    )
+
+    # near-uniform: every prune wipes the summary, total_err >= kth_lower
+    rows = [("g", f"u{i % 97}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, uid string").repartition(8)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sorted(
+            (r.uid, r.n, r.rk)
+            for r in topk_exact_via_spacesaving(
+                df, ["grp"], "uid", k=3, capacity=4
+            ).collect()
+        )
+    assert any("guard" in str(w.message) for w in caught)
+    want = sorted(
+        (r.uid, r["count"], i + 1)
+        for i, r in enumerate(
+            df.groupBy("uid")
+            .count()
+            .orderBy(F.desc("count"), "uid")
+            .limit(3)
+            .collect()
+        )
+    )
+    assert got == want
+
+    parts = spacesaving_partials(df, ["grp"], "uid", capacity=4)
+    per_summary = (
+        parts.groupBy(F.spark_partition_id().alias("p"), "grp")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 5 for r in per_summary)  # capacity + sentinel
+
+    withnull = df.unionByName(
+        spark.createDataFrame([("g", None)] * 500, "grp string, uid string")
+    )
+    got_null = sorted(
+        (r.uid, r.n)
+        for r in topk_exact_via_spacesaving(
+            withnull, ["grp"], "uid", k=3, capacity=64
+        ).collect()
+    )
+    assert all(u is not None for u, _ in got_null)
+
+    with pytest.raises(ValueError, match="reserved"):
+        topk_exact_via_spacesaving(
+            df.withColumn("__ss_cnt", F.lit(1)), ["grp"], "uid", k=3
+        )
