@@ -159,6 +159,140 @@ def hist_auto_domain(
     return float(lo), float(hi)
 
 
+def log_edges(lo: float, hi: float, bins: int) -> list[float]:
+    """Geometric (log-spaced) bin EDGES over [lo, hi) — the ClickHouse
+    ``quantileTiming`` shape for heavy-tailed positive columns (r16
+    verdict item 6): equi-width bins spend almost their whole budget on
+    the tail's empty span (a 1000x spike stretches the domain so p50
+    lands inside one giant bin and smears), while log bins keep
+    RELATIVE error flat — every bin spans the same multiplicative
+    factor.
+
+    Returns ``bins + 1`` edges computed ONCE driver-side in Python.
+    That is the portability trick: no transcendental function ever runs
+    inside either engine — Spark and the SQL oracle both receive the
+    same repr-exact double literals (Python float repr round-trips, so
+    parsing reproduces identical IEEE bits), and binning/interpolation
+    below use only comparisons and +-*/, which are IEEE-exact. Requires
+    0 < lo < hi."""
+    import math
+
+    if not (0 < lo < hi) or bins < 1:
+        raise ValueError("log_edges needs 0 < lo < hi and bins >= 1")
+    lw = (math.log(hi) - math.log(lo)) / bins
+    edges = [float(lo * math.exp(i * lw)) for i in range(bins + 1)]
+    edges[0], edges[-1] = float(lo), float(hi)
+    return edges
+
+
+def hist_bin_edges(value: Column, *, edges: list[float]) -> Column:
+    """Bin index under explicit EDGES: the count of interior edges <=
+    value, which lands in [0, len(edges) - 2] with the same saturation
+    contract as :func:`hist_bin` (below-domain mass in bin 0, above-
+    domain in the last bin) — pure comparisons over a literal array,
+    bit-portable to SQL."""
+    if len(edges) < 2:
+        raise ValueError("need at least 2 edges")
+    interior = F.array(*[F.lit(float(e)) for e in edges[1:-1]])
+    v = value.cast("double")
+    return F.aggregate(
+        interior,
+        F.lit(0).cast("int"),
+        lambda a, e: a + F.when(v >= e, 1).otherwise(0).cast("int"),
+    )
+
+
+def hist_sketch_edges(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    edges: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """:func:`hist_sketch` under explicit (e.g. log-spaced) edges: the
+    identical two-hash-agg construction and dense array state — only
+    the binning rule changes, so merge/count/estimator machinery and
+    the wave trainers stay edge-agnostic (the state is still just a
+    count vector)."""
+    bins = len(edges) - 1
+    binned = df.select(
+        *[F.col(c) for c in key_cols],
+        hist_bin_edges(F.col(value_col), edges=edges).alias("_b"),
+        (
+            F.col(weight_col).cast("long")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        ).alias("_w"),
+    )
+    counts = binned.groupBy(*[F.col(c) for c in key_cols], F.col("_b")).agg(
+        F.sum("_w").alias("_c")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+                ),
+                i,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return counts.groupBy(*[F.col(c) for c in key_cols]).agg(
+        dense.alias("sketch")
+    )
+
+
+def hist_quantile_edges(
+    sketch: Column, q: Column | float, *, edges: list[float]
+) -> Column:
+    """:func:`hist_quantile` under explicit edges: the same rank walk,
+    but the estimate interpolates linearly BETWEEN the located bin's
+    own edges — ``e_b + (e_{b+1} - e_b) * frac`` — so log-spaced bins
+    give flat relative error without either engine computing a log:
+    the edges arrive as literals (see :func:`log_edges`)."""
+    bins = len(edges) - 1
+    qc = F.lit(float(q)) if not isinstance(q, Column) else q
+    n = hist_count(sketch)
+    r = F.least(
+        F.greatest(
+            F.floor(qc * n.cast("double")).cast("long") + 1,
+            F.lit(1).cast("long"),
+        ),
+        n,
+    )
+    pairs = F.zip_with(
+        sketch,
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda c, i: F.struct(c.cast("long").alias("c"), i.alias("i")),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).cast("int").alias("bin"),
+        F.lit(0).cast("long").alias("before"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def step(acc, p):
+        hit = (acc["bin"] < 0) & (acc["cum"] + p["c"] >= r) & (p["c"] > 0)
+        return F.struct(
+            (acc["cum"] + p["c"]).alias("cum"),
+            F.when(hit, p["i"]).otherwise(acc["bin"]).alias("bin"),
+            F.when(hit, acc["cum"]).otherwise(acc["before"]).alias("before"),
+            F.when(hit, p["c"]).otherwise(acc["cnt"]).alias("cnt"),
+        )
+
+    walk = F.aggregate(pairs, acc0, step)
+    frac = (r - walk["before"]).cast("double") / walk["cnt"].cast("double")
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    e_lo = F.element_at(earr, walk["bin"] + 1)
+    e_hi = F.element_at(earr, walk["bin"] + 2)
+    est = e_lo + (e_hi - e_lo) * frac
+    return F.when(n > 0, F.round(est, 6))
+
+
 def hist_merge(a: Column, b: Column) -> Column:
     """Merge two sketches: elementwise sum. Exact and associative —
     the sketch of a union IS the sum of the sketches."""

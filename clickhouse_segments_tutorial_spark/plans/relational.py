@@ -1530,6 +1530,138 @@ SELECT (SELECT lo FROM dom) AS dom_lo,
 """
 
 
+def _log_edges_lineitem() -> list[float]:
+    """One definition site for the log-bin edges BOTH the Spark query
+    and its oracle use (the _BLOOM_PROBE_USERS interpolation rule):
+    160 geometric bins over the deliberately huge [1, 2e8) domain —
+    ~12.7% relative width per bin everywhere, no profiling needed.
+    Computed once in Python; each engine receives repr-exact literals,
+    so no transcendental function runs in either engine."""
+    from ..operators.quantile_sketch import log_edges
+
+    return log_edges(1.0, 2e8, 160)
+
+
+def extendedprice_logbin_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-spaced-bin quantile sketch (operators/quantile_sketch.
+    log_edges / hist_sketch_edges / hist_quantile_edges — the
+    ClickHouse quantileTiming shape, r16 verdict item 6) on
+    l_extendedprice plus a planted 1000x spike (10 rows at ~1e8):
+    under the SAME huge declared domain [1, 2e8), the equi-width
+    sketch's 1.25M-wide bins smear the ~36k median into the first bin
+    (eq_p50 is interpolation noise at the 625k scale), while the log
+    sketch keeps ~13% relative width at every magnitude, so log
+    p50/p90/p99 track the data AND the spike without a domain
+    pre-pass. Both estimators are emitted and hash-gated — the smear
+    is part of the oracle, not a prose claim. Bit-portability: the
+    edges are Python-computed literals (no ln/exp in either engine);
+    binning is comparisons, interpolation is +-*/ and round(6)."""
+    from ..operators.quantile_sketch import (
+        hist_count,
+        hist_quantile,
+        hist_quantile_edges,
+        hist_sketch,
+        hist_sketch_edges,
+    )
+
+    edges = _log_edges_lineitem()
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    spike = spark.range(10).select(
+        (F.lit(100_000_000.0) + F.col("id").cast("double")).alias("v")
+    )
+    df = li.unionByName(spike)
+    sk_log = hist_sketch_edges(df, [], "v", edges=edges)
+    sk_eq = hist_sketch(df, [], "v", lo=1.0, hi=2e8, bins=160)
+    ql = lambda p: hist_quantile_edges(F.col("sketch"), p, edges=edges)
+    log_side = sk_log.select(
+        hist_count(F.col("sketch")).alias("n_rows"),
+        ql(0.5).alias("log_p50"),
+        ql(0.9).alias("log_p90"),
+        ql(0.99).alias("log_p99"),
+    )
+    eq_side = sk_eq.select(
+        hist_quantile(F.col("sketch"), 0.5, lo=1.0, hi=2e8, bins=160).alias(
+            "eq_p50"
+        )
+    )
+    return log_side.crossJoin(eq_side)
+
+
+def _logbin_quantiles_oracle() -> str:
+    edges = _log_edges_lineitem()
+    lits = ", ".join(repr(e) for e in edges)
+    interior = ", ".join(repr(e) for e in edges[1:-1])
+    w = (2e8 - 1.0) / 160
+    return f"""
+WITH src AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  UNION ALL
+  SELECT 100000000.0 + CAST(i AS DOUBLE) AS v
+  FROM (SELECT unnest(range(10)) AS i)
+),
+earr AS (SELECT CAST([{lits}] AS DOUBLE[]) AS e),
+lb AS (
+  SELECT CAST(len(list_filter(CAST([{interior}] AS DOUBLE[]),
+                              x -> x <= s.v)) AS INT) AS bin
+  FROM src s
+),
+lh AS (SELECT bin, count(*) AS c FROM lb GROUP BY bin),
+n AS (SELECT sum(c) AS n FROM lh),
+lcum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS before
+  FROM lh
+),
+tgt AS (
+  SELECT q.q, least(greatest(CAST(floor(q.q * n.n) AS BIGINT) + 1, 1), n.n) AS r
+  FROM n CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) q
+),
+lest AS (
+  SELECT t.q,
+         (SELECT round(e.e[c.bin + 1]
+                       + (e.e[c.bin + 2] - e.e[c.bin + 1])
+                         * (CAST(t.r - c.before AS DOUBLE)
+                            / CAST(c.c AS DOUBLE)), 6)
+          FROM lcum c CROSS JOIN earr e WHERE c.cum >= t.r
+          ORDER BY c.bin LIMIT 1) AS e
+  FROM tgt t
+),
+eb AS (
+  SELECT least(159, greatest(0,
+           CAST(floor((s.v - 1.0) / {w!r}) AS INT))) AS bin
+  FROM src s
+),
+eh AS (SELECT bin, count(*) AS c FROM eb GROUP BY bin),
+ecum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS before
+  FROM eh
+),
+etgt AS (
+  SELECT least(greatest(CAST(floor(0.5 * n.n) AS BIGINT) + 1, 1), n.n) AS r
+  FROM n
+),
+eest AS (
+  SELECT (SELECT round(1.0 + {w!r} *
+                       (CAST(c.bin AS DOUBLE)
+                        + CAST(t.r - c.before AS DOUBLE)
+                          / CAST(c.c AS DOUBLE)), 6)
+          FROM ecum c WHERE c.cum >= t.r
+          ORDER BY c.bin LIMIT 1) AS e
+  FROM etgt t
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+       (SELECT e FROM lest WHERE q = 0.5) AS log_p50,
+       (SELECT e FROM lest WHERE q = 0.9) AS log_p90,
+       (SELECT e FROM lest WHERE q = 0.99) AS log_p99,
+       (SELECT e FROM eest) AS eq_p50
+"""
+
+
 def bloom_bits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom skip index's bit-position semantics pinned on every
     row (the zorder_key_events pattern: a value oracle cannot see file
@@ -1605,7 +1737,7 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.text import tokens
-    from ..sources.bloom_index import index_files, pruned_paths
+    from ..sources.bloom_index import compact_sidecar, index_files, pruned_paths
     from .segmentation_queries import _scratch_dir
 
     root = _scratch_dir("skipindex_pruned_scans")
@@ -1645,7 +1777,17 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs_path = os.path.join(root, "docs")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(8, "doc_id").write.parquet(docs_path)
+    # two-wave write + incremental index builds: the token sidecar ends
+    # up with TWO files, so the 'token_compacted' lane exercises a real
+    # compaction (2 -> 1) before its probe
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") < mid).repartition(6, "doc_id").write.parquet(
+        docs_path
+    )
+    index_files(spark, docs_path, "text", tokenized=True)
+    docs.filter(F.col("doc_id") >= mid).repartition(2, "doc_id").write.mode(
+        "append"
+    ).parquet(docs_path)
     index_files(spark, docs_path, "text", tokenized=True)
     index_files(spark, docs_path, "text", ngram=3)
     # one explode + one count for BOTH rare probes (the vocab table is
@@ -1666,6 +1808,16 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.asc("count"), F.asc("g")).limit(1)
             .collect()[0]["g"]
         )
+        # the hasAllTokens conjunction probes the two most common
+        # length>=5 tokens (deterministic: count desc, lexicographic) —
+        # common tokens individually prune nothing, so only the AND
+        # composition gives the index anything to work with
+        and_toks = [
+            r["g"]
+            for r in stats.filter(F.length("g") >= 5)
+            .orderBy(F.desc("count"), F.asc("g")).limit(2)
+            .collect()
+        ]
     finally:
         stats.unpersist()
     docs_schema = "doc_id bigint, text string"
@@ -1695,7 +1847,48 @@ def skipindex_pruned_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("bigint").alias("checksum"),
         )
     )
-    return point.unionByName(token).unionByName(ngram)
+    # lane 'token_and' (r16 verdict item 5): the hasToken(a) AND
+    # hasToken(b) conjunction served by ONE sidecar pass — every
+    # token's k bits must be set
+    token_and = (
+        read_pruned(
+            pruned_paths(spark, docs_path, "text", and_toks, tokenized=True),
+            docs_schema,
+        )
+        .filter(
+            F.array_contains(tokens(F.col("text")), and_toks[0])
+            & F.array_contains(tokens(F.col("text")), and_toks[1])
+        )
+        .select(
+            F.lit("token_and").alias("lane"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+            F.col("doc_id").cast("bigint").alias("checksum"),
+        )
+    )
+    # lane 'token_compacted' (r16 verdict item 4): collapse the
+    # two-file token sidecar to one and re-answer the rare-token probe
+    # — identical rows prove compaction loses nothing, driver-checked
+    compact_sidecar(spark, docs_path, "text", tokenized=True)
+    token_compacted = (
+        read_pruned(
+            pruned_paths(spark, docs_path, "text", rare_tok, tokenized=True),
+            docs_schema,
+        )
+        .filter(F.array_contains(tokens(F.col("text")), rare_tok))
+        .select(
+            F.lit("token_compacted").alias("lane"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+            F.col("doc_id").cast("bigint").alias("checksum"),
+        )
+    )
+    return (
+        point.unionByName(token)
+        .unionByName(ngram)
+        .unionByName(token_and)
+        .unionByName(token_compacted)
+    )
 
 
 # the probe-user set is interpolated from _BLOOM_PROBE_USERS below so
@@ -1720,6 +1913,11 @@ rare_tok AS (
 rare_frag AS (
   SELECT g FROM posting WHERE length(g) >= 4
   GROUP BY g ORDER BY count(*) ASC, g ASC LIMIT 1
+),
+and_toks AS (
+  SELECT g, row_number() OVER (ORDER BY count(*) DESC, g ASC) AS rn
+  FROM posting WHERE length(g) >= 5
+  GROUP BY g ORDER BY count(*) DESC, g ASC LIMIT 2
 )
 SELECT 'point' AS lane,
        CAST(user_id AS VARCHAR) AS key,
@@ -1738,6 +1936,17 @@ SELECT 'ngram', CAST(d.doc_id AS VARCHAR),
        CAST(length(d.text) AS BIGINT), CAST(d.doc_id AS BIGINT)
 FROM docs d CROSS JOIN rare_frag r
 WHERE contains(d.text, r.g)
+UNION ALL
+SELECT 'token_and', CAST(d.doc_id AS VARCHAR),
+       CAST(len(d.t) AS BIGINT), CAST(d.doc_id AS BIGINT)
+FROM docs d
+WHERE list_contains(d.t, (SELECT g FROM and_toks WHERE rn = 1))
+  AND list_contains(d.t, (SELECT g FROM and_toks WHERE rn = 2))
+UNION ALL
+SELECT 'token_compacted', CAST(d.doc_id AS VARCHAR),
+       CAST(len(d.t) AS BIGINT), CAST(d.doc_id AS BIGINT)
+FROM docs d CROSS JOIN rare_tok r
+WHERE list_contains(d.t, r.g)
 """
 
 _SKIPINDEX_PRUNED_SCANS_ORACLE = _SKIPINDEX_PRUNED_SCANS_ORACLE.replace(
@@ -2672,6 +2881,11 @@ QUERIES = [
         "top_users_per_event_type_topk",
         top_users_per_event_type_topk,
         _TOPK_USERS_ORACLE,
+    ),
+    QuerySpec(
+        "extendedprice_logbin_quantiles",
+        extendedprice_logbin_quantiles,
+        _logbin_quantiles_oracle(),
     ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(

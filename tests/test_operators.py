@@ -3678,3 +3678,75 @@ def test_topk_spacesaving_guard_fallback_and_state_bound(spark):
         topk_exact_via_spacesaving(
             df.withColumn("__ss_cnt", F.lit(1)), ["grp"], "uid", k=3
         )
+
+
+def test_hist_logbins_relative_error_and_merge(spark):
+    """Log-spaced edge mode (operators/quantile_sketch.log_edges — the
+    quantileTiming shape): on a 3-decade skewed column with a planted
+    1000x spike under one huge declared domain, (a) the log sketch's
+    p50 stays within one bin factor of the exact median while the
+    equi-width sketch at the SAME domain/bins smears it by >5x; (b)
+    merge stays exact (two halves' sketches sum to the whole's); (c)
+    saturation contract: below-lo mass lands in bin 0, above-hi in the
+    last bin; (d) edges are validated."""
+    from clickhouse_segments_tutorial_spark.operators.quantile_sketch import (
+        hist_merge,
+        hist_quantile,
+        hist_quantile_edges,
+        hist_sketch,
+        hist_sketch_edges,
+        log_edges,
+    )
+
+    edges = log_edges(1.0, 1e7, 120)
+    factor = edges[1] / edges[0]
+    assert abs(edges[60] / edges[59] - factor) < 1e-9  # geometric
+
+    # 3 decades of mass + spike
+    vals = (
+        [37.0 + i % 5 for i in range(400)]
+        + [900.0 + i % 7 for i in range(400)]
+        + [52000.0 + i % 11 for i in range(400)]
+        + [5_000_000.0] * 10
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    import statistics
+
+    true_p50 = statistics.median(vals)
+    sk = hist_sketch_edges(df, [], "v", edges=edges)
+    got_p50 = sk.select(
+        hist_quantile_edges(F.col("sketch"), 0.5, edges=edges).alias("p")
+    ).first()["p"]
+    assert true_p50 / factor <= got_p50 <= true_p50 * factor
+
+    eq_p50 = (
+        hist_sketch(df, [], "v", lo=1.0, hi=1e7, bins=120)
+        .select(
+            hist_quantile(
+                F.col("sketch"), 0.5, lo=1.0, hi=1e7, bins=120
+            ).alias("p")
+        )
+        .first()["p"]
+    )
+    assert eq_p50 > 5 * true_p50  # the smear log bins exist to avoid
+
+    # merge closure: halves sum to the whole, element for element
+    half1 = hist_sketch_edges(
+        df.filter(F.col("v") < 1000), [], "v", edges=edges
+    ).select(F.col("sketch").alias("a"))
+    half2 = hist_sketch_edges(
+        df.filter(F.col("v") >= 1000), [], "v", edges=edges
+    ).select(F.col("sketch").alias("b"))
+    merged = half1.crossJoin(half2).select(
+        hist_merge(F.col("a"), F.col("b")).alias("m")
+    ).first()["m"]
+    whole = sk.first()["sketch"]
+    assert list(merged) == list(whole)
+
+    # saturation: out-of-domain mass in the edge bins
+    oob = spark.createDataFrame([(0.001,), (1e9,)], "v double")
+    s = hist_sketch_edges(oob, [], "v", edges=edges).first()["sketch"]
+    assert s[0] == 1 and s[-1] == 1
+
+    with pytest.raises(ValueError, match="0 < lo < hi"):
+        log_edges(0.0, 10.0, 4)
