@@ -128,3 +128,119 @@ def agg_maps(
         F.transform(pairs, lambda p: p["_k"]).alias(keys_name),
         *[F.transform(pairs, _pick(name)).alias(name) for name, _, _ in vals],
     )
+
+
+class IncrementalMapAgg:
+    """Wave-state twin of :func:`agg_maps` on the shared wave chassis
+    (operators/wave_counts.WaveCountState — the IncrementalCms /
+    IncrementalQuantileHist shape, r16 verdict item 7): per-wave
+    (group, key) partials fold associatively, so the rebuilt maps equal
+    the batch aggregation over the concatenation of every ingested wave
+    under ANY disjoint split.
+
+    State rows: key "<group>:<map_key>" -> (cnt long, mx long), one row
+    per distinct (group, key) per wave — bounded by the breakdown
+    cardinality, never the row count. Merge: cnt = sum of deltas,
+    mx = max over waves.
+
+    Takedown contract: COUNT (and sum) map state is exactly invertible
+    — :meth:`retract` appends negative cnt deltas. MIN/MAX map state is
+    NOT invertible under PARTIAL retraction (a max cannot be
+    un-maxed); the supported takedown is whole-group erasure (the
+    GDPR user-delete case): when every row of a group is retracted its
+    merged cnt reaches 0 and the group drops entirely, so the stale mx
+    never surfaces. Retract waves therefore append NULL mx (max()
+    ignores them on merge). Callers needing exact maxes after a
+    partial delete rebuild — the same rebuild-on-delete boundary the
+    bottom-k KMV documents."""
+
+    def __init__(self, spark, workdir: str, *, state_buckets: int = 8):
+        from .wave_counts import WaveCountState
+
+        self.spark = spark
+        self._st = WaveCountState(
+            spark,
+            workdir,
+            name="mapaggstate",
+            key_col="key",
+            key_type="string",
+            value_cols=["cnt", "mx"],
+            state_buckets=state_buckets,
+        )
+
+    def reset(self) -> None:
+        self._st.reset()
+
+    def compact(self, wave: int = 0) -> None:
+        self._st.compact(wave)
+
+    def drop_state(self) -> None:
+        self._st.drop()
+
+    def ingest(self, df: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        return self._fold(df, wave_id=wave_id, sign=1)
+
+    def retract(self, df: DataFrame, *, wave_id: int | None = None) -> DataFrame:
+        """Negative count deltas for previously-ingested rows (caller
+        owns the only-retract-ingested contract; see the class doc for
+        the whole-group-only max semantics)."""
+        return self._fold(df, wave_id=wave_id, sign=-1)
+
+    def _fold(self, df: DataFrame, *, wave_id, sign: int):
+        wave = self._st.resolve_wave(wave_id)
+        delta = (
+            df.filter(
+                F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.max("event_id").alias("_m"),
+            )
+            .select(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                ).alias("key"),
+                (F.col("_c") * F.lit(sign)).cast("long").alias("cnt"),
+                (
+                    F.col("_m").cast("long")
+                    if sign > 0
+                    else F.lit(None).cast("long")
+                ).alias("mx"),
+            )
+            .persist()
+        )
+        try:
+            audit = delta.groupBy().agg(
+                F.lit(wave).alias("wave"), F.sum("cnt").alias("n_increments")
+            )
+            pinned = self._st.pin_audit(audit, wave)
+            self._st.append(delta, wave)
+        finally:
+            delta.unpersist()
+        return pinned
+
+    def merged(self) -> DataFrame:
+        """The rebuilt (user_id, event_type, c, m) rows — identical to
+        the batch (group, key) aggregation over ingested-minus-retracted
+        rows (m under the whole-group takedown contract)."""
+        s = self._st.read()
+        return (
+            s.groupBy("key")
+            .agg(
+                F.sum("cnt").cast("long").alias("c"),
+                F.max("mx").cast("long").alias("m"),
+            )
+            .filter(F.col("c") > 0)
+            .select(
+                F.split_part(F.col("key"), F.lit(":"), F.lit(1))
+                .cast("long")
+                .alias("user_id"),
+                F.split_part(F.col("key"), F.lit(":"), F.lit(2))
+                .alias("event_type"),
+                "c",
+                "m",
+            )
+        )

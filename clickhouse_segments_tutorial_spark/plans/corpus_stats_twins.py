@@ -599,3 +599,114 @@ QUERIES.extend(
         ),
     ]
 )
+
+
+def _mapagg_trainer(spark: SparkSession, workdir: str):
+    from ..operators.map_agg import IncrementalMapAgg
+
+    return IncrementalMapAgg(spark, workdir)
+
+
+def user_event_type_maps_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sumMap-family aggregate's THREE wave-state lanes in ONE
+    registered query (r16 verdict item 7 — agg_maps is associative per
+    (group, key), so it slots onto the wave chassis exactly like the
+    CMS and quantile-histogram trainers; operator:
+    operators/map_agg.IncrementalMapAgg):
+
+    - lane 'incremental': two ts-median waves of events folded as
+      (user, type) partials — deltas sum to exactly the batch maps;
+    - lane 'streaming': the same trainer behind the actual Structured
+      Streaming wave gate (StreamingWaveGate);
+    - lane 'deleted': the takedown path — ingest everything, then
+      retract every user_id % 5 == 2 user's events ENTIRELY (count
+      deltas invert exactly; whole-group erasure is the supported
+      takedown for the non-invertible max map — see the operator doc).
+
+    Output (lane, user_id, count_map, max_map) in the batch query's
+    canonical sorted rendering; the oracle UNION ALLs one batch replay
+    per lane (full corpus twice, survivors for the takedown), so each
+    maintenance mode is hash-proven to reproduce the batch maps."""
+    from ..streaming.stream_curation import StreamingWaveGate
+    from .curation import _stream_scratch
+    from .relational import _render_kv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    mid = ev.agg(
+        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+
+    incr = _mapagg_trainer(spark, _stream_scratch("mapagg_incr"))
+    incr.reset()
+    incr.ingest(ev.filter(F.unix_timestamp("ts") < mid))
+    incr.ingest(ev.filter(F.unix_timestamp("ts") >= mid))
+
+    stream_dir = _stream_scratch("mapagg_streaming")
+    ev_slim = ev.select("user_id", "event_type", "event_id", "ts")
+    streaming = _mapagg_trainer(spark, f"{stream_dir}/state")
+    gate = StreamingWaveGate(
+        spark, stream_dir, schema=ev_slim.schema, ingestor=streaming
+    )
+    gate.reset_state()
+    for wave in (
+        ev_slim.filter(F.unix_timestamp("ts") < mid),
+        ev_slim.filter(F.unix_timestamp("ts") >= mid),
+    ):
+        wave.coalesce(1).write.mode("append").parquet(gate.in_dir)
+        gate.run_available_now()
+
+    deleted = _mapagg_trainer(spark, _stream_scratch("mapagg_deleted"))
+    deleted.reset()
+    deleted.ingest(ev, wave_id=1)
+    deleted.retract(ev.filter(F.col("user_id") % 5 == 2), wave_id=2)
+
+    def render(trainer):
+        m = trainer.merged()
+        from ..operators.map_agg import agg_maps
+
+        arrs = agg_maps(
+            m, ["user_id"], "event_type",
+            {"_counts": ("c", "sum"), "_maxes": ("m", "max")},
+        )
+        return arrs.select(
+            "user_id",
+            _render_kv(F.col("map_keys"), F.col("_counts")).alias("count_map"),
+            _render_kv(F.col("map_keys"), F.col("_maxes")).alias("max_map"),
+        )
+
+    return (
+        render(incr)
+        .select(F.lit("incremental").alias("lane"), "*")
+        .unionByName(
+            render(streaming).select(F.lit("streaming").alias("lane"), "*")
+        )
+        .unionByName(
+            render(deleted).select(F.lit("deleted").alias("lane"), "*")
+        )
+    )
+
+
+def _mapagg_lifecycle_oracle():
+    from .relational import _map_agg_oracle
+
+    return (
+        f"SELECT * FROM ({_map_agg_oracle(lane='incremental')}) "
+        f"UNION ALL SELECT * FROM ({_map_agg_oracle(lane='streaming')}) "
+        f"UNION ALL SELECT * FROM ("
+        f"{_map_agg_oracle('NOT (user_id % 5 = 2)', lane='deleted')})"
+    )
+
+
+QUERIES.extend(
+    [
+        QuerySpec(
+            "user_event_type_maps_lifecycle",
+            user_event_type_maps_lifecycle,
+            _mapagg_lifecycle_oracle(),
+        ),
+    ]
+)

@@ -1333,40 +1333,52 @@ def user_event_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id"
     )
-
-    def render(keys, vals):
-        return F.concat_ws(
-            ",",
-            F.zip_with(
-                keys, vals,
-                lambda k, v: F.concat(k, F.lit(":"), v.cast("string")),
-            ),
-        )
-
     m = agg_maps(
         ev, ["user_id"], "event_type",
         {"_counts": ("event_id", "count"), "_maxes": ("event_id", "max")},
     )
     return m.select(
         "user_id",
-        render(F.col("map_keys"), F.col("_counts")).alias("count_map"),
-        render(F.col("map_keys"), F.col("_maxes")).alias("max_map"),
+        _render_kv(F.col("map_keys"), F.col("_counts")).alias("count_map"),
+        _render_kv(F.col("map_keys"), F.col("_maxes")).alias("max_map"),
     )
 
 
-_MAP_AGG_ORACLE = """
+def _render_kv(keys, vals):
+    """The canonical sorted "key:value,..." map rendering shared by the
+    batch query and the wave-state lifecycle lanes (integer values
+    only, so the string is exact cross-engine)."""
+    return F.concat_ws(
+        ",",
+        F.zip_with(
+            keys, vals,
+            lambda k, v: F.concat(k, F.lit(":"), v.cast("string")),
+        ),
+    )
+
+
+def _map_agg_oracle(where: str = "", lane: str | None = None) -> str:
+    """The user_event_type_maps replay, parameterized for the wave-state
+    lifecycle lanes (corpus_stats_twins): optional row filter (the
+    takedown lane's surviving corpus) and optional lane tag."""
+    w = f"WHERE {where}" if where else ""
+    lane_col = f"'{lane}' AS lane, " if lane else ""
+    return f"""
 WITH g AS (
   SELECT user_id, event_type,
          count(*) AS c, max(event_id) AS m
-  FROM events GROUP BY 1, 2
+  FROM events {w} GROUP BY 1, 2
 )
-SELECT user_id,
+SELECT {lane_col}user_id,
        string_agg(event_type || ':' || CAST(c AS VARCHAR), ','
                   ORDER BY event_type) AS count_map,
        string_agg(event_type || ':' || CAST(m AS VARCHAR), ','
                   ORDER BY event_type) AS max_map
 FROM g GROUP BY user_id
 """
+
+
+_MAP_AGG_ORACLE = _map_agg_oracle()
 
 
 def lineitem_price_quantiles_weighted(

@@ -356,3 +356,68 @@ def test_qhist_key_separator_guard_fails_loud(spark, tmp_path):
     bad = spark.createDataFrame([("a:b", 1.0)], "g string, v double")
     with pytest.raises(Exception, match="key separator"):
         tr.ingest(bad, wave_id=1)
+
+
+def test_incremental_map_agg_waves_compaction_and_takedown(spark, tmp_path):
+    """IncrementalMapAgg (operators/map_agg.py, the sumMap-family wave
+    trainer): (a) two disjoint waves rebuild exactly the batch
+    (group, key) aggregation; (b) compaction preserves the merged maps;
+    (c) whole-group retraction drops the group entirely (the supported
+    takedown — the non-invertible max never surfaces); (d) a replayed
+    wave (same wave_id, byte-identical delta) cannot double-count."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_segments_tutorial_spark.operators.map_agg import (
+        IncrementalMapAgg,
+    )
+
+    rows = [
+        (1, "view", 10), (1, "view", 11), (1, "click", 12),
+        (2, "view", 20), (2, "purchase", 21), (2, "purchase", 22),
+        (3, "click", 30),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long"
+    )
+    want = sorted(
+        (r.user_id, r.event_type, r.c, r.m)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("event_id").alias("m"))
+        .collect()
+    )
+
+    tr = IncrementalMapAgg(spark, str(tmp_path / "st"))
+    tr.reset()
+    tr.ingest(ev.filter(F.col("event_id") < 20), wave_id=1)
+    tr.ingest(ev.filter(F.col("event_id") >= 20), wave_id=2)
+
+    def got():
+        return sorted(
+            (r.user_id, r.event_type, r.c, r.m) for r in tr.merged().collect()
+        )
+
+    assert got() == want
+
+    # replayed wave: byte-identical append under the same tag, no change
+    tr._st.append(
+        ev.filter(F.col("event_id") >= 20)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"), F.max("event_id").alias("_m"))
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"),
+                F.col("event_type"),
+            ).alias("key"),
+            F.col("_c").cast("long").alias("cnt"),
+            F.col("_m").cast("long").alias("mx"),
+        ),
+        2,
+    )
+    assert got() == want
+
+    tr.compact(2)
+    assert got() == want
+
+    # whole-group takedown: user 2 vanishes, others untouched
+    tr.retract(ev.filter(F.col("user_id") == 2), wave_id=3)
+    assert got() == [t for t in want if t[0] != 2]
