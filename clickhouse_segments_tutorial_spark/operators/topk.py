@@ -81,18 +81,27 @@ def spacesaving_partials(
     item_col: str,
     *,
     capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-partition per-group Misra-Gries summaries (see module doc).
     Returns ``group_cols + [item_col, "__ss_cnt", "__ss_err"]`` with at
     most ``capacity`` item rows plus one NULL-item sentinel (carrying
     the summary's cumulative err) per partition per group. NULL items
-    never count (equality semantics, the cms.py rule)."""
+    never count (equality semantics, the cms.py rule).
+
+    ``weight_col`` (non-negative integer weights — cast upstream) gives
+    the topKWeighted analog: each row contributes ``weight`` units of
+    mass to its item, so "count" everywhere below means total weight.
+    Every Misra-Gries invariant holds verbatim under weighted
+    increments (an increment of w is w unit increments of the same
+    item); NULL weights contribute nothing (the SQL SUM rule)."""
     import pandas as pd
 
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
-    _check_cols(df, group_cols, item_col)
-    src = df.select(*group_cols, item_col).filter(F.col(item_col).isNotNull())
+    cols = [*group_cols, item_col] + ([weight_col] if weight_col else [])
+    _check_cols(df, [*group_cols] + ([weight_col] if weight_col else []), item_col)
+    src = df.select(*cols).filter(F.col(item_col).isNotNull())
     from pyspark.sql.types import StructField
 
     fields = {f.name: f for f in src.schema.fields}
@@ -112,9 +121,14 @@ def spacesaving_partials(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vc = pdf.groupby(group_cols, dropna=False, sort=False)[
-                item_col
-            ].value_counts()
+            if weight_col is None:
+                vc = pdf.groupby(group_cols, dropna=False, sort=False)[
+                    item_col
+                ].value_counts()
+            else:
+                vc = pdf.groupby(
+                    [*group_cols, item_col], dropna=False, sort=False
+                )[weight_col].sum()
             for key, c in vc.items():
                 # key = (*group_values, item)
                 g, item = key[:n_group], key[n_group]
@@ -134,8 +148,8 @@ def spacesaving_partials(
             for item, c in d.items():
                 rows.append((*g, item, c, err))
             rows.append((*g, None, 0, err))  # sentinel: summary err
-        cols = [*group_cols, item_col, "__ss_cnt", "__ss_err"]
-        yield pd.DataFrame(rows, columns=cols)
+        out_cols = [*group_cols, item_col, "__ss_cnt", "__ss_err"]
+        yield pd.DataFrame(rows, columns=out_cols)
 
     return src.mapInPandas(fold, schema=out_schema)
 
@@ -147,6 +161,7 @@ def topk_spacesaving(
     *,
     k: int,
     capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Approximate per-group top-k from the merged summaries, ONE pass
     over the data: ``(group..., item, n_lo, n_hi, guaranteed)`` for the
@@ -157,7 +172,9 @@ def topk_spacesaving(
     included via total_err)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    parts = spacesaving_partials(df, group_cols, item_col, capacity=capacity)
+    parts = spacesaving_partials(
+        df, group_cols, item_col, capacity=capacity, weight_col=weight_col
+    )
     items = parts.filter(F.col(item_col).isNotNull())
     sent = parts.filter(F.col(item_col).isNull())
     total_err = sent.groupBy(*group_cols).agg(
@@ -208,6 +225,7 @@ def topk_exact_via_spacesaving(
     *,
     k: int,
     capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT per-group top-k (count desc, item asc — the deterministic
     row_number tiebreak) through the SpaceSaving summary: candidate
@@ -230,7 +248,7 @@ def topk_exact_via_spacesaving(
     # read of the data). Deliberately NOT unpersisted here: the returned
     # DataFrame still references it; Spark evicts LRU under pressure.
     parts = spacesaving_partials(
-        df, group_cols, item_col, capacity=capacity
+        df, group_cols, item_col, capacity=capacity, weight_col=weight_col
     ).persist()
     items = parts.filter(F.col(item_col).isNotNull())
     sent = parts.filter(F.col(item_col).isNull())
@@ -268,22 +286,28 @@ def topk_exact_via_spacesaving(
             "them; raise capacity to keep the one-verify-pass plan",
             stacklevel=2,
         )
-    exact_src = df.select(*group_cols, item_col).filter(
-        F.col(item_col).isNotNull()
-    )
+    exact_src = df.select(
+        *group_cols,
+        item_col,
+        (
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        ).alias("__ss_w"),
+    ).filter(F.col(item_col).isNotNull())
     cand = items.select(*group_cols, item_col).distinct()
     good_counts = (
         exact_src.join(F.broadcast(bad_groups), group_cols, "left_anti")
         .join(F.broadcast(cand), [*group_cols, item_col], "left_semi")
         .groupBy(*group_cols, item_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("__ss_w").alias("n"))
     )
     counts = good_counts
     if n_bad:
         bad_counts = (
             exact_src.join(F.broadcast(bad_groups), group_cols, "left_semi")
             .groupBy(*group_cols, item_col)
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("__ss_w").alias("n"))
         )
         counts = good_counts.unionByName(bad_counts)
     wx = Window.partitionBy(*group_cols).orderBy(

@@ -930,13 +930,68 @@ def top_users_per_event_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     is the exact top-5 (count desc, user_id asc) regardless of physical
     partitioning — the property the plain-SQL row_number oracle checks.
     Complements heavy_users_exact_via_cms (absolute threshold) with the
-    per-group rank-k shape."""
+    per-group rank-k shape. capacity=2048 keeps the summary
+    discriminating through sf0.1 (~15k users/type per partition after
+    pruning): at 256 the per-partition prunes accrue more err than the
+    5th user's count and the guard would route every group to the
+    exact fallback — correct but the plan the sketch exists to avoid.
+    Summary state at 2048 is still partitions x 5 types x 2048 rows —
+    bounded metadata."""
     from ..operators.topk import topk_exact_via_spacesaving
 
     ev = _t(spark, sf_dir, "events")
     return topk_exact_via_spacesaving(
-        ev, ["event_type"], "user_id", k=5, capacity=256
+        ev, ["event_type"], "user_id", k=5, capacity=2048
     )
+
+
+def top_parts_per_returnflag_topkw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT top-5 parts per l_returnflag by TOTAL SHIPPED QUANTITY —
+    the ClickHouse topKWeighted analog through the same SpaceSaving
+    summary (operators/topk.py weight_col mode): each row contributes
+    l_quantity units of mass, every Misra-Gries invariant holds under
+    weighted increments, and the exact verify pass sums weights, so
+    the output is the exact weighted top-5 (weight desc, part asc)
+    under any partitioning. Quantities are integer-valued in the
+    corpus; the up-front long cast keeps both engines in exact integer
+    arithmetic.
+
+    On THIS corpus the guard usually routes to the exact fallback at
+    larger SFs — TPC-H part quantities are deliberately uniform, so no
+    weighted heavy hitters exist for the summary to hold and the exact
+    per-group plan IS the optimal plan (the cms_heavy_hitters
+    regime-check philosophy); the sketch-path win on skewed data is
+    pinned in tests/test_operators.py. The output is the exact top-5
+    either way — that invariance is what this row hash-gates."""
+    from ..operators.topk import topk_exact_via_spacesaving
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return topk_exact_via_spacesaving(
+        li, ["l_returnflag"], "l_partkey", k=5, capacity=256,
+        weight_col="qty",
+    )
+
+
+_TOPKW_PARTS_ORACLE = """
+SELECT l_returnflag, l_partkey, n, rk FROM (
+  SELECT l_returnflag, l_partkey, n,
+         CAST(row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY n DESC, l_partkey
+         ) AS INT) AS rk
+  FROM (
+    SELECT l_returnflag, l_partkey,
+           sum(CAST(l_quantity AS BIGINT)) AS n
+    FROM lineitem WHERE l_partkey IS NOT NULL
+    GROUP BY l_returnflag, l_partkey
+  )
+) WHERE rk <= 5
+"""
 
 
 _TOPK_USERS_ORACLE = """
@@ -2898,6 +2953,11 @@ QUERIES = [
         "extendedprice_logbin_quantiles",
         extendedprice_logbin_quantiles,
         _logbin_quantiles_oracle(),
+    ),
+    QuerySpec(
+        "top_parts_per_returnflag_topkw",
+        top_parts_per_returnflag_topkw,
+        _TOPKW_PARTS_ORACLE,
     ),
     QuerySpec("audience_todate_kmv", audience_todate_kmv, _AUDIENCE_TODATE_ORACLE),
     QuerySpec(

@@ -3750,3 +3750,49 @@ def test_hist_logbins_relative_error_and_merge(spark):
 
     with pytest.raises(ValueError, match="0 < lo < hi"):
         log_edges(0.0, 10.0, 4)
+
+
+def test_topk_spacesaving_weighted(spark):
+    """topKWeighted mode (weight_col): bounds bracket exact weighted
+    totals, the exact-verified variant equals SQL row_number over
+    sum(weight) under 1/4/32 partitions, and NULL weights contribute
+    nothing."""
+    from clickhouse_segments_tutorial_spark.operators.topk import (
+        topk_exact_via_spacesaving,
+        topk_spacesaving,
+    )
+
+    rows = (
+        [("g", "whale", 500)]
+        + [("g", "big", 40) for _ in range(8)]
+        + [("g", f"m{i}", 3 + i % 4) for i in range(30) for _ in range(5)]
+        + [("g", f"c{i}", 1) for i in range(200)]
+        + [("g", "nullw", None)] * 50
+    )
+    base = spark.createDataFrame(rows, "grp string, uid string, w long")
+    exact = {
+        (r.grp, r.uid): r.n
+        for r in base.groupBy("grp", "uid")
+        .agg(F.sum(F.coalesce("w", F.lit(0))).alias("n"))
+        .collect()
+    }
+    want = sorted(
+        ((g, u) for (g, u) in exact), key=lambda t: (-exact[t], t[1])
+    )[:4]
+    want = [(g, u, exact[(g, u)], i + 1) for i, (g, u) in enumerate(want)]
+    for nparts in (1, 4, 32):
+        df = base.repartition(nparts)
+        approx = topk_spacesaving(
+            df, ["grp"], "uid", k=4, capacity=16, weight_col="w"
+        ).collect()
+        for r in approx:
+            assert r.n_lo <= exact[(r.grp, r.uid)] <= r.n_hi, (nparts, r)
+        got = sorted(
+            (r.grp, r.uid, r.n, r.rk)
+            for r in topk_exact_via_spacesaving(
+                df, ["grp"], "uid", k=4, capacity=16, weight_col="w"
+            ).collect()
+        )
+        assert got == sorted(want), nparts
+    # the all-NULL-weight item never outranks real mass
+    assert all(u != "nullw" for _, u, _, _ in want)

@@ -193,8 +193,13 @@ def test_top_ngrams_shuffles_aggregates_not_grams(spark):
 
 def test_pack_chunks_single_shuffle(spark):
     """Packing is one Exchange on the shard key feeding one Arrow
-    FlatMapGroupsInPandas — per-shard state never crosses executors."""
-    plan = plan_of(spark, "packed_chunks")
+    FlatMapGroupsInPandas — per-shard state never crosses executors.
+    (Pinned on the words-lane operator directly: the registered
+    packed_chunks query is the r17 two-head lane union, whose bytes
+    lane adds the byte-BPE training exchanges.)"""
+    from clickhouse_segments_tutorial_spark.plans.llm import packed_chunks
+
+    plan = formatted_plan(packed_chunks(spark, SF_DIR))
     assert plan.count("Exchange") // 2 == 1
     assert "FlatMapGroupsInPandas" in plan
 
@@ -222,7 +227,8 @@ def test_contamination_broadcasts_eval_grams(spark):
 # the documented exact quadratic oracle paths (their scale twins are
 # bucketed) and the single-probe-row brute-force baseline.
 _NON_EQUI_OK = {
-    "embedding_near_dup_pairs",  # exact O(n^2) oracle (twin: ..._lsh)
+    "embedding_near_dup_pairs",  # exact-lane O(n^2) oracle (lsh lane is bucketed)
+    "extendedprice_logbin_quantiles",  # ONE-row log sketch x ONE-row eq sketch
     "knn_cosine_bruteforce",     # one probe row x corpus, by design
     "rich_idle_customers",       # scalar-subquery: ONE-row broadcast x corpus
     "tfidf_top_terms_docs",      # ONE-row corpus-count broadcast x tf table
