@@ -63,11 +63,26 @@ whitespace-aware pre-tokens — via operators/pretokenize.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens
+
+# Dictionary-size threshold (rows) below which training runs ON THE
+# DRIVER from the collected (word, freq) dictionary instead of the
+# distributed round loop — the broadcast-join analog for iterative
+# trainers (guide §1.2: fix the distributed algorithm first). The
+# sequential loop costs one Spark job PER ROUND (pair-count +
+# argmax collect) purely for orchestration; when the whole dictionary
+# is a bounded small relation (it would be *broadcast* by any join
+# anyway), those rounds are pure job-floor overhead — measured
+# ~0.22 s/round x 32 rounds at sf0.1 over a 31-row dictionary. The
+# local path computes the BIT-IDENTICAL merge table (same integer
+# counts, same UTF-8-byte-order tie-break, same greedy fold) in one
+# collect; past the threshold the distributed loop is unchanged.
+BPE_LOCAL_DICT_MAX = 262_144
 
 
 @dataclass(frozen=True)
@@ -216,8 +231,64 @@ def _select_disjoint_batch(
     return taken
 
 
+def _bpe_train_local(
+    rows: list, *, n_merges: int, min_freq: int, round_batch: int
+) -> tuple[list[Merge], list[tuple]]:
+    """Driver-side replay of the distributed round loop over a collected
+    (word, freq, syms) dictionary — BIT-IDENTICAL output by
+    construction: exact integer pair counts, the same
+    (cnt desc, lhs asc, rhs asc) argmax in UTF-8 BYTE order (Python
+    str comparison is codepoint order, which diverges from Spark's
+    binary collation above U+FFFF — hence the .encode() keys), the same
+    over-collect + :func:`_select_disjoint_batch` walk, and the same
+    greedy left-to-right fold (a just-merged symbol never re-matches as
+    lhs within the pass — the apply_merge contract)."""
+    state = [(r["word"], int(r["freq"]), list(r["syms"])) for r in rows]
+    merges: list[Merge] = []
+    while len(merges) < n_merges:
+        k = min(round_batch, n_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for _, f, s in state:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        top = sorted(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )[: max(4 * k, k + 16)]
+        batch = [
+            Merge(rank=len(merges) + j + 1, lhs=lhs, rhs=rhs, n_occurrences=cnt)
+            for j, (lhs, rhs, cnt) in enumerate(
+                _select_disjoint_batch(
+                    [{"lhs": l, "rhs": r, "cnt": c} for (l, r), c in top],
+                    k,
+                    min_freq,
+                )
+            )
+        ]
+        if not batch:
+            break
+        merges.extend(batch)
+        table = {(m.lhs, m.rhs): m.merged for m in batch}
+        for idx, (w, f, s) in enumerate(state):
+            out: list[str] = []
+            for x in s:
+                merged = table.get((out[-1], x)) if out else None
+                if merged is not None:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            state[idx] = (w, f, out)
+    return merges, state
+
+
 def bpe_train(
-    words: DataFrame, *, n_merges: int, min_freq: int = 1, round_batch: int = 1
+    words: DataFrame,
+    *,
+    n_merges: int,
+    min_freq: int = 1,
+    round_batch: int = 1,
+    local_dict_max: int | None = None,
 ) -> tuple[list[Merge], DataFrame]:
     """Learn up to ``n_merges`` merge rules from a (word, freq)
     dictionary. Returns (merge table, trained dictionary) where the
@@ -266,6 +337,23 @@ def bpe_train(
     state = _init_symbols(words).select("word", "freq", "syms").localCheckpoint(eager=True)
     n_words = state.count()  # cheap: counts the materialized checkpoint
     spark = words.sparkSession
+    if local_dict_max is None:
+        local_dict_max = int(
+            os.environ.get("SPARK_GRAFT_BPE_LOCAL_DICT_MAX", BPE_LOCAL_DICT_MAX)
+        )
+    if n_words <= local_dict_max:
+        # scale-adaptive local path (BPE_LOCAL_DICT_MAX): the dictionary
+        # is a bounded small relation — collect it once and replay the
+        # identical round loop on the driver, saving O(n_merges /
+        # round_batch) orchestration jobs. The returned dictionary is a
+        # local relation, exactly the broadcastable artifact consumers
+        # join against.
+        merges, out_rows = _bpe_train_local(
+            state.collect(),  # bounded: <= local_dict_max rows by the gate
+            n_merges=n_merges, min_freq=min_freq, round_batch=round_batch,
+        )
+        trained = spark.createDataFrame(out_rows, state.schema)
+        return merges, trained
     target = max(1, min(spark.sparkContext.defaultParallelism, -(-n_words // 65536)))
     if target != state.rdd.getNumPartitions():
         state = state.repartition(target).localCheckpoint(eager=True)

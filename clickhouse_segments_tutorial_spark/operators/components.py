@@ -88,10 +88,15 @@ def connected_components(
     for _ in range(max_iterations):
         stepped = _small_star(_large_star(e)).localCheckpoint()
         # converged when the directed edge set is a fixed point: every
-        # node points straight at its component minimum. Two anti-join
-        # counts — no driver-side edge materialization.
+        # node points straight at its component minimum. Both anti-join
+        # probes ride ONE action (a union of limit-1 sides) — two
+        # separate .count() calls paid a full job-scheduling round-trip
+        # each, pure orchestration overhead in an iterative loop; no
+        # driver-side edge materialization either way.
         changed = (
-            stepped.exceptAll(e).limit(1).count() + e.exceptAll(stepped).limit(1).count()
+            stepped.exceptAll(e).limit(1)
+            .unionAll(e.exceptAll(stepped).limit(1))
+            .count()
         )
         e = stepped
         if changed == 0:

@@ -149,6 +149,52 @@ def dsir_train(
     )
 
 
+def dsir_train_score(
+    docs: DataFrame,
+    *,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model AND score every document from ONE tokenize pass.
+
+    ``dsir_train(docs) ; dsir_score(docs, model)`` tokenizes, bigram-
+    builds and md5-hashes the whole corpus TWICE — and that per-row CPU
+    is the operator's dominant cost (the shuffle is n_buckets-bounded
+    either way). Here the (doc_id, _y, bucket) feature stream is staged
+    once and persisted (guide §5: reused twice, corpus-sized to
+    recompute; MEMORY_AND_DISK spills rather than OOMs at scale), the
+    <= n_buckets sufficient statistic folds off it, and scoring joins
+    the SAME stream — expressions identical to the two-pass form, so
+    (model, scores) are bit-identical to dsir_train + dsir_score.
+    Returns (model, scored)."""
+    from pyspark import StorageLevel
+
+    feats = (
+        _staged_features(
+            docs, text_col, [F.col(id_col).alias("doc_id"), F.col(target_col).alias("_y")]
+        )
+        .select("doc_id", "_y", hash_bucket("_f", n_buckets).alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    rows = counts.collect()  # bounded: <= n_buckets rows; materializes feats
+    spark = docs.sparkSession
+    model = dsir_model_from_counts(
+        spark, spark.createDataFrame(rows, counts.schema), n_buckets=n_buckets
+    )
+    scored = dsir_score(
+        docs, model,
+        text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        feats=feats.select("doc_id", "bucket"),
+    )
+    return model, scored
+
+
 def dsir_model_from_counts(
     spark,
     counts: DataFrame,

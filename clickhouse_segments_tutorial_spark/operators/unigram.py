@@ -53,9 +53,23 @@ answer, applied by join (the BPE module's rule).
 
 from __future__ import annotations
 
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens
+
+# Dictionary-size threshold for the scale-adaptive LOCAL trainer — the
+# operators/bpe.py BPE_LOCAL_DICT_MAX design: when the (word, freq)
+# dictionary is a bounded small relation, every EM round's
+# dictionary-sized join + fold + hash-agg is pure orchestration
+# overhead (measured ~7 s at sf0.1 over a 31-row dictionary), and the
+# driver replays the identical seeding/Viterbi/recount math from ONE
+# bounded collect. Past the threshold the distributed loop is
+# unchanged (a real 1e8-word dictionary never collects).
+UNI_LOCAL_DICT_MAX = 262_144
 
 UNI_MAX_PIECE_LEN = 4
 # COST ceiling on supported word length, guarded LOUDLY in unigram_train.
@@ -277,6 +291,139 @@ def viterbi_segmented(
     return df.select("word", "freq", seg.alias("pieces"))
 
 
+def _round12(x: float) -> float:
+    """Spark's ``F.round(double, 12)``: BigDecimal.valueOf (= the
+    double's shortest decimal repr, Python ``repr``) quantized HALF_UP.
+    Python's builtin round() is half-EVEN — it would silently diverge on
+    exact .5 boundaries."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP))
+
+
+def _seed_local(
+    words: list[tuple[str, int]], *, max_piece_len: int, vocab_extra: int
+) -> dict[str, int]:
+    """seed_vocab on the driver: every substring occurrence of length
+    1..max_piece_len weighted by word freq; ALL single chars + top
+    ``vocab_extra`` multi-char pieces by (cnt desc, piece asc) in UTF-8
+    BYTE order (Spark's binary string collation — Python str comparison
+    is codepoint order, hence the .encode() keys)."""
+    cnt: dict[str, int] = {}
+    for w, f in words:
+        n = len(w)
+        for p in range(n):
+            for length in range(1, min(max_piece_len, n - p) + 1):
+                piece = w[p : p + length]
+                cnt[piece] = cnt.get(piece, 0) + f
+    kept = {p: c for p, c in cnt.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0].encode()),
+    )[:vocab_extra]
+    kept.update(dict(multi))
+    return kept
+
+
+def _viterbi_local(
+    word: str, lp: dict[str, float], *, max_piece_len: int
+) -> list[str]:
+    """The viterbi_segmented fold on the driver — identical IEEE double
+    additions in the same left-to-right order, identical max, identical
+    longer-last-piece (descending j, first equal) tie-break."""
+    n = len(word)
+    ss: list[float | None] = [0.0] + [None] * n
+    js: list[int | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        cands: dict[int, float] = {}
+        for j in range(1, min(max_piece_len, i) + 1):
+            prev = ss[i - j]
+            lpv = lp.get(word[i - j : i])
+            if prev is not None and lpv is not None:
+                cands[j] = prev + lpv
+        best = max(cands.values())
+        ss[i] = best
+        for j in sorted(cands, reverse=True):
+            if cands[j] == best:
+                js[i] = j
+                break
+    ps: list[str] = []
+    pos = n
+    while pos > 0:
+        j = js[pos]
+        ps.append(word[pos - j : pos])
+        pos -= j
+    ps.reverse()
+    return ps
+
+
+def _unigram_train_local(
+    rows: list,
+    *,
+    schedule: list[int | None],
+    max_piece_len: int,
+    vocab_extra: int,
+) -> tuple[list[tuple], list[tuple]]:
+    """Driver-side replay of the hard-EM loop over a collected
+    (word, freq) dictionary: seed, then one E-step + recount (+ optional
+    prune) + add-one smooth + round-12 relog per ``schedule`` entry —
+    the _em_round math verbatim. ln comes from the SAME C libm the
+    DuckDB oracle uses; every lp is ulp-stripped to 12 decimals the
+    instant it is taken, exactly like the Spark expressions, so the
+    learned table is bit-identical across all three engines. Returns
+    (vocab rows (piece, cnt, lp), segmented rows (word, freq, pieces))
+    under the unigram_train contract (cnt = last round's raw count; seg
+    = last E-step)."""
+    words = [(r["word"], int(r["freq"])) for r in rows]
+    counted = _seed_local(words, max_piece_len=max_piece_len, vocab_extra=vocab_extra)
+    total = sum(counted.values())
+    lp = {p: _round12(math.log(c) - math.log(total)) for p, c in counted.items()}
+    seg: dict[str, list[str]] = {}
+    for keep in schedule:
+        seg = {
+            w: _viterbi_local(w, lp, max_piece_len=max_piece_len) for w, _ in words
+        }
+        raw: dict[str, int] = {}
+        for w, f in words:
+            for piece in seg[w]:
+                raw[piece] = raw.get(piece, 0) + f
+        counted = {p: raw.get(p, 0) for p in counted}
+        if keep is not None:
+            kept = {p: c for p, c in counted.items() if len(p) == 1}
+            multi = sorted(
+                ((p, c) for p, c in counted.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0].encode()),
+            )[:keep]
+            kept.update(dict(multi))
+            counted = kept
+        total = sum(c + 1 for c in counted.values())
+        lp = {
+            p: _round12(math.log(c + 1) - math.log(total))
+            for p, c in counted.items()
+        }
+    vocab_rows = [(p, c, lp[p]) for p, c in counted.items()]
+    seg_rows = [(w, f, seg[w]) for w, f in words]
+    return vocab_rows, seg_rows
+
+
+_VOCAB_SCHEMA = "piece string, cnt bigint, lp double"
+_SEG_SCHEMA = "word string, freq bigint, pieces array<string>"
+
+
+def _local_gate(words: DataFrame, local_dict_max: int | None):
+    """Materialize the dictionary once (both paths reuse it — the
+    distributed loop otherwise re-runs the corpus-sized aggregation
+    underneath ``words`` on every round's action) and decide the path:
+    returns (checkpointed words, collected rows | None)."""
+    words = words.localCheckpoint(eager=True)
+    if local_dict_max is None:
+        local_dict_max = int(
+            os.environ.get("SPARK_GRAFT_UNI_LOCAL_DICT_MAX", UNI_LOCAL_DICT_MAX)
+        )
+    n_words = words.count()  # cheap: counts the materialized checkpoint
+    if n_words <= local_dict_max:
+        return words, words.collect()  # bounded by the gate
+    return words, None
+
+
 def unigram_train(
     words: DataFrame,
     *,
@@ -284,6 +431,7 @@ def unigram_train(
     max_piece_len: int = UNI_MAX_PIECE_LEN,
     max_word_len: int = UNI_MAX_WORD_LEN,
     vocab_extra: int = UNI_VOCAB_EXTRA,
+    local_dict_max: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the unigram LM on a (word, freq) dictionary. Returns
     (vocab, segmented):
@@ -305,6 +453,18 @@ def unigram_train(
     + map + hash-agg, with the DP barrier checkpoint in between."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    words, rows = _local_gate(words, local_dict_max)
+    if rows is not None:
+        _check_word_len_local(rows, max_word_len)
+        vocab_rows, seg_rows = _unigram_train_local(
+            rows, schedule=[None] * rounds,
+            max_piece_len=max_piece_len, vocab_extra=vocab_extra,
+        )
+        spark = words.sparkSession
+        return (
+            spark.createDataFrame(vocab_rows, _VOCAB_SCHEMA),
+            spark.createDataFrame(seg_rows, _SEG_SCHEMA),
+        )
     dp = _guarded_dp(words, max_word_len)
     vocab = _logged(seed_vocab(
         words, max_piece_len=max_piece_len, vocab_extra=vocab_extra
@@ -317,6 +477,19 @@ def unigram_train(
         )
     # dictionary-sized: consumer queries join this repeatedly
     return vocab, seg.localCheckpoint(eager=True)
+
+
+def _check_word_len_local(rows: list, max_word_len: int) -> None:
+    """The _guarded_dp length guard over already-collected rows — same
+    loud error, no extra Spark job."""
+    too_long = max((len(r["word"]) for r in rows), default=None)
+    if too_long is not None and too_long > max_word_len:
+        raise ValueError(
+            f"dictionary word of length {too_long} exceeds "
+            f"max_word_len={max_word_len}; raise it (the DP cost grows "
+            f"linearly; a paired DuckDB oracle must unroll at least as "
+            f"many CTE steps)"
+        )
 
 
 def _guarded_dp(words: DataFrame, max_word_len: int) -> int:
@@ -419,6 +592,7 @@ def unigram_train_pruned(
     shrink: float = 0.5,
     max_piece_len: int = UNI_MAX_PIECE_LEN,
     max_word_len: int = UNI_MAX_WORD_LEN,
+    local_dict_max: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Hard-EM unigram training WITH SentencePiece-style vocabulary
     pruning (Kudo 2018 §3.2's size control, in the deterministic
@@ -445,12 +619,25 @@ def unigram_train_pruned(
         start_extra = 4 * target_extra
     if start_extra < target_extra:
         raise ValueError("start_extra must be >= target_extra")
+    schedule = prune_schedule(start_extra, target_extra, shrink) + [None]
+    words, rows = _local_gate(words, local_dict_max)
+    if rows is not None:
+        _check_word_len_local(rows, max_word_len)
+        vocab_rows, seg_rows = _unigram_train_local(
+            rows, schedule=schedule,
+            max_piece_len=max_piece_len, vocab_extra=start_extra,
+        )
+        spark = words.sparkSession
+        return (
+            spark.createDataFrame(vocab_rows, _VOCAB_SCHEMA),
+            spark.createDataFrame(seg_rows, _SEG_SCHEMA),
+        )
     dp = _guarded_dp(words, max_word_len)
     vocab = _logged(seed_vocab(
         words, max_piece_len=max_piece_len, vocab_extra=start_extra
     ))
     seg = None
-    for keep in prune_schedule(start_extra, target_extra, shrink) + [None]:
+    for keep in schedule:
         vocab, seg = _em_round(
             words, vocab,
             dp=dp, max_word_len=max_word_len, max_piece_len=max_piece_len,

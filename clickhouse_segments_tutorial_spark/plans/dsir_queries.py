@@ -130,11 +130,15 @@ def _wave_features(docs: DataFrame, n_buckets: int) -> DataFrame:
 def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit the DSIR importance model (target = heuristic-quality keep
     set, raw = whole corpus) and score every document:
-    (doc_id, n_feats, dsir_lw). One training hash-agg, one scoring
-    explode + broadcast join, zero Python row paths."""
+    (doc_id, n_feats, dsir_lw). ONE tokenize+hash pass shared by the
+    training hash-agg and the scoring join
+    (operators.dsir.dsir_train_score — bit-identical to the two-pass
+    dsir_train + dsir_score), zero Python row paths."""
+    from ..operators.dsir import dsir_train_score
+
     docs = _labeled(spark, sf_dir)
-    model = dsir_train(docs, target_col="_y")
-    return dsir_score(docs, model)
+    _, scored = dsir_train_score(docs, target_col="_y")
+    return scored
 
 
 _DSIR_WEIGHTS_ORACLE = f"""
@@ -171,13 +175,14 @@ def _dsir_gate(clean: DataFrame) -> DataFrame:
     classification gate (quality_nb_queries._nb_gate)."""
     from ..operators.text import token_count
 
+    from ..operators.dsir import dsir_train_score
+
     labeled = clean.withColumn("_y", quality_score("text") >= NB_LABEL_MIN_QUALITY)
-    model = dsir_train(labeled, target_col="_y")
-    keep = (
-        dsir_score(clean, model)
-        .filter(dsir_accept("doc_id"))
-        .select("doc_id")
-    )
+    # one tokenize+hash pass for train AND score (dsir_train_score —
+    # bit-identical to the two-pass form; scoring the labeled frame is
+    # scoring `clean`: the label column never reaches the score math)
+    _, scored = dsir_train_score(labeled, target_col="_y")
+    keep = scored.filter(dsir_accept("doc_id")).select("doc_id")
     return clean.join(keep, "doc_id", "left_semi").filter(
         token_count("text").between(10, 5000)
     )

@@ -291,6 +291,22 @@ def test_batched_train_matches_reference_spec(spark):
         assert [m.rank for m in merges] == list(range(1, len(merges) + 1))
 
 
+def test_local_trainer_equals_distributed(spark):
+    """The scale-adaptive gate (BPE_LOCAL_DICT_MAX): the driver-side
+    trainer over the collected dictionary must be bit-identical to the
+    distributed round loop — merges, snapshot counts, AND the trained
+    dictionary — in both sequential and batched modes. local_dict_max=0
+    forces the distributed path regardless of dictionary size."""
+    w = word_frequencies(_docs(spark))
+    for kb in (1, 4):
+        ml, tl = bpe_train(w, n_merges=10, round_batch=kb)  # local path
+        md, td = bpe_train(w, n_merges=10, round_batch=kb, local_dict_max=0)
+        assert ml == md
+        assert {r["word"]: (r["freq"], r["syms"]) for r in tl.collect()} == {
+            r["word"]: (r["freq"], r["syms"]) for r in td.collect()
+        }
+
+
 def test_batched_merges_partitioning_invariant(spark):
     """The invariance bar at the batched setting (r10 verdict item 3)."""
     w = word_frequencies(_docs(spark))

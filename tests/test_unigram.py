@@ -90,6 +90,34 @@ def test_train_partitioning_invariant(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_local_trainer_equals_distributed(spark):
+    """The scale-adaptive gate (UNI_LOCAL_DICT_MAX): the driver-side
+    hard-EM replay over the collected dictionary must be BIT-identical
+    (counts, round-12 log-probs, segmentations) to the distributed
+    loop, for both the fixed-vocabulary and the pruning trainer.
+    local_dict_max=0 forces the distributed path."""
+    from clickhouse_segments_tutorial_spark.operators.unigram import (
+        unigram_train_pruned,
+    )
+
+    rows = [("lowering", 40), ("lowest", 11), ("lower", 25), ("low", 60),
+            ("newest", 9), ("newer", 17), ("new", 31), ("a", 5)]
+    vl, sl = unigram_train(_wf(spark, rows), rounds=3)
+    vd, sd = unigram_train(_wf(spark, rows), rounds=3, local_dict_max=0)
+    assert sorted(map(tuple, vl.collect())) == sorted(map(tuple, vd.collect()))
+    assert {r["word"]: (r["freq"], list(r["pieces"])) for r in sl.collect()} == {
+        r["word"]: (r["freq"], list(r["pieces"])) for r in sd.collect()
+    }
+    pl, ql = unigram_train_pruned(_wf(spark, rows), target_extra=8, start_extra=16)
+    pd_, qd = unigram_train_pruned(
+        _wf(spark, rows), target_extra=8, start_extra=16, local_dict_max=0
+    )
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, pd_.collect()))
+    assert {r["word"]: list(r["pieces"]) for r in ql.collect()} == {
+        r["word"]: list(r["pieces"]) for r in qd.collect()
+    }
+
+
 def test_word_longer_than_cap_fails_loudly(spark):
     """The raised ceiling (r11 verdict item 1): 9-char words — beyond
     the old 8-char cap — now train (the DP sizes itself to the
