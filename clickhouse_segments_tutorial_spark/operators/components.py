@@ -35,7 +35,20 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+# Edge-count threshold for the scale-adaptive LOCAL path (the
+# operators/bpe.py BPE_LOCAL_DICT_MAX design): when the deduplicated
+# edge list is a bounded small relation, every star round's 4 shuffles
+# + checkpoint + convergence action are pure orchestration overhead —
+# measured 5-7 s for a 241-edge graph at sf0.1, vs milliseconds of
+# driver-side union-find. Near-dup pair graphs are usually tiny
+# relative to the corpus (only docs WITH a near-dup appear), but they
+# are not bounded by construction, so past the gate the star loop runs
+# unchanged.
+COMPONENTS_LOCAL_EDGES_MAX = 262_144
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -64,12 +77,41 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return neighbors.union(selfs).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _components_local(rows: list) -> dict:
+    """Driver-side union-find over a collected (u, v) edge list with
+    min-id roots — value-identical to the star loop's fixed point:
+    every node maps to the minimum node reachable through the
+    undirected graph. Path-compressed find; union keeps the smaller
+    root (so the representative IS the component minimum)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        u, v = row["u"], row["v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the LARGER root under the smaller one, so every
+            # root is its component's minimum id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     *,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    local_edges_max: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     the minimum node id reachable through the undirected pair graph.
@@ -85,6 +127,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if local_edges_max is None:
+        local_edges_max = int(
+            os.environ.get(
+                "SPARK_GRAFT_CC_LOCAL_EDGES_MAX", COMPONENTS_LOCAL_EDGES_MAX
+            )
+        )
+    if e.count() <= local_edges_max:  # cheap: counts the checkpoint
+        comp = _components_local(e.collect())  # bounded by the gate
+        node_t = e.schema["u"].dataType.simpleString()
+        return spark.createDataFrame(
+            sorted(comp.items()) + sorted({(r, r) for r in comp.values()}),
+            f"node {node_t}, component {node_t}",
+        )
     for _ in range(max_iterations):
         stepped = _small_star(_large_star(e)).localCheckpoint()
         # converged when the directed edge set is a fixed point: every

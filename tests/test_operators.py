@@ -1999,6 +1999,28 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+def test_connected_components_local_equals_star_loop(spark):
+    """The scale-adaptive gate (COMPONENTS_LOCAL_EDGES_MAX): driver-side
+    union-find over a collected small edge list must return the exact
+    row set of the large-star/small-star loop — one row per distinct
+    node, min-id components, roots included. local_edges_max=0 forces
+    the distributed loop."""
+    import random
+
+    from clickhouse_segments_tutorial_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    local = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(
+        map(tuple, connected_components(edges, local_edges_max=0).collect())
+    )
+    assert local == dist
+
+
 def test_dedup_groups_keep_flags(spark):
     """dedup_groups must cover every doc: component members point at the
     minimum id, singletons at themselves, and keep marks exactly one doc
