@@ -182,11 +182,23 @@ def bigram_nll(
     broadcast. The decimal-exact sum of rounded per-bigram lns makes the
     per-doc mean independent of partitioning.
     """
+    from pyspark import StorageLevel
+
     terms = doc_terms(docs, text_col, id_col)
-    bigrams = doc_bigrams(docs, text_col, id_col)
+    # The bigram stream (explode + per-doc window sort) is the plan's
+    # dominant subtree and is needed TWICE — once under the model's
+    # count agg, once under the scoring join. Stage it once (guide §5:
+    # reused twice, corpus-sized to recompute; MEMORY_AND_DISK spills
+    # rather than OOMs at scale) — expressions are unchanged, so counts
+    # and scores are bit-identical to the unshared form.
+    bigrams = doc_bigrams(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab = terms.agg(F.count_distinct("term").alias("_v"))
-    return bigram_nll_from_counts(docs, big_c, vocab, text_col=text_col, id_col=id_col)
+    return bigram_nll_from_counts(
+        docs, big_c, vocab, text_col=text_col, id_col=id_col, bigrams=bigrams
+    )
 
 
 def doc_bigrams(
@@ -194,14 +206,36 @@ def doc_bigrams(
 ) -> DataFrame:
     """(doc_id, w1, w2): each document's adjacent-term transitions, in
     order — the shared stream of :func:`bigram_nll` and its incremental
-    twin's per-wave count pass."""
-    terms = doc_terms(docs, text_col, id_col)
-    nxt = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        terms.withColumn("w2", F.lead("term").over(nxt))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("term").alias("w1"), "w2")
+    twin's per-wave count pass.
+
+    MAP-ONLY: adjacent pairs fold straight out of the per-doc term
+    array (zip the array with itself shifted by one) — the previous
+    posexplode + lead-window form paid a full corpus Exchange + sort
+    just to rediscover adjacency the array already encodes (guide §2.4
+    "remove shuffles outright"). Docs with < 2 kept terms produce no
+    transitions either way (the when() yields NULL, explode drops it —
+    exactly the rows the old isNotNull filter removed)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _term),
+            lambda t: t.rlike("^[a-z0-9]+$"),
+        ).alias("_terms"),
     )
+    n1 = F.size("_terms") - 1
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_terms") >= 2,
+                F.zip_with(
+                    F.slice("_terms", 1, n1),
+                    F.slice("_terms", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
 
 def bigram_nll_from_counts(
@@ -211,6 +245,7 @@ def bigram_nll_from_counts(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a PRE-BUILT bigram model — ``big_c``
     (w1, w2, c12) and ``vocab`` (one row, ``_v`` = |vocab|) — the ONE
@@ -227,8 +262,15 @@ def bigram_nll_from_counts(
     join would silently drop unseen transitions from n_bigrams and the
     mean (r12 review finding 3). Same-corpus scoring (every registered
     query) never takes a coalesce branch, so batch results are
-    unchanged."""
-    bigrams = doc_bigrams(docs, text_col, id_col)
+    unchanged.
+
+    ``bigrams`` optionally supplies the (doc_id, w1, w2) stream when
+    the caller already built it (:func:`bigram_nll` derives big_c FROM
+    it, so re-deriving here would put the corpus-sized explode + window
+    in one plan twice — the tfidf_from_stats ``tf`` precedent); when
+    None it is derived from ``docs``."""
+    if bigrams is None:
+        bigrams = doc_bigrams(docs, text_col, id_col)
     # C(w1,.) folds out of the bigram counts — a vocab-sized aggregation —
     # instead of a second corpus-wide explode + shuffle over the raw stream.
     uni_c = big_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
