@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .exploding import select_exploded, select_posexploded
 from .text import tokens
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -73,8 +74,8 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             lambda t: t.rlike("^[a-z0-9]+$"),
         ).alias("_terms"),
     )
-    return toks.select(
-        "doc_id", F.posexplode("_terms").alias("pos", "term")
+    return select_posexploded(
+        toks, "doc_id", arr="_terms", pos_alias="pos", alias="term"
     )
 
 
@@ -223,18 +224,18 @@ def doc_bigrams(
         ).alias("_terms"),
     )
     n1 = F.size("_terms") - 1
-    return toks.select(
+    return select_exploded(
+        toks,
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("_terms") >= 2,
-                F.zip_with(
-                    F.slice("_terms", 1, n1),
-                    F.slice("_terms", 2, n1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            )
-        ).alias("_bg"),
+        arr=F.when(
+            F.size("_terms") >= 2,
+            F.zip_with(
+                F.slice("_terms", 1, n1),
+                F.slice("_terms", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        alias="_bg",
     ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
 
@@ -365,8 +366,8 @@ def doc_gram_keys(
         .when(cnt < n, whole)
         .otherwise(many)
     )
-    return toks.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("_g")
+    return select_exploded(
+        toks, "doc_id", arr=F.array_distinct(grams), alias="_g"
     ).select("doc_id", F.md5("_g").alias("_g"))
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .exploding import select_exploded, select_posexploded
 from .text import tokens
 
 
@@ -504,9 +505,12 @@ def simhash_signatures(
     in engines without unsigned ints.
     """
     bits = 60 if hash_mode == "md5" else 64
-    posting = shingled_docs(
-        df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode
-    ).select("_id", F.explode("_sh").alias("_g"))
+    posting = select_exploded(
+        shingled_docs(df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode),
+        "_id",
+        arr="_sh",
+        alias="_g",
+    )
     h = F.col("_g")
     votes = posting.groupBy("_id").agg(
         *[
@@ -626,16 +630,16 @@ def ngram_contamination(
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
-    eval_grams = (
-        shingled_docs(eval_df, text_col=text_col, id_col=id_col, n=n)
-        .select(F.explode("_sh").alias("_g"))
-        .distinct()
-    )
+    eval_grams = select_exploded(
+        shingled_docs(eval_df, text_col=text_col, id_col=id_col, n=n),
+        arr="_sh",
+        alias="_g",
+    ).distinct()
     train_sh = shingled_docs(train, text_col=text_col, id_col=id_col, n=n)
     # _sh is already distinct within a doc, so count(*) after the gram join
     # IS the distinct common-gram count.
     hits = (
-        train_sh.select("_id", F.explode("_sh").alias("_g"))
+        select_exploded(train_sh, "_id", arr="_sh", alias="_g")
         .join(F.broadcast(eval_grams), "_g")
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("_n_common"))
@@ -691,7 +695,9 @@ def dedup_paragraphs(
         ),
         lambda p: p != "",
     )
-    exploded = df.select(F.col(id_col).alias("_id"), F.posexplode(paras).alias("_pos", "_p"))
+    exploded = select_posexploded(
+        df, F.col(id_col).alias("_id"), arr=paras, pos_alias="_pos", alias="_p"
+    )
     kept = (
         exploded.groupBy(F.md5("_p").alias("_h"))
         .agg(F.min(F.struct("_id", "_pos", "_p")).alias("_f"))
@@ -791,17 +797,15 @@ def duplicate_spans(
         )
         .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
     )
-    grams = (
-        base.filter(F.col("n_tokens") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - k),
-                    lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
-                )
-            ).alias("pos", "gh"),
-        )
+    grams = select_posexploded(
+        base.filter(F.col("n_tokens") >= k),
+        "doc_id",
+        arr=F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+        ),
+        pos_alias="pos",
+        alias="gh",
     )
     dup_hashes = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c")).filter(
         F.col("_c") >= 2
@@ -886,17 +890,15 @@ def strip_duplicate_spans(
         )
         .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
     )
-    grams = (
-        base.filter(F.col("n_tokens") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - k),
-                    lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
-                )
-            ).alias("pos", "gh"),
-        )
+    grams = select_posexploded(
+        base.filter(F.col("n_tokens") >= k),
+        "doc_id",
+        arr=F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: md5_hash120(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+        ),
+        pos_alias="pos",
+        alias="gh",
     )
     firsts = grams.groupBy("gh").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("_first")
@@ -909,7 +911,7 @@ def strip_duplicate_spans(
     covered = redundant.select(
         "doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos")
     ).distinct()
-    toks = base.select("doc_id", F.posexplode("_t").alias("tpos", "tok"))
+    toks = select_posexploded(base, "doc_id", arr="_t", pos_alias="tpos", alias="tok")
     kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.components import connected_components
 from ..operators.dedup import banded_minhash_keys, shingled_docs
+from ..operators.exploding import select_exploded
 from ..operators.text import normalize_text, quality_score, token_count
 from ..sources import (
     compact_bucketed,
@@ -507,8 +508,12 @@ class IncrementalCorpusCurator:
 
         # 6. decontamination vs the FIXED eval-gram state
         contaminated = (
-            shingled_docs(kept, n=self.contamination_n)
-            .select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("_g"))
+            select_exploded(
+                shingled_docs(kept, n=self.contamination_n),
+                F.col("_id").alias("doc_id"),
+                arr="_sh",
+                alias="_g",
+            )
             .join(self.eval_grams, "_g", "left_semi")
             .select("doc_id")
             .distinct()
@@ -782,8 +787,7 @@ def eval_grams_from_docs(
         F.col("doc_id"), normalize_text(text_col).alias("text")
     )
     return (
-        shingled_docs(normed, n=n)
-        .select(F.explode("_sh").alias("_g"))
+        select_exploded(shingled_docs(normed, n=n), arr="_sh", alias="_g")
         .distinct()
     )
 
