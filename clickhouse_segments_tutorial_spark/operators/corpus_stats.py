@@ -57,6 +57,26 @@ def _term(tok):
     )
 
 
+def _doc_token_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, _terms): each document's kept-term array — the ONE
+    tokenize + term-normalize projection every term-stream consumer
+    derives from (and the frame to persist when a plan needs the
+    stream more than once: the arrays are map-only to re-fold, the
+    tokenizer is the per-row cost)."""
+    # NULL text behaves as empty (coalesce) — without it size/split
+    # propagate NULL and the doc silently drops metrics downstream (the
+    # r6-review redact_pii lesson applied here from the start).
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _term),
+            lambda t: t.rlike("^[a-z0-9]+$"),
+        ).alias("_terms"),
+    )
+
+
 def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per (doc, position): the normalized term stream.
 
@@ -64,16 +84,7 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pure-alnum ASCII term); tokens that normalize to '' or contain
     interior punctuation are dropped identically in Spark and DuckDB.
     """
-    # NULL text behaves as empty (coalesce) — without it size/split
-    # propagate NULL and the doc silently drops metrics downstream (the
-    # r6-review redact_pii lesson applied here from the start).
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _term),
-            lambda t: t.rlike("^[a-z0-9]+$"),
-        ).alias("_terms"),
-    )
+    toks = _doc_token_arrays(docs, text_col, id_col)
     return select_posexploded(
         toks, "doc_id", arr="_terms", pos_alias="pos", alias="term"
     )
@@ -185,18 +196,27 @@ def bigram_nll(
     """
     from pyspark import StorageLevel
 
-    terms = doc_terms(docs, text_col, id_col)
-    # The bigram stream (explode + per-doc window sort) is the plan's
-    # dominant subtree and is needed TWICE — once under the model's
-    # count agg, once under the scoring join. Stage it once (guide §5:
-    # reused twice, corpus-sized to recompute; MEMORY_AND_DISK spills
-    # rather than OOMs at scale) — expressions are unchanged, so counts
-    # and scores are bit-identical to the unshared form.
-    bigrams = doc_bigrams(docs, text_col, id_col).persist(
+    # The tokenize + term-normalize projection is the plan's dominant
+    # per-row cost and is needed THREE times — the model's bigram
+    # counts, the scoring join's bigram stream, and the vocab size.
+    # Stage the (doc_id, _terms) arrays ONCE (guide §5: reused 3x,
+    # corpus-sized to recompute; MEMORY_AND_DISK spills rather than
+    # OOMs at scale); every consumer folds map-only off the cached
+    # arrays with the exact expressions it always used, so counts,
+    # vocab, and scores are bit-identical to the unshared form.
+    toks = _doc_token_arrays(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # ... and the folded bigram stream is itself staged (its two
+    # consumers — the count agg and the scoring join — then read rows
+    # instead of re-running the zip fold): one tokenize, one fold.
+    bigrams = _bigrams_from_token_arrays(toks).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab = terms.agg(F.count_distinct("term").alias("_v"))
+    vocab = select_exploded(toks, arr="_terms", alias="term").agg(
+        F.count_distinct("term").alias("_v")
+    )
     return bigram_nll_from_counts(
         docs, big_c, vocab, text_col=text_col, id_col=id_col, bigrams=bigrams
     )
@@ -216,13 +236,14 @@ def doc_bigrams(
     "remove shuffles outright"). Docs with < 2 kept terms produce no
     transitions either way (the when() yields NULL, explode drops it —
     exactly the rows the old isNotNull filter removed)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _term),
-            lambda t: t.rlike("^[a-z0-9]+$"),
-        ).alias("_terms"),
-    )
+    return _bigrams_from_token_arrays(_doc_token_arrays(docs, text_col, id_col))
+
+
+def _bigrams_from_token_arrays(toks: DataFrame) -> DataFrame:
+    """The map-only adjacent-pair fold of :func:`doc_bigrams`, over an
+    already-built (doc_id, _terms) frame — split out so a caller that
+    staged the token arrays (bigram_nll) folds bigrams off the cache
+    instead of re-tokenizing."""
     n1 = F.size("_terms") - 1
     return select_exploded(
         toks,
