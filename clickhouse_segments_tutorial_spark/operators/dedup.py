@@ -177,14 +177,22 @@ def shingled_docs(
     id_col: str = "doc_id",
     n: int = 3,
     hash_mode: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(_id, _sh) for every doc: spread to full parallelism, tokenize in one
     projection, shingle-hash from the token COLUMN in a second (see
     :func:`shingle_hashes_from_tokens` for why the split is 3.5x faster
-    than shingling straight off the text)."""
+    than shingling straight off the text).
+
+    ``tokens_col`` names an ALREADY-TOKENIZED array column to shingle
+    from instead of re-running the tokenizer — for callers that staged
+    ``tokens(text_col)`` on a persisted barrier consumed by several
+    token-deriving stages (the corpus pipeline tokenizes once and
+    shares; ``tokens`` is deterministic, so values are identical)."""
+    tok = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
     return (
         _spread(df)
-        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+        .select(F.col(id_col).alias("_id"), tok.alias("_t"))
         .select(
             "_id",
             shingle_hashes_from_tokens(F.col("_t"), n, hash_mode=hash_mode).alias(
@@ -390,6 +398,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash, verified with exact Jaccard.
 
@@ -409,7 +418,9 @@ def minhash_lsh_pairs(
     # Shingle once, persist: consumed by the signature build and both
     # verify join sides (at scale: write this to storage instead — it is
     # the reusable index).
-    docs = shingled_docs(df, text_col=text_col, id_col=id_col, n=n).persist()
+    docs = shingled_docs(
+        df, text_col=text_col, id_col=id_col, n=n, tokens_col=tokens_col
+    ).persist()
     banded = banded_minhash_keys(docs, k=k, bands=bands)
     cand = (
         banded.alias("a")
@@ -602,6 +613,7 @@ def ngram_contamination(
     n: int = 5,
     min_common: int = 1,
     broadcast_hits: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-train-doc n-gram overlap with an eval/benchmark set — the
     standard pre-training decontamination check (flag training documents
@@ -631,11 +643,15 @@ def ngram_contamination(
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
     eval_grams = select_exploded(
-        shingled_docs(eval_df, text_col=text_col, id_col=id_col, n=n),
+        shingled_docs(
+            eval_df, text_col=text_col, id_col=id_col, n=n, tokens_col=tokens_col
+        ),
         arr="_sh",
         alias="_g",
     ).distinct()
-    train_sh = shingled_docs(train, text_col=text_col, id_col=id_col, n=n)
+    train_sh = shingled_docs(
+        train, text_col=text_col, id_col=id_col, n=n, tokens_col=tokens_col
+    )
     # _sh is already distinct within a doc, so count(*) after the gram join
     # IS the distinct common-gram count.
     hits = (
@@ -734,6 +750,7 @@ def decontaminate(
     n: int = 5,
     min_common: int = 1,
     broadcast_hits: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Drop contaminated rows from ``train`` (all original columns kept).
 
@@ -745,6 +762,7 @@ def decontaminate(
     flagged = ngram_contamination(
         train, eval_df, text_col=text_col, id_col=id_col, n=n,
         min_common=min_common, broadcast_hits=broadcast_hits,
+        tokens_col=tokens_col,
     ).filter(F.col("contaminated")).select(F.col(id_col))
     if broadcast_hits:
         flagged = F.broadcast(flagged)

@@ -219,7 +219,12 @@ def dsir_model_from_counts(
     return (
         spark.range(n_buckets)
         .select(F.col("id").cast("long").alias("bucket"))
-        .join(counts, "bucket", "left")
+        # counts is <= n_buckets local rows: without the hint the planner
+        # sort-merge-joins two 4096-row sides (2 Exchanges + 2 Sorts of
+        # pure job overhead in the model path, observed in the
+        # dsir_weights_docs plan); broadcasting the bounded side is
+        # always safe here (guide §3.1)
+        .join(F.broadcast(counts), "bucket", "left")
         .select(
             "bucket",
             (

@@ -355,6 +355,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 128,
     stride: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sliding-window token chunks — the context-window preprocessing step
     of an LLM training pipeline (stride < chunk_tokens overlaps windows).
@@ -366,7 +367,10 @@ def chunk_documents(
     map-only, no shuffle, no Python. Empty docs yield no chunks."""
     if stride < 1 or chunk_tokens < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
-    toks = tokens(text_col)
+    # tokens_col: an already-tokenized array column (the corpus
+    # pipeline's staged barrier) — tokens() is deterministic, so the
+    # chunks are identical either way
+    toks = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
     cnt = F.size(toks)
     starts = F.sequence(F.lit(0), cnt - 1, F.lit(stride))
     chunked = df.select(

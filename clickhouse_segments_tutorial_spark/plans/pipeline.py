@@ -75,7 +75,7 @@ from ..operators.text import (
     chunk_documents,
     normalize_text,
     quality_score,
-    token_count,
+    tokens,
 )
 from ..sources import load_table
 from .registry import QuerySpec
@@ -105,18 +105,32 @@ def corpus_pipeline_stages(
     # 1. paragraph dedup needs the raw line structure (see module doc)
     para = dedup_paragraphs(docs, text_col=text_col, id_col=id_col)
     # 2-3. normalize, drop boilerplate-only (now empty) docs, re-attach
-    # the language label with a thin id-keyed join
-    norm = (
+    # the language label with a thin id-keyed join. Persist BEFORE the
+    # exact-dedup semi-join: both join sides consume this frame, and
+    # without the barrier the whole paragraph-dedup + normalize chain
+    # executes once PER SIDE (observed: 6 scans of the documents
+    # parquet and 3 paragraph Generates in the stage-4 plan; guide §2.4
+    # — the duplicated subtree was the pipeline's hidden second corpus
+    # pass).
+    norm0 = (
         para.select(id_col, normalize_text("clean_text").alias(text_col))
         .filter(F.length(text_col) > 0)
         .join(docs.select(id_col, lang_col), id_col)
+        .persist()
     )
-    # 4. exact dedup on the normalized text
-    norm = norm.join(exact_dedup(norm, text_col, id_col), id_col, "left_semi")
+    # 4. exact dedup on the normalized text; stage the token arrays on
+    # the surviving barrier — every downstream token consumer (LSH
+    # shingles, decontamination shingles, the quality length gate, the
+    # chunker) derives from ``_toks`` instead of re-running the
+    # tokenizer per stage (tokens() is deterministic: same text, same
+    # arrays, bit-identical results).
+    norm = norm0.join(exact_dedup(norm0, text_col, id_col), id_col, "left_semi")
+    norm = norm.withColumn("_toks", tokens(text_col))
     norm = norm.persist()  # barrier: LSH self-join + components + split all read this
     # 5. near-dup groups -> representatives only
     pairs = minhash_lsh_pairs(
-        norm, text_col=text_col, id_col=id_col, n=3, k=64, bands=32, threshold=0.8
+        norm, text_col=text_col, id_col=id_col, n=3, k=64, bands=32,
+        threshold=0.8, tokens_col="_toks",
     )
     reps = dedup_groups(norm, pairs, id_col=id_col).filter("keep").select(id_col)
     survivors = norm.join(reps, id_col, "left_semi")
@@ -133,7 +147,7 @@ def corpus_pipeline_stages(
     evals = split.filter(F.col("split") == "test").drop("split")
     clean = decontaminate(
         train, evals, text_col=text_col, id_col=id_col, n=5, min_common=1,
-        broadcast_hits=False,
+        broadcast_hits=False, tokens_col="_toks",
     )
     # 7. quality gate (no language clause — mixture owns the balance).
     # ``quality_gate`` swaps the heuristic for an alternative filter
@@ -144,9 +158,11 @@ def corpus_pipeline_stages(
     if quality_gate is not None:
         filtered = quality_gate(clean)
     else:
+        # token_count(text) == size(tokens(text)) == size(_toks) — the
+        # length bound reads the staged arrays instead of re-tokenizing
         filtered = clean.filter(
             (quality_score(text_col) >= quality_min)
-            & token_count(text_col).between(min_tokens, max_tokens)
+            & F.size("_toks").between(min_tokens, max_tokens)
         )
     filtered = filtered.persist()  # barrier: mixture count + expansion + chunker
     # 8. language mixture: (doc_id, epoch) copies
@@ -156,7 +172,7 @@ def corpus_pipeline_stages(
     # 9. chunk each distinct doc once, replicate per epoch (thin join)
     chunks = chunk_documents(
         filtered, text_col=text_col, id_col=id_col,
-        chunk_tokens=chunk_tokens, stride=stride,
+        chunk_tokens=chunk_tokens, stride=stride, tokens_col="_toks",
     )
     echunks = chunks.join(epochs, id_col).select(
         id_col, "epoch", "chunk_idx", "n_chunk_tokens"
