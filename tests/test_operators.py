@@ -3818,3 +3818,55 @@ def test_topk_spacesaving_weighted(spark):
         assert got == sorted(want), nparts
     # the all-NULL-weight item never outranks real mass
     assert all(u != "nullw" for _, u, _, _ in want)
+
+
+def test_tokens_col_paths_equal_default(spark):
+    """The r17 tokenize-once seam: every operator that accepts a staged
+    token-array column (``tokens_col``) must produce BIT-IDENTICAL
+    results to its tokenize-internally default — the corpus pipeline
+    stages ``tokens(text)`` once on a persisted barrier and shares it
+    across LSH shingling, decontamination and chunking."""
+    from clickhouse_segments_tutorial_spark.operators.dedup import (
+        decontaminate,
+        minhash_lsh_pairs,
+        ngram_contamination,
+        shingled_docs,
+    )
+    from clickhouse_segments_tutorial_spark.operators.text import (
+        chunk_documents,
+        tokens,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document with its own words here now"),
+        (4, ""),
+        (5, "   \t\n  "),
+        (6, "short text"),
+        (7, "the quick brown fox jumps over a sleepy dog again and again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "_toks", tokens("text")
+    )
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows_of(shingled_docs(docs, n=3, tokens_col="_toks")) == rows_of(
+        shingled_docs(docs, n=3)
+    )
+    assert rows_of(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=8, threshold=0.5, tokens_col="_toks")
+    ) == rows_of(minhash_lsh_pairs(docs, n=3, k=16, bands=8, threshold=0.5))
+    evals = docs.filter("doc_id = 7")
+    train = docs.filter("doc_id < 7")
+    assert rows_of(
+        ngram_contamination(train, evals, n=3, tokens_col="_toks")
+    ) == rows_of(ngram_contamination(train, evals, n=3))
+    assert rows_of(
+        decontaminate(train, evals, n=3, tokens_col="_toks").select("doc_id")
+    ) == rows_of(decontaminate(train, evals, n=3).select("doc_id"))
+    assert rows_of(
+        chunk_documents(docs, chunk_tokens=4, stride=2, tokens_col="_toks")
+    ) == rows_of(chunk_documents(docs, chunk_tokens=4, stride=2))
