@@ -61,12 +61,22 @@ class QuerySpec:
 # the driver window regardless of how broad the auto-derivation went.
 # Reset to the new round's names (or empty) each round.
 ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
-    # r17: queries whose own semantics changed this round but were
-    # GREEN in r16 — without the override they sort staleness-last and
-    # miss the window. NEW never-checked queries are deliberately NOT
-    # listed: staleness -1 already fronts them inside the union-deadline
-    # block.
-    "skipindex_pruned_scans",  # hasAllTokens conjunction + compaction lanes
+    # r18: the r17 optimization session rewrote these paths (local
+    # trainer gates, one-pass DSIR, map-only bigrams, pipeline barriers)
+    # but none landed in the r17 correctness sample, and the edits
+    # predate the r17 round-artifact commit so git-diff pinning cannot
+    # see them — pin explicitly so the driver re-verifies them (r17
+    # VERDICT "Next round" item 7).
+    "unigram_pieces_docs",
+    "dsir_weights_docs",
+    "bigram_lm_nll_docs",
+    "corpus_pipeline_docs",
+    # r18: the ONLY red r17 cell — hash_match false on an oracle-typing
+    # artifact (HUGEINT sum -> float64 through the driver's pandas
+    # fetch; fixed in relational.py this round). Its r17 row counts as
+    # "green" for staleness (rows_match, no err), so without the pin the
+    # fixed oracle would not get a fresh driver hash row this round.
+    "top_parts_per_returnflag_topkw",
 })
 
 

@@ -986,7 +986,7 @@ SELECT l_returnflag, l_partkey, n, rk FROM (
          ) AS INT) AS rk
   FROM (
     SELECT l_returnflag, l_partkey,
-           sum(CAST(l_quantity AS BIGINT)) AS n
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n
     FROM lineitem WHERE l_partkey IS NOT NULL
     GROUP BY l_returnflag, l_partkey
   )
