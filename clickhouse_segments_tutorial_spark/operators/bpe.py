@@ -338,9 +338,14 @@ def bpe_train(
     n_words = state.count()  # cheap: counts the materialized checkpoint
     spark = words.sparkSession
     if local_dict_max is None:
-        local_dict_max = int(
-            os.environ.get("SPARK_GRAFT_BPE_LOCAL_DICT_MAX", BPE_LOCAL_DICT_MAX)
-        )
+        try:
+            local_dict_max = int(
+                os.environ.get("SPARK_GRAFT_BPE_LOCAL_DICT_MAX", "")
+            )
+        except ValueError:
+            # a non-numeric env value must not crash training — fall
+            # back to the constant (components.py gate rule)
+            local_dict_max = BPE_LOCAL_DICT_MAX
     if n_words <= local_dict_max:
         # scale-adaptive local path (BPE_LOCAL_DICT_MAX): the dictionary
         # is a bounded small relation — collect it once and replay the

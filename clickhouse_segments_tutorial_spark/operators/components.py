@@ -82,8 +82,17 @@ def _components_local(rows: list) -> dict:
     min-id roots — value-identical to the star loop's fixed point:
     every node maps to the minimum node reachable through the
     undirected graph. Path-compressed find; union keeps the smaller
-    root (so the representative IS the component minimum)."""
+    root (so the representative IS the component minimum).
+
+    String ids are compared on their UTF-8 BYTES, matching Spark's
+    binary collation exactly (the bpe.py/unigram.py .encode() rule —
+    one ordering definition for the local and distributed paths, even
+    though Python's codepoint order and UTF-8 byte order happen to
+    agree for valid codepoints)."""
     parent: dict = {}
+
+    def _key(x):
+        return x.encode("utf-8") if isinstance(x, str) else x
 
     def find(x):
         r = x
@@ -99,7 +108,7 @@ def _components_local(rows: list) -> dict:
         if ru != rv:
             # attach the LARGER root under the smaller one, so every
             # root is its component's minimum id
-            if rv < ru:
+            if _key(rv) < _key(ru):
                 ru, rv = rv, ru
             parent[rv] = ru
     return {x: find(x) for x in parent}
@@ -128,12 +137,16 @@ def connected_components(
         .localCheckpoint()
     )
     if local_edges_max is None:
-        local_edges_max = int(
-            os.environ.get(
-                "SPARK_GRAFT_CC_LOCAL_EDGES_MAX", COMPONENTS_LOCAL_EDGES_MAX
-            )
-        )
-    if e.count() <= local_edges_max:  # cheap: counts the checkpoint
+        raw_max = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES_MAX", "")
+        try:
+            local_edges_max = int(raw_max)
+        except ValueError:
+            # a non-numeric env value must not crash every
+            # connected_components call — fall back to the constant
+            local_edges_max = COMPONENTS_LOCAL_EDGES_MAX
+    # skip the gate's count action entirely when the local path is
+    # disabled (local_edges_max <= 0 means "always distributed")
+    if local_edges_max > 0 and e.count() <= local_edges_max:
         comp = _components_local(e.collect())  # bounded by the gate
         node_t = e.schema["u"].dataType.simpleString()
         return spark.createDataFrame(

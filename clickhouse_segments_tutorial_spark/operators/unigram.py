@@ -368,7 +368,19 @@ def _unigram_train_local(
     the _em_round math verbatim. ln comes from the SAME C libm the
     DuckDB oracle uses; every lp is ulp-stripped to 12 decimals the
     instant it is taken, exactly like the Spark expressions, so the
-    learned table is bit-identical across all three engines. Returns
+    learned table is bit-identical across all three engines.
+
+    Tolerance note (r17 ADVICE): the distributed path's ln is JVM
+    Math.log, which may differ from C libm by 1 ulp; a raw value
+    landing within that ulp of a round-12 HALF_UP boundary would make
+    the two paths' lp differ by 1e-12. No such value exists in any
+    registered corpus (the local==distributed pin would catch one), and
+    when one does appear it is the DISTRIBUTED path that diverges from
+    the DuckDB oracle — this local path shares the oracle's libm, so
+    oracle parity (the binding contract) is unaffected. A per-value
+    boundary-distance fallback was considered and rejected: at a safe
+    detection tolerance (~4 ulp) essentially every large dictionary
+    trips it, silently disabling the local path. Returns
     (vocab rows (piece, cnt, lp), segmented rows (word, freq, pieces))
     under the unigram_train contract (cnt = last round's raw count; seg
     = last E-step)."""
@@ -415,9 +427,14 @@ def _local_gate(words: DataFrame, local_dict_max: int | None):
     returns (checkpointed words, collected rows | None)."""
     words = words.localCheckpoint(eager=True)
     if local_dict_max is None:
-        local_dict_max = int(
-            os.environ.get("SPARK_GRAFT_UNI_LOCAL_DICT_MAX", UNI_LOCAL_DICT_MAX)
-        )
+        try:
+            local_dict_max = int(
+                os.environ.get("SPARK_GRAFT_UNI_LOCAL_DICT_MAX", "")
+            )
+        except ValueError:
+            # a non-numeric env value must not crash training — fall
+            # back to the constant (components.py gate rule)
+            local_dict_max = UNI_LOCAL_DICT_MAX
     n_words = words.count()  # cheap: counts the materialized checkpoint
     if n_words <= local_dict_max:
         return words, words.collect()  # bounded by the gate
