@@ -165,20 +165,30 @@ def pq_adc_scores(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, adc_score): sum of the probe LUT partials selected by each
-    vector's codes — broadcast join on (m, j), DECIMAL(18,6) sum (exact
-    and order-independent; round-6 partials are exact decimals)."""
-    spark = codes.sparkSession
-    lut = spark.createDataFrame(
-        pq_adc_lut(codebooks, probe), "m int, j int, part double"
-    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
-    exploded = codes.select(
-        id_col, F.posexplode("pq_codes").alias("m", "j")
-    )
-    return (
-        exploded.join(F.broadcast(lut), ["m", "j"])
-        .groupBy(id_col)
-        .agg(F.sum("part").cast("double").alias("adc_score"))
-    )
+    vector's codes. The LUT is a bounded driver-side constant
+    (m x k_codes round-6 values), folded into the plan as per-subspace
+    LITERAL decimal arrays indexed by each row's code — no
+    createDataFrame job, no broadcast exchange, no posexplode row
+    blowup, no per-id hash aggregate (the adc_rerank literal rule;
+    guide §2.4). DECIMAL(18,6) terms added exactly, so adc_score is
+    bit-identical to the old broadcast-join + decimal-sum form."""
+    lut_rows = pq_adc_lut(codebooks, probe)
+    by_m: dict[int, dict[int, float]] = {}
+    for m, j, part in lut_rows:
+        by_m.setdefault(m, {})[j] = part
+    adc = None
+    for m in sorted(by_m):
+        arr = F.array(
+            *[
+                F.lit(float(by_m[m][j])).cast("decimal(18,6)")
+                for j in sorted(by_m[m])
+            ]
+        )
+        term = F.element_at(arr, F.element_at(F.col("pq_codes"), m + 1) + 1)
+        adc = term if adc is None else adc + term
+    if adc is None:  # empty codebooks: no scorable subspaces, no rows
+        return codes.select(id_col, F.lit(0.0).alias("adc_score")).limit(0)
+    return codes.select(id_col, adc.cast("double").alias("adc_score"))
 
 
 def _centroid_df(spark, cents: list[list[float]]):
@@ -328,28 +338,44 @@ def adc_rerank(
     Σ LUT[m, code] + round(q·c_primary, 6) over ``coded`` (rows with
     ``pq_codes`` and their primary list in ``list_col``), both terms
     exact decimals; top-``k_cand`` shortlist; exact cosine re-rank of
-    the shortlist rows against ``embeddings``."""
+    the shortlist rows against ``embeddings``.
+
+    The LUT and the q·c table are bounded driver-side constants
+    (m x k_codes and n_centroids rows), so both are folded into the
+    plan as LITERAL decimal arrays indexed per row — no createDataFrame
+    jobs, no broadcast exchanges, no posexplode (x m row blowup), no
+    per-id hash aggregate (guide §2.4/§3.1: the joins moved only
+    constants). Every term is the same exact round-6 decimal the old
+    broadcast-join form produced (double literal -> decimal(18,6) cast,
+    decimal addition exact), so adc_score is bit-identical."""
     import numpy as np
 
-    spark = embeddings.sparkSession
-    lut = spark.createDataFrame(
-        pq_adc_lut(books, probe), "m int, j int, part double"
-    ).select("m", "j", F.col("part").cast("decimal(18,6)").alias("part"))
+    def _dec(x: float):
+        return F.lit(float(x)).cast("decimal(18,6)")
+
+    # Σ_m LUT[m, pq_codes[m]]: one element_at per subspace over a
+    # per-subspace literal array (codes are 0-based by construction)
+    lut_rows = pq_adc_lut(books, probe)
+    by_m: dict[int, dict[int, float]] = {}
+    for m, j, part in lut_rows:
+        by_m.setdefault(m, {})[j] = part
+    adc = None
+    for m in sorted(by_m):
+        arr = F.array(*[_dec(by_m[m][j]) for j in sorted(by_m[m])])
+        term = F.element_at(arr, F.element_at(F.col("pq_codes"), m + 1) + 1)
+        adc = term if adc is None else adc + term
+    # round-6 q·c_primary, indexed by the (0-based) primary list id
     qp = np.asarray(probe, dtype=np.float64)
-    qc = spark.createDataFrame(
-        [
-            (i, round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
-            for i, c in enumerate(cents)
-        ],
-        f"{list_col} int, qc double",
-    ).select(list_col, F.col("qc").cast("decimal(18,6)").alias("qc"))
+    qc_arr = F.array(
+        *[
+            _dec(round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
+            for c in cents
+        ]
+    )
+    qc = F.element_at(qc_arr, F.col(list_col) + 1)
+    score = qc if adc is None else adc + qc
     shortlist = (
-        coded.select(id_col, list_col, F.posexplode("pq_codes").alias("m", "j"))
-        .join(F.broadcast(lut), ["m", "j"])
-        .groupBy(id_col, list_col)
-        .agg(F.sum("part").alias("_r"))
-        .join(F.broadcast(qc), list_col)
-        .select(id_col, (F.col("_r") + F.col("qc")).cast("double").alias("adc_score"))
+        coded.select(id_col, score.cast("double").alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(k_cand)
     )
