@@ -940,11 +940,12 @@ def ivfadc_probe_index(
     if cents and len(probe) != len(cents[0]):
         raise ValueError(f"probe dim {len(probe)} != index dim {len(cents[0])}")
     plists = ivf_probe_lists(cents, probe, n_probe, portable=True)
-    cand = (
-        _read_codes(spark, workdir, meta)
-        .filter(F.col("ivf_list").isin(plists))
-        # spill replicas carry identical (primary_list, pq_codes)
-        .dropDuplicates([id_col])
+    # spill replicas carry identical (primary_list, pq_codes) rows —
+    # dedup is deferred into adc_rerank's bounded shortlist
+    # (dup_bound = spill), which replaces the corpus-side
+    # dropDuplicates shuffle with a map-side TakeOrdered (guide §2.4)
+    cand = _read_codes(spark, workdir, meta).filter(
+        F.col("ivf_list").isin(plists)
     )
     cand = _exclude_tombstones(cand, workdir, meta)
     if exclude_id is not None:
@@ -952,4 +953,5 @@ def ivfadc_probe_index(
     return adc_rerank(
         embeddings, cand, books, cents, probe, k=k, k_cand=k_cand,
         id_col=id_col, vec_col=vec_col, list_col="primary_list",
+        dup_bound=int(meta["params"]["spill"]),
     )

@@ -331,6 +331,7 @@ def adc_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "ivf_list",
+    dup_bound: int = 1,
 ) -> DataFrame:
     """IVFADC scoring tail, ONE definition site (r13 review finding —
     the inline query and the persisted-index probe previously carried
@@ -374,11 +375,29 @@ def adc_rerank(
     )
     qc = F.element_at(qc_arr, F.col(list_col) + 1)
     score = qc if adc is None else adc + qc
-    shortlist = (
-        coded.select(id_col, score.cast("double").alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
-        .limit(k_cand)
+    # ``dup_bound`` > 1: ``coded`` may carry up to that many rows per id
+    # (spill replicas with IDENTICAL (list_col, pq_codes) payloads, so
+    # identical scores). Deduping first costs a corpus-side shuffle
+    # (sort-aggregate over the array payload); instead take the
+    # top-(k_cand * dup_bound) rows map-side (TakeOrderedAndProject, no
+    # exchange) and dedup THAT bounded set. Exactness: with <=
+    # ``dup_bound`` copies per id, excluding the k_cand-th distinct id
+    # from the top-(k_cand * dup_bound) rows would need more than
+    # k_cand*dup_bound earlier rows — impossible with <= dup_bound
+    # copies of each of the k_cand-1 earlier ids — so the distinct set
+    # of the widened prefix contains exactly the dedup-first shortlist,
+    # and the (score desc, id asc) order has no cross-id ties to break
+    # differently (replica rows are byte-identical).
+    scored = coded.select(id_col, score.cast("double").alias("adc_score"))
+    shortlist = scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(
+        k_cand * max(1, dup_bound)
     )
+    if dup_bound > 1:
+        shortlist = (
+            shortlist.dropDuplicates([id_col])
+            .orderBy(F.desc("adc_score"), F.asc(id_col))
+            .limit(k_cand)
+        )
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
     return (
         embeddings.join(shortlist.select(id_col), id_col, "left_semi")
