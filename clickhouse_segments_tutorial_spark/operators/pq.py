@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .similarity import (
     cosine,
@@ -157,6 +157,20 @@ def pq_adc_lut(
     return out
 
 
+def _dec_array_lit(vals: list[float]) -> Column:
+    """Plan-side literal DECIMAL(18,6) array built as ONE SQL expression
+    (a single py4j call). The per-element form —
+    ``F.array(*[F.lit(v).cast("decimal(18,6)") for v in vals])`` —
+    costs 3 py4j roundtrips per element; at m x k_codes + n_centroids
+    literals per probe call that was measured as 1.3s -> 4-21s of
+    driver-side query-BUILD time (the r18 probe regression). The
+    double literal (repr round-trips exactly) cast element-wise to
+    decimal(18,6) is the identical Cast the per-element form produced,
+    so every score stays bit-identical."""
+    body = ", ".join(repr(float(v)) + "D" for v in vals)
+    return F.expr(f"CAST(array({body}) AS ARRAY<DECIMAL(18,6)>)")
+
+
 def pq_adc_scores(
     codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -178,12 +192,7 @@ def pq_adc_scores(
         by_m.setdefault(m, {})[j] = part
     adc = None
     for m in sorted(by_m):
-        arr = F.array(
-            *[
-                F.lit(float(by_m[m][j])).cast("decimal(18,6)")
-                for j in sorted(by_m[m])
-            ]
-        )
+        arr = _dec_array_lit([by_m[m][j] for j in sorted(by_m[m])])
         term = F.element_at(arr, F.element_at(F.col("pq_codes"), m + 1) + 1)
         adc = term if adc is None else adc + term
     if adc is None:  # empty codebooks: no scorable subspaces, no rows
@@ -351,25 +360,23 @@ def adc_rerank(
     decimal addition exact), so adc_score is bit-identical."""
     import numpy as np
 
-    def _dec(x: float):
-        return F.lit(float(x)).cast("decimal(18,6)")
-
     # Σ_m LUT[m, pq_codes[m]]: one element_at per subspace over a
-    # per-subspace literal array (codes are 0-based by construction)
+    # per-subspace literal array (codes are 0-based by construction),
+    # each array ONE SQL expression (see _dec_array_lit)
     lut_rows = pq_adc_lut(books, probe)
     by_m: dict[int, dict[int, float]] = {}
     for m, j, part in lut_rows:
         by_m.setdefault(m, {})[j] = part
     adc = None
     for m in sorted(by_m):
-        arr = F.array(*[_dec(by_m[m][j]) for j in sorted(by_m[m])])
+        arr = _dec_array_lit([by_m[m][j] for j in sorted(by_m[m])])
         term = F.element_at(arr, F.element_at(F.col("pq_codes"), m + 1) + 1)
         adc = term if adc is None else adc + term
     # round-6 q·c_primary, indexed by the (0-based) primary list id
     qp = np.asarray(probe, dtype=np.float64)
-    qc_arr = F.array(
-        *[
-            _dec(round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6))
+    qc_arr = _dec_array_lit(
+        [
+            round(float(np.dot(qp, np.asarray(c, dtype=np.float64))), 6)
             for c in cents
         ]
     )
