@@ -159,18 +159,32 @@ class MicroBatchSegmenter:
     def process_batch(self, events: DataFrame, lower_bound, now) -> None:
         """Run one micro-batch: state update + changelog + finalize."""
         # The batch aggregate feeds two writes (states + changelog MV
-        # analog); persist so the event scan + HLL build runs once.
-        # Materialize eagerly (count) so the two concurrent writers below
-        # hit cached blocks instead of racing to compute the same lineage.
+        # analog) plus the finalize merge; persist so the event scan +
+        # HLL build runs once. The STATES APPEND is the materializing
+        # action (the write computes every partition and populates the
+        # cache) — a separate eager count() was one whole Spark job per
+        # batch of pure duplication.
         state_rows = self._batch_state(events, lower_bound, now).persist()
-        state_rows.count()
         try:
-            # The states append and the changelog append are independent
-            # projections of the same cached block — run them as concurrent
-            # Spark jobs (one session, two submitting threads; the scheduler
-            # interleaves their tasks). This is exactly ClickHouse's insert
-            # path: the MV trigger writes the changelog in the same insert
-            # pipeline, not as a second sequential scan.
+            self._append_states(state_rows)
+            # The changelog append and the finalize merge are now
+            # independent (finalize reads the states TABLE, whose append
+            # just committed, plus the cached in-memory user set — never
+            # the changelog it is concurrent with), so run them as
+            # concurrent Spark jobs (one session, two submitting
+            # threads; the scheduler back-fills the tail of one job with
+            # the other's tasks — guide §2.6). This mirrors ClickHouse's
+            # insert path: the MV trigger writes the changelog inside
+            # the insert pipeline while the decoupled finalize cadence
+            # owns assignments.
+            #
+            # Finalize here uses the inserted block's user set directly —
+            # the MV trigger already holds it in memory, so re-reading
+            # the changelog table would be a pure round-trip. The
+            # changelog-driven path (finalize_pending) computes the same
+            # set for any monotone batch clock and remains the
+            # replay/recovery cadence (tested equivalent in
+            # tests/test_segmentation.py).
             #
             # InheritableThread, not ThreadPoolExecutor: under PySpark's
             # default pinned-thread mode plain threads do NOT inherit local
@@ -200,11 +214,19 @@ class MicroBatchSegmenter:
             sc.addJobTag(tag)
             try:
                 threads = [
-                    InheritableThread(target=_run, args=(self._append_states, state_rows)),
                     InheritableThread(
                         target=_run,
                         args=(append_clustered, changelog_rows, self.changelog_path),
                         kwargs={"cluster_by": ["user_id"], "partition_ts": "computed_at"},
+                    ),
+                    InheritableThread(
+                        target=_run,
+                        kwargs={
+                            "changed_since": now,
+                            "assigned_at": now,
+                            "changed": state_rows.select("user_id").distinct(),
+                        },
+                        args=(self._finalize,),
                     ),
                 ]
                 for t in threads:
@@ -215,17 +237,6 @@ class MicroBatchSegmenter:
                 sc.removeJobTag(tag)
             if errs:
                 raise errs[0]
-            # Finalize with the inserted block's user set directly — the MV
-            # trigger already holds it in memory, so re-reading the changelog
-            # table it just wrote would be a pure round-trip. The
-            # changelog-driven path (finalize_pending) computes the same set
-            # for any monotone batch clock and remains the replay/recovery
-            # cadence (tested equivalent in tests/test_segmentation.py).
-            self._finalize(
-                changed_since=now,
-                assigned_at=now,
-                changed=state_rows.select("user_id").distinct(),
-            )
             # changelog TTL on the batch cadence (the reference's TTL is
             # background; between-batches is our equivalent slot, same as
             # compaction) — O(partitions) directory drops, no data rewrite

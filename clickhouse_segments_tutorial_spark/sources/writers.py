@@ -54,6 +54,19 @@ def append_clustered(
         ).sortWithinPartitions(PARTITION_COL, *cluster_by)
         writer_df.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
     else:
+        # Size the write by DATA, not by the incoming partition count: a
+        # micro-batch state frame arrives with one (tiny) partition per
+        # core from the upstream aggregation, so writing it directly
+        # emits O(cores) KB-size files per batch — every later scan of
+        # the table then pays O(cores x batches) file opens (measured:
+        # 64 x ~3 KB user_states files after two sf0.1 batches at
+        # local[32]). A REBALANCE on the cluster key lets AQE coalesce
+        # (or split) to the advisory partition size — one file per batch
+        # locally, 128MB-1GB files at scale (guide §6), and the key keeps
+        # each key's rows co-located so row-group min/max stats still
+        # prune the finalize semi-join. Table CONTENTS are unchanged (a
+        # multiset of rows; every reader aggregates order-independently).
+        writer_df = writer_df.hint("rebalance", *[F.col(c) for c in cluster_by])
         writer_df.sortWithinPartitions(*cluster_by).write.mode("append").parquet(path)
 
 
