@@ -207,12 +207,17 @@ def bigram_nll(
     toks = _doc_token_arrays(docs, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # ... and the folded bigram stream is itself staged (its two
-    # consumers — the count agg and the scoring join — then read rows
-    # instead of re-running the zip fold): one tokenize, one fold.
-    bigrams = _bigrams_from_token_arrays(toks).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The folded bigram stream is NOT separately persisted: its two
+    # consumers (the count agg and the scoring join) re-run the map-only
+    # zip fold off the cached arrays, which is cheaper than a second
+    # corpus-sized cache materialization + read-back (r17 measured the
+    # double persist as the suspect in the bigram_nll bench regression;
+    # this is the "one cache instead of two" shape). The token-array
+    # persist itself is unreachable from the caller — the one documented
+    # exception to the never-leak-a-persist rule; repeated calls in a
+    # long-lived session rely on the caller-side clearCache contract
+    # (bench.py clears per sample).
+    bigrams = _bigrams_from_token_arrays(toks)
     big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab = select_exploded(toks, arr="_terms", alias="term").agg(
         F.count_distinct("term").alias("_v")
@@ -353,15 +358,77 @@ def ngram_novelty(
     md5) with identical collision behavior across engines.
 
     Scale (100 TB): explode distinct grams per doc (array_distinct before
-    the explode keeps repeated boilerplate from multiplying rows), one
-    hash-agg on the gram key for min-doc attribution (partial map-side),
-    then a gram-keyed join back — Catalyst co-partitions the join with
-    the agg on the same key, so the history is shuffled once. No windows
-    over the corpus, no driver state. Output is one row per non-empty
-    doc: (doc_id, n_grams, n_novel, novelty)."""
+    the explode keeps repeated boilerplate from multiplying rows) and
+    hash-agg on the gram key for min-doc attribution (partial map-side);
+    per-doc novelty then folds WITHOUT the gram-keyed join back — n_novel
+    is a count over the (distinct-gram-sized) first-seen table keyed by
+    its attributed doc, and n_grams a per-doc count of the same exploded
+    stream whose map-side partial agg ships doc-count-sized rows. The
+    old join-back shape shuffled the corpus-gram stream twice more (join
+    probe + per-doc agg over the joined grams); this one shuffles grams
+    once (the attribution agg) plus two doc-count-sized frames. No
+    windows over the corpus, no driver state. Output is one row per
+    non-empty doc: (doc_id, n_grams, n_novel, novelty) — value-identical
+    to novelty_from_firsts over the same inputs (n_novel counts exactly
+    the grams whose min-doc is this doc; n_grams equals the join-shape's
+    per-doc count because the inner join kept every gram row — every
+    gram has a first-seen attribution)."""
     sh = doc_gram_keys(docs, text_col=text_col, id_col=id_col, n=n)
     first_seen = sh.groupBy("_g").agg(F.min("doc_id").alias("_first"))
-    return novelty_from_firsts(sh, first_seen)
+    novel = (
+        first_seen.groupBy("_first")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_novel"))
+        .withColumnRenamed("_first", "doc_id")
+    )
+    # per-doc gram count off the SAME exploded stream (map-side partial
+    # agg folds each doc's rows inside its input partition, so the
+    # exchange carries doc-count-sized rows). NOT a map-only
+    # size(gram_array) projection: filtering on a size() of the computed
+    # array re-inlines the whole gram build into a pushed-down filter
+    # below the scan (the operators/exploding.py re-evaluation tax —
+    # measured 2.3s -> 10.8s on this query), while the exploded stream
+    # goes through select_exploded's protected form.
+    counts = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams")
+    )
+    return (
+        counts.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def _doc_gram_arrays(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, _ga): each doc's DISTINCT raw n-gram shingle strings as
+    one array column — the shared gram builder of :func:`doc_gram_keys`
+    (which explodes it and md5-keys the rows) and the batch novelty's
+    map-only per-doc gram count (``size(_ga)`` — md5 is per-row, so the
+    exploded row count always equals this size)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    cnt = F.size("_t")
+    whole = F.array(F.concat_ws(" ", F.col("_t")))
+    many = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
+    )
+    grams = (
+        F.when(cnt == 0, F.array().cast("array<string>"))
+        .when(cnt < n, whole)
+        .otherwise(many)
+    )
+    return toks.select("doc_id", F.array_distinct(grams).alias("_ga"))
 
 
 def doc_gram_keys(
@@ -375,20 +442,11 @@ def doc_gram_keys(
     md5 key (dedup shingle convention: empty doc -> none, len < n -> one
     whole-doc gram). Shared by the batch and incremental novelty paths so
     the two cannot drift."""
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
-    cnt = F.size("_t")
-    whole = F.array(F.concat_ws(" ", F.col("_t")))
-    many = F.transform(
-        F.sequence(F.lit(0), cnt - n),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
-    )
-    grams = (
-        F.when(cnt == 0, F.array().cast("array<string>"))
-        .when(cnt < n, whole)
-        .otherwise(many)
-    )
     return select_exploded(
-        toks, "doc_id", arr=F.array_distinct(grams), alias="_g"
+        _doc_gram_arrays(docs, text_col=text_col, id_col=id_col, n=n),
+        "doc_id",
+        arr=F.col("_ga"),
+        alias="_g"
     ).select("doc_id", F.md5("_g").alias("_g"))
 
 

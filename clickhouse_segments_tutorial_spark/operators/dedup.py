@@ -815,6 +815,15 @@ def duplicate_spans(
         )
         .select("doc_id", F.size("_t").alias("n_tokens"), "_t")
     )
+    # NOTE (r18): the gram stream feeds both the duplicate-count
+    # aggregate and the position join probe, so the tokenize + per-gram
+    # md5_hash120 build executes once per consumer — a persist() barrier
+    # here was A/B-measured SLOWER at sf0.1 (2.28s -> 3.31s median,
+    # interleaved same-session runs): materializing O(corpus tokens)
+    # (doc_id, pos, 16-byte hash) rows through the block manager costs
+    # more than re-running the map-only gram build. Same negative result
+    # as the r17 minhash signature staging attempt; left unstaged on
+    # purpose.
     grams = select_posexploded(
         base.filter(F.col("n_tokens") >= k),
         "doc_id",
