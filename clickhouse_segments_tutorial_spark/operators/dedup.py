@@ -314,6 +314,18 @@ def _minhash_perm(x: Column, i: int) -> Column:
     return (F.lit(a) * x32 + F.lit(b)) % F.lit(_MINHASH_PRIME)
 
 
+def _minhash_min_sql(i: int) -> str:
+    """``min(h_i(_g)) AS _h<i>`` as a SQL string — parses to the exact
+    expression tree of ``F.min(_minhash_perm(F.col("_g"), i))`` (a and b
+    fit int32 like their F.lit forms; the mask and prime are bigint
+    literals both ways) in ONE py4j call instead of ~12; see
+    banded_minhash_keys."""
+    a, b = _minhash_coeffs(i)
+    return (
+        f"min(({a} * (_g & {(1 << 32) - 1}) + {b}) % {_MINHASH_PRIME}) AS _h{i}"
+    )
+
+
 def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
     """k-permutation MinHash signature as array<bigint> over hashed shingles
     — the shuffle-free expression form (array folds, interpreted).
@@ -359,33 +371,32 @@ def banded_minhash_keys(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
+    # The k min-aggregates and the bands-wide struct array are emitted as
+    # SQL expression STRINGS (one py4j call each), not per-element Column
+    # chains: building k=64 permutation expressions through the Column
+    # API costs ~12 py4j roundtrips apiece — measured 1.1-2.2s of
+    # driver-side construction per call (the dominant build cost of
+    # minhash_lsh_pairs and the corpus pipeline's stage 5). The parsed
+    # trees are node-identical to the Column forms (same literal types:
+    # a/b fit int32, the 2^32 mask and prime are bigints; `%` and `&`
+    # parse to the same Remainder/BitwiseAnd), so signatures and band
+    # keys are bit-identical.
     sigs = (
         shingled.select("_id", F.explode("_sh").alias("_g"))
         .groupBy("_id")
-        .agg(
-            *[
-                F.min(_minhash_perm(F.col("_g"), i)).alias(f"_h{i}")
-                for i in range(k)
-            ]
-        )
+        .agg(*[F.expr(_minhash_min_sql(i)) for i in range(k)])
     )
     if persist:
         sigs = sigs.persist()
+    bucket_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"_h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({bucket_structs})")).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
 
 
