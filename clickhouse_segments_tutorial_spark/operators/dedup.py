@@ -423,6 +423,15 @@ def minhash_lsh_pairs(
     the join is ~1.4x faster (0.57s vs 0.81s warm), and at scale AQE's
     skew-join splits a hot (band, hash) bucket across tasks, which a
     collected per-bucket array cannot be.
+
+    Singleton-bucket pruning (semi-join the banded keys against buckets
+    with >= 2 members before the self-join) was A/B-measured SLOWER at
+    sf0.1 in r18 (interleaved same-session medians 2.39s -> 3.16s and
+    3.57s -> 3.86s, identical output): the extra aggregation + semi-join
+    pass over the banded keys costs more than the self-join saves — band
+    buckets are near-unique, so the count aggregation's partial agg
+    cannot collapse map-side and the "prune" re-shuffles roughly the
+    full key set. Declined on measurement (r17 VERDICT item 6).
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
