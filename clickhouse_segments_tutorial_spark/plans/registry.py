@@ -60,6 +60,27 @@ class QuerySpec:
 # block, ahead of staleness (all_queries), so they are guaranteed into
 # the driver window regardless of how broad the auto-derivation went.
 # Reset to the new round's names (or empty) each round.
+# Names that MUST receive a driver correctness row THIS round, ahead of
+# even the union-deadline block: the r17 VERDICT names them with
+# explicit done-criteria ("Done = top_parts_per_returnflag_topkw
+# hash-green in the driver's correctness run"; item 7: "ensure
+# unigram_pieces_docs, dsir_weights_docs, bigram_lm_nll_docs,
+# corpus_pipeline_docs are sampled next round"). At the r18 record
+# state the deadline block holds 43 names, so the plain override sorts
+# to positions 43+ and topkw lands OUTSIDE the 50-row window — the one
+# standing RED cell would never get its clearing hash row. This tier is
+# for such hard per-round obligations ONLY and must stay small: each
+# name can displace a deadline name from the window once the deadline
+# backlog exceeds window - len(must). At r18: 43 + 5 = 48 <= 50, so
+# promoting these five costs zero union coverage. Reset each round.
+ROUND_MUST_SAMPLE: frozenset[str] = frozenset({
+    "top_parts_per_returnflag_topkw",
+    "unigram_pieces_docs",
+    "dsir_weights_docs",
+    "bigram_lm_nll_docs",
+    "corpus_pipeline_docs",
+})
+
 ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     # r18: the r17 optimization session rewrote these paths (local
     # trainer gates, one-pass DSIR, map-only bigrams, pipeline barriers)
@@ -77,6 +98,25 @@ ROUND_TOUCHED_OVERRIDE: frozenset[str] = frozenset({
     # "green" for staleness (rows_match, no err), so without the pin the
     # fixed oracle would not get a fresh driver hash row this round.
     "top_parts_per_returnflag_topkw",
+    # r18 session 2: queries whose internals this round's optimizer
+    # rewrote (ADC literal-array emission, cascade write/overlap
+    # restructure, MinHash expr-string signatures, novelty fold,
+    # bigram single-persist). The auto-derivation pinned 182/184
+    # queries (dedup.py's closure reaches nearly every module), which
+    # collapses the pinned block back into staleness order — several of
+    # these were green in the r17 sample and would sort LAST; pin them
+    # to the guaranteed front so the driver re-hashes exactly the
+    # changed paths.
+    "ann_ivfadc_probe",
+    "ann_ivfadc_residual_topk",
+    "ann_quantized_topk",
+    "segment_microbatch_members",
+    "segment_eventtime_members",
+    "segment_bucketed_members",
+    "segment_eventtime_members_streaming",
+    "minhash_near_dup_pairs",
+    "novelty_ngram_docs",
+    "bigram_lm_nll_lifecycle",
 })
 
 
@@ -275,11 +315,11 @@ def _specs_with_touched() -> dict[str, tuple[QuerySpec, bool]]:
     # a typo'd or since-renamed override entry silently pins NOTHING,
     # defeating exactly the fresh-driver-row guarantee the override was
     # added for (r15 ADVICE) — fail loudly instead
-    unknown = ROUND_TOUCHED_OVERRIDE - out.keys()
+    unknown = (ROUND_TOUCHED_OVERRIDE | ROUND_MUST_SAMPLE) - out.keys()
     if unknown:
         raise ValueError(
-            "ROUND_TOUCHED_OVERRIDE names not in the registry (typo or "
-            f"renamed query): {sorted(unknown)}"
+            "ROUND_TOUCHED_OVERRIDE/ROUND_MUST_SAMPLE names not in the "
+            f"registry (typo or renamed query): {sorted(unknown)}"
         )
     return out
 
@@ -383,11 +423,25 @@ def all_queries() -> dict[str, QuerySpec]:
     # so if the deadline backlog ever exceeds the window the worst-off
     # names still go first.
     deadline = _union_deadline()
-    critical = sorted(
-        (i for i in range(len(names)) if last_green.get(names[i], -1) < deadline),
+    # MUST-SAMPLE tier (r18): hard per-round verification obligations
+    # (see ROUND_MUST_SAMPLE) take the window ahead of everything —
+    # a standing red cell's clearing row outranks even the union
+    # deadline, and the tier is kept small enough that it normally
+    # displaces nothing (43 deadline + 5 must = 48 <= the 50 window).
+    must = sorted(
+        (i for i in range(len(names)) if names[i] in ROUND_MUST_SAMPLE),
         key=staleness,
     )
-    crit_set = set(critical)
+    must_set = set(must)
+    critical = sorted(
+        (
+            i
+            for i in range(len(names))
+            if last_green.get(names[i], -1) < deadline and i not in must_set
+        ),
+        key=staleness,
+    )
+    crit_set = set(critical) | must_set
     pinned = sorted(
         (i for i in range(len(names)) if specs[names[i]][1] and i not in crit_set),
         key=pin_order,
@@ -403,4 +457,4 @@ def all_queries() -> dict[str, QuerySpec]:
         + overflow,
         key=staleness,
     )
-    return {names[i]: specs[names[i]][0] for i in critical + head + tail}
+    return {names[i]: specs[names[i]][0] for i in must + critical + head + tail}

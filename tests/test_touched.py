@@ -103,6 +103,9 @@ def test_registry_round_touched_matches_module_mapping(monkeypatch):
     the manual override (override neutralized here — the live set varies
     by round and would otherwise leak into the module-mapping check)."""
     monkeypatch.setattr(registry, "ROUND_TOUCHED_OVERRIDE", frozenset())
+    # likewise the live must-sample tier (tested separately in
+    # test_must_sample_tier_outranks_deadline_block)
+    monkeypatch.setattr(registry, "ROUND_MUST_SAMPLE", frozenset())
     # neutralize the union-deadline block (tested separately in
     # test_union_deadline_block_preempts_pins) — the live CORRECTNESS
     # files would otherwise front whatever names happen to be stale
@@ -137,6 +140,7 @@ def test_override_names_lead_pinned_block_ahead_of_staleness(monkeypatch):
     matter how broad the auto-derivation went."""
     qmods = registry._query_module_paths()
     monkeypatch.setattr(registry, "_union_deadline", lambda: -10)
+    monkeypatch.setattr(registry, "ROUND_MUST_SAMPLE", frozenset())
     # simulate the degenerate round: EVERY query module derived-touched
     monkeypatch.setattr(registry, "_touched_module_paths", lambda: qmods)
     # recently-green names (q1 was green in every round) would normally
@@ -359,3 +363,42 @@ def test_union_deadline_block_preempts_pins(monkeypatch):
     window2 = list(registry.all_queries())[:W]
     assert len([n for n in window2 if n in pinned]) == 5
     assert set(window2[:5]) <= pinned
+
+
+def test_must_sample_tier_outranks_deadline_block(monkeypatch):
+    """r18: a ROUND_MUST_SAMPLE name (a standing red cell whose clearing
+    hash row the round MUST produce, or a VERDICT-mandated sample) takes
+    the window ahead of even the union-deadline block — at the r18
+    record state the deadline block alone filled positions 0..42, which
+    pushed the plain override past the 50-row window and the red topkw
+    cell would never have been re-hashed. The tier must not displace
+    deadline names while must+deadline fit the window together."""
+    W = 10
+    names = (
+        [f"old{i}" for i in range(8)]      # last green R-3: deadline
+        + ["redcell"]                       # green last round BUT must-sample
+        + [f"pin{i}" for i in range(3)]    # green last round, touched
+    )
+    last = {f"old{i}": 7 for i in range(8)}
+    last |= {"redcell": 10}
+    last |= {f"pin{i}": 10 for i in range(3)}
+    pinned = {n for n in names if n.startswith("pin")} | {"redcell"}
+    spec = {
+        n: (registry.QuerySpec(name=n, spark=lambda s, d: None), n in pinned)
+        for n in names
+    }
+    monkeypatch.setattr(registry, "_driver_window", lambda: W)
+    monkeypatch.setattr(registry, "_specs_with_touched", lambda: dict(spec))
+    monkeypatch.setattr(registry, "_last_green_round", lambda: dict(last))
+    monkeypatch.setattr(registry, "_union_deadline", lambda: 8)
+    monkeypatch.setattr(registry, "ROUND_MUST_SAMPLE", frozenset({"redcell"}))
+    monkeypatch.setattr(registry, "ROUND_TOUCHED_OVERRIDE", frozenset())
+
+    ordered = list(registry.all_queries())
+    window = ordered[:W]
+    # the must name leads the whole order, ahead of the deadline block
+    assert ordered[0] == "redcell"
+    # every deadline name still fits (1 must + 8 deadline <= 10)
+    assert all(f"old{i}" in window for i in range(8))
+    # the remaining slot goes to a pin as before
+    assert len([n for n in window if n.startswith("pin")]) == 1
